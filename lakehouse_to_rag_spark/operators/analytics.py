@@ -1,0 +1,160 @@
+"""The reference's analytics/data-quality query library, Spark-first.
+
+Covers SURVEY.md §2 rows A1-A7, O1-O3, U1, T1, D1 and the pass-through
+SQL entry (src/helpers/duckdb_queries.py + src/helpers/delta_queries.py).
+
+Every function is ``DataFrame -> DataFrame`` and built purely from
+pyspark.sql.functions, so plans stay in whole-stage codegen; top-k
+queries compile to TakeOrderedAndProject (distributed heap top-k, no
+global sort); unions of per-table 1-row aggregates are trivially
+parallel.
+
+Float outputs are rounded (default 4 dp) so results hash-match a
+double-precision oracle run by another engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ROUND_DP = 4
+
+
+def table_row_counts(tables: dict[str, DataFrame]) -> DataFrame:
+    """A1 (duckdb_queries.py:34-41): COUNT(*) per table, unioned with a
+    literal table_name column."""
+    parts = [
+        df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("row_count"),
+        )
+        for name, df in tables.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def content_length_stats(
+    tables: dict[str, DataFrame], content_col: str = "content"
+) -> DataFrame:
+    """A2 (duckdb_queries.py:48-61) + A7 (delta_queries.py:45-54):
+    avg/min/max content length per table."""
+    length = F.length(F.col(content_col))
+    parts = [
+        df.agg(
+            F.lit(name).alias("table_name"),
+            F.round(F.avg(length), ROUND_DP).alias("avg_length"),
+            F.min(length).alias("min_length"),
+            F.max(length).alias("max_length"),
+        )
+        for name, df in tables.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def missing_values(
+    tables: dict[str, DataFrame], cols: tuple[str, ...] = ("content", "title")
+) -> DataFrame:
+    """A3 (duckdb_queries.py:68-80): COUNT(*) - COUNT(col) per column
+    per table (NULL-skipping COUNT semantics match ANSI)."""
+    parts = [
+        df.agg(
+            F.lit(name).alias("table_name"),
+            *[
+                (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"missing_{c}")
+                for c in cols
+            ],
+        )
+        for name, df in tables.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def word_frequency(
+    df: DataFrame,
+    content_col: str = "content",
+    min_word_length: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """A4 + T1 + O1 (duckdb_queries.py:98-110): explode whitespace
+    tokens of lowercased content, keep words longer than
+    ``min_word_length``, count, top-k by frequency.
+
+    Tie-break by word ASC added for cross-engine determinism (the
+    reference's bare ORDER BY frequency DESC is unstable).
+    Scale shape: partial hash-agg on each partition before the shuffle
+    (2-phase HashAggregate) — the explode never materializes globally.
+    """
+    return (
+        df.select(
+            F.explode(F.split(F.lower(F.col(content_col)), " ", -1)).alias("word")
+        )
+        .filter(F.length("word") > min_word_length)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("frequency"))
+        .orderBy(F.desc("frequency"), F.asc("word"))
+        .limit(k)
+    )
+
+
+def duplicate_analysis(df: DataFrame, col: str = "content") -> DataFrame:
+    """A5 (duckdb_queries.py:117-123): total vs exact-distinct counts.
+    ``approximate=True`` swaps in HLL approx_count_distinct — the right
+    call at 100 TB where exact COUNT(DISTINCT) is a full shuffle of the
+    column."""
+    return df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct(F.col(col)).alias("unique_values"),
+        (F.count(F.lit(1)) - F.countDistinct(F.col(col))).alias("duplicate_rows"),
+    )
+
+
+def duplicate_analysis_approx(df: DataFrame, col: str = "content") -> DataFrame:
+    """A5 at scale: HLL sketch instead of exact distinct (SURVEY §2.13)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.approx_count_distinct(F.col(col)).alias("unique_values_approx"),
+    )
+
+
+def avg_length_by_group_topk(
+    df: DataFrame,
+    group_col: str = "source",
+    content_col: str = "content",
+    k: int = 5,
+) -> DataFrame:
+    """A6 + O2 (duckdb_queries.py:148-154): GROUP BY source, avg content
+    length, top-k. Tie-break by group ASC for determinism."""
+    return (
+        df.groupBy(F.col(group_col))
+        .agg(F.round(F.avg(F.length(F.col(content_col))), ROUND_DP).alias("avg_length"))
+        .orderBy(F.desc("avg_length"), F.asc(group_col))
+        .limit(k)
+    )
+
+
+def duplicate_rows(df: DataFrame, cols: list[str]) -> DataFrame:
+    """D1 (delta_queries.py:57-62): every member of each duplicate group
+    (pandas ``duplicated(keep=False)`` semantics) via a count window —
+    one hash exchange on the key, no self-join."""
+    w = Window.partitionBy(*[F.col(c) for c in cols])
+    return (
+        df.withColumn("_cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("_cnt") > 1)
+        .drop("_cnt")
+    )
+
+
+def run_custom_query(spark: SparkSession, sql: str) -> DataFrame:
+    """Pass-through SQL entry (duckdb_queries.py:131-136 parity).
+    Views must be registered first (sources.register_views)."""
+    return spark.sql(sql)

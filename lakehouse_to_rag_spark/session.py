@@ -1,0 +1,59 @@
+"""SparkSession factory + per-session tuning.
+
+The harness passes its own SparkSession into ``queries()`` callables,
+so anything correctness-critical (session time zone, Arrow) must be
+applied at *runtime* via ``tune(spark)``, not only at build time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session we are handed.
+# - UTC pins current_timestamp()/date_trunc semantics to match a
+#   naive-timestamp oracle (DuckDB timestamps are UTC-naive).
+# - Arrow makes pandas_udf exchange columnar batches.
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-created session. Idempotent."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf may be static on some builds; best-effort
+    return spark
+
+
+def get_spark(app_name: str = "lakehouse-to-rag-spark", cpus: int | None = None) -> SparkSession:
+    """Local session sized for the test harness (local[N], N from
+    $SPARK_GRAFT_CPUS, default 32).
+
+    Scale notes (100 TB posture): everything here is also what you
+    want on a real cluster — AQE for runtime re-planning (partition
+    coalescing, skew-join splitting), broadcast threshold for star
+    joins, shuffle partitions sized to parallelism (on a cluster this
+    would be 2-3x total cores; AQE coalesces down).
+    """
+    n = int(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,60 @@
+"""Parquet table catalog over a scale-factor directory.
+
+Harness data layout (TESTDATA.md): ``{sf_dir}/{table}.parquet`` for the
+TPC-H-ish star schema plus ``events``, ``documents``, ``embeddings``.
+
+All reads are lazy ``spark.read.parquet`` — Catalyst pushes filters and
+column pruning into the scan (check ``PushedFilters`` / ``ReadSchema``
+in ``.explain("formatted")``), which is the load-bearing property at
+100 TB: a query touching 2 of 11 lineitem columns must read 2 columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_to_rag_spark.session import tune
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at ANY scale factor
+# (region=5, nation=25 rows; supplier/part grow sub-linearly).
+BROADCAST_DIMS = {"region", "nation", "supplier"}
+
+# Columns stored as parquet TIMESTAMP(NANOS) — Spark has no native
+# nanos timestamp; read them as long (legacy conf) and floor-divide to
+# micros, which is exactly DuckDB's ns->us truncation on read.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one catalog table."""
+    tune(spark)
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in nanos_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register each table as a temp view for the SQL API
+    (parity with the reference's duckdb ``con.register``,
+    src/helpers/duckdb_queries.py:19-21)."""
+    for t in tables or TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,66 @@
+"""Medallion pipeline property tests (SURVEY.md §5.2 items 3-4)."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from lakehouse_to_rag_spark.operators.pipeline import run_medallion
+from lakehouse_to_rag_spark.operators.silver import dedup_keep_first
+
+
+def test_medallion_runs_and_row_counts(spark, sf_dir):
+    layers = run_medallion(spark, sf_dir)
+    n_raw = layers["raw"].count()
+    n_bronze = layers["bronze"].count()
+    n_silver = layers["silver"].count()
+    n_gold = layers["gold"].count()
+    assert n_raw == 500
+    assert 0 < n_bronze <= n_raw
+    assert 0 < n_silver <= n_bronze
+    assert n_gold >= n_silver  # explode fans out
+
+
+def test_silver_normalization_shape(spark, sf_dir):
+    layers = run_medallion(spark, sf_dir)
+    rows = layers["silver"].select("content").limit(50).collect()
+    pat = re.compile(r"^[a-z0-9\s.,!?;:\-()_]*$")
+    for r in rows:
+        assert pat.match(r["content"]), r["content"][:80]
+        assert "  " not in r["content"]
+        assert r["content"] == r["content"].strip()
+
+
+def test_silver_dedup_unique_keys(spark, sf_dir):
+    layers = run_medallion(spark, sf_dir)
+    n = layers["silver"].count()
+    n_keys = layers["silver"].select("url").distinct().count()
+    assert n == n_keys
+
+
+def test_gold_chunk_bounds_and_index(spark, sf_dir):
+    layers = run_medallion(spark, sf_dir)
+    bad = layers["gold"].filter(F.length("chunk") > 200).count()
+    assert bad == 0
+    # chunk_index dense from 0 per document
+    agg = (
+        layers["gold"]
+        .groupBy("url")
+        .agg(F.min("chunk_index").alias("mn"), F.max("chunk_index").alias("mx"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+    assert agg.filter((F.col("mn") != 0) | (F.col("mx") != F.col("cnt") - 1)).count() == 0
+
+
+def test_dedup_keep_first_matches_row_number(spark, sf_dir):
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    expected = (
+        ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    got = dedup_keep_first(ev, ["user_id"], ["ts", "event_id"])
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
