@@ -1,0 +1,302 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.13).
+
+Exact, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+near-dup — all expressed with JVM-side built-ins (xxhash64, explode,
+hash-joins, bit ops); zero Python UDFs. Every operator is shaped for
+100 TB:
+
+- shingling/minhash signatures are partial-aggregatable groupBys
+  (map-side combine shrinks data before the shuffle);
+- candidate generation is an equi-join on band keys (hash shuffle on
+  band, never an all-pairs product);
+- exact verification joins only the candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_to_rag_spark.functions.vectors import cosine_similarity
+
+
+# ---------------------------------------------------------------- exact
+
+def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup on a key set — generalization of reference W1/D1
+    (SURVEY.md §2.13). Keeps one arbitrary row per key; for a
+    deterministic keeper use silver.dedup_keep_first."""
+    return df.dropDuplicates(cols)
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup summary: one row per distinct text with
+    its content hash, the kept (min) id, and the copy count. The md5 is
+    computed pre-shuffle; the groupBy is a 2-phase hash aggregate."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ------------------------------------------------------- word shingles
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built as transform(sequence) + explode — pure codegen. Documents
+    shorter than n words produce no shingles.
+    """
+    words = F.split(F.col(text_col), " ", -1)
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(words, i + j) for j in range(n)]
+    )
+    shingles = F.when(
+        F.size(words) >= n, F.transform(idx, gram)
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+
+    Shuffle shape: one exchange on `shingle` for the self-join (skew
+    note: a stop-shingle shared by millions of docs would explode the
+    join — at scale, drop shingles with document frequency above a cap
+    first; that filter is itself one partial-agg). Intersection counts
+    and set sizes are integers, so jaccard is bit-deterministic.
+    """
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(jac >= threshold)
+    )
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 126
+) -> DataFrame:
+    """MinHash signature per id from a (id, shingle) frame.
+
+    Hash family: xxhash64(i, shingle) for i in 0..num_hashes-1 — a
+    seeded 64-bit hash per permutation, fully JVM-side and
+    deterministic. The groupBy(min, min, ...) is partial-aggregatable:
+    each upstream partition reduces to one candidate row per id before
+    the shuffle.
+    """
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingles.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 126,
+    rows_per_band: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification.
+
+    Banding: b = num_hashes / rows_per_band bands; a pair collides if
+    any band signature matches. Defaults (b=42, r=3) give ~99.6% recall
+    at jaccard 0.5. Candidates are found by an equi-join on
+    (band_index, band_hash) — shuffle volume is O(docs × bands), never
+    O(docs²). Verification re-joins candidate pairs against the shingle
+    sets, so reported jaccard values are exact.
+    """
+    num_bands = num_hashes // rows_per_band
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(sh, num_hashes)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    F.lit(j),
+                    *[
+                        F.element_at(F.col("sig"), j * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bkey"),
+            )
+            for j in range(num_bands)
+        ]
+    )
+    bands = sig.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+    # exact verification on the candidate set only
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        candidates.join(a, F.col("id_a") == F.col("a.id"))
+        .join(b, (F.col("id_b") == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(jac >= threshold)
+    )
+
+
+# ------------------------------------------------------------- SimHash
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document, entirely in JVM expressions.
+
+    Per word: h = xxhash64(word). Per bit b: sum(+1 if bit set else -1)
+    over words; simhash bit b = 1 iff the sum > 0. The 64 per-bit sums
+    are one partial-aggregatable groupBy (map-side combine), then the
+    bits are folded into one BIGINT. No Python in the loop.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("word"),
+    ).filter(F.length("word") > 0)
+    h = F.xxhash64(F.col("word"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = words.groupBy("id").agg(*bit_sums)
+    fold = None
+    for b in range(64):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+        fold = term if fold is None else fold + term
+    return sums.select("id", fold.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit hash into num_bands blocks; a
+    pair within hamming d < num_bands must agree on >= 1 block, so an
+    equi-join on (block_idx, block_value) finds all candidates without
+    an all-pairs product. Verification = bit_count(xor) on candidates.
+    """
+    bits_per = 64 // num_bands
+    sh = simhash(df, id_col, text_col)
+    mask = (1 << bits_per) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), j * bits_per)
+                .bitwiseAND(F.lit(mask))
+                .alias("bval"),
+            )
+            for j in range(num_bands)
+        ]
+    )
+    banded = sh.select("id", "simhash", F.explode(blocks).alias("b")).select(
+        "id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bval").alias("bval")
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        x.join(
+            y,
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cos >= t) by
+    brute-force self-join — the exact baseline. For the sub-quadratic
+    scale path see similarity.ivf_topk (cluster-bucketed search).
+    Cosine is computed in double (functions.vectors) so it matches a
+    double-precision oracle."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 4).alias("cosine"))
+        .filter(sim >= threshold)
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (SURVEY.md §2.13).
+
+Brute-force cosine top-k is the exact baseline; the scale paths are
+(1) a two-phase top-k that cuts shuffle volume from O(corpus × queries)
+to O(partitions × queries × k), and (2) IVF-style cluster-bucketed
+search that prunes the corpus before scoring. All scoring is JVM-side
+double math (functions.vectors)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_to_rag_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k per query: rank by (rounded sim desc, id asc)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    two_phase: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    The query side is broadcast (queries << corpus always); the corpus
+    is scanned once with no shuffle for scoring. With ``two_phase``,
+    each input partition first reduces to its local top-k per query
+    (groupBy(query, partition) with map-side combine), then the global
+    top-k ranks only partitions×queries×k rows — this is what survives
+    a 1000-executor corpus; a single window over all pairs would
+    shuffle the whole cross product.
+
+    Self-matches (same id on both sides) are excluded.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    sim = F.round(cosine_similarity(F.col("qvec"), F.col("nvec")), 4)
+    pairs = (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    if two_phase:
+        local_w = Window.partitionBy("query_id", "pid").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        pairs = (
+            pairs.withColumn("pid", F.spark_partition_id())
+            .withColumn("lrank", F.row_number().over(local_w))
+            .filter(F.col("lrank") <= k)
+            .drop("pid", "lrank")
+        )
+    return _ranked_topk(pairs, k)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer without iterative training: centroids are
+    the first ``num_centroids`` vectors by id (deterministic; real
+    k-means would refine them — the *plumbing* is identical). Returns
+    (centroids, corpus tagged with nearest-centroid cluster id).
+
+    Assignment broadcasts the centroids and keeps, per vector, the
+    argmax-cosine centroid via one max_by aggregation — no window, no
+    shuffle of the corpus beyond the groupBy(id) which AQE coalesces.
+    """
+    cent = F.broadcast(
+        corpus.orderBy(F.col(id_col)).limit(num_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
+    )
+    scored = corpus.crossJoin(cent).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        cosine_similarity(F.col(vec_col), F.col("cvec")).alias("csim"),
+    )
+    assigned = scored.groupBy(id_col, vec_col).agg(
+        F.max_by(
+            F.col("centroid_id"), F.struct(F.col("csim"), -F.col("centroid_id"))
+        ).alias("cluster")
+    )
+    return cent, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the ``nprobe`` clusters
+    nearest to each query. At scale the assigned corpus is written
+    bucketed/partitioned by ``cluster`` so a probe reads only matching
+    partitions (partition pruning); here the pruning happens via the
+    equi-join on cluster id."""
+    cent, assigned = ivf_assign(corpus, num_centroids, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcsim"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(cent)
+        .select(
+            "query_id",
+            "qvec",
+            "centroid_id",
+            cosine_similarity(F.col("qvec"), F.col("cvec")).alias("qcsim"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qvec", F.col("centroid_id").alias("cluster"))
+    )
+    sim = F.round(cosine_similarity(F.col("qvec"), F.col(vec_col)), 4)
+    pairs = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cosine")
+        )
+    )
+    return _ranked_topk(pairs, k)

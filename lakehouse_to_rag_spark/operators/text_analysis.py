@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data curation (SURVEY.md §2.13):
+language ID, quality scoring, token counting, document fingerprinting.
+All pure JVM expressions (regexp/split/array built-ins) — these run at
+full codegen speed over 100 TB of text with zero Python overhead, and
+each has an exact SQL oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_to_rag_spark.functions.text import (
+    ENGLISH_STOPWORDS,
+    STOPWORDS,
+    normalize_text,
+)
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cheap stopword-overlap language ID (the classic closed-class-word
+    baseline). Score per language = |distinct tokens ∩ stopwords(lang)|;
+    prediction = argmax score with alphabetical tie-break.
+
+    Shape: 5 narrow projections unioned, then one window argmax over 5
+    rows per doc. The array_intersect runs on the already-split token
+    array — one pass over the text per language, all codegen.
+    """
+    words = F.split(F.col(text_col), " ", -1)
+    parts = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.lit(lang).alias("cand_lang"),
+                F.size(F.array_intersect(words, sw)).cast("long").alias("score"),
+            )
+        )
+    scores = parts[0]
+    for p in parts[1:]:
+        scores = scores.unionByName(p)
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cand_lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("cand_lang").alias("pred_lang"), F.col("score"))
+    )
+
+
+def quality_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic document-quality signals: length, token stats,
+    punctuation ratio, stopword ratio, and a composite score — the
+    standard cheap pre-filters before expensive model-based scoring."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(t, " ", -1)
+    n_tokens = F.size(words)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    sw = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    n_stop = F.size(F.array_intersect(words, sw))
+    # unrounded intermediates feed the composite so the arithmetic is
+    # bit-identical to a double-precision SQL oracle; round only outputs
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_tokens
+    avg_word_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    # composite: reward moderate length + stopword presence, punish
+    # punctuation soup (weights are convention, deterministic rational)
+    score = F.round(
+        F.least(n_chars.cast("double") / 500.0, F.lit(1.0)) * 0.5
+        + stop_ratio * 0.4
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.1,
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens, and the
+    chars/4 heuristic — the three standard LLM budget estimators."""
+    t = F.col(text_col)
+    ws = F.size(F.split(t, r"\s+", -1))
+    bpe = F.regexp_count(t, F.lit(BPE_TOKEN_RE))
+    est = F.ceil(F.length(t) / 4.0)
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        est.cast("long").alias("est_tokens_chars4"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic document fingerprints on *normalized* text: md5 hex
+    (exact-dup key across formatting variants) + xxhash64 (cheap 64-bit
+    join key). Normalization = the silver P5 pipeline, so trivial
+    formatting differences collapse to one fingerprint."""
+    norm = normalize_text(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint_md5"),
+        F.xxhash64(norm).alias("fingerprint_xx64"),
+        F.length(norm).cast("long").alias("norm_length"),
+    )

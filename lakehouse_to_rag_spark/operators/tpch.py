@@ -1,0 +1,176 @@
+"""Star-schema analytical queries over the TPC-H-ish harness tables.
+
+The reference has zero joins (SURVEY.md §2.7); these exercise the join
+surface the engine gets from Spark, shaped the way they must be at
+100 TB:
+
+- dimension sides (region/nation/supplier/customer) are broadcast —
+  no shuffle of the fact table for those joins;
+- fact-fact joins (orders⋈lineitem) are equi-joins AQE can re-plan;
+- every filter lands in the parquet scan (PushedFilters).
+
+All money aggregates are rounded to 4dp and every output column is
+explicitly aliased for oracle comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_to_rag_spark.sources.tables import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem (pure agg, the
+    scan-throughput benchmark: 2-phase hash agg, 6 columns read)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q3-style: revenue of unshipped-ish orders for one market
+    segment. customer is broadcast; orders⋈lineitem shuffles on
+    orderkey once."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+            F.col("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(k)
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: orders with at least one late-shipped lineitem,
+    counted per priority — a left-semi join (existence), which Spark
+    executes without duplicating or materializing the probe side."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue per nation for one region, customer and
+    supplier nation must match. region/nation/supplier/customer all
+    broadcast — the only big shuffle is orders⋈lineitem."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
+    )
+
+
+def top_suppliers(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Q15-style: revenue per supplier, top-k, joined to supplier dim
+    (broadcast) after aggregation — aggregate-then-join keeps the
+    broadcast side at k rows' worth of work, not pre-join fan-out."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        l.groupBy("l_suppkey")
+        .agg(F.round(F.sum(revenue), 4).alias("total_revenue"))
+    )
+    return (
+        agg.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("total_revenue"),
+        )
+        .orderBy(F.desc("total_revenue"), F.asc("suppkey"))
+        .limit(k)
+    )
+
+
+def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer⋈orders per market segment: order count, avg/total price.
+    customer is the broadcast side; one shuffle for the final agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem⋈part (broadcast) per part type: volume + discounted
+    revenue — the scan reads 3 lineitem columns only."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+            F.round(F.sum(revenue), 4).alias("revenue"),
+        )
+    )

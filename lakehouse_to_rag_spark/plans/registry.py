@@ -1,0 +1,667 @@
+"""Query registry: every implemented operator as a named
+(spark, sf_dir) -> DataFrame callable, with a matching DuckDB-runnable
+oracle SQL where the semantics are SQL-expressible.
+
+Contract (driver): column names must match between the Spark result
+and the oracle result (the compare sorts columns by name, then
+value-hashes); integer outputs are cast to BIGINT on both sides;
+doubles are rounded to 4dp on both sides; top-k queries carry
+deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_to_rag_spark.functions.text import ENGLISH_STOPWORDS, STOPWORDS
+from lakehouse_to_rag_spark.operators import analytics
+from lakehouse_to_rag_spark.operators import dedup as dd
+from lakehouse_to_rag_spark.operators import events as ev
+from lakehouse_to_rag_spark.operators import similarity as simi
+from lakehouse_to_rag_spark.operators import text_analysis as ta
+from lakehouse_to_rag_spark.operators import tpch
+from lakehouse_to_rag_spark.operators.pipeline import run_medallion
+from lakehouse_to_rag_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join("'" + w + "'" for w in words) + "]"
+
+
+# =====================================================================
+# Medallion pipeline (reference parity: bronze P1-P2, silver P3-P5+W1,
+# gold F1/T2)
+# =====================================================================
+
+_BRONZE_ORACLE = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       source,
+       'doc ' || CAST(doc_id AS VARCHAR) AS title,
+       TRIM(text) AS content,
+       CAST(LENGTH(TRIM(text)) AS BIGINT) AS content_length
+FROM documents
+WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+"""
+
+
+@_q("bronze_docs", _BRONZE_ORACLE)
+def bronze_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = run_medallion(spark, sf_dir)["bronze"]
+    return b.select(
+        "url", "source", "title", "content",
+        F.col("content_length").cast("long").alias("content_length"),
+    )
+
+
+_SILVER_ORACLE = r"""
+WITH cleaned AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         source,
+         'doc ' || CAST(doc_id AS VARCHAR) AS title,
+         doc_id, lang,
+         TRIM(REGEXP_REPLACE(LOWER(REGEXP_REPLACE(TRIM(text), '[^\w\d\s\.,!?;:\-\(\)]', ' ', 'g')), '\s+', ' ', 'g')) AS content
+  FROM documents
+  WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY doc_id) AS rn
+  FROM cleaned
+)
+SELECT url, source, title, doc_id, lang, content,
+       CAST(LENGTH(content) AS BIGINT) AS content_length
+FROM ranked
+WHERE rn = 1 AND LENGTH(content) > 50
+"""
+
+
+@_q("silver_docs", _SILVER_ORACLE)
+def silver_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = run_medallion(spark, sf_dir)["silver"]
+    return s.select(
+        "url", "source", "title", "doc_id", "lang", "content",
+        F.col("content_length").cast("long").alias("content_length"),
+    )
+
+
+_GOLD_FIXED_ORACLE = """
+SELECT doc_id,
+       CAST((s - 1) // 190 AS BIGINT) AS chunk_index,
+       substring(text, CAST(s AS INTEGER), 200) AS chunk
+FROM (
+  SELECT doc_id, text,
+         unnest(range(1, GREATEST(LENGTH(text), 1) + 1, 190)) AS s
+  FROM documents
+  WHERE text IS NOT NULL
+) t
+"""
+
+
+@_q("gold_chunks_fixed", _GOLD_FIXED_ORACLE)
+def gold_chunks_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(190)
+    )
+    return docs.select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_index", "start")
+    ).select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.expr("substring(text, start, 200)").alias("chunk"),
+    )
+
+
+@_q("gold_chunks_recursive")  # recursive splitter: non-SQL, rows-only check
+def gold_chunks_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = run_medallion(spark, sf_dir)["gold"]
+    return g.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "chunk",
+    )
+
+
+# =====================================================================
+# Reference analytics library (A1-A7, D1, T1, O1-O2, U1)
+# =====================================================================
+
+_ROW_COUNTS_ORACLE = """
+SELECT 'documents' AS table_name, CAST(COUNT(*) AS BIGINT) AS row_count FROM documents
+UNION ALL
+SELECT 'events' AS table_name, CAST(COUNT(*) AS BIGINT) AS row_count FROM events
+UNION ALL
+SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS row_count FROM orders
+"""
+
+
+@_q("row_counts", _ROW_COUNTS_ORACLE)
+def row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = {
+        n: load_table(spark, sf_dir, n) for n in ["documents", "events", "orders"]
+    }
+    return analytics.table_row_counts(tables)
+
+
+_DOC_STATS_ORACLE = """
+SELECT 'documents' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS row_count,
+       ROUND(AVG(LENGTH(text)), 4) AS avg_length,
+       CAST(MIN(LENGTH(text)) AS BIGINT) AS min_length,
+       CAST(MAX(LENGTH(text)) AS BIGINT) AS max_length
+FROM documents
+"""
+
+
+@_q("doc_stats", _DOC_STATS_ORACLE)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    length = F.length("text")
+    return d.agg(
+        F.lit("documents").alias("table_name"),
+        F.count(F.lit(1)).alias("row_count"),
+        F.round(F.avg(length), 4).alias("avg_length"),
+        F.min(length).cast("long").alias("min_length"),
+        F.max(length).cast("long").alias("max_length"),
+    )
+
+
+_MISSING_ORACLE = """
+SELECT 'documents' AS table_name,
+       CAST(COUNT(*) - COUNT(text) AS BIGINT) AS missing_text,
+       CAST(COUNT(*) - COUNT(lang) AS BIGINT) AS missing_lang
+FROM documents
+"""
+
+
+@_q("missing_values_docs", _MISSING_ORACLE)
+def missing_values_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.lit("documents").alias("table_name"),
+        (F.count(F.lit(1)) - F.count("text")).alias("missing_text"),
+        (F.count(F.lit(1)) - F.count("lang")).alias("missing_lang"),
+    )
+
+
+_WORD_FREQ_ORACLE = """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS frequency
+FROM (SELECT unnest(string_split(LOWER(text), ' ')) AS word FROM documents) t
+WHERE LENGTH(word) > 3
+GROUP BY word
+ORDER BY frequency DESC, word ASC
+LIMIT 10
+"""
+
+
+@_q("word_freq_top10", _WORD_FREQ_ORACLE)
+def word_freq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return analytics.word_frequency(d, content_col="text", min_word_length=3, k=10)
+
+
+_DUP_ANALYSIS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS unique_values,
+       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS duplicate_rows
+FROM documents
+"""
+
+
+@_q("duplicate_analysis_docs", _DUP_ANALYSIS_ORACLE)
+def duplicate_analysis_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return analytics.duplicate_analysis(d, col="text")
+
+
+_AVG_BY_SOURCE_ORACLE = """
+SELECT source, ROUND(AVG(LENGTH(text)), 4) AS avg_length
+FROM documents
+GROUP BY source
+ORDER BY avg_length DESC, source ASC
+LIMIT 5
+"""
+
+
+@_q("avg_length_by_source_top5", _AVG_BY_SOURCE_ORACLE)
+def avg_length_by_source_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return analytics.avg_length_by_group_topk(
+        d, group_col="source", content_col="text", k=5
+    )
+
+
+_DUP_ROWS_ORACLE = """
+SELECT event_id, user_id, event_type
+FROM (
+  SELECT event_id, user_id, event_type,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS cnt
+  FROM events
+) t
+WHERE cnt > 1
+"""
+
+
+@_q("duplicate_rows_events", _DUP_ROWS_ORACLE)
+def duplicate_rows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    return analytics.duplicate_rows(e, ["user_id", "event_type"])
+
+
+# =====================================================================
+# Star-schema / TPC-H-style joins & aggregations
+# =====================================================================
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+QUERIES["q1_pricing_summary"] = tpch.q1_pricing_summary
+ORACLES["q1_pricing_summary"] = _Q1_ORACLE
+
+_Q3_ORACLE = """
+SELECT l.l_orderkey AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority AS orderpriority,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+"""
+
+QUERIES["q3_shipping_priority"] = tpch.q3_shipping_priority
+ORACLES["q3_shipping_priority"] = _Q3_ORACLE
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+QUERIES["q4_order_priority"] = tpch.q4_order_priority
+ORACLES["q4_order_priority"] = _Q4_ORACLE
+
+_Q5_ORACLE = """
+SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+QUERIES["q5_regional_revenue"] = tpch.q5_regional_revenue
+ORACLES["q5_regional_revenue"] = _Q5_ORACLE
+
+_TOP_SUPPLIERS_ORACLE = """
+SELECT s.s_suppkey AS suppkey, s.s_name AS supplier_name, a.total_revenue
+FROM (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem GROUP BY l_suppkey
+) a
+JOIN supplier s ON a.l_suppkey = s.s_suppkey
+ORDER BY a.total_revenue DESC, suppkey ASC
+LIMIT 5
+"""
+
+QUERIES["top_suppliers"] = tpch.top_suppliers
+ORACLES["top_suppliers"] = _TOP_SUPPLIERS_ORACLE
+
+_SEGMENT_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(AVG(o.o_totalprice), 4) AS avg_price,
+       ROUND(SUM(o.o_totalprice), 4) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+QUERIES["segment_order_stats"] = tpch.segment_order_stats
+ORACLES["segment_order_stats"] = _SEGMENT_ORACLE
+
+_PART_TYPE_ORACLE = """
+SELECT p.p_type,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l.l_quantity), 4) AS total_qty,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_type
+"""
+
+QUERIES["part_type_stats"] = tpch.part_type_stats
+ORACLES["part_type_stats"] = _PART_TYPE_ORACLE
+
+
+# =====================================================================
+# Events analytics
+# =====================================================================
+
+_HOURLY_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_q("events_hourly", _HOURLY_ORACLE)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.hourly_rollup(load_table(spark, sf_dir, "events"))
+
+
+_SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g
+GROUP BY user_id
+"""
+
+
+@_q("events_sessionize", _SESSIONIZE_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.sessionize(load_table(spark, sf_dir, "events"))
+
+
+_TOP_USERS_ORACLE = """
+SELECT user_id,
+       ROUND(SUM(value), 4) AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY total_value DESC, user_id ASC
+LIMIT 10
+"""
+
+
+@_q("events_top_users", _TOP_USERS_ORACLE)
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.top_users_by_value(load_table(spark, sf_dir, "events"))
+
+
+_PROPS_ORACLE = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@_q("events_props_rollup", _PROPS_ORACLE)
+def events_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.props_rollup(load_table(spark, sf_dir, "events"))
+
+
+_PIVOT_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events
+GROUP BY 1
+"""
+
+
+@_q("events_type_pivot", _PIVOT_ORACLE)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.type_pivot_daily(load_table(spark, sf_dir, "events"))
+
+
+# =====================================================================
+# Dedup extensions (SURVEY.md §2.13)
+# =====================================================================
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@_q("dedup_exact_groups", _EXACT_DEDUP_ORACLE)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.exact_dup_groups(d, "doc_id", "text")
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, GREATEST(len(words) - 1, 1)),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+  FROM w
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+@_q("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@_q("dedup_minhash")  # LSH recall is probabilistic: rows-only check
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@_q("dedup_simhash")  # bit-bucket candidates: rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+_EMB_DEDUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+@_q("dedup_embedding", _EMB_DEDUP_ORACLE)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_dup_pairs(e, threshold=0.4)
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+_KNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 10
+), p AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 4) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+@_q("knn_bruteforce", _KNN_ORACLE)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return simi.knn_bruteforce(e, queries, k=5)
+
+
+@_q("knn_ivf")  # approximate (cluster pruning): rows-only check
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return simi.ivf_topk(e, queries, k=5, num_centroids=16, nprobe=4)
+
+
+# =====================================================================
+# Text analysis (SURVEY.md §2.13)
+# =====================================================================
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang in sorted(STOPWORDS):
+        lst = _sql_list(STOPWORDS[lang])
+        parts.append(
+            f"SELECT doc_id, '{lang}' AS cand_lang, "
+            f"CAST(len(list_intersect(string_split(text, ' '), {lst})) AS BIGINT) AS score "
+            f"FROM documents"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_LANG_ID_ORACLE = f"""
+WITH scores AS (
+  {_lang_scores_sql()}
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, cand_lang ASC) AS rn
+  FROM scores
+)
+SELECT doc_id, cand_lang AS pred_lang, score FROM r WHERE rn = 1
+"""
+
+
+@_q("lang_id", _LANG_ID_ORACLE)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ta.language_id(d)
+
+
+_SW = _sql_list(ENGLISH_STOPWORDS)
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       ROUND(CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS avg_word_len,
+       ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             / LENGTH(text), 4) AS punct_ratio,
+       ROUND(CAST(len(list_intersect(string_split(text, ' '), {_SW})) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       ROUND(LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+             + (CAST(len(list_intersect(string_split(text, ' '), {_SW})) AS DOUBLE)
+                / len(string_split(text, ' '))) * 0.4
+             + (1.0 - LEAST((CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                             / LENGTH(text)) * 10.0, 1.0)) * 0.1, 4) AS quality_score
+FROM documents
+"""
+
+
+@_q("quality_scores", _QUALITY_ORACLE)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ta.quality_scores(d)
+
+
+_TOKEN_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+       CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS est_tokens_chars4
+FROM documents
+"""
+
+
+@_q("token_counts", _TOKEN_ORACLE)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ta.token_counts(d)
+
+
+_FINGERPRINT_ORACLE = r"""
+SELECT doc_id,
+       md5(TRIM(REGEXP_REPLACE(LOWER(REGEXP_REPLACE(text, '[^\w\d\s\.,!?;:\-\(\)]', ' ', 'g')), '\s+', ' ', 'g'))) AS fingerprint_md5,
+       CAST(LENGTH(TRIM(REGEXP_REPLACE(LOWER(REGEXP_REPLACE(text, '[^\w\d\s\.,!?;:\-\(\)]', ' ', 'g')), '\s+', ' ', 'g'))) AS BIGINT) AS norm_length
+FROM documents
+"""
+
+
+@_q("doc_fingerprint", _FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ta.fingerprint(d).select("doc_id", "fingerprint_md5", "norm_length")
