@@ -286,15 +286,36 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos >= t) by
     brute-force self-join — the exact baseline. For the sub-quadratic
     scale path see similarity.ivf_topk (cluster-bucketed search).
-    Cosine is computed in double (functions.vectors) so it matches a
-    double-precision oracle."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
+
+    Plan shape: the pair join is a broadcast nested-loop (non-equi
+    id_a < id_b); parallelism comes from the STREAMED side's partition
+    count, so we repartition it explicitly — without this the whole
+    O(n²) scoring runs in however few partitions the scan produced.
+    Norms are computed once per row before the join (O(n)), not once
+    per pair (O(n²)); the per-pair work is one dot product in double.
+    """
+    from lakehouse_to_rag_spark.functions.vectors import dot, l2_norm
+
+    if num_partitions is None:
+        num_partitions = emb.sparkSession.sparkContext.defaultParallelism
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    ).repartition(num_partitions)
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / F.nullif(
+        F.col("na") * F.col("nb"), F.lit(0.0)
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(sim, 4).alias("cosine"))
