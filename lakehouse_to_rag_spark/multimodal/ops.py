@@ -1,0 +1,191 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (SURVEY.md §2.13 / BASELINE.json north-star).
+
+The Spark-side plumbing is real and tested — schemas, Arrow-batched
+``mapInPandas`` UDF signatures, batch shapes, partition sizing. The
+actual codec calls (PIL/ffmpeg/librosa) are STUBBED because the
+harness container ships no media libraries: each stub raises
+``NotImplementedError`` when a real decode is requested, and provides
+a deterministic fake (parsing our synthetic header format) so the
+distributed pipeline around it is exercised end-to-end.
+
+Scale notes: media rows are large and skewed — batch size is governed
+by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (bytes, not rows,
+are what matters; lower it for video). Binary payloads never pass
+through Python row-at-a-time; Arrow moves them zero-copy per batch.
+Repartition by byte size (``n_bytes``) before heavy decode stages so
+one task doesn't get all the 4K videos.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+_MAGIC = b"SYNM"  # synthetic media header: MAGIC u32(width) u32(height) u32(frames)
+
+
+def _synth_payload(media_id: int, media_type: str) -> bytes:
+    w = 64 + (media_id * 37) % 512
+    h = 64 + (media_id * 53) % 512
+    frames = 1 if media_type == "image" else 1 + (media_id * 11) % 120
+    body = bytes((media_id * (i + 7)) % 256 for i in range(128))
+    return _MAGIC + struct.pack("<III", w, h, frames) + body
+
+
+def synth_media_table(spark: SparkSession, n: int = 100) -> DataFrame:
+    """Deterministic synthetic media corpus for tests (seeded by id)."""
+    types = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        t = types[i % 3]
+        p = _synth_payload(i, t)
+        rows.append((i, t, p, f"application/x-synthetic-{t}", len(p)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _parse_header(payload: bytes) -> tuple[int, int, int]:
+    if payload is None or not payload.startswith(_MAGIC):
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg (not in this container); "
+            "only SYNM synthetic payloads are decodable here"
+        )
+    w, h, frames = struct.unpack_from("<III", payload, len(_MAGIC))
+    return w, h, frames
+
+
+_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def decode_metadata(media: DataFrame) -> DataFrame:
+    """Decode per-item metadata with an Arrow-batched mapInPandas —
+    the shape a real decoder plugs into (payload bytes in, typed
+    struct out; one batch per Arrow chunk, never per row)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["payload"].map(_parse_header)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": meta.map(lambda m: m[0]),
+                    "height": meta.map(lambda m: m[1]),
+                    "n_frames": meta.map(lambda m: m[2]),
+                    "n_bytes": pdf["n_bytes"],
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=_DECODED_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stub: rewrites the synthetic header to the target size
+    (a real impl would transcode pixels via PIL here). Output schema =
+    input schema — resize composes with any downstream media op."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def _one(p: bytes) -> bytes:
+                _parse_header(p)  # validates / raises for real formats
+                _, _, frames = struct.unpack_from("<III", p, len(_MAGIC))
+                return _MAGIC + struct.pack("<III", width, height, frames) + p[16:]
+
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(_one)
+            out["n_bytes"] = out["payload"].map(len)
+            yield out
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        _resize, schema=MEDIA_SCHEMA
+    )
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling for video: one output row per sampled frame.
+    The fan-out ratio (n_frames/every_n) is why this runs AFTER a
+    repartition at scale — the stub emits a deterministic frame stamp
+    where a real impl would emit decoded JPEG bytes."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for _, row in pdf.iterrows():
+                _, _, frames = _parse_header(row["payload"])
+                for fi in range(0, frames, every_n):
+                    ids.append(row["media_id"])
+                    idxs.append(fi)
+                    payloads.append(
+                        _MAGIC + struct.pack("<III", 0, 0, fi) + row["payload"][16:32]
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame_payload": payloads}
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        _sample, schema=_FRAME_SCHEMA
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
+    """Feature extraction stub: deterministic pseudo-embedding from the
+    payload bytes (a real impl would run a vision/audio encoder).
+    Output feeds directly into operators.similarity / dedup.embedding —
+    the array<float> contract is the real interface."""
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed(payload: pd.Series) -> pd.Series:
+        def _one(p: bytes) -> list[float]:
+            _parse_header(p)
+            rng = np.frombuffer(p[: 16 + 64].ljust(80, b"\0"), dtype=np.uint8)
+            v = np.resize(rng.astype(np.float32), dim)
+            n = float(np.sqrt((v * v).sum()))
+            return (v / n if n else v).tolist()
+
+        return payload.map(_one)
+
+    return media.select(
+        "media_id", "media_type", _embed(F.col("payload")).alias("embedding")
+    )

@@ -1,0 +1,108 @@
+"""Incremental (Structured Streaming) medallion pipeline.
+
+The reference is batch-only (SURVEY.md §2.11: schedule_interval=None,
+full overwrite per run — etl.py:256, 113/137/242). This module is the
+idiomatic Spark upgrade: the same pure transforms applied to a
+``readStream`` source, so new raw objects flow to bronze/silver/gold
+continuously instead of re-processing the corpus per run.
+
+Semantics per stage:
+- bronze: stateless projection+filter — identical expression to batch.
+- silver: normalization is stateless; per-key dedup becomes
+  ``withWatermark + dropDuplicates([key])`` — keeps the FIRST arrival
+  per key (the batch W1 keeps earliest processed_at, which for a
+  stream IS arrival order), with state bounded by the watermark.
+- gold: stateless chunk fan-out (same pandas_udf).
+- rollups: watermarked tumbling windows; late rows beyond the
+  watermark are dropped deterministically.
+
+State-store sizing at 100 TB: dedup state is O(distinct keys within
+the watermark window), not O(stream) — the watermark is the knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_to_rag_spark.functions.chunker import chunks_udf
+from lakehouse_to_rag_spark.functions.text import normalize_text
+from lakehouse_to_rag_spark.sources.raw_json import raw_schema
+
+
+def stream_raw_json(
+    spark: SparkSession,
+    path_glob: str,
+    selector_fields: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of raw scraped JSON objects (the streaming
+    twin of sources.raw_json.read_raw_json)."""
+    reader = spark.readStream.schema(raw_schema(selector_fields))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.json(path_glob)
+    return df.withColumn(
+        "source", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+
+
+def bronze_stream(raw: DataFrame, content_col: str = "content") -> DataFrame:
+    """Stateless bronze: trim + non-empty filter + ingest timestamp."""
+    cleaned = F.trim(F.col(content_col))
+    return raw.filter(
+        F.col(content_col).isNotNull() & (F.length(cleaned) > 0)
+    ).select(
+        "url",
+        "source",
+        "title",
+        cleaned.alias("content"),
+        F.current_timestamp().alias("processed_at"),
+        F.length(cleaned).alias("content_length"),
+    )
+
+
+def silver_stream_dedup(
+    bronze: DataFrame,
+    key_col: str = "url",
+    min_content_length: int = 50,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming silver: normalize + first-arrival dedup per key with
+    watermark-bounded state."""
+    return (
+        bronze.withColumn("content", normalize_text("content"))
+        .filter(F.length("content") > min_content_length)
+        .withColumn("content_length", F.length("content"))
+        .withWatermark("processed_at", watermark_delay)
+        .dropDuplicates([key_col])
+    )
+
+
+def gold_stream(silver: DataFrame, chunk_size: int = 200, chunk_overlap: int = 10) -> DataFrame:
+    """Stateless gold: recursive chunk fan-out with chunk index."""
+    arr = chunks_udf(chunk_size, chunk_overlap)(F.col("content"))
+    return silver.select("*", F.posexplode_outer(arr).alias("chunk_index", "chunk"))
+
+
+def hourly_rollup_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup — the incremental twin of
+    operators.events.hourly_rollup."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
