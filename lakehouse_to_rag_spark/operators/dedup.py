@@ -61,8 +61,11 @@ def word_shingles(
     shingles = F.when(
         F.size(words) >= n, F.transform(idx, gram)
     ).otherwise(F.array().cast("array<string>"))
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    narrow = maybe_parallelize(df.select(F.col(id_col), F.col(text_col)))
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        narrow.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
         .distinct()
     )
 
@@ -209,7 +212,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     are one partial-aggregatable groupBy (map-side combine), then the
     bits are folded into one BIGINT. No Python in the loop.
     """
-    words = df.select(
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    narrow = maybe_parallelize(df.select(F.col(id_col), F.col(text_col)))
+    words = narrow.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ", -1)).alias("word"),
     ).filter(F.length("word") > 0)

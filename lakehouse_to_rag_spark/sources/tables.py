@@ -39,8 +39,19 @@ BROADCAST_DIMS = {"region", "nation", "supplier"}
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan of one catalog table."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    """Lazy parquet scan of one catalog table.
+
+    ``parallelize=True`` round-robin-repartitions the scan up to the
+    session's default parallelism — needed because the harness tables
+    are single-row-group files (1 scan task) while the downstream
+    operator does per-row CPU work (regex, shingling, chunking). It is
+    a no-op-by-design question at 100 TB: real tables have thousands
+    of splits, and the guard below skips the shuffle whenever the scan
+    already yields enough partitions.
+    """
     tune(spark)
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
@@ -49,7 +60,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if parallelize:
+        df = maybe_parallelize(df)
     return df
+
+
+def maybe_parallelize(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition iff the plan currently has fewer partitions than the
+    session parallelism (cheap check; avoids pointless shuffles on
+    already-wide inputs)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
