@@ -90,3 +90,80 @@ def type_pivot_daily(events: DataFrame) -> DataFrame:
         for t in ["click", "view", "purchase", "signup", "error"]
     ]
     return events.groupBy(day).agg(*counts)
+
+
+def asof_latest_prior(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """As-of join: for each ``left_type`` event, the most recent
+    ``right_type`` event of the same user at-or-before its timestamp
+    (>= semantics, like SQL ASOF JOIN).
+
+    Spark has no native as-of join; the scalable shape is the
+    union-and-carry trick: tag both streams, sort within user, and
+    carry the last right-side row forward with last(..., ignorenulls)
+    — ONE shuffle on user_id and a linear pass, instead of the
+    quadratic join+filter+row_number formulation.
+    """
+    r = events.filter(F.col("event_type") == right_type).select(
+        "user_id",
+        "ts",
+        F.col("event_id"),
+        F.col("event_id").alias("right_id"),
+        F.lit(0).alias("tag"),
+    )
+    l = events.filter(F.col("event_type") == left_type).select(
+        "user_id",
+        "ts",
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("right_id"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last(
+        F.when(F.col("tag") == 0, F.struct("ts", "right_id")), ignorenulls=True
+    ).over(w)
+    return (
+        r.unionByName(l)
+        .withColumn("prior", carried)
+        .filter(F.col("tag") == 1)
+        .select(
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("prior.right_id").alias("prior_click_id"),
+            F.round(
+                (F.unix_micros("ts") - F.unix_micros("prior.ts")) / 1_000_000.0, 4
+            ).alias("gap_seconds"),
+        )
+    )
+
+
+def user_value_deltas(events: DataFrame) -> DataFrame:
+    """Per-user value delta vs previous event (lag analytic window)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    return events.select(
+        "event_id", "user_id", F.round(delta, 4).alias("value_delta")
+    )
+
+
+def rolling_hour_avg(events: DataFrame) -> DataFrame:
+    """Per-user trailing 1-hour average value: a RANGE window frame
+    ordered by epoch micros (numeric range frames are engine-portable;
+    interval frames are not)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("avg_value_1h"),
+    )

@@ -174,3 +174,24 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(revenue), 4).alias("revenue"),
         )
     )
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (status, priority) — grouping-set
+    aggregation the reference lacks entirely; one shuffle, the rollup
+    combinations are computed by expand + partial agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers that never ordered (NOT EXISTS). The
+    orders side reduces to a distinct-key broadcast under AQE."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")

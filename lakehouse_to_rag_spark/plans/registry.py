@@ -665,3 +665,161 @@ FROM documents
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return ta.fingerprint(d).select("doc_id", "fingerprint_md5", "norm_length")
+
+
+# =====================================================================
+# Window-frame / join-shape extensions (beyond the reference's W1)
+# =====================================================================
+
+_ASOF_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id,
+       p.user_id,
+       c.event_id AS prior_click_id,
+       ROUND((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 4) AS gap_seconds
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@_q("events_asof_join", _ASOF_ORACLE)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.asof_latest_prior(load_table(spark, sf_dir, "events"))
+
+
+_LAG_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS value_delta
+FROM events
+"""
+
+
+@_q("events_user_lag", _LAG_ORACLE)
+def events_user_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.user_value_deltas(load_table(spark, sf_dir, "events"))
+
+
+_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS avg_value_1h
+FROM events
+"""
+
+
+@_q("events_rolling_1h", _ROLLING_ORACLE)
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.rolling_hour_avg(load_table(spark, sf_dir, "events"))
+
+
+_W1_EVENTS_ORACLE = """
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) t
+WHERE rn = 1
+"""
+
+
+@_q("first_event_per_user", _W1_EVENTS_ORACLE)
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_to_rag_spark.operators.silver import dedup_keep_first
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    first = dedup_keep_first(e, ["user_id"], ["ts", "event_id"])
+    return first.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+QUERIES["orders_rollup"] = tpch.orders_rollup
+ORACLES["orders_rollup"] = _ROLLUP_ORACLE
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+QUERIES["customers_without_orders"] = tpch.customers_without_orders
+ORACLES["customers_without_orders"] = _ANTI_ORACLE
+
+
+# Centroid values are quantized to integer milli-units BEFORE the sum
+# so the aggregate is exact integer math — no float rounding boundary
+# can diverge between engines (avg of doubles sits within one ulp of a
+# .00005 boundary for ~1/1000 outputs, which a 4dp round then flips).
+_CENTROID_ORACLE = """
+WITH e AS (
+  SELECT label, embedding, unnest(range(1, 65)) AS i FROM embeddings
+)
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(SUM(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000)) AS BIGINT) AS centroid_milli_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM e
+GROUP BY label, i
+"""
+
+
+@_q("embedding_centroids", _CENTROID_ORACLE)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.sum(F.floor(F.col("val").cast("double") * 1000))
+            .cast("long")
+            .alias("centroid_milli_sum"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+_MEDALLION_STATS_ORACLE = r"""
+WITH bronze AS (
+  SELECT TRIM(text) AS content FROM documents
+  WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+), silver AS (
+  SELECT content FROM (
+    SELECT TRIM(REGEXP_REPLACE(LOWER(REGEXP_REPLACE(TRIM(text), '[^\w\d\s\.,!?;:\-\(\)]', ' ', 'g')), '\s+', ' ', 'g')) AS content,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY doc_id) AS rn
+    FROM documents WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+  ) t WHERE rn = 1 AND LENGTH(content) > 50
+)
+SELECT 'bronze' AS table_name, ROUND(AVG(LENGTH(content)), 4) AS avg_length,
+       CAST(MIN(LENGTH(content)) AS BIGINT) AS min_length,
+       CAST(MAX(LENGTH(content)) AS BIGINT) AS max_length
+FROM bronze
+UNION ALL
+SELECT 'silver' AS table_name, ROUND(AVG(LENGTH(content)), 4) AS avg_length,
+       CAST(MIN(LENGTH(content)) AS BIGINT) AS min_length,
+       CAST(MAX(LENGTH(content)) AS BIGINT) AS max_length
+FROM silver
+"""
+
+
+@_q("medallion_stats", _MEDALLION_STATS_ORACLE)
+def medallion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    layers = run_medallion(spark, sf_dir)
+    stats = analytics.content_length_stats(
+        {"bronze": layers["bronze"], "silver": layers["silver"]}
+    )
+    return stats.select(
+        "table_name",
+        "avg_length",
+        F.col("min_length").cast("long").alias("min_length"),
+        F.col("max_length").cast("long").alias("max_length"),
+    )
