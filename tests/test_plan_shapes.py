@@ -1,0 +1,78 @@
+"""Physical-plan shape assertions: the properties that matter at
+100 TB, checked mechanically so a refactor can't silently regress them
+(SURVEY.md §4.2-4.3).
+
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema)
+- dimension joins broadcast (no fact-table shuffle)
+- top-k compiles to TakeOrderedAndProject (no global sort)
+- aggregations are 2-phase (partial before the exchange)
+"""
+
+from pyspark.sql import functions as F
+
+from lakehouse_to_rag_spark.operators import tpch
+from lakehouse_to_rag_spark.operators.analytics import word_frequency
+from lakehouse_to_rag_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _final_plan(df) -> str:
+    """Execute (so AQE finalizes) and return the final physical plan."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-01-01").cast("timestamp")
+    ).select("l_quantity")
+    plan = _formatted(l)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads only the referenced columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(tpch.q5_regional_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # the only shuffle join allowed is orders⋈lineitem
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan(word_frequency(d, content_col="text"))
+    assert "TakeOrderedAndProject" in plan
+    # no global Sort node — top-k must not totally sort
+    assert "Sort [frequency" not in plan
+
+
+def test_q1_two_phase_aggregate(spark, sf_dir):
+    plan = _plan(tpch.q1_pricing_summary(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_semi_join_for_exists(spark, sf_dir):
+    plan = _plan(tpch.q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_shape(spark, sf_dir):
+    plan = _plan(tpch.customers_without_orders(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    plan = _final_plan(tpch.q1_pricing_summary(spark, sf_dir))
+    # codegen'd operators print with a "*(stageId)" prefix
+    assert "WholeStageCodegen" in plan or "*(" in plan
