@@ -1,0 +1,54 @@
+"""Quality checks for the probabilistic/approximate operators that have
+no SQL oracle: MinHash-LSH recall vs exact Jaccard, SimHash behavior on
+planted near-duplicates, IVF recall vs brute-force kNN."""
+
+from pyspark.sql import functions as F
+
+from lakehouse_to_rag_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from lakehouse_to_rag_spark.operators.similarity import ivf_topk, knn_bruteforce
+from lakehouse_to_rag_spark.sources.tables import load_table
+
+
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = _pair_set(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5))
+    lsh = _pair_set(minhash_lsh_pairs(docs, "doc_id", "text", 3, threshold=0.5))
+    assert exact, "testdata should contain planted near-dups"
+    # LSH verification is exact-jaccard, so no false positives possible
+    assert lsh <= exact
+    # b=42, r=3 banding: >=99% expected recall at j=0.5
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, (recall, len(exact))
+
+
+def test_simhash_flags_planted_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = _pair_set(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.9))
+    sim = _pair_set(simhash_pairs(docs, "doc_id", "text", max_hamming=10))
+    if exact:  # very-near dups must collide within 10 bits
+        hit = len(sim & exact) / len(exact)
+        assert hit >= 0.5, (hit, exact - sim)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, num_centroids=16, nprobe=8).collect()
+    }
+    # approximate search: expect majority overlap with nprobe=half
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
