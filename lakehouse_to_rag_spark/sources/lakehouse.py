@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _delta_available(spark: SparkSession) -> bool:
     try:
-        spark._jvm.io.delta.tables.DeltaTable  # noqa: B018
+        # py4j resolves attribute chains lazily, so probe the actual
+        # classloader instead of touching spark._jvm.io.delta...
+        spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
         return True
     except Exception:
         return False

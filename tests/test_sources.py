@@ -1,0 +1,54 @@
+"""Batch raw-JSON ingest (S2) + temp-view registry / SQL pass-through
+(S6-S7, duckdb_queries.py run_custom_query parity) + lakehouse sink."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from lakehouse_to_rag_spark.operators.analytics import run_custom_query
+from lakehouse_to_rag_spark.sources.lakehouse import read_layer, write_layer
+from lakehouse_to_rag_spark.sources.raw_json import read_raw_json
+from lakehouse_to_rag_spark.sources.tables import register_views
+
+
+def test_read_raw_json_schema_and_source(spark, tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    recs = [
+        {"url": "http://x", "scraped_at": 1.5, "status_code": 200,
+         "title": "T", "content": "body text", "author": "a", "language": "en"},
+        {"url": "http://y", "scraped_at": 2.5, "status_code": 404,
+         "title": None, "content": None, "author": None, "language": None},
+    ]
+    for i, r in enumerate(recs):
+        (d / f"page{i}.json").write_text(json.dumps(r))
+    df = read_raw_json(spark, str(d) + "/*.json")
+    rows = {r["url"]: r for r in df.collect()}
+    assert rows["http://x"]["source"] == "page0.json"
+    assert rows["http://x"]["status_code"] == 200
+    assert rows["http://y"]["content"] is None
+    assert dict(df.dtypes)["scraped_at"] == "double"
+
+
+def test_register_views_and_custom_query(spark, sf_dir):
+    register_views(spark, sf_dir, ["documents", "orders"])
+    out = run_custom_query(
+        spark,
+        "SELECT source, COUNT(*) AS n FROM documents GROUP BY source ORDER BY source LIMIT 3",
+    ).collect()
+    assert len(out) == 3
+    assert out[0]["n"] > 0
+
+
+def test_lakehouse_roundtrip(spark, sf_dir, tmp_path):
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fmt = write_layer(docs, str(tmp_path / "bronze"), partition_by=["source"])
+    assert fmt in ("delta", "parquet")
+    back = read_layer(spark, str(tmp_path / "bronze"), fmt=fmt)
+    assert back.count() == docs.count()
+    # partition pruning: filter on the partition column prunes files
+    pruned = back.filter(F.col("source") == "src0")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan or "src0" in plan
