@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for the dialect-risk surfaces
+flagged in SURVEY.md §7.4: the P5 regex normalization (Java regex vs
+DuckDB RE2) and the recursive chunker invariants.
+
+The normalization parity test executes BOTH engines on the same
+generated strings — catching `\\w`/`\\s` class drift, global-replace
+differences, and unicode edge cases before the driver's oracle does.
+"""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakehouse_to_rag_spark.functions.chunker import split_text_recursive
+
+# printable ASCII + whitespace + a sprinkle of unicode the regex must
+# strip (accents, CJK, emoji) — the classes where \w dialects diverge
+_TEXT = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=32, max_codepoint=126),
+        st.sampled_from(list("\t\n\r  éöüñçß漢字日本語🎉émoji")),
+    ),
+    max_size=300,
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def normalize_spark(spark):
+    """Compile the Spark normalization once; evaluate per-batch."""
+    from lakehouse_to_rag_spark.functions.text import normalize_text
+
+    def run(texts):
+        df = spark.createDataFrame([(t,) for t in texts], ["content"])
+        return [r[0] for r in df.select(normalize_text("content")).collect()]
+
+    return run
+
+
+_DUCK_NORM = r"""
+SELECT TRIM(REGEXP_REPLACE(LOWER(REGEXP_REPLACE(?, '[^\w\d\s\.,!?;:\-\(\)]', ' ', 'g')), '\s+', ' ', 'g'))
+"""
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_TEXT, min_size=1, max_size=20))
+def test_normalization_matches_duckdb(normalize_spark, duck, texts):
+    got = normalize_spark(texts)
+    want = [duck.execute(_DUCK_NORM, [t]).fetchone()[0] for t in texts]
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_TEXT, st.integers(20, 200), st.integers(0, 15))
+def test_chunker_invariants(text, chunk_size, overlap):
+    overlap = min(overlap, chunk_size - 1)
+    chunks = split_text_recursive(text, chunk_size, overlap)
+    # bounded (except single unsplittable tokens at the char level
+    # cannot exceed chunk_size by construction)
+    assert all(len(c) <= chunk_size for c in chunks)
+    # no empty chunks
+    assert all(c.strip() for c in chunks)
+    # coverage: every non-space char of the input appears in some chunk
+    if text.strip():
+        assert chunks, f"non-empty input produced no chunks: {text!r}"
+        joined = "".join(chunks)
+        for ch in set(text):
+            if not ch.isspace():
+                assert ch in joined
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="ab ", max_size=30), min_size=1, max_size=30))
+def test_exact_dedup_property(spark, texts):
+    """dropDuplicates keeps exactly one row per distinct value."""
+    from lakehouse_to_rag_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    out = dedup_exact(df, ["t"])
+    assert out.count() == len(set(texts))
