@@ -167,3 +167,88 @@ def rolling_hour_avg(events: DataFrame) -> DataFrame:
         "user_id",
         F.round(F.avg("value").over(w), 4).alias("avg_value_1h"),
     )
+
+
+def session_intervals(
+    events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
+) -> DataFrame:
+    """Materialize per-user session INTERVALS (session_id, start, end)
+    from the gap-based sessionization — the right-hand side for range
+    joins. One shuffle on user_id; the session id is a running sum of
+    session starts (same window partitioning, exchange reused)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col("ts")) - prev_us > gap_seconds * 1_000_000),
+        1,
+    ).otherwise(0)
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("session_seq", F.sum(is_new).over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def tag_events_with_session(
+    events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
+) -> DataFrame:
+    """Range join: every event tagged with the session interval that
+    contains it (e.ts BETWEEN s.start AND s.end, same user).
+
+    Implemented as an equi-join on user_id with the BETWEEN as a join
+    residual — at scale the equi-key bounds the fan-out (a user's
+    events only meet that user's sessions). For interval tables
+    WITHOUT an equi key, bucket both sides by time window first
+    (bucketed range join) so the theta condition never becomes a
+    cross product.
+    """
+    s = session_intervals(events, gap_seconds)
+    return (
+        events.alias("e")
+        .join(
+            s.alias("s"),
+            (F.col("e.user_id") == F.col("s.user_id"))
+            & (F.col("e.ts") >= F.col("s.session_start"))
+            & (F.col("e.ts") <= F.col("s.session_end")),
+        )
+        .select(
+            F.col("e.event_id"),
+            F.col("e.user_id"),
+            F.col("s.session_seq").cast("long").alias("session_seq"),
+            F.col("s.n_events").alias("session_size"),
+        )
+    )
+
+
+def multi_resolution_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: one pass computing
+    hour/day/month rollups via grouping sets (a single expand +
+    2-phase agg — no three separate scans)."""
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    month = F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM")
+    base = events.select(
+        hour.alias("bucket_hour"), day.alias("bucket_day"), month.alias("bucket_month"),
+        "value",
+    )
+    return (
+        base.groupingSets(
+            [["bucket_hour"], ["bucket_day"], ["bucket_month"]],
+            "bucket_hour", "bucket_day", "bucket_month",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

@@ -823,3 +823,86 @@ def medallion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_length").cast("long").alias("min_length"),
         F.col("max_length").cast("long").alias("max_length"),
     )
+
+
+_SESSION_INTERVALS_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, session_seq
+"""
+
+
+@_q("session_intervals", _SESSION_INTERVALS_ORACLE)
+def session_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = ev.session_intervals(load_table(spark, sf_dir, "events"))
+    return s.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seq AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+), s AS (
+  SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM seq GROUP BY user_id, session_seq
+)
+SELECT e.event_id, e.user_id,
+       CAST(s.session_seq AS BIGINT) AS session_seq,
+       s.n_events AS session_size
+FROM events e
+JOIN s ON e.user_id = s.user_id
+      AND e.ts >= s.session_start AND e.ts <= s.session_end
+"""
+
+
+@_q("events_session_range_join", _RANGE_JOIN_ORACLE)
+def events_session_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.tag_events_with_session(load_table(spark, sf_dir, "events"))
+
+
+_MULTI_ROLLUP_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket_hour,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day,
+       strftime(date_trunc('month', ts), '%Y-%m') AS bucket_month,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((bucket_hour), (bucket_day), (bucket_month))
+"""
+
+
+@_q("events_multi_rollup", _MULTI_ROLLUP_ORACLE)
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.multi_resolution_rollup(load_table(spark, sf_dir, "events"))
