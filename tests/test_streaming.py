@@ -85,3 +85,32 @@ def test_streaming_hourly_rollup(spark, sf_dir, tmp_path):
     extra = got.exceptAll(batch).count()
     assert extra == 0
     assert got.count() > 0
+
+
+def test_stateful_sessionize_stream(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions from the
+    stream must match the batch gap-sessionization counts."""
+    from lakehouse_to_rag_spark.sources.tables import load_table
+    from lakehouse_to_rag_spark.streaming.stateful import sessionize_stateful
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ev_dir = str(tmp_path / "events_state")
+    ev.write.parquet(ev_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(ev_dir)
+    sessions = sessionize_stateful(stream)
+    _run_to_memory(sessions, "sessions_mem")
+    got = spark.sql("SELECT * FROM sessions_mem")
+    n_closed = got.count()
+
+    # batch truth: sessions per user, minus the last (still-open)
+    # session of each user which the stream may not have emitted
+    from lakehouse_to_rag_spark.operators.events import sessionize
+
+    batch_total = sessionize(
+        load_table(spark, sf_dir, "events")
+    ).agg(F.sum("n_sessions")).collect()[0][0]
+    n_users = ev.select("user_id").distinct().count()
+    assert batch_total - n_users <= n_closed <= batch_total
+    # every emitted session respects the gap invariant
+    bad = got.filter(F.col("session_end") < F.col("session_start")).count()
+    assert bad == 0
