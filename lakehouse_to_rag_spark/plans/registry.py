@@ -906,3 +906,10 @@ GROUP BY GROUPING SETS ((bucket_hour), (bucket_day), (bucket_month))
 @_q("events_multi_rollup", _MULTI_ROLLUP_ORACLE)
 def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.multi_resolution_rollup(load_table(spark, sf_dir, "events"))
+
+
+@_q("knn_bruteforce_numpy", _KNN_ORACLE)  # same oracle: paths proven equal
+def knn_bruteforce_numpy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return simi.knn_bruteforce_numpy(e, queries, k=5)

@@ -52,3 +52,17 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # approximate search: expect majority overlap with nprobe=half
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_knn_numpy_matches_jvm(spark, sf_dir):
+    """The numpy GEMM fast path must return the same neighbor sets as
+    the JVM expression path (identical after 4dp rounding)."""
+    from lakehouse_to_rag_spark.operators.similarity import knn_bruteforce_numpy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    jvm = {(r["query_id"], r["neighbor_id"], r["cosine"])
+           for r in knn_bruteforce(emb, q, k=5).collect()}
+    np_ = {(r["query_id"], r["neighbor_id"], r["cosine"])
+           for r in knn_bruteforce_numpy(emb, q, k=5).collect()}
+    assert jvm == np_
