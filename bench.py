@@ -36,6 +36,12 @@ HEADLINE = [
     "knn_bruteforce",
     "lang_id",
     "token_counts",
+    "events_asof_join",
+    "events_session_range_join",
+    "events_multi_rollup",
+    "knn_bruteforce_numpy",
+    "dedup_simhash",
+    "events_value_percentiles",
 ]
 
 

@@ -201,7 +201,10 @@ def knn_bruteforce_numpy(
             top = min(k + 1, len(ids))  # +1 to survive self-match removal
             for qi in range(len(q_ids)):
                 col = sims[:, qi]
-                idx = np.argpartition(-col, top - 1)[:top]
+                # batch-local order MUST match the global tie-break
+                # (cosine desc, id asc) — argpartition would cut ties
+                # arbitrarily and could drop the globally-ranked winner
+                idx = np.lexsort((ids, -col))[:top]
                 mask = ids[idx] != q_ids[qi]
                 yield pd.DataFrame(
                     {

@@ -913,3 +913,64 @@ def knn_bruteforce_numpy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return simi.knn_bruteforce_numpy(e, queries, k=5)
+
+
+_PERCENTILE_ORACLE = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@_q("events_value_percentiles", _PERCENTILE_ORACLE)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == ANSI
+    PERCENTILE_CONT == DuckDB quantile_cont). At 100 TB swap in
+    percentile_approx: exact percentile holds the full group in
+    memory; the t-digest sketch does not."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@_q("orders_cube", _CUBE_ORACLE)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@_q("events_type_pivot_native", ORACLES["events_type_pivot"])
+def events_type_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as events_type_pivot but via the DataFrame pivot API
+    (fixed value list -> no extra pass to discover pivot columns)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    types = ["click", "view", "purchase", "signup", "error"]
+    p = (
+        e.groupBy(day)
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
