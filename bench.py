@@ -62,6 +62,7 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

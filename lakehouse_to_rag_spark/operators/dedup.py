@@ -99,7 +99,7 @@ def ngram_jaccard_pairs(
     first; that filter is itself one partial-agg). Intersection counts
     and set sizes are integers, so jaccard is bit-deterministic.
     """
-    sh = word_shingles(df, id_col, text_col, n).cache()
+    sh = word_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
