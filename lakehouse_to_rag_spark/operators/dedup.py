@@ -371,3 +371,90 @@ def embedding_dup_pairs(
         .select("id_a", "id_b", F.round(sim, 4).alias("cosine"))
         .filter(sim >= threshold)
     )
+
+
+# ------------------------------------------- embedding LSH (hyperplane)
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bits: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Sub-quadratic embedding near-dup: random-hyperplane (SimHash for
+    vectors) LSH with exact cosine verification — the 100 TB path that
+    replaces the O(n²) brute-force pair join.
+
+    Signature bit b = sign(v · r_b) where r_b is a deterministic
+    pseudo-random ±1 hyperplane derived from xxhash64(b, i) — no
+    stored projection matrix, reproducible everywhere. P[bit match] =
+    1 - angle/π, so banding the bits (pigeonhole) finds high-cosine
+    candidates with an equi-join on (band, block value); exact cosine
+    then filters false positives. Candidate volume is O(n × bands).
+    """
+    from lakehouse_to_rag_spark.functions.vectors import dot, l2_norm
+
+    dim = len(emb.select(vec_col).first()[0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def bit(b: int):
+        # v · r_b with r_b[i] = +1 if xxhash64(b, i) even else -1
+        terms = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[
+                    F.when(F.xxhash64(F.lit(b), F.lit(i)) % 2 == 0, F.lit(1.0))
+                    .otherwise(F.lit(-1.0))
+                    for i in range(dim)
+                ]),
+                lambda x, r: x * r,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(terms >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bits_per_band = num_bits // num_bands
+    sig = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        *[bit(b).alias(f"b{b}") for b in range(num_bits)],
+    ).localCheckpoint(eager=False)
+
+    block = lambda j: F.concat_ws(
+        "", *[F.col(f"b{j * bits_per_band + r}") for r in range(bits_per_band)]
+    )
+    blocks = F.array(
+        *[
+            F.struct(F.lit(j).alias("band"), block(j).alias("bval"))
+            for j in range(num_bands)
+        ]
+    )
+    banded = sig.select("id", "vec", F.explode(blocks).alias("bb")).select(
+        "id", "vec", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.vec").alias("va"),
+            F.col("y.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = dot(F.col("va"), F.col("vb")) / F.nullif(
+        l2_norm(F.col("va")) * l2_norm(F.col("vb")), F.lit(0.0)
+    )
+    return cand.select(
+        "id_a", "id_b", F.round(sim, 4).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -974,3 +974,85 @@ def events_type_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
     )
+
+
+@_q("dedup_embedding_lsh")  # probabilistic candidates: rows-only check
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_lsh_pairs(e, threshold=0.4)
+
+
+_INTERSECT_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+@_q("users_click_and_purchase", _INTERSECT_ORACLE)
+def users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+_EXCEPT_ORACLE = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+@_q("users_click_no_purchase", _EXCEPT_ORACLE)
+def users_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.subtract(buys)  # EXCEPT = set difference, distinct output
+
+
+_SEQ_ORACLE = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+@_q("user_event_sequences", _SEQ_ORACLE)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-type sequence per user (collect_list is unordered
+    in a distributed agg — sort_array over (ts,event_id,type) structs
+    restores a deterministic order before joining)."""
+    e = load_table(spark, sf_dir, "events")
+    packed = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(packed, lambda s: s["event_type"]), ","
+        ).alias("event_seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(FLOOR(value / 20.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total
+FROM events
+GROUP BY 1
+"""
+
+
+@_q("events_value_histogram", _HISTOGRAM_ORACLE)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.floor(F.col("value") / 20.0).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )

@@ -66,3 +66,20 @@ def test_knn_numpy_matches_jvm(spark, sf_dir):
     np_ = {(r["query_id"], r["neighbor_id"], r["cosine"])
            for r in knn_bruteforce_numpy(emb, q, k=5).collect()}
     assert jvm == np_
+
+
+def test_embedding_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Hyperplane-LSH candidates must recover most true near-dup pairs
+    and (by exact verification) introduce no false positives."""
+    from lakehouse_to_rag_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_lsh_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _pair_set(embedding_dup_pairs(emb, threshold=0.4))
+    lsh = _pair_set(embedding_lsh_pairs(emb, threshold=0.4))
+    assert lsh <= exact  # exact-cosine verification: no false positives
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.5, (recall, len(exact))
