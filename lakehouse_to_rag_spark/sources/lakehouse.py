@@ -46,3 +46,57 @@ def write_layer(
 def read_layer(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     fmt = fmt or ("delta" if _delta_available(spark) else "parquet")
     return spark.read.format(fmt).load(path)
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    fmt: str | None = None,
+) -> str:
+    """Keyed upsert into a layer — the incrementality the reference
+    lacks (it full-overwrites every run, etl.py:113/137/242; SURVEY.md
+    §4.1 names Delta MERGE as the fix).
+
+    With delta-spark present this is a real `MERGE INTO` (file-level
+    rewrite of only touched files). The parquet fallback reads the
+    existing layer, anti-joins away rows whose key is being replaced,
+    unions the updates, and atomically swaps the directory — a full
+    rewrite, correct but O(layer); the docstring-level contract (same
+    keys in → replaced, new keys in → appended) is identical, so
+    callers are delta-ready.
+    """
+    import os
+    import shutil
+    import uuid
+
+    fmt = fmt or ("delta" if _delta_available(spark) else "parquet")
+    if fmt == "delta":
+        from delta.tables import DeltaTable  # type: ignore
+
+        target = DeltaTable.forPath(spark, path)
+        cond = " AND ".join(f"t.{k} = u.{k}" for k in key_cols)
+        (
+            target.alias("t")
+            .merge(updates.alias("u"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return fmt
+
+    if not os.path.exists(path):
+        updates.write.format(fmt).save(path)
+        return fmt
+    existing = spark.read.format(fmt).load(path)
+    keys = updates.select(*key_cols).distinct()
+    kept = existing.join(keys, key_cols, "left_anti")
+    merged = kept.unionByName(updates)
+    tmp = f"{path}__upsert_{uuid.uuid4().hex[:8]}"
+    merged.write.format(fmt).save(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return fmt

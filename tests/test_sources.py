@@ -52,3 +52,23 @@ def test_lakehouse_roundtrip(spark, sf_dir, tmp_path):
     pruned = back.filter(F.col("source") == "src0")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(source" in plan or "src0" in plan
+
+
+def test_upsert_by_key(spark, sf_dir, tmp_path):
+    from lakehouse_to_rag_spark.sources.lakehouse import read_layer, upsert_by_key
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    path = str(tmp_path / "layer")
+    upsert_by_key(spark, path, docs, ["doc_id"])
+    n0 = read_layer(spark, path).count()
+
+    updates = spark.createDataFrame(
+        [(0, "REPLACED", "srcX"), (10_000_000, "NEW", "srcX")],
+        ["doc_id", "text", "source"],
+    )
+    upsert_by_key(spark, path, updates, ["doc_id"])
+    after = read_layer(spark, path)
+    assert after.count() == n0 + 1  # one replaced, one appended
+    assert after.filter(F.col("doc_id") == 0).first()["text"] == "REPLACED"
+    assert after.filter(F.col("doc_id") == 10_000_000).count() == 1

@@ -114,3 +114,23 @@ def test_stateful_sessionize_stream(spark, sf_dir, tmp_path):
     # every emitted session respects the gap invariant
     bad = got.filter(F.col("session_end") < F.col("session_start")).count()
     assert bad == 0
+
+
+def test_streaming_gold_to_parquet_sink(spark, tmp_path, raw_dir):
+    """End-to-end durable streaming: raw json stream → medallion →
+    checkpointed parquet sink; output readable as a layer."""
+    raw = stream_raw_json(spark, raw_dir + "/*.json")
+    gold = gold_stream(silver_stream_dedup(bronze_stream(raw)))
+    out = str(tmp_path / "gold_out")
+    q = (
+        gold.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() >= 1
+    assert "chunk" in back.columns
