@@ -216,3 +216,125 @@ def knn_bruteforce_numpy(
 
     pairs = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     return _ranked_topk(pairs, k)
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer:
+    init = first ``num_centroids`` vectors by id, then a few
+    assign/recompute rounds, all as DataFrame ops.
+
+    Per iteration: one broadcast crossJoin + max_by for assignment
+    (no shuffle of the corpus), then one posexplode+groupBy to average
+    per-cluster per-dimension (shuffle of corpus×dim rows, the
+    unavoidable reduction). Centroid vectors are re-assembled with
+    array_agg sorted by dimension. Iterations are a driver-side loop
+    over small materialized centroid tables — the corpus is never
+    collected.
+    """
+    cent = (
+        corpus.orderBy(F.col(id_col))
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    for _ in range(iterations):
+        scored = v.crossJoin(F.broadcast(cent)).select(
+            F.col(id_col),
+            "v",
+            "centroid_id",
+            cosine_similarity(F.col("v"), F.col("cvec")).alias("csim"),
+        )
+        assigned = scored.groupBy(id_col, "v").agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(F.col("csim"), -F.col("centroid_id")),
+            ).alias("cluster")
+        )
+        dims = assigned.select(
+            "cluster", F.posexplode("v").alias("dim", "val")
+        )
+        new_cent = (
+            dims.groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("cval"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "cval"))
+                ).alias("packed")
+            )
+            .select(
+                F.col("cluster").alias("centroid_id"),
+                F.transform(F.col("packed"), lambda s: s["cval"]).alias("cvec"),
+            )
+        )
+        cent = new_cent.localCheckpoint(eager=True)
+    return cent
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over k-means-refined centroids (higher recall than
+    the untrained quantizer at the same nprobe)."""
+    cent = F.broadcast(
+        kmeans_centroids(corpus, num_centroids, iterations, id_col, vec_col)
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = (
+        corpus.crossJoin(cent)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "centroid_id",
+            cosine_similarity(v, F.col("cvec")).alias("csim"),
+        )
+        .groupBy(id_col, vec_col)
+        .agg(
+            F.max_by(
+                F.col("centroid_id"), F.struct(F.col("csim"), -F.col("centroid_id"))
+            ).alias("cluster")
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcsim"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(cent)
+        .select(
+            "query_id",
+            "qvec",
+            "centroid_id",
+            cosine_similarity(F.col("qvec"), F.col("cvec")).alias("qcsim"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qvec", F.col("centroid_id").alias("cluster"))
+    )
+    sim = F.round(cosine_similarity(F.col("qvec"), F.col(vec_col)), 4)
+    pairs = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cosine"))
+    )
+    return _ranked_topk(pairs, k)

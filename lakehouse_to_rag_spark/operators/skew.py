@@ -1,0 +1,67 @@
+"""Skew-mitigation utilities (SURVEY.md §2.13 scale posture).
+
+At 100 TB a single hot key (one viral URL, one bot user) turns a
+groupBy into one straggler task. AQE's skew-join splitting covers
+joins; for AGGREGATIONS over algebraic functions, salting is the
+classic fix: aggregate on (key, salt) first — spreading the hot key
+over N tasks — then combine the partials.
+
+Only algebraic aggregates (sum/count/min/max — and avg via sum+count)
+can ride this; holistic ones (exact median) cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {sum, count, min, max}. Stage 1 groups by (keys, salt) — the hot
+    key fans out over ``num_salts`` reducers; stage 2 combines the
+    partials (count combines with sum). Result is identical to the
+    direct groupBy for these algebraic functions.
+
+    Note: Spark's built-in partial aggregation already gives map-side
+    combine; salting matters when the REDUCE side itself is the
+    bottleneck (billions of rows for one key across many upstream
+    partitions).
+    """
+    _stage1 = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    _stage2 = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+    salt = (F.monotonically_increasing_id() % num_salts).alias("_salt")
+    stage1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*[F.col(c) for c in key_cols], F.col("_salt"))
+        .agg(
+            *[
+                _stage1[fn](F.col(src)).alias(f"_p_{out}")
+                for out, (src, fn) in aggs.items()
+            ]
+        )
+    )
+    return stage1.groupBy(*[F.col(c) for c in key_cols]).agg(
+        *[
+            _stage2[fn](F.col(f"_p_{out}")).alias(out)
+            for out, (src, fn) in aggs.items()
+        ]
+    )
+
+
+def salted_join_keys(df: DataFrame, key_col: str, num_salts: int) -> tuple[Column, Column]:
+    """Helper exprs for a salted skew join: the skewed side gets a
+    random-ish deterministic salt, the small side is exploded across
+    all salt values. (AQE skew-join handles most cases; this is the
+    manual fallback for deliberate control.)"""
+    skewed_salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts))
+    explode_salts = F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    return skewed_salt, explode_salts

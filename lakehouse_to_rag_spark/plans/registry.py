@@ -1056,3 +1056,60 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("total"),
     )
+
+
+_Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["q7_nation_volume"] = tpch.q7_nation_volume
+ORACLES["q7_nation_volume"] = _Q7_ORACLE
+
+
+_SALTED_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@_q("salted_user_stats", _SALTED_ORACLE)
+def salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — must equal the direct groupBy
+    (oracle) while spreading any hot user over 16 reducers.
+    NB: min/max round AFTER combine; sum is combined unrounded."""
+    from lakehouse_to_rag_spark.operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        ["user_id"],
+        {
+            "n_events": ("value", "count"),
+            "total_value": ("value", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 4).alias("total_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )

@@ -83,3 +83,26 @@ def test_embedding_lsh_recall_vs_bruteforce(spark, sf_dir):
     if exact:
         recall = len(lsh & exact) / len(exact)
         assert recall >= 0.5, (recall, len(exact))
+
+
+def test_kmeans_ivf_beats_or_matches_untrained(spark, sf_dir):
+    from lakehouse_to_rag_spark.operators.similarity import ivf_topk_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, q, k=5).collect()
+    }
+    trained = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_kmeans(emb, q, k=5, num_centroids=16, nprobe=4).collect()
+    }
+    untrained = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, num_centroids=16, nprobe=4).collect()
+    }
+    r_trained = len(exact & trained) / len(exact)
+    r_untrained = len(exact & untrained) / len(exact)
+    assert r_trained >= r_untrained - 0.1, (r_trained, r_untrained)
+    assert r_trained >= 0.4, r_trained
