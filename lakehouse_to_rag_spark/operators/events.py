@@ -137,9 +137,11 @@ def asof_latest_prior(
             F.col("event_id"),
             F.col("user_id"),
             F.col("prior.right_id").alias("prior_click_id"),
-            F.round(
-                (F.unix_micros("ts") - F.unix_micros("prior.ts")) / 1_000_000.0, 4
-            ).alias("gap_seconds"),
+            # exact integer micros, not rounded float seconds: a gap
+            # landing on a 4dp rounding midpoint makes HALF_UP (Spark,
+            # decimal-string based) and C round (DuckDB, x*10^4 on the
+            # double) disagree in the last digit
+            (F.unix_micros("ts") - F.unix_micros("prior.ts")).alias("gap_us"),
         )
     )
 

@@ -677,7 +677,7 @@ WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase
 SELECT p.event_id,
        p.user_id,
        c.event_id AS prior_click_id,
-       ROUND((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 4) AS gap_seconds
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
