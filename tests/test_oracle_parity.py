@@ -37,10 +37,14 @@ def duck():
 
 
 def _norm_cell(v):
+    # full-precision compare: every oracle is designed to be
+    # bit-identical across engines (identical double arithmetic or
+    # integer-quantized outputs), so no tolerance is needed — and the
+    # driver's value-hash may be just as strict
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        return repr(v)
     return str(v)
 
 
