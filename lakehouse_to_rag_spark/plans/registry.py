@@ -1113,3 +1113,86 @@ def salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
     )
+
+
+_CORRELATED_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 4) AS totalprice
+FROM orders o
+WHERE o.o_totalprice > (
+  SELECT 1.5 * AVG(o2.o_totalprice) FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@_q("orders_above_customer_avg", _CORRELATED_ORACLE)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery via the SQL API (S7 parity +
+    Catalyst decorrelation: the subquery rewrites to one aggregate +
+    join, not a per-row re-execution — check the plan for a single
+    Aggregate)."""
+    from lakehouse_to_rag_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 4) AS totalprice
+        FROM orders o
+        WHERE o.o_totalprice > (
+          SELECT 1.5 * AVG(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+_TFIDF_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(LOWER(text), ' ')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words
+  WHERE LENGTH(word) > 3 GROUP BY doc_id, word
+), df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.word,
+         ROUND(tf.tf * ROUND(LN(CAST(n.n_docs AS DOUBLE) / df.df), 6), 4) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, word ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, word, tfidf, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
+@_q("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf. The idf is rounded to 6dp
+    BEFORE the tf multiply on both engines — ln() is transcendental
+    and libm vs JVM may differ in the last ulp; quantizing the idf
+    removes that surface."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ", -1)).alias("word")
+    ).filter(F.length("word") > 3)
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    scored = tf.join(df_, "word").select(
+        "doc_id", "word", F.round(F.col("tf") * idf, 4).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
