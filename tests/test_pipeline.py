@@ -64,3 +64,36 @@ def test_dedup_keep_first_matches_row_number(spark, sf_dir):
     got = dedup_keep_first(ev, ["user_id"], ["ts", "event_id"])
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
+
+
+def test_run_etl_end_to_end(spark, tmp_path):
+    """Reference-user migration path: dir of scraped JSON -> persisted
+    bronze/silver/gold layers (gold to the GOLD path — the reference
+    writes gold over silver, etl.py:240; we implement the intent)."""
+    import json
+
+    from lakehouse_to_rag_spark.etl import run_etl
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    for i in range(6):
+        (raw / f"p{i}.json").write_text(json.dumps({
+            "url": f"http://site/{i % 4}",  # 2 duplicate urls
+            "scraped_at": float(i),
+            "status_code": 200,
+            "title": f"T{i}",
+            "content": (f"Document {i} body. " * 8) if i != 5 else "  ",
+            "author": None,
+            "language": "en",
+        }))
+    out = tmp_path / "lake"
+    paths = run_etl(spark, str(raw) + "/*.json", str(out),
+                    processed_at="2025-01-01 00:00:00")
+    bronze = spark.read.parquet(paths["bronze"])
+    silver = spark.read.parquet(paths["silver"])
+    gold = spark.read.parquet(paths["gold"])
+    assert bronze.count() == 5          # empty content dropped
+    assert silver.count() == 4          # dedup by url
+    assert gold.count() >= silver.count()
+    assert "chunk" in gold.columns and "chunk_index" in gold.columns
+    assert paths["gold"].endswith("/gold")
