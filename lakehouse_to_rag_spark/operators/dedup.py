@@ -165,15 +165,18 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
-    num_hashes: int = 126,
-    rows_per_band: int = 3,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
     Banding: b = num_hashes / rows_per_band bands; a pair collides if
-    any band signature matches. Defaults (b=42, r=3) give ~99.6% recall
-    at jaccard 0.5. Candidates are found by an equi-join on
+    any band signature matches. Defaults (b=32, r=2) give ~99.99%
+    recall at jaccard 0.5; r=2's looser per-band specificity is free
+    here because unrelated documents share almost no shingles (a
+    band match needs BOTH minhashes equal — probability ~jaccard²),
+    while halving the signature-aggregation work vs r=3/k=126. Candidates are found by an equi-join on
     (band_index, band_hash) — shuffle volume is O(docs × bands), never
     O(docs²). Verification joins candidate pairs back to the per-doc
     shingle ARRAYS and computes exact Jaccard via array_intersect — so
