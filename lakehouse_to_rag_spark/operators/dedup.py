@@ -461,3 +461,53 @@ def embedding_lsh_pairs(
     return cand.select(
         "id_a", "id_b", F.round(sim, 4).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def minhash_lsh_pairs_ml(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Fuzzy dedup via spark.ml's MinHashLSH (SURVEY.md §2.13 maps
+    near-dedup to ml.feature.MinHashLSH over shingle vectors) — the
+    MLlib counterpart of the expression-based ``minhash_lsh_pairs``.
+
+    Shingles -> HashingTF sparse vectors -> MinHashLSH model (seeded,
+    deterministic) -> approxSimilarityJoin at the matching Jaccard
+    DISTANCE (1 - similarity). Exact jaccard is then recomputed on the
+    candidates from the shingle arrays so output semantics match the
+    expression-based operator (pairs id_a < id_b with exact jaccard).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sets = shingle_arrays(df, id_col, text_col, n)
+    nonempty = sets.filter(F.size("shingles") > 0)  # LSH rejects empty vectors
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18
+    )
+    feats = tf.transform(nonempty)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    pairs = joined.filter(
+        F.col("datasetA.id") < F.col("datasetB.id")
+    ).select(
+        F.col("datasetA.id").alias("id_a"),
+        F.col("datasetB.id").alias("id_b"),
+        F.col("datasetA.shingles").alias("set_a"),
+        F.col("datasetB.shingles").alias("set_b"),
+    )
+    n_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    jac = n_inter / (F.size("set_a") + F.size("set_b") - n_inter)
+    return pairs.select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= jaccard_threshold)

@@ -1196,3 +1196,53 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "word", "tfidf", F.col("rank").cast("long").alias("rank"))
     )
+
+
+@_q("dedup_minhash_ml")  # spark.ml LSH path: probabilistic, rows-only
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs_ml(d, "doc_id", "text")
+
+
+_BIGRAM_ORACLE = """
+WITH w AS (
+  SELECT string_split(LOWER(text), ' ') AS words FROM documents
+), grams AS (
+  SELECT unnest(list_transform(range(1, GREATEST(len(words), 1)),
+                               i -> words[i] || ' ' || words[i+1])) AS bigram
+  FROM w
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS frequency
+FROM grams
+GROUP BY bigram
+ORDER BY frequency DESC, bigram ASC
+LIMIT 20
+"""
+
+
+@_q("bigram_freq_top20", _BIGRAM_ORACLE)
+def bigram_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequency top-k (n-gram text analysis; same shape
+    as word_freq but over 2-gram lateral arrays)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ", -1)
+    base = d.select(words.alias("_words"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("_words") - 1, F.lit(1)))
+    gram = F.when(
+        F.size("_words") >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_words"), i),
+                F.element_at(F.col("_words"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        base.select(F.explode(gram).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("frequency"))
+        .orderBy(F.desc("frequency"), F.asc("bigram"))
+        .limit(20)
+    )

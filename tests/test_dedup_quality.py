@@ -106,3 +106,15 @@ def test_kmeans_ivf_beats_or_matches_untrained(spark, sf_dir):
     r_untrained = len(exact & untrained) / len(exact)
     assert r_trained >= r_untrained - 0.1, (r_trained, r_untrained)
     assert r_trained >= 0.4, r_trained
+
+
+def test_minhash_ml_variant_recall(spark, sf_dir):
+    """spark.ml MinHashLSH path agrees with the exact jaccard pairs."""
+    from lakehouse_to_rag_spark.operators.dedup import minhash_lsh_pairs_ml
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = _pair_set(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5))
+    ml = _pair_set(minhash_lsh_pairs_ml(docs, "doc_id", "text", 3))
+    assert ml <= exact  # exact re-verification: no false positives
+    if exact:
+        assert len(ml & exact) / len(exact) >= 0.8
