@@ -17,8 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lakehouse_to_rag_spark.functions.vectors import cosine_similarity
-
 
 # ---------------------------------------------------------------- exact
 

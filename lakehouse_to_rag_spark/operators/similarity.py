@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lakehouse_to_rag_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from lakehouse_to_rag_spark.functions.vectors import cosine_similarity
 
 
 def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
