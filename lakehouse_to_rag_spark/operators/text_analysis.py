@@ -120,3 +120,56 @@ def fingerprint(
         F.xxhash64(norm).alias("fingerprint_xx64"),
         F.length(norm).cast("long").alias("norm_length"),
     )
+
+
+# PII patterns (portable across Java regex and RE2: no backrefs or
+# lookaround). The classic pre-training scrub set.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token: str = "[REDACTED]",
+) -> DataFrame:
+    """PII scrubbing: replace email/phone/SSN patterns and count the
+    redactions per category — one pass of chained regexp_replace /
+    regexp_count, all codegen (the shape that scrubs 100 TB without a
+    Python worker in sight)."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    redacted = t
+    for pat in PII_PATTERNS.values():
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select(F.col(id_col), redacted.alias("redacted_text"), *counts)
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark_ngrams: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any word
+    n-gram with a benchmark set (the standard train/eval overlap
+    check). The benchmark set is a broadcast literal array; the
+    per-doc check is one array_intersect over the doc's shingle
+    array — no join, no shuffle."""
+    from lakehouse_to_rag_spark.operators.dedup import _shingle_expr, _with_words
+
+    bench = F.array(*[F.lit(g) for g in benchmark_ngrams])
+    hits = F.array_intersect(_shingle_expr(n), bench)
+    return _with_words(df, id_col, text_col).select(
+        F.col("id").alias(id_col),
+        F.size(hits).cast("long").alias("n_contaminated_ngrams"),
+        (F.size(hits) > 0).alias("is_contaminated"),
+    )

@@ -1246,3 +1246,88 @@ def bigram_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("frequency"), F.asc("bigram"))
         .limit(20)
     )
+
+
+_PII_ORACLE = r"""
+SELECT doc_id,
+       REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[REDACTED]', 'g'),
+         '\b\d{3}-\d{2}-\d{4}\b', '[REDACTED]', 'g') AS redacted_text,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn
+FROM documents
+"""
+
+
+@_q("pii_redaction", _PII_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ta.redact_pii(d)
+
+
+# fixed "benchmark" trigrams for the decontamination check — chosen
+# from the synthetic corpus vocabulary so some documents actually hit
+_BENCH_NGRAMS = [
+    "the fast key",
+    "join order batch",
+    "window small hash",
+    "group query row",
+]
+
+_CONTAM_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, GREATEST(len(words) - 1, 1)),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(list_intersect(shingles,
+            {_sql_list(_BENCH_NGRAMS)})) AS BIGINT) AS n_contaminated_ngrams,
+       len(list_intersect(shingles, {_sql_list(_BENCH_NGRAMS)})) > 0 AS is_contaminated
+FROM sh
+"""
+
+
+@_q("contamination_check", _CONTAM_ORACLE)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ta.contamination_check(d, _BENCH_NGRAMS)
+
+
+_CURATION_ORACLE = r"""
+WITH scored AS (
+  SELECT doc_id, text,
+         LENGTH(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), kept AS (
+  SELECT doc_id, text FROM scored
+  WHERE n_chars >= 100 AND n_chars <= 2000 AND n_tokens >= 20
+), dedup AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM kept GROUP BY md5(text)
+)
+SELECT CAST(keep_id AS BIGINT) AS doc_id FROM dedup
+"""
+
+
+@_q("curation_pipeline", _CURATION_ORACLE)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation: length/token filters -> exact dedup -> kept
+    ids. The composition stays one lazy plan: filters reach the scan,
+    the dedup groupBy is the only shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.col("text"), " ", -1))
+    kept = d.filter(
+        (n_chars >= 100) & (n_chars <= 2000) & (n_tokens >= 20)
+    )
+    return (
+        kept.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
