@@ -512,7 +512,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
-@_q("dedup_minhash")  # LSH recall is probabilistic: rows-only check
+# MinHash output gets the EXACT-jaccard oracle: verification is exact
+# (array_intersect on candidates), and at b=32/r=2 the probability of
+# missing a j>=0.5 pair is ~(1-j^2)^32 < 1e-4 — verified equal to the
+# exact pair set at sf 0.001/0.01/0.1.
+@_q("dedup_minhash", _NGRAM_JACCARD_ORACLE)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.5)
