@@ -1202,7 +1202,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("dedup_minhash_ml")  # spark.ml LSH path: probabilistic, rows-only
+# spark.ml MinHashLSH path — same exact-jaccard verification, 8 hash
+# tables give effectively total recall at j>=0.5 (verified equal to
+# the exact pair set at sf 0.001/0.01/0.1)
+@_q("dedup_minhash_ml", _NGRAM_JACCARD_ORACLE)
 def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs_ml(d, "doc_id", "text")
