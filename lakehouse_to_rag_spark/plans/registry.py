@@ -1338,3 +1338,73 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+
+
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE sym AS (
+  SELECT id_a AS u, id_b AS v FROM (
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, GREATEST(len(words) - 1, 1)),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+      FROM w
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+  )
+  UNION
+  SELECT id_b, id_a FROM (
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, GREATEST(len(words) - 1, 1)),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+      FROM w
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+  )
+), reach(id, r) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u
+)
+SELECT id AS doc_id,
+       CAST(LEAST(id, MIN(r)) AS BIGINT) AS cluster_root,
+       LEAST(id, MIN(r)) = id AS is_kept
+FROM reach
+GROUP BY id
+"""
+
+
+@_q("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (exact jaccard >= 0.5) -> connected components
+    (iterative min-label propagation) -> canonical keeper per cluster.
+    Oracle: recursive-CTE transitive closure in DuckDB."""
+    from lakehouse_to_rag_spark.operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5)
+    return dedup_clusters(pairs)

@@ -118,3 +118,16 @@ def test_minhash_ml_variant_recall(spark, sf_dir):
     assert ml <= exact  # exact re-verification: no false positives
     if exact:
         assert len(ml & exact) / len(exact) >= 0.8
+
+
+def test_connected_components_properties(spark):
+    """CC invariants on a hand-built graph: two components + isolated
+    pair, roots are component minima."""
+    from lakehouse_to_rag_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        ["id_a", "id_b"],
+    )
+    cc = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
