@@ -12,7 +12,7 @@ can ride this; holistic ones (exact median) cannot.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -55,13 +55,3 @@ def salted_agg(
             for out, (src, fn) in aggs.items()
         ]
     )
-
-
-def salted_join_keys(df: DataFrame, key_col: str, num_salts: int) -> tuple[Column, Column]:
-    """Helper exprs for a salted skew join: the skewed side gets a
-    random-ish deterministic salt, the small side is exploded across
-    all salt values. (AQE skew-join handles most cases; this is the
-    manual fallback for deliberate control.)"""
-    skewed_salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts))
-    explode_salts = F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
-    return skewed_salt, explode_salts

@@ -29,10 +29,6 @@ TABLES = [
     "embeddings",
 ]
 
-# Dimension tables small enough to broadcast at ANY scale factor
-# (region=5, nation=25 rows; supplier/part grow sub-linearly).
-BROADCAST_DIMS = {"region", "nation", "supplier"}
-
 # Columns stored as parquet TIMESTAMP(NANOS) — Spark has no native
 # nanos timestamp; read them as long (legacy conf) and floor-divide to
 # micros, which is exactly DuckDB's ns->us truncation on read.
