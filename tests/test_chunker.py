@@ -51,3 +51,21 @@ def test_no_empty_chunks():
     text = "a  b \n\n  \n c   d"
     chunks = split_text_recursive(text, chunk_size=5, chunk_overlap=0)
     assert all(c.strip() for c in chunks)
+
+
+def test_regression_goldens():
+    """Frozen outputs guarding against accidental semantic drift of the
+    recursive splitter (chunk_size=50, overlap=10)."""
+    assert split_text_recursive("hello world", 50, 10) == ["hello world"]
+    para = ("para one is here.\n\n" + "para two is much longer " * 3).strip()
+    assert split_text_recursive(para, 50, 10) == [
+        "para one is here.",
+        "para two is much longer para two is much longer",
+        "longer para two is much longer",
+    ]
+    words = " ".join(f"word{i}" for i in range(60))
+    chunks = split_text_recursive(words, 50, 10)
+    assert chunks[0] == "word0 word1 word2 word3 word4 word5 word6 word7"
+    assert chunks[1] == "word7 word8 word9 word10 word11 word12 word13"
+    assert chunks[-1] == "word55 word56 word57 word58 word59"
+    assert len(chunks) == 10

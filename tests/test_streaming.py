@@ -134,3 +134,37 @@ def test_streaming_gold_to_parquet_sink(spark, tmp_path, raw_dir):
     back = spark.read.parquet(out)
     assert back.count() >= 1
     assert "chunk" in back.columns
+
+
+def test_transform_with_state_anomalies(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas running-stats anomaly operator:
+    every event emitted once, anomalies only after min history.
+
+    Requires protobuf (the transformWithState control channel);
+    skipped in containers without it — the applyInPandasWithState
+    sessionization test above covers arbitrary-stateful streaming on
+    the older API."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from lakehouse_to_rag_spark.sources.tables import load_table
+    from lakehouse_to_rag_spark.streaming.anomaly import running_anomalies
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    ev_dir = str(tmp_path / "events_anom")
+    ev.write.parquet(ev_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(ev_dir)
+    out = running_anomalies(stream, z_threshold=2.5, min_history=5)
+    _run_to_memory(out, "anom_mem")
+    got = spark.sql("SELECT * FROM anom_mem")
+    assert got.count() == ev.count()  # one output row per event
+    # no anomaly can be flagged within the first min_history events
+    w = got.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert w.count() > 0
+    firsts = (
+        got.orderBy("user_id", "event_id")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("first_eid"))
+    )
+    flagged_first = got.join(firsts, "user_id").filter(
+        (F.col("event_id") == F.col("first_eid")) & F.col("is_anomaly")
+    )
+    assert flagged_first.count() == 0
