@@ -254,3 +254,36 @@ def multi_resolution_rollup(events: DataFrame) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+def running_anomalies_batch(
+    events: DataFrame,
+    z_threshold: float = 3.0,
+    min_history: int = 10,
+) -> DataFrame:
+    """Batch twin of streaming.anomaly.running_anomalies: per-user
+    running mean/variance over all PRIOR events (rows frame ending at
+    -1 — the current row never contributes to its own baseline),
+    z-score and anomaly flag. One hash exchange on user_id; the
+    running aggregates are a single sequential window pass."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("value").over(w)
+    s2 = F.sum(F.col("value") * F.col("value")).over(w)
+    mean = s / n
+    var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when(
+        (n >= min_history) & (std > 0), (F.col("value") - mean) / std
+    ).otherwise(F.lit(0.0))
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round(z, 4).alias("zscore"),
+        ((F.abs(z) > z_threshold) & (n >= min_history)).alias("is_anomaly"),
+    )

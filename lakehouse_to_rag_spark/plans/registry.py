@@ -1521,3 +1521,30 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("n_full_funnel"),
     )
+
+
+_ANOMALY_ORACLE = """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         COUNT(*) OVER w AS n,
+         SUM(value) OVER w AS s,
+         SUM(value * value) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id,
+       ROUND(value, 4) AS value,
+       ROUND(CASE WHEN n >= 10 AND SQRT(GREATEST(s2/n - (s/n)*(s/n), 0.0)) > 0
+                  THEN (value - s/n) / SQRT(GREATEST(s2/n - (s/n)*(s/n), 0.0))
+                  ELSE 0.0 END, 4) AS zscore,
+       (ABS(CASE WHEN n >= 10 AND SQRT(GREATEST(s2/n - (s/n)*(s/n), 0.0)) > 0
+                 THEN (value - s/n) / SQRT(GREATEST(s2/n - (s/n)*(s/n), 0.0))
+                 ELSE 0.0 END) > 3.0 AND n >= 10) AS is_anomaly
+FROM r
+"""
+
+
+@_q("events_running_anomalies", _ANOMALY_ORACLE)
+def events_running_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.running_anomalies_batch(load_table(spark, sf_dir, "events"))
