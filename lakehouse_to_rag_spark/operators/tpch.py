@@ -227,3 +227,289 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(revenue), 4).alias("volume"))
     )
+
+
+def q2_min_cost_supplier(
+    spark: SparkSession, sf_dir: str, size: int = 15, ptype: str = "STANDARD"
+) -> DataFrame:
+    """TPC-H Q2-style: cheapest supplier per part (correlated MIN
+    subquery). The harness schema has no partsupp, so unit cost is
+    derived as MIN(l_extendedprice / l_quantity) per (part, supplier)
+    — MIN of exact element-wise doubles is order-independent, so the
+    value is bit-identical across engines.
+
+    Shape at scale: one shuffle on (partkey, suppkey) for the cost
+    agg, then a min_by per part (second shuffle on partkey only);
+    part and supplier dims broadcast onto the k-rows-per-part result.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == size) & (F.col("p_type") == ptype)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    unit_cost = F.col("l_extendedprice") / F.col("l_quantity")
+    costs = (
+        l.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_cost).alias("unit_cost"))
+    )
+    # cheapest supplier per part, ties broken on suppkey: min_by over a
+    # struct orders lexicographically (cost, suppkey) — one agg, no window
+    best = costs.groupBy("l_partkey").agg(
+        F.min(F.struct(F.col("unit_cost"), F.col("l_suppkey"))).alias("b")
+    ).select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("b.unit_cost").alias("unit_cost"),
+        F.col("b.l_suppkey").alias("suppkey"),
+    )
+    return (
+        best.join(F.broadcast(load_table(spark, sf_dir, "part")),
+                  F.col("partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "partkey",
+            F.col("p_name").alias("part_name"),
+            "suppkey",
+            F.col("s_name").alias("supplier_name"),
+            F.col("s_acctbal").alias("supplier_acctbal"),
+            "unit_cost",
+        )
+    )
+
+
+def q8_market_share(
+    spark: SparkSession, sf_dir: str, nation: str = "NATION_7",
+    region: str = "ASIA", ptype: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8-style: one supplier-nation's share of revenue for a
+    part type sold into a customer region, per order year. All dims
+    broadcast; the single fact shuffle is orders⋈lineitem; the final
+    agg is 1 row per year (conditional-sum ratio)."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    n_cust = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_nk"), F.col("n_regionkey").alias("cn_rk")
+    )
+    n_supp = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nk"), F.col("n_name").alias("supp_nation")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == ptype)
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_nk"))
+        .join(F.broadcast(r), F.col("cn_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == nation, volume).otherwise(F.lit(0.0)))
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_profit(spark: SparkSession, sf_dir: str, name_like: str = "%bolt%") -> DataFrame:
+    """TPC-H Q9-style: profit per supplier nation per year for parts
+    matching a name pattern. No partsupp in the harness schema, so
+    supply cost is proxied as 10% of p_retailprice per unit (a
+    deterministic expression both engines compute identically).
+    part/supplier/nation broadcast; one orders⋈lineitem shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like(name_like))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+               F.col("l_partkey") == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("profit"))
+    )
+
+
+def q11_important_parts(
+    spark: SparkSession, sf_dir: str, fraction: float = 0.001
+) -> DataFrame:
+    """TPC-H Q11-style: parts whose total sold value exceeds a fixed
+    fraction of the global total (scalar-subquery HAVING). The global
+    total is a 1-row aggregate cross-joined (broadcast) onto the
+    per-part aggregate — no window-over-unpartitioned collapse."""
+    l = load_table(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = l.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(value).alias("part_value")
+    )
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * F.lit(fraction))
+        .select("partkey", F.round("part_value", 4).alias("part_value"))
+    )
+
+
+def q12_late_shipments(
+    spark: SparkSession, sf_dir: str, days: int = 60
+) -> DataFrame:
+    """TPC-H Q12-style (no l_shipmode in harness schema): per ship
+    year, how many lineitems shipped more than `days` after the order
+    date, split by high/low order priority — conditional aggregation
+    over the one fact-fact join."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {days} DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: percentage of revenue from PROMO parts in one
+    ship year — broadcast part join, single-row conditional ratio."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_type")),
+               F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0)))
+                / F.sum(revenue),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct suppliers per (brand, type, size)
+    for a part subset, excluding one brand. Supplier-part pairs come
+    from lineitem (no partsupp in harness schema). distinct before
+    the count is a two-level shuffle Spark plans as partial distinct."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+    )
+
+
+def q18_large_orders(
+    spark: SparkSession, sf_dir: str, min_qty: float = 250.0, k: int = 100
+) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds a
+    threshold, with customer info. Aggregate lineitem FIRST (HAVING
+    prunes to a tiny set), then broadcast-join orders/customer onto
+    it — never join before reducing."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_name").alias("customer_name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("orderkey"))
+        .limit(k)
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue under three disjunctive brand/size/
+    quantity branches — one broadcast join, the OR-of-ANDs stays a
+    single codegen'd predicate (no union of three scans)."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 15))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 20))
+            & (F.col("l_quantity").between(10, 25))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 30))
+            & (F.col("l_quantity").between(20, 35))
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+               F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
+    )
+
+
+def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: customers with above-average (positive)
+    account balance and no orders, counted per nation. Scalar-subquery
+    threshold broadcast onto the scan; NOT EXISTS as left-anti."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )

@@ -1548,3 +1548,176 @@ FROM r
 @_q("events_running_anomalies", _ANOMALY_ORACLE)
 def events_running_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.running_anomalies_batch(load_table(spark, sf_dir, "events"))
+
+
+# =====================================================================
+# TPC-H-style round 2: Q2/Q8/Q9/Q11/Q12/Q14/Q16/Q18/Q19/Q22 analogues
+# (adapted to the harness schema: no partsupp / l_shipmode — see each
+# operator docstring in operators/tpch.py)
+# =====================================================================
+
+_Q2_ORACLE = """
+WITH costs AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 15 AND p_type = 'STANDARD'
+  GROUP BY 1, 2
+), best AS (
+  SELECT partkey, suppkey, unit_cost,
+         ROW_NUMBER() OVER (PARTITION BY partkey
+                            ORDER BY unit_cost, suppkey) AS rn
+  FROM costs
+)
+SELECT b.partkey, p.p_name AS part_name, b.suppkey,
+       s.s_name AS supplier_name, s.s_acctbal AS supplier_acctbal,
+       b.unit_cost
+FROM best b
+JOIN part p ON b.partkey = p.p_partkey
+JOIN supplier s ON b.suppkey = s.s_suppkey
+WHERE b.rn = 1
+"""
+
+QUERIES["q2_min_cost_supplier"] = tpch.q2_min_cost_supplier
+ORACLES["q2_min_cost_supplier"] = _Q2_ORACLE
+
+_Q8_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_7'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY 1
+"""
+
+QUERIES["q8_market_share"] = tpch.q8_market_share
+ORACLES["q8_market_share"] = _Q8_ORACLE
+
+_Q9_ORACLE = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - 0.1 * p_retailprice * l_quantity), 4) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2
+"""
+
+QUERIES["q9_profit"] = tpch.q9_profit
+ORACLES["q9_profit"] = _Q9_ORACLE
+
+_Q11_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey AS partkey,
+         SUM(l_extendedprice * (1 - l_discount)) AS part_value
+  FROM lineitem GROUP BY 1
+)
+SELECT partkey, ROUND(part_value, 4) AS part_value
+FROM per_part
+WHERE part_value > (SELECT SUM(part_value) FROM per_part) * 0.001
+"""
+
+QUERIES["q11_important_parts"] = tpch.q11_important_parts
+ORACLES["q11_important_parts"] = _Q11_ORACLE
+
+_Q12_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+QUERIES["q12_late_shipments"] = tpch.q12_late_shipments
+ORACLES["q12_late_shipments"] = _Q12_ORACLE
+
+_Q14_ORACLE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+QUERIES["q14_promo_revenue"] = tpch.q14_promo_revenue
+ORACLES["q14_promo_revenue"] = _Q14_ORACLE
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(*) AS BIGINT) AS supplier_cnt
+FROM (
+  SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand <> 'Brand#5'
+    AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+)
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["q16_supplier_part_counts"] = tpch.q16_supplier_part_counts
+ORACLES["q16_supplier_part_counts"] = _Q16_ORACLE
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250
+)
+SELECT c_name AS customer_name, c_custkey AS custkey,
+       o_orderkey AS orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       ROUND(o_totalprice, 4) AS totalprice,
+       ROUND(total_qty, 4) AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, orderkey ASC
+LIMIT 100
+"""
+
+QUERIES["q18_large_orders"] = tpch.q18_large_orders
+ORACLES["q18_large_orders"] = _Q18_ORACLE
+
+_Q19_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+
+QUERIES["q19_disjunctive_revenue"] = tpch.q19_disjunctive_revenue
+ORACLES["q19_disjunctive_revenue"] = _Q19_ORACLE
+
+_Q22_ORACLE = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 4) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+"""
+
+QUERIES["q22_inactive_rich_customers"] = tpch.q22_inactive_rich_customers
+ORACLES["q22_inactive_rich_customers"] = _Q22_ORACLE

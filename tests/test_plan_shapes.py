@@ -76,3 +76,28 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     plan = _final_plan(tpch.q1_pricing_summary(spark, sf_dir))
     # codegen'd operators print with a "*(stageId)" prefix
     assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_q8_single_fact_shuffle_join(spark, sf_dir):
+    # 7 joins total; every dim broadcast, only orders⋈lineitem may shuffle
+    plan = _plan(tpch.q8_market_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    # the lineitem HAVING-aggregate must sit below the orders join:
+    # no join node may appear beneath the quantity aggregate
+    plan = _plan(tpch.q18_large_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    agg_pos = plan.find("sum(l_quantity")
+    assert agg_pos != -1
+    # customer join is broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q11_threshold_is_broadcast(spark, sf_dir):
+    # scalar total joined via BroadcastNestedLoopJoin (1-row side),
+    # never a cartesian shuffle
+    plan = _plan(tpch.q11_important_parts(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
