@@ -188,7 +188,10 @@ def minhash_lsh_pairs(
     # collapsing the parallel stage back into the single-split scan.
     # Shingle-less docs are harmless: they have no sig rows, so they
     # can never appear as candidates.
-    sets = shingle_arrays(df, id_col, text_col, n)
+    # one shingling pass, materialized: signatures explode these same
+    # arrays and verification joins back to them — without the
+    # checkpoint the text would be split+shingled twice (once per use)
+    sets = shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=False)
 
     # signatures via the exploded + groupBy(min...) form: hash
     # aggregation is whole-stage-codegen'd, which beats per-row
@@ -197,9 +200,8 @@ def minhash_lsh_pairs(
     # signature table once — the band self-join would otherwise
     # recompute the whole shingle+hash pipeline for BOTH sides (the
     # broadcast build breaks exchange reuse).
-    sig = minhash_signatures(
-        word_shingles(df, id_col, text_col, n), num_hashes
-    ).localCheckpoint(eager=False)
+    exploded = sets.select(F.col("id"), F.explode("shingles").alias("shingle"))
+    sig = minhash_signatures(exploded, num_hashes).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -294,7 +296,11 @@ def simhash_pairs(
     an all-pairs product. Verification = bit_count(xor) on candidates.
     """
     bits_per = 64 // num_bands
-    sh = simhash(df, id_col, text_col)
+    # localCheckpoint materializes the tiny (docs × 1 long) hash table
+    # once; without it the self-join can recompute the full
+    # explode+64-bit-sum pipeline for both sides when broadcast breaks
+    # exchange reuse (same fix as minhash_lsh_pairs above)
+    sh = simhash(df, id_col, text_col).localCheckpoint(eager=False)
     mask = (1 << bits_per) - 1
     blocks = F.array(
         *[
@@ -325,8 +331,8 @@ def simhash_pairs(
             F.col("y.id").alias("id_b"),
             ham.alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
