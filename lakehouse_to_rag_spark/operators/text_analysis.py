@@ -173,3 +173,110 @@ def contamination_check(
         F.size(hits).cast("long").alias("n_contaminated_ngrams"),
         (F.size(hits) > 0).alias("is_contaminated"),
     )
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1: high duplicate-n-gram fraction marks low-quality text):
+    word count, top-word fraction, top-bigram fraction, and the
+    is_repetitive flag (top word > 20% or top bigram > 18% of the doc).
+
+    Shape: one explode + two-level groupBy per n-gram order — both
+    aggregations are partial-aggregatable (map-side combine), so the
+    shuffle carries one row per (doc, gram), never raw text. The
+    bigram array is built from two shifted slices (zip_with), all
+    codegen'd JVM expressions.
+    """
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    base = maybe_parallelize(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), F.col(text_col)
+        )
+    )
+    words = base.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), " ", -1), lambda w: F.length(w) > 0
+        ).alias("ws"),
+    )
+
+    unigram = (
+        words.select(F.col(id_col), F.explode("ws").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("max_uni"), F.sum("c").alias("n_words"))
+    )
+
+    sz = F.size("ws")
+    bigrams = words.select(
+        F.col(id_col),
+        F.zip_with(
+            F.slice(F.col("ws"), 1, sz - 1),
+            F.slice(F.col("ws"), 2, sz - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ).alias("bg"),
+    )
+    bigram = (
+        bigrams.select(F.col(id_col), F.explode("bg").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("max_bi"), F.sum("c").alias("n_bigrams"))
+    )
+
+    top_word_frac = F.round(F.col("max_uni") / F.col("n_words"), 4)
+    top_bigram_frac = F.coalesce(
+        F.round(F.col("max_bi") / F.col("n_bigrams"), 4), F.lit(0.0)
+    )
+    return (
+        unigram.join(bigram, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            top_word_frac.alias("top_word_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            (
+                (F.col("max_uni") / F.col("n_words") > 0.2)
+                | (
+                    F.coalesce(
+                        F.col("max_bi") / F.col("n_bigrams"), F.lit(0.0)
+                    )
+                    > 0.18
+                )
+            ).alias("is_repetitive"),
+        )
+    )
+
+
+def train_split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic hash-bucket train/val/test assignment — the
+    reproducible way to split a 100 TB corpus (no RNG state, no
+    sampling pass; any engine recomputes the same split from the id).
+    bucket = first 32 bits of md5(id) mod 100; split boundaries at
+    train_pct / train_pct+val_pct.
+
+    md5 (not xxhash64) so the assignment is portable across engines —
+    the DuckDB oracle reproduces it bit-for-bit.
+    """
+    bucket = (
+        F.conv(F.md5(F.col(id_col).cast("string")).substr(1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return df.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

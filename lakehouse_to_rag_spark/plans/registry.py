@@ -1721,3 +1721,66 @@ GROUP BY 1
 
 QUERIES["q22_inactive_rich_customers"] = tpch.q22_inactive_rich_customers
 ORACLES["q22_inactive_rich_customers"] = _Q22_ORACLE
+
+
+# =====================================================================
+# Training-data curation round 2: repetition signals + deterministic
+# split assignment
+# =====================================================================
+
+_REPETITION_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> LENGTH(w) > 0) AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+uni AS (
+  SELECT doc_id, MAX(c) AS max_uni, SUM(c) AS n_words FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM base, unnest(ws) AS t(g)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, MAX(c) AS max_bi, SUM(c) AS n_bigrams FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS g
+      FROM base
+    )
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT u.doc_id,
+       CAST(u.n_words AS BIGINT) AS n_words,
+       ROUND(u.max_uni / u.n_words, 4) AS top_word_frac,
+       COALESCE(ROUND(b.max_bi / b.n_bigrams, 4), 0.0) AS top_bigram_frac,
+       (u.max_uni / u.n_words > 0.2
+        OR COALESCE(b.max_bi / b.n_bigrams, 0.0) > 0.18) AS is_repetitive
+FROM uni u LEFT JOIN bi b USING (doc_id)
+"""
+
+
+@_q("repetition_scores", _REPETITION_ORACLE)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
+_TRAIN_SPLIT_ORACLE = """
+SELECT doc_id,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+         AS bucket,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+            THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@_q("train_split_assign", _TRAIN_SPLIT_ORACLE)
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.train_split_assign(load_table(spark, sf_dir, "documents"))

@@ -85,3 +85,20 @@ def test_exact_dedup_property(spark, texts):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
     out = dedup_exact(df, ["t"])
     assert out.count() == len(set(texts))
+
+
+def test_train_split_deterministic_and_balanced(spark, sf_dir):
+    """Split assignment is a pure function of the id (identical across
+    runs) and lands near the 80/10/10 target."""
+    from lakehouse_to_rag_spark.operators.text_analysis import train_split_assign
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in train_split_assign(d).collect()}
+    b = {r["doc_id"]: r["split"] for r in train_split_assign(d).collect()}
+    assert a == b
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    frac_val = sum(1 for s in a.values() if s == "val") / n
+    assert 0.7 < frac_train < 0.9
+    assert 0.05 < frac_val < 0.15
