@@ -1784,3 +1784,94 @@ FROM documents
 @_q("train_split_assign", _TRAIN_SPLIT_ORACLE)
 def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.train_split_assign(load_table(spark, sf_dir, "documents"))
+
+
+_Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+QUERIES["q13_customer_distribution"] = tpch.q13_customer_distribution
+ORACLES["q13_customer_distribution"] = _Q13_ORACLE
+
+
+_DECILE_ORACLE = """
+SELECT event_type,
+       CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+
+@_q("events_value_deciles", _DECILE_ORACLE)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile decile buckets per event type (rank-function family the
+    registry didn't cover; ties broken on event_id so the bucket
+    boundary is deterministic across engines)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        e.select(
+            "event_type",
+            "value",
+            F.ntile(10).over(w).cast("long").alias("decile"),
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(p.ts) AS purchase_us,
+       ROUND(p.value, 4) AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@_q("click_attribution", _ATTRIBUTION_ORACLE)
+def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.pipeline.click_purchase_attribution_stream
+    (same join graph; timestamps emitted as exact epoch micros)."""
+    from lakehouse_to_rag_spark.streaming.pipeline import (
+        click_purchase_attribution_stream,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    j = click_purchase_attribution_stream(e)
+    return j.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "purchase_value",
+    )

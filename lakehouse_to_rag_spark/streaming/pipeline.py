@@ -106,3 +106,55 @@ def hourly_rollup_stream(
             "total_value",
         )
     )
+
+
+def click_purchase_attribution_stream(
+    events: DataFrame,
+    watermark_delay: str = "2 hours",
+    attribution_window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase matched
+    to the same user's clicks in the preceding attribution window.
+
+    Both sides carry a watermark plus the time-range predicate, so
+    Spark bounds the join state on each side (clicks older than
+    watermark + window are dropped from state). Inner join — matched
+    rows emit as soon as both sides arrive; no end-of-stream
+    withholding. The batch twin is the same join on static frames
+    (tests assert exact equality).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark_delay)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark_delay)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )

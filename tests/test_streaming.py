@@ -168,3 +168,26 @@ def test_transform_with_state_anomalies(spark, sf_dir, tmp_path):
         (F.col("event_id") == F.col("first_eid")) & F.col("is_anomaly")
     )
     assert flagged_first.count() == 0
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Stream-stream click->purchase join must equal the identical
+    join run on the static frames (inner join: no withholding)."""
+    from lakehouse_to_rag_spark.sources.tables import load_table
+    from lakehouse_to_rag_spark.streaming.pipeline import (
+        click_purchase_attribution_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev_dir = str(tmp_path / "events_ssj")
+    ev.write.parquet(ev_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(ev_dir)
+
+    joined = click_purchase_attribution_stream(stream)
+    _run_to_memory(joined, "ssj_mem", output_mode="append")
+    got = spark.sql("SELECT * FROM ssj_mem")
+
+    batch = click_purchase_attribution_stream(ev)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    assert got.count() > 0
