@@ -189,3 +189,39 @@ def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
     return media.select(
         "media_id", "media_type", _embed(F.col("payload")).alias("embedding")
     )
+
+
+def binary_digest(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Opaque-binary ingest fingerprint: byte length + md5 digest per
+    payload via Arrow-batched mapInPandas — the identity/dedup step a
+    media pipeline runs before any decode (content-addressed storage,
+    exact-duplicate pruning). Unlike the SYNM-gated decoders above
+    this works on ANY binary payload, so it is fully oracle-checkable
+    (DuckDB md5 over the same bytes).
+    """
+    import hashlib
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("digest", StringType()),
+        ]
+    )
+
+    def _digest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "digest": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_digest, schema=out_schema)

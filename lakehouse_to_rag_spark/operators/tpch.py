@@ -531,3 +531,111 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+def q20_bulk_part_suppliers(
+    spark: SparkSession, sf_dir: str, name_like: str = "%widget%",
+    year: int = 1997, min_qty: float = 100.0,
+) -> DataFrame:
+    """TPC-H Q20-style: suppliers who shipped a meaningful volume of a
+    part family in one year (no partsupp in harness schema, so the
+    availability threshold becomes a shipped-quantity HAVING). Shape:
+    part filter broadcast into lineitem, one agg on suppkey, then the
+    supplier dim LEFT SEMI against the tiny qualifying-key set —
+    supplier rows never fan out.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like(name_like))
+    l = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == year)
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    qualifying = (
+        l.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > min_qty)
+    )
+    return (
+        s.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#12"
+) -> DataFrame:
+    """TPC-H Q17-style: yearly revenue lost if small orders (quantity
+    below 20% of the part's average) were not taken. The correlated
+    per-part AVG becomes one aggregate joined back to the fact rows;
+    quantities are integral doubles, so avg = exact-sum / count is
+    bit-identical across engines and the 0.2× threshold compare
+    cannot drift."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    l = load_table(spark, sf_dir, "lineitem")
+    lp = l.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = lp.groupBy(F.col("l_partkey").alias("ap")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        lp.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_orders"),
+        )
+    )
+
+
+def q21_sole_late_suppliers(
+    spark: SparkSession, sf_dir: str, days: int = 90, k: int = 20
+) -> DataFrame:
+    """TPC-H Q21-style: suppliers who were the ONLY late supplier on a
+    multi-supplier order (late = shipped > `days` after order date;
+    the harness schema has no receipt/commit dates). One pass
+    computes per-(order, supplier) late flags, then per-order counts
+    decide both EXISTS conditions — no triple self-join of lineitem:
+    the reference formulation's correlated EXISTS/NOT EXISTS collapse
+    into a count-based HAVING on an aggregate Spark executes with one
+    shuffle of (orderkey, suppkey) rows."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {days} DAYS")
+    ).cast("long")
+    per_os = (
+        l.join(o.select("o_orderkey", "o_orderdate"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("was_late"))
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("was_late").alias("n_late"),
+    )
+    sole_late = (
+        per_os.filter(F.col("was_late") == 1)
+        .join(
+            per_order.filter(
+                (F.col("n_suppliers") > 1) & (F.col("n_late") == 1)
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            "numwait",
+        )
+        .orderBy(F.desc("numwait"), F.asc("suppkey"))
+        .limit(k)
+    )

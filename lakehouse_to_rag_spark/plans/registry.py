@@ -1875,3 +1875,94 @@ def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("purchase_ts").alias("purchase_us"),
         "purchase_value",
     )
+
+
+_BINARY_DIGEST_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
+@_q("multimodal_digest", _BINARY_DIGEST_ORACLE)
+def multimodal_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing exercised end-to-end through the driver
+    gate: text re-encoded as an opaque binary payload (stand-in for
+    image/audio bytes — no media libs in this container), then
+    length+md5 via Arrow-batched mapInPandas. DuckDB reproduces the
+    digest over the same utf8 bytes, so the whole binary path
+    (BinaryType column -> Arrow -> pandas bytes -> result) is
+    value-checked, not just smoke-tested."""
+    from lakehouse_to_rag_spark.multimodal.ops import binary_digest
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    payloads = d.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return binary_digest(payloads)
+
+
+_Q20_ORACLE = """
+SELECT s_suppkey AS suppkey, s_name AS supplier_name, n_name AS nation
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%' AND EXTRACT(YEAR FROM l_shipdate) = 1997
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > 100
+)
+"""
+
+QUERIES["q20_bulk_part_suppliers"] = tpch.q20_bulk_part_suppliers
+ORACLES["q20_bulk_part_suppliers"] = _Q20_ORACLE
+
+
+_Q17_ORACLE = """
+WITH lp AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#12'
+),
+a AS (
+  SELECT l_partkey AS ap, AVG(l_quantity) AS avg_qty
+  FROM lp GROUP BY 1
+)
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small_orders
+FROM lp JOIN a ON l_partkey = ap
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+QUERIES["q17_small_quantity_revenue"] = tpch.q17_small_quantity_revenue
+ORACLES["q17_small_quantity_revenue"] = _Q17_ORACLE
+
+_Q21_ORACLE = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS was_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_suppliers, SUM(was_late) AS n_late
+  FROM per_os GROUP BY 1
+)
+SELECT s_suppkey AS suppkey, s_name AS supplier_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_os
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE was_late = 1 AND n_suppliers > 1 AND n_late = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, suppkey ASC
+LIMIT 20
+"""
+
+QUERIES["q21_sole_late_suppliers"] = tpch.q21_sole_late_suppliers
+ORACLES["q21_sole_late_suppliers"] = _Q21_ORACLE
