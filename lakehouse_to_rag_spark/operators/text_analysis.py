@@ -280,3 +280,91 @@ def train_split_assign(
         .otherwise("test")
         .alias("split"),
     )
+
+
+def vocab_builder(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus vocabulary with frequency-ranked ids (the tokenizer-prep
+    step of a training pipeline). The corpus-wide count is a
+    partial-aggregatable groupBy; the ranking window runs over the
+    post-filter vocabulary only — bounded (~1e6 rows after min_count
+    at any corpus size), so the single-partition window sort is safe
+    by construction, never over raw tokens."""
+    from pyspark.sql import Window
+
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.col(text_col), " ", -1)).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    counts = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("n"), F.asc("word"))
+    )
+    return counts.select(
+        "word", F.col("n").cast("long").alias("n"),
+        (rank - 1).cast("long").alias("token_id"),
+    )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Sequence-level duplicate spans (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): word n-grams (with
+    positions, NOT distinct — repeats inside a doc count) that occur
+    in >= min_docs distinct documents. The shuffle carries one row per
+    (gram, doc) after map-side combine; grams are the join currency,
+    never full texts."""
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    base = maybe_parallelize(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("t")
+        )
+    )
+    words = base.select(
+        "id",
+        F.filter(F.split(F.col("t"), " ", -1), lambda w: F.length(w) > 0).alias("ws"),
+    )
+    grams = words.select(
+        "id",
+        F.explode(
+            # sequence(1, stop) runs DESCENDING when stop < 1, so docs
+            # shorter than n must take the empty-array branch explicitly
+            F.when(
+                F.size("ws") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                    lambda i: F.array_join(F.slice(F.col("ws"), i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    per_gram_doc = grams.groupBy("gram", "id").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    return (
+        per_gram_doc.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "gram",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+    )

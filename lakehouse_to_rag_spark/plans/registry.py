@@ -1966,3 +1966,61 @@ LIMIT 20
 
 QUERIES["q21_sole_late_suppliers"] = tpch.q21_sole_late_suppliers
 ORACLES["q21_sole_late_suppliers"] = _Q21_ORACLE
+
+
+# =====================================================================
+# Vocabulary + sequence-level dedup
+# =====================================================================
+
+_VOCAB_ORACLE = """
+WITH counts AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE text IS NOT NULL
+  )
+  WHERE LENGTH(w) > 0
+  GROUP BY w
+  HAVING COUNT(*) >= 5
+)
+SELECT word, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) - 1 AS BIGINT)
+         AS token_id
+FROM counts
+"""
+
+
+@_q("vocab_top_tokens", _VOCAB_ORACLE)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.vocab_builder(load_table(spark, sf_dir, "documents"))
+
+
+_DUP_SPANS_ORACLE = """
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> LENGTH(w) > 0) AS a
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(a) >= 5
+                THEN list_transform(range(1, len(a) - 3),
+                                    i -> array_to_string(list_slice(a, i, i + 4), ' '))
+                ELSE [] END) AS gram
+  FROM ws
+),
+per_gram_doc AS (
+  SELECT gram, doc_id, COUNT(*) AS occ FROM grams GROUP BY 1, 2
+)
+SELECT gram,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(occ) AS BIGINT) AS n_occurrences
+FROM per_gram_doc
+GROUP BY gram
+HAVING COUNT(*) >= 2
+"""
+
+
+@_q("duplicate_ngram_spans", _DUP_SPANS_ORACLE)
+def duplicate_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.duplicate_ngram_spans(load_table(spark, sf_dir, "documents"))
