@@ -368,3 +368,34 @@ def duplicate_ngram_spans(
             F.col("n_occurrences").cast("long").alias("n_occurrences"),
         )
     )
+
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    md5(stratum:id) mod 10000 falls under the stratum's fraction.
+    Unlike ``sampleBy`` (whose per-row RNG stream depends on partition
+    layout, so the sample changes under repartition/AQE), the hash
+    sample is a pure row function — reproducible on any cluster
+    layout, joinable across tables, and portable across engines."""
+    bucket = (
+        F.conv(
+            F.md5(
+                F.concat(
+                    F.col(strata_col), F.lit(":"), F.col(id_col).cast("string")
+                )
+            ).substr(1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    frac = F.lit(default_fraction)
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(f)).otherwise(frac)
+    return df.filter(bucket < frac * 10000)

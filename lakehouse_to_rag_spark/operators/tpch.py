@@ -608,12 +608,16 @@ def q21_sole_late_suppliers(
         F.col("l_shipdate")
         > F.col("o_orderdate") + F.expr(f"INTERVAL {days} DAYS")
     ).cast("long")
+    # per_os feeds BOTH the per-order rollup and the sole-late filter;
+    # materialize it once (small: one row per order×supplier) — without
+    # this the orders⋈lineitem join and its shuffle run twice (AQE
+    # broadcast conversion breaks exchange reuse between the branches)
     per_os = (
         l.join(o.select("o_orderkey", "o_orderdate"),
                F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("was_late"))
-    )
+    ).localCheckpoint(eager=False)
     per_order = per_os.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum("was_late").alias("n_late"),

@@ -2024,3 +2024,43 @@ HAVING COUNT(*) >= 2
 @_q("duplicate_ngram_spans", _DUP_SPANS_ORACLE)
 def duplicate_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.duplicate_ngram_spans(load_table(spark, sf_dir, "documents"))
+
+
+@_q("events_approx_stats")  # no oracle: sketch outputs are estimates;
+# accuracy is bounded by tests/test_properties.py::test_approx_stats_bounds
+def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per event type — the sub-linear-memory path
+    for cardinality and quantiles at 100 TB (HLL++ and GK quantile
+    sketches; both partial-aggregatable, constant state per group)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
+    )
+
+
+_STRAT_SAMPLE_ORACLE = """
+SELECT event_id, event_type, user_id
+FROM events
+WHERE ('0x' || substr(md5(event_type || ':' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+      % 10000
+      < CASE event_type WHEN 'click' THEN 1000
+                        WHEN 'view' THEN 500
+                        ELSE 5000 END
+"""
+
+
+@_q("events_stratified_sample", _STRAT_SAMPLE_ORACLE)
+def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic stratified downsample (10% of clicks, 5% of
+    views, 50% of everything else) — the reproducible way to rebalance
+    event classes in a training corpus."""
+    e = load_table(spark, sf_dir, "events")
+    return ta.stratified_sample_by_hash(
+        e.select("event_id", "event_type", "user_id"),
+        "event_type",
+        "event_id",
+        {"click": 0.10, "view": 0.05},
+        default_fraction=0.50,
+    )

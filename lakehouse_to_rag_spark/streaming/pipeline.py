@@ -158,3 +158,26 @@ def click_purchase_attribution_stream(
         "purchase_ts",
         F.round("purchase_value", 4).alias("purchase_value"),
     )
+
+
+def silver_stream_dedup_within_watermark(
+    bronze: DataFrame,
+    key_col: str = "url",
+    min_content_length: int = 50,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming silver dedup via ``dropDuplicatesWithinWatermark``:
+    unlike plain dropDuplicates (which keys state forever unless the
+    event-time column is part of the key), this guarantees state
+    eviction once the watermark passes each key's first arrival —
+    the right default for unbounded keyspaces (URLs at 100 TB).
+    Duplicates arriving within the watermark window are dropped;
+    re-arrivals after eviction are treated as new (at-least-once
+    dedup, bounded state)."""
+    return (
+        bronze.withColumn("content", normalize_text("content"))
+        .filter(F.length("content") > min_content_length)
+        .withColumn("content_length", F.length("content"))
+        .withWatermark("processed_at", watermark_delay)
+        .dropDuplicatesWithinWatermark([key_col])
+    )

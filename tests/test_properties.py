@@ -13,6 +13,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from lakehouse_to_rag_spark.functions.chunker import split_text_recursive
+from tests.conftest import SF_DIR
 
 # printable ASCII + whitespace + a sprinkle of unicode the regex must
 # strip (accents, CJK, emoji) — the classes where \w dialects diverge
@@ -102,3 +103,64 @@ def test_train_split_deterministic_and_balanced(spark, sf_dir):
     frac_val = sum(1 for s in a.values() if s == "val") / n
     assert 0.7 < frac_train < 0.9
     assert 0.05 < frac_val < 0.15
+
+
+def test_approx_stats_bounds(spark, sf_dir):
+    """Sketch estimates stay within their advertised error bounds of
+    the exact values (HLL rsd=1%; GK accuracy=10000)."""
+    from pyspark.sql import functions as F
+    from lakehouse_to_rag_spark.plans.registry import QUERIES
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["events_approx_stats"](spark, SF_DIR).collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    # GK guarantees RANK error (<= n/accuracy), not value error: the
+    # estimate must be an actual data point whose rank is within eps
+    # of the target. Check against exact rank-bracket percentiles.
+    eps = 0.01
+    exact = {
+        r["event_type"]: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr(f"percentile(value, {0.5 - eps})").alias("p50_lo"),
+            F.expr(f"percentile(value, {0.5 + eps})").alias("p50_hi"),
+            F.expr(f"percentile(value, {0.95 - eps})").alias("p95_lo"),
+            F.expr(f"percentile(value, {0.95 + eps})").alias("p95_hi"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, ex in exact.items():
+        ap = approx[t]
+        assert abs(ap["approx_users"] - ex["users"]) <= max(3, 0.05 * ex["users"])
+        assert ex["p50_lo"] <= ap["approx_p50"] <= ex["p50_hi"]
+        assert ex["p95_lo"] <= ap["approx_p95"] <= ex["p95_hi"]
+
+
+def test_stratified_sample_stable_under_repartition(spark, sf_dir):
+    """Hash sampling is a pure row function: identical sample for any
+    partition layout (the property sampleBy does NOT have)."""
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        stratified_sample_by_hash,
+    )
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "events").select("event_id", "event_type")
+    fr = {"click": 0.1, "view": 0.05}
+    a = {r["event_id"] for r in
+         stratified_sample_by_hash(e, "event_type", "event_id", fr, 0.5).collect()}
+    b = {r["event_id"] for r in
+         stratified_sample_by_hash(e.repartition(7), "event_type", "event_id", fr, 0.5).collect()}
+    assert a == b and len(a) > 0
+    # per-stratum rates near targets
+    n_click = e.filter("event_type = 'click'").count()
+    got_click = (
+        stratified_sample_by_hash(e, "event_type", "event_id", fr, 0.5)
+        .filter("event_type = 'click'")
+        .count()
+    )
+    assert abs(got_click / n_click - 0.1) < 0.05

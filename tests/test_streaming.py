@@ -191,3 +191,21 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
     assert got.count() > 0
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path, raw_dir):
+    """dropDuplicatesWithinWatermark silver: same unique-url guarantee
+    as the dropDuplicates variant for in-window duplicates."""
+    from lakehouse_to_rag_spark.streaming.pipeline import (
+        bronze_stream,
+        silver_stream_dedup_within_watermark,
+        stream_raw_json,
+    )
+
+    raw = stream_raw_json(spark, str(raw_dir))
+    silver = silver_stream_dedup_within_watermark(bronze_stream(raw))
+    _run_to_memory(silver, "sdw_mem")
+    rows = spark.sql("SELECT url FROM sdw_mem").collect()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls))
+    assert len(urls) >= 1
