@@ -181,3 +181,37 @@ def silver_stream_dedup_within_watermark(
         .withWatermark("processed_at", watermark_delay)
         .dropDuplicatesWithinWatermark([key_col])
     )
+
+
+def stream_upsert_sink(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """CDC-style streaming sink: each micro-batch MERGEs into the
+    target layer by key via ``foreachBatch`` + ``upsert_by_key`` —
+    late re-deliveries of a key overwrite instead of duplicating, so
+    the sink is idempotent per key (the exactly-once-per-key contract
+    a lakehouse ingest needs; foreachBatch replays a failed batch,
+    and the merge makes the replay harmless). Returns the started
+    StreamingQuery.
+    """
+    from lakehouse_to_rag_spark.sources.lakehouse import upsert_by_key
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        # within one batch keep a single row per key (last writer by
+        # batch order is arbitrary — dedup deterministically first)
+        deduped = batch.dropDuplicates(key_cols)
+        upsert_by_key(batch.sparkSession, path, deduped, key_cols)
+
+    writer = (
+        df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

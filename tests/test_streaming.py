@@ -209,3 +209,30 @@ def test_dedup_within_watermark_stream(spark, tmp_path, raw_dir):
     urls = [r["url"] for r in rows]
     assert len(urls) == len(set(urls))
     assert len(urls) >= 1
+
+
+def test_stream_upsert_sink(spark, tmp_path):
+    """foreachBatch MERGE sink: re-delivered keys overwrite, new keys
+    append; the target always holds one row per key."""
+    from lakehouse_to_rag_spark.streaming.pipeline import stream_upsert_sink
+
+    src = str(tmp_path / "upsert_src")
+    tgt = str(tmp_path / "upsert_tgt")
+    ckpt = str(tmp_path / "upsert_ckpt")
+    import os
+
+    os.makedirs(src)
+    # seed the target with keys 1,2
+    spark.createDataFrame(
+        [(1, "old1"), (2, "old2")], ["k", "v"]
+    ).write.parquet(tgt)
+    # stream delivers an update for key 2 and a new key 3
+    spark.createDataFrame(
+        [(2, "new2"), (3, "new3")], ["k", "v"]
+    ).write.parquet(src + "/batch1")
+    stream = spark.readStream.schema("k long, v string").parquet(src + "/*")
+    q = stream_upsert_sink(stream, tgt, ["k"], ckpt)
+    q.awaitTermination(120)
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: "old1", 2: "new2", 3: "new3"}
