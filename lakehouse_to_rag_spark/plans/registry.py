@@ -2064,3 +2064,12 @@ def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"click": 0.10, "view": 0.05},
         default_fraction=0.50,
     )
+
+
+# same oracle as dedup_ngram_jaccard: prefix filtering is lossless
+# (prefix-overlap theorem), proven equal to the naive operator in
+# tests/test_dedup_quality.py::test_prefix_filter_jaccard_equals_naive
+@_q("dedup_ngram_jaccard_prefix", _NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.5)

@@ -131,3 +131,24 @@ def test_connected_components_properties(spark):
     )
     cc = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_prefix_filter_jaccard_equals_naive(spark, sf_dir):
+    """Prefix-filtered all-pairs Jaccard must emit EXACTLY the naive
+    inverted-index operator's pair set (filtering is lossless for
+    jaccard >= t by the prefix-overlap theorem)."""
+    from lakehouse_to_rag_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    naive = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(d, "doc_id", "text").collect()
+    )
+    pref = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs_prefix(d, "doc_id", "text").collect()
+    )
+    assert naive == pref and len(naive) > 0
