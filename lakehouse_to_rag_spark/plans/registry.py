@@ -2073,3 +2073,25 @@ def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+# Same oracle as events_sessionize. Boundary semantics verified by
+# direct observation: an event at EXACTLY last_ts + gap merges into
+# the session (session_window extends to [start, last+gap] inclusive),
+# matching the gaps-and-islands SQL's strict-> split — the two agree
+# even on exact-boundary gaps (none exist in harness data anyway).
+@_q("events_sessionize_native", _SESSIONIZE_ORACLE)
+def events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's native session_window —
+    the API twin of the manual gaps-and-islands operator (state is a
+    merging session map per group key, the same construct Structured
+    Streaming uses for streaming session windows)."""
+    e = load_table(spark, sf_dir, "events")
+    per_session = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
