@@ -2095,3 +2095,14 @@ def events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n").cast("long").alias("n_events"),
     )
+
+
+@_q("knn_ivf_kmeans")  # approximate (trained quantizer): rows-only
+# check; recall vs the untrained quantizer is pinned in
+# tests/test_dedup_quality.py
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return simi.ivf_topk_kmeans(
+        e, queries, k=5, num_centroids=16, nprobe=4, iterations=3
+    )
