@@ -2106,3 +2106,60 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simi.ivf_topk_kmeans(
         e, queries, k=5, num_centroids=16, nprobe=4, iterations=3
     )
+
+
+# =====================================================================
+# End-to-end RAG retrieval (the reference's namesake use case composed
+# from engine operators: exact kNN -> document join -> chunk stats)
+# =====================================================================
+
+_RAG_RETRIEVAL_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 3
+), p AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 4) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank,
+       r.neighbor_id AS doc_id, r.cosine,
+       d.source,
+       CAST(LENGTH(d.text) AS BIGINT) AS content_length,
+       CAST(CEIL(GREATEST(LENGTH(d.text), 1) / 190.0) AS BIGINT) AS n_chunks
+FROM r JOIN documents d ON r.neighbor_id = d.doc_id
+WHERE r.rank <= 3 AND d.text IS NOT NULL
+"""
+
+
+@_q("rag_retrieval", _RAG_RETRIEVAL_ORACLE)
+def rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end: retrieve top-3 context documents per
+    query embedding (exact cosine kNN), joined to document metadata
+    and fixed-stride chunk counts — the serving-side read path of a
+    lakehouse-to-RAG system expressed as one composed DataFrame plan
+    (kNN two-phase top-k, then a hash join to the documents dim)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3)
+    hits = simi.knn_bruteforce(e, queries, k=3)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n_chunks = F.ceil(
+        F.greatest(F.length("text"), F.lit(1)) / F.lit(190.0)
+    ).cast("long")
+    return hits.join(
+        d, hits["neighbor_id"] == d["doc_id"]
+    ).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").alias("doc_id"),
+        "cosine",
+        "source",
+        F.length("text").cast("long").alias("content_length"),
+        n_chunks.alias("n_chunks"),
+    )
