@@ -96,8 +96,13 @@ def ngram_jaccard_pairs(
     join — at scale, drop shingles with document frequency above a cap
     first; that filter is itself one partial-agg). Intersection counts
     and set sizes are integers, so jaccard is bit-deterministic.
+
+    The shingle table feeds THREE consumers (both join sides + the
+    size aggregate) — localCheckpoint materializes the split+explode+
+    distinct pipeline once instead of re-running it per consumer
+    (plan sweep showed 4 document scans / 14 exchanges without it).
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -26,29 +26,38 @@ def language_id(
     baseline). Score per language = |distinct tokens ∩ stopwords(lang)|;
     prediction = argmax score with alphabetical tie-break.
 
-    Shape: 5 narrow projections unioned, then one window argmax over 5
-    rows per doc. The array_intersect runs on the already-split token
-    array — one pass over the text per language, all codegen.
+    Shape: ONE scan, zero shuffles — all 5 language scores are columns
+    of the same projection (the token array is split once), and the
+    argmax is a per-row array_max over (score, -lang_rank, lang)
+    structs: largest score wins, ties fall to the alphabetically
+    first language (the -rank field inverts struct ordering so the
+    lexicographic max realizes the asc tie-break). The previous form
+    (5 projections unioned + a row_number window) read the text 5×
+    and shuffled on id — at 100 TB that is 5 table scans and an
+    exchange for what is a row-local decision.
     """
-    words = F.split(F.col(text_col), " ", -1)
-    parts = []
-    for lang in sorted(STOPWORDS):
-        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        parts.append(
-            df.select(
-                F.col(id_col),
-                F.lit(lang).alias("cand_lang"),
-                F.size(F.array_intersect(words, sw)).cast("long").alias("score"),
+    words_col = F.split(F.col(text_col), " ", -1)
+    base = df.select(F.col(id_col), words_col.alias("_w"))
+    candidates = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        F.col("_w"),
+                        F.array(*[F.lit(w) for w in STOPWORDS[lang]]),
+                    )
+                ).cast("long").alias("score"),
+                F.lit(-i).alias("neg_rank"),
+                F.lit(lang).alias("lang"),
             )
-        )
-    scores = parts[0]
-    for p in parts[1:]:
-        scores = scores.unionByName(p)
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cand_lang"))
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("cand_lang").alias("pred_lang"), F.col("score"))
+            for i, lang in enumerate(sorted(STOPWORDS))
+        ]
+    )
+    best = F.array_max(candidates)
+    return base.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        best["score"].alias("score"),
     )
 
 
@@ -196,12 +205,14 @@ def repetition_scores(
             F.col(id_col), F.col(text_col)
         )
     )
+    # both n-gram branches consume this — materialize the split once
+    # (without the checkpoint each branch re-scans and re-splits)
     words = base.select(
         F.col(id_col),
         F.filter(
             F.split(F.col(text_col), " ", -1), lambda w: F.length(w) > 0
         ).alias("ws"),
-    )
+    ).localCheckpoint(eager=False)
 
     unigram = (
         words.select(F.col(id_col), F.explode("ws").alias("g"))

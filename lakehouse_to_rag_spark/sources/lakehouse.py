@@ -100,3 +100,26 @@ def upsert_by_key(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return fmt
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join
+    key — the shuffle-free co-located join path for repeated big⋈big
+    joins (fact tables joined every run shuffle ONCE at write time,
+    never again at read time). Both sides of a join bucketed on the
+    same key with the same bucket count join with zero Exchange; with
+    sort_cols the SortMergeJoin also skips its Sort.
+
+    Bucketing requires the table catalog (`saveAsTable`); the files
+    land in the session's warehouse dir.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -101,3 +101,13 @@ def test_q11_threshold_is_broadcast(spark, sf_dir):
     # never a cartesian shuffle
     plan = _plan(tpch.q11_important_parts(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_lang_id_single_scan_no_shuffle(spark, sf_dir):
+    # argmax is row-local: one documents scan, zero exchanges
+    from lakehouse_to_rag_spark.operators.text_analysis import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan(language_id(d))
+    assert plan.count("Exchange") == 0, plan
+    assert plan.count("documents.parquet") == 1

@@ -72,3 +72,49 @@ def test_upsert_by_key(spark, sf_dir, tmp_path):
     assert after.count() == n0 + 1  # one replaced, one appended
     assert after.filter(F.col("doc_id") == 0).first()["text"] == "REPLACED"
     assert after.filter(F.col("doc_id") == 10_000_000).count() == 1
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Tables bucketed on the join key join WITHOUT a shuffle: the
+    write-time bucketing replaces the per-query Exchange (the
+    co-located big-big join pattern for 100 TB fact⋈fact joins)."""
+    from pyspark.sql import functions as F
+    from lakehouse_to_rag_spark.sources.lakehouse import write_bucketed
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(o, "orders_b", ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed(
+        l.select("l_orderkey", "l_quantity"), "lineitem_b",
+        ["l_orderkey"], 8, ["l_orderkey"],
+    )
+    ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+    joined = lb.join(ob, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+        "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # disable broadcast so the join planner must pick SMJ/SHJ — the
+    # bucketing is what must remove the exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # no shuffle below the join: the only allowed Exchange is the
+        # final aggregation's
+        join_part = plan.split("HashAggregate")[-1]
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        # result parity with the plain join
+        plain = (
+            l.select("l_orderkey", "l_quantity")
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
