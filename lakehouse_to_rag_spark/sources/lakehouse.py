@@ -123,3 +123,56 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def compact_layer(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    fmt: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a layer into ``target_files``
+    files (default: one per ~128 MB of input, min 1) with an atomic
+    directory swap. Streaming/incremental sinks accrete many small
+    files; scans then pay per-file open cost and tiny row groups
+    defeat pruning — periodic compaction is the standard fix. Uses
+    coalesce (no shuffle) since output count only shrinks. Returns
+    the file count written.
+    """
+    import math
+    import os
+    import pathlib
+    import shutil
+    import uuid
+
+    fmt = fmt or ("delta" if _delta_available(spark) else "parquet")
+    df = spark.read.format(fmt).load(path)
+    if target_files is None:
+        size = sum(
+            f.stat().st_size
+            for f in pathlib.Path(path).rglob("*")
+            if f.is_file()
+        )
+        target_files = max(1, math.ceil(size / (128 * 1024 * 1024)))
+    tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
+    df.coalesce(target_files).write.format(fmt).mode("overwrite").save(tmp)
+    old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    n = len(
+        [
+            f
+            for f in pathlib.Path(path).rglob("*" + fmt)
+            if f.is_file()
+        ]
+    )
+    return n
+
+
+def read_layer_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: merge the schemas of all parquet files
+    under the layer (columns added by later writers appear as NULL in
+    older rows) — the read-side half of additive schema evolution
+    without a table format."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

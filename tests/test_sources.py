@@ -118,3 +118,36 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_compact_layer(spark, tmp_path):
+    """Compaction shrinks a many-file layer to N files, data intact."""
+    from lakehouse_to_rag_spark.sources.lakehouse import compact_layer
+
+    path = str(tmp_path / "small_files")
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    df.repartition(20).write.parquet(path)
+    import pathlib
+
+    before = len(list(pathlib.Path(path).glob("*.parquet")))
+    n = compact_layer(spark, path, target_files=2)
+    assert before == 20 and n == 2
+    got = spark.read.parquet(path)
+    assert got.count() == 1000
+    assert got.selectExpr("sum(v)").collect()[0][0] == 999 * 1000
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """Additive column evolution: old files read with NULL for the
+    new column when merging schemas."""
+    from lakehouse_to_rag_spark.sources.lakehouse import read_layer_merged
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "v", "score"]
+    ).write.mode("append").parquet(path)
+    got = read_layer_merged(spark, path)
+    assert set(got.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
