@@ -55,3 +55,40 @@ def salted_agg(
             for out, (src, fn) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join for when AQE's skew splitting can't engage
+    (e.g. the dim side is too big to broadcast but small enough to
+    replicate, or a deterministic plan is required): fact rows get a
+    random salt in [0, num_salts); the dim side is replicated once
+    per salt value (explode of a literal range). The join key becomes
+    (key, salt), spreading a hot key's rows over ``num_salts`` tasks.
+    Row-for-row identical to the plain join: each fact row matches
+    exactly the one dim replica carrying its salt.
+
+    Cost: dim side is shuffled num_salts×; worth it only when one
+    fact key dominates a reducer. Salt uses a per-row uniform hash of
+    monotonically_increasing_id — deterministic within a run, but NOT
+    across layouts (it only routes rows; results are layout-free).
+    """
+    salted_fact = fact.withColumn(
+        "_salt", (F.monotonically_increasing_id() % num_salts).cast("int")
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    out = salted_fact.join(
+        replicated_dim,
+        (salted_fact[key] == replicated_dim[key])
+        & (salted_fact["_salt"] == replicated_dim["_salt"]),
+    )
+    keep = [salted_fact[c] for c in fact.columns] + [
+        replicated_dim[c] for c in dim.columns if c != key
+    ]
+    return out.select(*keep)

@@ -164,3 +164,37 @@ def test_stratified_sample_stable_under_repartition(spark, sf_dir):
         .count()
     )
     assert abs(got_click / n_click - 0.1) < 0.05
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salted join must be row-identical to the plain equi-join,
+    including under a planted hot key, and the physical join must key
+    on (key, salt)."""
+    from pyspark.sql import functions as F
+    from lakehouse_to_rag_spark.operators.skew import salted_join
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    # plant a hot key: every user_id % 3 == 0 becomes user 0
+    fact = e.withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    dim = (
+        fact.groupBy("user_id")
+        .agg(F.round(F.avg("value"), 4).alias("user_avg"))
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(fact, dim, "user_id", num_salts=8)
+        plain = fact.join(dim, "user_id").select(
+            "event_id", "user_id", "value", "user_avg"
+        )
+        assert sorted(map(tuple, salted.select(*plain.columns).collect())) == \
+            sorted(map(tuple, plain.collect()))
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
