@@ -2163,3 +2163,36 @@ def rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("content_length"),
         n_chunks.alias("n_chunks"),
     )
+
+
+_RANK_FNS_ORACLE = """
+SELECT event_id,
+       event_type,
+       ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 4) AS cume_dist,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drank
+FROM events
+WHERE user_id < 5
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+@_q("events_rank_functions", _RANK_FNS_ORACLE)
+def events_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / dense_rank in one window (the
+    remaining rank-function family members; ntile lives in
+    events_value_deciles). Both rank fractions are exact rationals of
+    row counts, so 4dp rounding is engine-stable."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume_dist"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    )
