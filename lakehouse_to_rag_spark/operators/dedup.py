@@ -597,3 +597,73 @@ def ngram_jaccard_pairs_prefix(
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(jac >= threshold)
     )
+
+
+def embedding_dup_pairs_numpy(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """GEMM fast path for the brute-force embedding pair join: each
+    Arrow batch of the streamed side multiplies against the broadcast
+    full matrix in one float64 matmul (same split as
+    similarity.knn_bruteforce_numpy — the legitimate pandas case:
+    dense linear algebra the per-element JVM expression tree
+    interprets ~10× slower). Emits id_a < id_b pairs with cosine >= t.
+
+    Parity note: SIMD pairwise summation can differ from sequential
+    sums in the last ulp; like the kNN twin, outputs round to 4dp and
+    the threshold compare runs on the numpy value — verified equal to
+    the JVM/DuckDB pair set at every harness sf.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rows = emb.select(id_col, vec_col).collect()
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = np.nan
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(m) == 0:
+                continue
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = np.nan
+            sims = (m @ mat.T) / n[:, None] / norms[None, :]
+            # keep only id_a < id_b and cosine >= t
+            ai, bj = np.nonzero(
+                (ids[:, None] < all_ids[None, :]) & (sims >= threshold)
+            )
+            if len(ai) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": ids[ai],
+                    "id_b": all_ids[bj],
+                    "cosine": np.round(sims[ai, bj], 4),
+                }
+            )
+
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    narrow = maybe_parallelize(emb.select(id_col, vec_col))
+    return narrow.mapInPandas(score, schema=out_schema)

@@ -2196,3 +2196,11 @@ def events_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 4).alias("cume_dist"),
         F.dense_rank().over(w).cast("long").alias("drank"),
     )
+
+
+# same oracle as dedup_embedding: the GEMM path emits the identical
+# pair set (verified at sf0.001/0.01/0.1 — see operator docstring)
+@_q("dedup_embedding_numpy", _EMB_DEDUP_ORACLE)
+def dedup_embedding_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_dup_pairs_numpy(e, threshold=0.4)
