@@ -2204,3 +2204,37 @@ def events_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return dd.embedding_dup_pairs_numpy(e, threshold=0.4)
+
+
+_UDTF_SPANS_ORACLE = """
+SELECT doc_id,
+       CAST((s - 1) // 200 AS BIGINT) AS span_index,
+       CAST(s - 1 AS BIGINT) AS start,
+       substring(text, CAST(s AS INTEGER), 200) AS span
+FROM (
+  SELECT doc_id, text,
+         unnest(range(1, GREATEST(LENGTH(text), 1) + 1, 200)) AS s
+  FROM documents
+  WHERE text IS NOT NULL AND LENGTH(text) > 0
+)
+"""
+
+
+@_q("gold_spans_udtf", _UDTF_SPANS_ORACLE)
+def gold_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride spans via a Python UDTF + LATERAL join — puts the
+    Spark 4 table-function execution path (python worker, arrow
+    row→table fan-out) under the oracle gate; semantics identical to
+    the pure-SQL stride explode."""
+    from lakehouse_to_rag_spark.functions.udtfs import register_udtfs
+    from lakehouse_to_rag_spark.sources.tables import register_views
+
+    register_udtfs(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.span_index, s.start, s.span
+        FROM documents d, LATERAL fixed_spans(d.text, 200) s
+        WHERE d.text IS NOT NULL
+        """
+    )
