@@ -2238,3 +2238,41 @@ def gold_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.text IS NOT NULL
         """
     )
+
+
+_WEIGHTED_MEAN_ORACLE = """
+SELECT event_type,
+       ROUND(SUM(value * (1 + user_id % 5)) / SUM(1 + user_id % 5), 4)
+         AS weighted_mean_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@_q("events_weighted_mean_udaf", _WEIGHTED_MEAN_ORACLE)
+def events_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF surface, §2.10): a
+    weighted mean computed per group in one Arrow batch. numpy dot /
+    sum is the UDAF body; the oracle recomputes it as exact SQL —
+    putting the GROUPED_AGG execution path (arrow group transfer,
+    partial=false aggregation) under the value gate."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations`
+    # stringizes type hints, so the hint-based GROUPED_AGG inference
+    # can't see the Series -> scalar signature here
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_mean(v, w):
+        ws = float(w.sum())
+        return float((v * w).sum() / ws) if ws else float("nan")
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("w", (1 + F.col("user_id") % 5).cast("double"))
+        .groupBy("event_type")
+        .agg(
+            F.round(weighted_mean(F.col("value"), F.col("w")), 4).alias(
+                "weighted_mean_value"
+            )
+        )
+    )
