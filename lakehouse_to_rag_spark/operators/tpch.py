@@ -59,7 +59,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataF
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(revenue), 4).alias("revenue"))
         .select(
@@ -107,14 +107,14 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(c),
+            c,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.round(F.sum(revenue), 4).alias("revenue"))
     )
@@ -132,7 +132,7 @@ def top_suppliers(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         .agg(F.round(F.sum(revenue), 4).alias("total_revenue"))
     )
     return (
-        agg.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        agg.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("supplier_name"),
@@ -149,7 +149,7 @@ def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -166,7 +166,7 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -215,10 +215,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -249,7 +249,7 @@ def q2_min_cost_supplier(
     l = load_table(spark, sf_dir, "lineitem")
     unit_cost = F.col("l_extendedprice") / F.col("l_quantity")
     costs = (
-        l.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(unit_cost).alias("unit_cost"))
     )
@@ -263,9 +263,9 @@ def q2_min_cost_supplier(
         F.col("b.l_suppkey").alias("suppkey"),
     )
     return (
-        best.join(F.broadcast(load_table(spark, sf_dir, "part")),
+        best.join(load_table(spark, sf_dir, "part"),
                   F.col("partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("suppkey") == F.col("s_suppkey"))
         .select(
             "partkey",
             F.col("p_name").alias("part_name"),
@@ -299,13 +299,13 @@ def q8_market_share(
     l = load_table(spark, sf_dir, "lineitem")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_nk"))
-        .join(F.broadcast(r), F.col("cn_rk") == F.col("r_regionkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_nk"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_nk"))
+        .join(r, F.col("cn_rk") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_nk"))
         .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
             F.round(
@@ -333,12 +333,12 @@ def q9_profit(spark: SparkSession, sf_dir: str, name_like: str = "%bolt%") -> Da
         - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        l.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+        l.join(p.select("p_partkey", "p_retailprice"),
                F.col("l_partkey") == F.col("p_partkey"))
         .join(o.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("order_year"),
@@ -400,7 +400,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p.select("p_partkey", "p_type")),
+        l.join(p.select("p_partkey", "p_type"),
                F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
@@ -423,7 +423,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load_table(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select("p_brand", "p_type", "p_size", "l_suppkey")
         .distinct()
         .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
@@ -448,7 +448,7 @@ def q18_large_orders(
     )
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             F.col("c_name").alias("customer_name"),
             F.col("c_custkey").alias("custkey"),
@@ -487,7 +487,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        l.join(p.select("p_partkey", "p_brand", "p_size"),
                F.col("l_partkey") == F.col("p_partkey"))
         .filter(branch)
         .agg(F.round(F.sum(revenue), 4).alias("revenue"))
@@ -549,14 +549,14 @@ def q20_bulk_part_suppliers(
     n = load_table(spark, sf_dir, "nation")
     s = load_table(spark, sf_dir, "supplier")
     qualifying = (
-        l.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > min_qty)
     )
     return (
         s.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("supplier_name"),
@@ -576,12 +576,12 @@ def q17_small_quantity_revenue(
     cannot drift."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
     l = load_table(spark, sf_dir, "lineitem")
-    lp = l.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+    lp = l.join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
     avg_qty = lp.groupBy(F.col("l_partkey").alias("ap")).agg(
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        lp.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap"))
+        lp.join(avg_qty, F.col("l_partkey") == F.col("ap"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
@@ -634,7 +634,7 @@ def q21_sole_late_suppliers(
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
     return (
-        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_late.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("supplier_name"),

@@ -34,11 +34,20 @@ TABLES = [
 # micros, which is exactly DuckDB's ns->us truncation on read.
 _NANOS_TS_COLS = {"events": ("ts",)}
 
+# Analyzed-plan cache. ``spark.read.parquet`` costs ~200 ms per call
+# (driver-side footer read + py4j round trips) — with queries touching
+# up to 6 tables and the correctness gate running ~100 queries, that
+# fixed cost dominates small-SF latency. DataFrames are immutable
+# logical plans, so reusing one per (application, sf_dir, table) is
+# safe; the testdata directories are read-only by contract (TESTDATA.md).
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_NPARTS_CACHE: dict[tuple[str, str, str], int] = {}
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
 ) -> DataFrame:
-    """Lazy parquet scan of one catalog table.
+    """Lazy parquet scan of one catalog table (plan-cached per session).
 
     ``parallelize=True`` round-robin-repartitions the scan up to the
     session's default parallelism — needed because the harness tables
@@ -49,24 +58,38 @@ def load_table(
     already yields enough partitions.
     """
     tune(spark)
-    nanos_cols = _NANOS_TS_COLS.get(name, ())
-    if nanos_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in nanos_cols:
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        nanos_cols = _NANOS_TS_COLS.get(name, ())
+        if nanos_cols:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for c in nanos_cols:
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        _DF_CACHE[key] = df
     if parallelize:
-        df = maybe_parallelize(df)
+        df = maybe_parallelize(df, _cache_key=key)
     return df
 
 
-def maybe_parallelize(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def maybe_parallelize(
+    df: DataFrame,
+    min_parts: int | None = None,
+    _cache_key: tuple[str, str, str] | None = None,
+) -> DataFrame:
     """Repartition iff the plan currently has fewer partitions than the
     session parallelism (cheap check; avoids pointless shuffles on
-    already-wide inputs)."""
+    already-wide inputs). ``df.rdd`` forces plan translation (~100 ms),
+    so the partition count is memoized for catalog tables."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    nparts = _NPARTS_CACHE.get(_cache_key) if _cache_key else None
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        if _cache_key:
+            _NPARTS_CACHE[_cache_key] = nparts
+    if nparts >= target:
         return df
     return df.repartition(target)
 
