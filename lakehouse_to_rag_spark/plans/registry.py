@@ -446,6 +446,25 @@ def events_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.props_rollup(load_table(spark, sf_dir, "events"))
 
 
+_VARIANT_PROPS_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(value), 4) AS avg_value,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
+@_q("events_variant_props", _VARIANT_PROPS_ORACLE)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType semi-structured rollup (Spark 4 parse_json /
+    try_variant_get) — one parse, typed binary field probes. The
+    oracle re-derives the same grouping from DuckDB's JSON parser,
+    value-gating the variant encode/decode path."""
+    return ev.variant_props_rollup(load_table(spark, sf_dir, "events"))
+
+
 _PIVOT_ORACLE = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
