@@ -97,3 +97,35 @@ def test_run_etl_end_to_end(spark, tmp_path):
     assert gold.count() >= silver.count()
     assert "chunk" in gold.columns and "chunk_index" in gold.columns
     assert paths["gold"].endswith("/gold")
+
+
+def test_observed_medallion_metrics_match_direct_aggregates(spark, sf_dir):
+    """Observation metrics (computed inside the job, zero extra scan)
+    must equal the values a separate aggregation job computes, and one
+    gold action must populate all three layers' observations."""
+    from lakehouse_to_rag_spark.operators.observe import (
+        metrics_row,
+        run_medallion_observed,
+    )
+
+    layers, obs = run_medallion_observed(spark, sf_dir)
+    n_gold = layers["gold"].count()  # the ONE action
+
+    m_bronze = metrics_row(obs["bronze"])
+    m_silver = metrics_row(obs["silver"])
+    m_gold = metrics_row(obs["gold"])
+
+    assert m_gold["rows"] == n_gold
+    # cross-check against independent aggregation jobs
+    direct = run_medallion(spark, sf_dir)
+    for name, m, col in (
+        ("bronze", m_bronze, "content"),
+        ("silver", m_silver, "content"),
+    ):
+        row = direct[name].agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.round(F.avg(F.length(col)), 4).alias("avg_content_length"),
+        ).collect()[0]
+        assert m["rows"] == row["rows"], name
+        assert m["avg_content_length"] == row["avg_content_length"], name
+    assert m_bronze["empty_rows"] == 0  # bronze filters empties

@@ -236,3 +236,25 @@ def test_stream_upsert_sink(spark, tmp_path):
 
     got = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
     assert got == {1: "old1", 2: "new2", 3: "new3"}
+
+
+def test_streaming_observed_metrics(spark, raw_dir):
+    """Named observe() on a stream surfaces per-micro-batch metrics in
+    StreamingQueryProgress.observedMetrics — the streaming face of the
+    batch Observation monitoring (operators/observe.py)."""
+    from lakehouse_to_rag_spark.operators.observe import layer_metrics
+
+    raw = stream_raw_json(spark, raw_dir + "/*.json")
+    bronze = bronze_stream(raw).observe("bronze_metrics", *layer_metrics())
+    q = _run_to_memory(bronze, "bronze_obs_mem")
+    progress = q.recentProgress
+    observed = [
+        p["observedMetrics"]["bronze_metrics"]
+        for p in progress
+        if p.get("observedMetrics", {}).get("bronze_metrics")
+    ]
+    assert observed, f"no observedMetrics in progress: {progress}"
+    total_rows = sum(m["rows"] for m in observed)
+    n_direct = spark.sql("SELECT count(*) c FROM bronze_obs_mem").collect()[0]["c"]
+    assert total_rows == n_direct
+    assert all(m["empty_rows"] == 0 for m in observed)
