@@ -15,9 +15,15 @@ from pyspark.sql import SparkSession
 # - UTC pins current_timestamp()/date_trunc semantics to match a
 #   naive-timestamp oracle (DuckDB timestamps are UTC-naive).
 # - Arrow makes pandas_udf exchange columnar batches.
+# - TIMESTAMP_MICROS: Spark's default parquet timestamp encoding is
+#   legacy INT96, which carries NO min/max statistics — every
+#   time-range scan over an INT96-written table reads every row group.
+#   INT64 micros restores footer stats (and is what every modern
+#   reader expects), making ts-clustered layers actually skippable.
 _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

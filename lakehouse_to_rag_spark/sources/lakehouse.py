@@ -125,6 +125,39 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    by_cols: list[str],
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Range-cluster a layer on its dominant filter columns before
+    writing — the parquet data-skipping layout.
+
+    ``repartitionByRange`` range-partitions rows across ``n_files``
+    writers and ``sortWithinPartitions`` orders rows inside each file,
+    so every file (and every row group within it) covers a narrow,
+    non-overlapping min/max band of ``by_cols``. A reader filtering on
+    those columns then prunes whole row groups from the footer stats
+    (PushedFilters + parquet column-index) instead of scanning — at
+    100 TB a time-range query over a ts-clustered events table reads
+    only the files whose band intersects the predicate.
+
+    Single-column clustering is plain range sort; for two columns the
+    leading column dominates (lexicographic) — the right trade when
+    filters are hierarchical (e.g. date, then user). Equal-width
+    multi-dim skipping (Z-order) only pays when filters hit either
+    column independently.
+    """
+    (
+        df.repartitionByRange(n_files, *by_cols)
+        .sortWithinPartitions(*by_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_layer(
     spark: SparkSession,
     path: str,

@@ -1,6 +1,7 @@
 """Batch raw-JSON ingest (S2) + temp-view registry / SQL pass-through
 (S6-S7, duckdb_queries.py run_custom_query parity) + lakehouse sink."""
 
+import os
 import json
 
 from pyspark.sql import functions as F
@@ -151,3 +152,59 @@ def test_schema_evolution_read(spark, tmp_path):
     assert set(got.columns) == {"id", "v", "score"}
     rows = {r["id"]: r for r in got.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_write_sorted_enables_row_group_skipping(spark, sf_dir, tmp_path):
+    """write_sorted must produce files whose ts min/max bands are
+    non-overlapping, so a time-range predicate touches a small
+    fraction of row groups (measured from parquet footer stats — the
+    exact information a scan uses to skip)."""
+    import pyarrow.parquet as pq
+
+    from lakehouse_to_rag_spark.sources.lakehouse import write_sorted
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    sorted_path = str(tmp_path / "events_sorted")
+    unsorted_path = str(tmp_path / "events_unsorted")
+    write_sorted(ev, sorted_path, by_cols=["ts"], n_files=8)
+    ev.repartition(8).write.parquet(unsorted_path)
+
+    def rg_bands(path):
+        bands = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "ts"
+                )
+                bands.append((col.statistics.min, col.statistics.max))
+        return bands
+
+    sorted_bands = rg_bands(sorted_path)
+    unsorted_bands = rg_bands(unsorted_path)
+    assert len(sorted_bands) >= 8
+    # across sorted files+row groups: bands must not overlap
+    ordered = sorted(sorted_bands)
+    for (_, amax), (bmin, _) in zip(ordered, ordered[1:]):
+        assert amax <= bmin, (amax, bmin)
+
+    # a predicate spanning ~1/8 of the time range touches few sorted
+    # row groups but ALL unsorted ones
+    glob_min = min(b[0] for b in sorted_bands)
+    glob_max = max(b[1] for b in sorted_bands)
+    span = glob_max - glob_min
+    lo, hi = glob_min, glob_min + span / 8
+
+    def touched(bands):
+        return sum(1 for bmin, bmax in bands if not (bmax < lo or bmin > hi))
+
+    assert touched(unsorted_bands) == len(unsorted_bands)
+    assert touched(sorted_bands) <= max(2, len(sorted_bands) // 4)
+
+    # and the clustered layer still reads back identically
+    assert spark.read.parquet(sorted_path).count() == ev.count()
