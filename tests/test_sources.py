@@ -208,3 +208,60 @@ def test_write_sorted_enables_row_group_skipping(spark, sf_dir, tmp_path):
 
     # and the clustered layer still reads back identically
     assert spark.read.parquet(sorted_path).count() == ev.count()
+
+
+def test_write_zordered_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Morton-clustered layout must let a 2-D box predicate skip row
+    groups on EITHER column's footer stats, where a lexicographic sort
+    only skips on its leading column."""
+    import pyarrow.parquet as pq
+
+    from lakehouse_to_rag_spark.sources.lakehouse import write_sorted, write_zordered
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    z_path = str(tmp_path / "z")
+    lex_path = str(tmp_path / "lex")
+    write_zordered(ev, z_path, "user_id", "value", n_files=16)
+    write_sorted(ev, lex_path, by_cols=["user_id", "value"], n_files=16)
+
+    def bands(path, col):
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                out.append((c.statistics.min, c.statistics.max))
+        return out
+
+    # value-range-only predicate over the middle 1/8 of value's span
+    vb_z = bands(z_path, "value")
+    vb_lex = bands(lex_path, "value")
+    glo = min(b[0] for b in vb_z)
+    ghi = max(b[1] for b in vb_z)
+    span = ghi - glo
+    lo, hi = glo + span * 7 / 16, glo + span * 9 / 16
+
+    def touched(bs):
+        return sum(1 for bmin, bmax in bs if not (bmax < lo or bmin > hi))
+
+    # lexicographic (user_id leading): value stats are useless — every
+    # row group spans nearly the full value range
+    assert touched(vb_lex) == len(vb_lex)
+    # z-order: a large fraction of row groups is skippable on value
+    assert touched(vb_z) <= len(vb_z) * 3 // 4, (touched(vb_z), len(vb_z))
+    # ...while user_id skipping also works on the z layout
+    ub_z = bands(z_path, "user_id")
+    ulo = min(b[0] for b in ub_z)
+    uhi = max(b[1] for b in ub_z)
+    uspan = uhi - ulo
+    lo, hi = ulo + uspan * 7 / 16, ulo + uspan * 9 / 16
+    assert touched(ub_z) < len(ub_z)
+
+    assert spark.read.parquet(z_path).count() == ev.count()
