@@ -111,3 +111,34 @@ def test_lang_id_single_scan_no_shuffle(spark, sf_dir):
     plan = _plan(language_id(d))
     assert plan.count("Exchange") == 0, plan
     assert plan.count("documents.parquet") == 1
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning must be available in
+    our sessions: a selective filter on one fact side injects a bloom
+    might_contain predicate into the other side's scan, cutting the
+    shuffle of a fact⋈fact join before it happens. The default
+    application-side threshold (10 GB scan) is sized for real
+    clusters, so the test lowers it to prove the mechanism."""
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        ).select("o_orderkey", "o_orderdate")
+        l = load_table(spark, sf_dir, "lineitem")
+        j = (
+            l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderdate")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
