@@ -2059,6 +2059,34 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("user_sketch_rollup")  # no oracle: DataSketches HLL estimates are
+# engine-specific; merge-consistency + error bounds are test-gated
+# (tests/test_properties.py::test_hll_sketch_rollup_merges)
+def user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL): per
+    (event_type, day) user sketches built once, then union-merged to
+    per-type totals WITHOUT touching the raw data again. This is the
+    incremental-aggregation pattern at 100 TB — store the binary
+    sketch column per partition-day; any rollup (day->month->all
+    time, any group subset) is a cheap hll_union_agg over sketches
+    instead of a rescan, and distinct counts stay mergeable where
+    exact COUNT(DISTINCT) cannot be pre-aggregated."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", 14).alias("user_sketch"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("user_sketch")
+            ).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
 _STRAT_SAMPLE_ORACLE = """
 SELECT event_id, event_type, user_id
 FROM events

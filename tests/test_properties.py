@@ -198,3 +198,40 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_hll_sketch_rollup_merges(spark, sf_dir):
+    """DataSketches HLL rollup: (1) merging per-day sketches must give
+    the same estimate as sketching the whole column directly (merge
+    consistency — the property that makes stored sketches re-usable),
+    and (2) estimates stay within HLL error bounds of exact counts."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_to_rag_spark.plans.registry import QUERIES
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    merged = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["user_sketch_rollup"](spark, SF_DIR).collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    direct = {
+        r["event_type"]: r["approx"]
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias("approx"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["users"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    assert set(merged) == set(direct) == set(exact)
+    for t in merged:
+        # HLL union of disjoint-day sketches == direct sketch (same lgK)
+        assert abs(merged[t] - direct[t]) <= max(1.0, 0.01 * direct[t]), t
+        # lgK=14 -> rse ~0.8%; allow 3 sigma + small-count slack
+        assert abs(merged[t] - exact[t]) <= max(3.0, 0.03 * exact[t]), (
+            t, merged[t], exact[t],
+        )
