@@ -265,3 +265,36 @@ def test_write_zordered_skips_on_both_dimensions(spark, sf_dir, tmp_path):
     assert touched(ub_z) < len(ub_z)
 
     assert spark.read.parquet(z_path).count() == ev.count()
+
+
+def test_python_datasource_json_docs(spark, tmp_path):
+    """Spark 4 Python DataSource API: format("json_docs") must ingest
+    one-object-per-file JSON with file-parallel partitions and the
+    reference's source=object-basename tag, matching read_raw_json."""
+    from lakehouse_to_rag_spark.sources.pyds import JsonDocsDataSource
+
+    d = tmp_path / "objs"
+    d.mkdir()
+    docs = [
+        {"url": f"http://x/{i}", "scraped_at": 1.5, "status_code": 200,
+         "title": f"t{i}", "content": f"body {i}", "author": None,
+         "language": "en"}
+        for i in range(5)
+    ]
+    for i, rec in enumerate(docs):
+        (d / f"obj{i}.json").write_text(json.dumps(rec))
+
+    spark.dataSource.register(JsonDocsDataSource)
+    df = spark.read.format("json_docs").load(str(d))
+    rows = df.orderBy("url").collect()
+    assert len(rows) == 5
+    assert [r["source"] for r in rows] == [f"obj{i}.json" for i in range(5)]
+    assert rows[2]["content"] == "body 2"
+    assert rows[0]["status_code"] == 200
+    # file-parallel: as many input partitions as objects
+    assert df.rdd.getNumPartitions() == 5
+    # equivalence with the native-reader path on the shared columns
+    native = read_raw_json(spark, str(d) + "/*.json")
+    a = {(r["url"], r["content"], r["source"]) for r in native.collect()}
+    b = {(r["url"], r["content"], r["source"]) for r in rows}
+    assert a == b
