@@ -108,6 +108,23 @@ def hourly_rollup_stream(
     )
 
 
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream–static enrichment join: every micro-batch joins against
+    the (batch) dimension table with NO state store — the static side
+    is re-resolved per micro-batch, so an updated dim file is picked
+    up on the next trigger. This is the standard lookup-enrichment
+    shape (event stream ⋈ user/product dim) and the streaming twin of
+    a broadcast dim join: Spark plans the static side as a broadcast
+    build when it fits, no watermark needed because no stream-stream
+    state is kept."""
+    return stream.join(dim, on=on, how=how)
+
+
 def click_purchase_attribution_stream(
     events: DataFrame,
     watermark_delay: str = "2 hours",

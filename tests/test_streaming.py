@@ -258,3 +258,29 @@ def test_streaming_observed_metrics(spark, raw_dir):
     n_direct = spark.sql("SELECT count(*) c FROM bronze_obs_mem").collect()[0]["c"]
     assert total_rows == n_direct
     assert all(m["empty_rows"] == 0 for m in observed)
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, tmp_path):
+    """Stream–static join: per-user dim computed in batch enriches the
+    event stream with zero streaming state; result must equal the
+    batch join exactly."""
+    from lakehouse_to_rag_spark.sources.tables import load_table
+    from lakehouse_to_rag_spark.streaming.pipeline import enrich_stream_with_dim
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_events"))
+    )
+    ev_dir = str(tmp_path / "events_stream")
+    ev.write.parquet(ev_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(ev_dir)
+    enriched = enrich_stream_with_dim(
+        stream.select("event_id", "user_id", "value"), dim, on="user_id"
+    )
+    q = _run_to_memory(enriched, "enriched_mem")
+    got = spark.sql("SELECT * FROM enriched_mem")
+    batch = ev.select("event_id", "user_id", "value").join(dim, "user_id", "left")
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
