@@ -667,3 +667,55 @@ def embedding_dup_pairs_numpy(
 
     narrow = maybe_parallelize(emb.select(id_col, vec_col))
     return narrow.mapInPandas(score, schema=out_schema)
+
+
+# --------------------------------------- TF-weighted cosine all-pairs
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs cosine similarity over term-frequency vectors
+    (id_a < id_b, cosine >= threshold) — the sparse-feature similarity
+    join (cf. AllPairs/Vernica-style inverted-index joins; the
+    prefix-filtered variant in ``ngram_jaccard_pairs_prefix`` shows
+    the skew path, the same trade applies here).
+
+    Weighted twin of the Jaccard join: instead of set intersection
+    counts, the inverted index carries per-doc term counts and the
+    pair aggregation computes integer dot products Σ tf_a·tf_b; norms
+    are Σ tf² per doc. All sums are exact integers, so
+    cosine = dot/√(n_a·n_b) is a bit-deterministic double on every
+    engine — the reason this uses raw TF, not float IDF weights, for
+    the oracle-gated entry (IDF weighting would make parity depend on
+    float summation order).
+
+    Shuffle shape: one exchange on `word` for the self-join, one on
+    the pair key for the dot aggregation, broadcast-sized norm table —
+    identical skeleton to the Jaccard join, so the same stop-word
+    document-frequency cap applies at 100 TB.
+    """
+    tf = (
+        _with_words(df, id_col, text_col)
+        .select(F.col("id"), F.explode(F.col("_words")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # feeds both join sides + norms
+    )
+    norms = tf.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("norm2"))
+    a, b = tf.alias("a"), tf.alias("b")
+    dots = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    cos = F.col("dot") / F.sqrt(F.col("na.norm2") * F.col("nb.norm2"))
+    return (
+        dots.join(norms.alias("na"), F.col("id_a") == F.col("na.id"))
+        .join(norms.alias("nb"), F.col("id_b") == F.col("nb.id"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(cos >= threshold)
+    )

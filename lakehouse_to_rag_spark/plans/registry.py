@@ -531,6 +531,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+_TF_COSINE_ORACLE = """
+WITH tf AS (
+  SELECT doc_id AS id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE LENGTH(word) > 0 GROUP BY doc_id, word
+), norms AS (
+  SELECT id, SUM(tf*tf) AS norm2 FROM tf GROUP BY id
+), dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, SUM(a.tf*b.tf) AS dot
+  FROM tf a JOIN tf b ON a.word = b.word AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(dot / SQRT(na.norm2 * nb.norm2), 4) AS cosine
+FROM dots
+JOIN norms na ON id_a = na.id
+JOIN norms nb ON id_b = nb.id
+WHERE dot / SQRT(na.norm2 * nb.norm2) >= 0.95
+"""
+
+
+@_q("dedup_tf_cosine", _TF_COSINE_ORACLE)
+def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-vector cosine all-pairs join (inverted-index
+    self-join with integer dot products — exact cross-engine parity
+    because every sum is an integer until the final division)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.tf_cosine_pairs(d, "doc_id", "text", threshold=0.95)
+
+
 # MinHash output gets the EXACT-jaccard oracle: verification is exact
 # (array_intersect on candidates), and at b=32/r=2 the probability of
 # missing a j>=0.5 pair is ~(1-j^2)^32 < 1e-4 — verified equal to the
