@@ -142,3 +142,33 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_headline_plan_count_regression(spark, sf_dir):
+    """Plan-count ceilings for headline queries: a refactor that adds
+    a table re-scan or an exchange passes value tests and hides in
+    bench noise locally, but costs hours at 100 TB. Bounds are the
+    current counts (tools/plan_sweep.py) — raise them only with a
+    reason in SCALE.md."""
+    from lakehouse_to_rag_spark.plans.registry import QUERIES
+    from tools.plan_sweep import plan_counts
+
+    bounds = {
+        # name: (max_scans, max_exchanges)
+        "q1_pricing_summary": (1, 1),
+        "q3_shipping_priority": (3, 3),
+        "q5_regional_revenue": (6, 6),
+        "silver_docs": (1, 1),
+        "gold_chunks_recursive": (1, 1),
+        "word_freq_top10": (1, 1),
+        "events_hourly": (1, 1),
+        "events_sessionize": (1, 1),
+        "dedup_exact_groups": (1, 1),
+        "lang_id": (1, 0),
+        "token_counts": (1, 0),
+        "q21_sole_late_suppliers": (3, 5),
+    }
+    for name, (max_scans, max_ex) in bounds.items():
+        c = plan_counts(QUERIES[name](spark, sf_dir))
+        assert c["scans"] <= max_scans, (name, c)
+        assert c["exchanges"] <= max_ex, (name, c)
