@@ -64,3 +64,22 @@ def test_real_decode_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         decode_metadata(fake).collect()
+
+
+def test_binary_digest_arrow_equals_pandas(spark, sf_dir):
+    """mapInArrow digest must be byte-identical to the mapInPandas
+    form (same md5, same lengths) on real binary payloads."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_to_rag_spark.multimodal.ops import (
+        binary_digest,
+        binary_digest_arrow,
+    )
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    a = sorted(map(tuple, binary_digest(docs).collect()))
+    b = sorted(map(tuple, binary_digest_arrow(docs).collect()))
+    assert a == b and len(a) > 0
