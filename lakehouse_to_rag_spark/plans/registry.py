@@ -2117,6 +2117,36 @@ def user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_USER_TREND_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(REGR_SLOPE(value, EPOCH_US(ts) / 3600000000.0), 4) AS slope_per_hour,
+       ROUND(REGR_R2(value, EPOCH_US(ts) / 3600000000.0), 4) AS r2
+FROM events
+GROUP BY user_id
+"""
+
+
+@_q("user_value_trend", _USER_TREND_ORACLE)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend via the SQL regression aggregates
+    (regr_slope/regr_r2) — linear model fitting as a single
+    partial-aggregatable JVM aggregation (six moment sums), no UDF.
+    tests/test_properties.py proves the equivalent applyInPandas
+    numpy path gives the same fits, value-gating the grouped-map API
+    against the declarative one."""
+    e = load_table(spark, sf_dir, "events")
+    # integer microseconds on BOTH engines -> identical doubles for x
+    # (unix_timestamp would truncate to seconds; DuckDB EPOCH keeps
+    # fractional seconds — micros/3.6e9 is exact on both)
+    x = F.unix_micros("ts") / F.lit(3600.0 * 1e6)
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.regr_slope(F.col("value"), x), 4).alias("slope_per_hour"),
+        F.round(F.regr_r2(F.col("value"), x), 4).alias("r2"),
+    )
+
+
 _STRAT_SAMPLE_ORACLE = """
 SELECT event_id, event_type, user_id
 FROM events

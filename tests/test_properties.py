@@ -235,3 +235,53 @@ def test_hll_sketch_rollup_merges(spark, sf_dir):
         assert abs(merged[t] - exact[t]) <= max(3.0, 0.03 * exact[t]), (
             t, merged[t], exact[t],
         )
+
+
+def test_applyinpandas_ols_matches_sql_regression(spark, sf_dir):
+    """Grouped-map applyInPandas (numpy lstsq per user) must produce
+    the same per-group OLS fits as the declarative regr_slope/regr_r2
+    aggregates — value-gating the pandas grouped-map API against the
+    JVM path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lakehouse_to_rag_spark.plans.registry import QUERIES
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    sql_fit = {
+        r["user_id"]: (r["slope_per_hour"], r["r2"], r["n_events"])
+        for r in QUERIES["user_value_trend"](spark, SF_DIR).collect()
+    }
+
+    e = load_table(spark, SF_DIR, "events").select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(3600.0 * 1e6)).alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x, y = pdf["x"].to_numpy(), pdf["y"].to_numpy()
+        xc, yc = x - x.mean(), y - y.mean()
+        slope = float((xc * yc).sum() / (xc * xc).sum())
+        ss_res = float(((yc - slope * xc) ** 2).sum())
+        ss_tot = float((yc ** 2).sum())
+        r2 = 1.0 - ss_res / ss_tot if ss_tot else float("nan")
+        return pd.DataFrame(
+            {"user_id": [int(pdf["user_id"].iloc[0])],
+             "slope_per_hour": [slope], "r2": [r2], "n_events": [len(pdf)]}
+        )
+
+    pandas_fit = {
+        r["user_id"]: (r["slope_per_hour"], r["r2"], r["n_events"])
+        for r in e.groupBy("user_id")
+        .applyInPandas(fit, "user_id long, slope_per_hour double, r2 double, n_events long")
+        .collect()
+    }
+    assert set(sql_fit) == set(pandas_fit)
+    for u in sql_fit:
+        s1, r1, n1 = sql_fit[u]
+        s2, r2_, n2 = pandas_fit[u]
+        assert n1 == n2
+        assert abs(s1 - s2) < 1e-3, (u, s1, s2)
+        assert abs(r1 - r2_) < 1e-3, (u, r1, r2_)
