@@ -2117,6 +2117,44 @@ def user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SLIDING_ORACLE = """
+WITH w AS (
+  SELECT FLOOR(EPOCH(ts)/1800)*1800 - k.k*1800 AS win_start, event_type, value
+  FROM events CROSS JOIN (SELECT UNNEST(range(2)) AS k) k
+  WHERE EPOCH(ts) >= FLOOR(EPOCH(ts)/1800)*1800 - k.k*1800
+    AND EPOCH(ts) <  FLOOR(EPOCH(ts)/1800)*1800 - k.k*1800 + 3600
+)
+SELECT CAST(win_start AS BIGINT) AS window_start_epoch, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM w GROUP BY 1, 2
+"""
+
+
+@_q("events_sliding_1h30m", _SLIDING_ORACLE)
+def events_sliding_1h30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1 h window, 30 min slide): each event
+    feeds size/slide = 2 overlapping windows — F.window handles the
+    fan-out JVM-side (no explode). Epoch-integer window keys keep the
+    oracle timezone-free; the same expression under readStream +
+    withWatermark is the incremental form (streaming twin pattern of
+    events_hourly / hourly_rollup_stream)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 _USER_TREND_ORACLE = """
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
