@@ -2117,6 +2117,36 @@ def user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+  FROM events GROUP BY 1
+)
+SELECT day, event_type, n FROM wide
+UNPIVOT (n FOR event_type IN (n_click, n_view, n_purchase, n_signup, n_error))
+"""
+
+
+@_q("events_pivot_roundtrip", _UNPIVOT_ORACLE)
+def events_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) surface: the wide per-day pivot folded back to
+    long form with DataFrame.unpivot — the wide↔long pair the
+    reference has neither direction of. Spark melts JVM-side via an
+    Expand node (no shuffle beyond the pivot's own aggregation)."""
+    wide = ev.type_pivot_daily(load_table(spark, sf_dir, "events"))
+    return wide.unpivot(
+        ids=["day"],
+        values=[f"n_{t}" for t in ["click", "view", "purchase", "signup", "error"]],
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+
+
 _SLIDING_ORACLE = """
 WITH w AS (
   SELECT FLOOR(EPOCH(ts)/1800)*1800 - k.k*1800 AS win_start, event_type, value
