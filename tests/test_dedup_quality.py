@@ -152,3 +152,15 @@ def test_prefix_filter_jaccard_equals_naive(spark, sf_dir):
         for r in ngram_jaccard_pairs_prefix(d, "doc_id", "text").collect()
     )
     assert naive == pref and len(naive) > 0
+
+
+def test_simhash_numpy_equals_jvm(spark, sf_dir):
+    """The GROUPED_AGG numpy simhash must be bit-identical to the
+    64-expression JVM form on the full corpus."""
+    from lakehouse_to_rag_spark.operators.dedup import simhash, simhash_numpy
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, simhash(d, "doc_id", "text").collect()))
+    b = sorted(map(tuple, simhash_numpy(d, "doc_id", "text").collect()))
+    assert a == b and len(a) > 0
