@@ -289,11 +289,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def simhash_numpy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """``simhash`` with the per-bit majority computed by a GROUPED_AGG
     pandas UDF over JVM-hashed words — bit-identical output (equality-
-    tested), ~3x faster at sf0.1 (0.5s vs 1.5s): the JVM form expands
-    to 64 branch+shift aggregate expressions per row (~100M scalar
-    codegen ops for 1.5M words), while numpy evaluates the same
-    (words x 64) bit matrix vectorized per group. Word hashing stays
-    JVM-side (xxhash64), so only (id, hash) longs cross Arrow."""
+    tested) but NOT the default: measured 2x SLOWER than the JVM form
+    in the full pairs pipeline (3.6s vs 1.8s at sf0.1). The corpus has
+    ~5000 groups of only ~300 words, and GROUPED_AGG pays per-group
+    Arrow/invocation overhead (~0.5 ms/group) that swamps the
+    vectorization win at this group size. (A first measurement said
+    3x FASTER — that run timed ``.count()``, and Catalyst prunes
+    unused aggregate expressions, so the UDF never executed. Moral:
+    time aggregates through a consumer of their outputs.) Kept as the
+    documented alternative: it wins when groups are large (>=10k rows
+    each) so per-group overhead amortizes."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
@@ -330,7 +335,7 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     num_bands: int = 4,
-    use_numpy: bool = True,
+    use_numpy: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
