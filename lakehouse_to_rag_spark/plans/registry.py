@@ -2117,6 +2117,36 @@ def user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIPE_SYNTAX_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total
+FROM events
+WHERE value > 100
+GROUP BY event_type
+HAVING COUNT(*) > 10
+"""
+
+
+@_q("events_pipe_syntax", _PIPE_SYNTAX_ORACLE)
+def events_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the same logical plan
+    as WHERE/GROUP BY/HAVING, written as a linear pipeline — parser
+    surface only, Catalyst sees identical plans (the oracle is the
+    classic formulation)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        FROM events
+        |> WHERE value > 100
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(SUM(value), 4) AS total
+           GROUP BY event_type
+        |> WHERE n > 10
+        """
+    )
+
+
 _UNPIVOT_ORACLE = """
 WITH wide AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
