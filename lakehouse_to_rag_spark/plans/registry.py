@@ -2117,6 +2117,36 @@ def user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CENTRAL_TENDENCY_ORACLE = """
+SELECT event_type,
+       ROUND(MEDIAN(value), 4) AS median_value,
+       ROUND(STDDEV_SAMP(value), 4) AS sd_value,
+       ROUND(VAR_SAMP(value), 4) AS var_value,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@_q("events_central_tendency", _CENTRAL_TENDENCY_ORACLE)
+def events_central_tendency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated percentile-0.5) + sample
+    stddev/variance per group — both engines agree bit-for-bit on
+    these. Skewness/kurtosis are deliberately EXCLUDED from the
+    oracle-gated surface: Spark returns population estimators (g1/g2)
+    while DuckDB returns sample-adjusted (G1/G2) — a definitional
+    difference, not float noise."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
 _PIPE_SYNTAX_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
