@@ -2117,6 +2117,85 @@ def user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAPFILL_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(FLOOR(EPOCH(MIN(ts))/3600)*3600 AS BIGINT) AS lo,
+         CAST(FLOOR(EPOCH(MAX(ts))/3600)*3600 AS BIGINT) AS hi
+  FROM events
+), spine AS (
+  SELECT UNNEST(range(lo, hi + 3600, 3600)) AS hour_epoch FROM bounds
+), actual AS (
+  SELECT CAST(FLOOR(EPOCH(ts)/3600)*3600 AS BIGINT) AS hour_epoch,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT s.hour_epoch, COALESCE(a.n_events, 0) AS n_events
+FROM spine s LEFT JOIN actual a USING (hour_epoch)
+"""
+
+
+@_q("events_hourly_gapfilled", _GAPFILL_ORACLE)
+def events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal densification: an hour spine generated with
+    sequence()/explode spans min..max, left-joined to the hourly
+    rollup so silent hours appear as explicit zeros — what every
+    downstream time-series model needs and what a plain GROUP BY
+    can't produce. The spine is O(hours) rows built from one
+    2-value aggregate (broadcast), so the only real shuffle is the
+    rollup's own."""
+    e = load_table(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    actual = e.groupBy(hour.alias("hour_epoch")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = e.agg(
+        (F.floor(F.unix_timestamp(F.min("ts")) / 3600) * 3600).cast("long").alias("lo"),
+        (F.floor(F.unix_timestamp(F.max("ts")) / 3600) * 3600).cast("long").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_epoch")
+    )
+    return spine.join(actual, "hour_epoch", "left").select(
+        "hour_epoch", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(FLOOR(EPOCH(ts)/86400)) AS BIGINT) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(FLOOR(EPOCH(ts)/86400) AS BIGINT) AS active_day
+  FROM events
+)
+SELECT f.cohort_day,
+       a.active_day - f.cohort_day AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@_q("user_retention_cohorts", _RETENTION_ORACLE)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted on each subsequent active day — the analytics-warehouse
+    classic. Two aggregations sharing the user_id shuffle key plus a
+    broadcast-sized cohort join; all integers, exact across engines."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = e.select("user_id", day.alias("active_day")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("active_day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 _CENTRAL_TENDENCY_ORACLE = """
 SELECT event_type,
        ROUND(MEDIAN(value), 4) AS median_value,
