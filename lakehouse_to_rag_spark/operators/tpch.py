@@ -413,6 +413,34 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) with the maximum revenue over one
+    quarter. The classic formulation is a view + scalar-max subquery;
+    here the per-supplier revenue agg (one shuffle on l_suppkey over
+    the filtered fact scan) produces a supplier-cardinality frame
+    (SF×10k rows — tiny even at 100 TB), so the scalar max rides a
+    single-partition window over that aggregate, not a second pass
+    over lineitem. supplier dim is broadcast onto the winners."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("total_revenue"))
+    )
+    w = Window.partitionBy()
+    return (
+        revenue.withColumn("max_rev", F.max("total_revenue").over(w))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("suppkey") == F.col("s_suppkey"))
+        .select("suppkey", F.col("s_name").alias("supplier_name"), "total_revenue")
+    )
+
+
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16-style: distinct suppliers per (brand, type, size)
     for a part subset, excluding one brand. Supplier-part pairs come

@@ -1709,6 +1709,23 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 QUERIES["q14_promo_revenue"] = tpch.q14_promo_revenue
 ORACLES["q14_promo_revenue"] = _Q14_ORACLE
 
+_Q15_ORACLE = """
+WITH revenue0 AS (
+  SELECT l_suppkey AS suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT suppkey, s_name AS supplier_name, total_revenue
+FROM revenue0 JOIN supplier ON suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+"""
+
+QUERIES["q15_top_supplier"] = tpch.q15_top_supplier
+ORACLES["q15_top_supplier"] = _Q15_ORACLE
+
 _Q16_ORACLE = """
 SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
        CAST(COUNT(*) AS BIGINT) AS supplier_cnt
