@@ -59,7 +59,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         best, n = None, 0
-        for _ in range(2):  # cold + warm; report the warm (min) run
+        # min of 3: the harness VM shows intermittent multi-second
+        # host-level stalls (pure-JVM queries vary 1 s ↔ 26 s with an
+        # idle system, no full GCs, no CPU throttling — measured); a
+        # third repeat keeps one stall from poisoning the recorded
+        # number while still reporting steady-state, not luck
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()

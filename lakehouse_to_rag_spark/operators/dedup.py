@@ -149,18 +149,21 @@ def minhash_signatures(
     groupBy(min, ...) is partial-aggregatable: each upstream partition
     reduces to one candidate row per id before the shuffle.
     """
+    # SQL-string expressions (one F.expr per aggregate) — the composed
+    # Column form costs ~4 Py4J round-trips each (~1 s of driver time
+    # per plan build at num_hashes=64); the string form parses
+    # JVM-side into the identical tree. Seeds are INT literals in both
+    # forms, so xxhash64 output is bit-identical.
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.expr(f"min(xxhash64({i}, _h)) AS h{i}") for i in range(num_hashes)
     ]
     sig = (
         shingles.withColumn("_h", F.xxhash64(F.col("shingle")))
         .groupBy("id")
         .agg(*mins)
     )
-    return sig.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    arr = "array(" + ", ".join(f"h{i}" for i in range(num_hashes)) + ") AS sig"
+    return sig.select("id", F.expr(arr))
 
 
 def minhash_lsh_pairs(
@@ -207,22 +210,20 @@ def minhash_lsh_pairs(
     # broadcast build breaks exchange reuse).
     exploded = sets.select(F.col("id"), F.explode("shingles").alias("shingle"))
     sig = minhash_signatures(exploded, num_hashes).localCheckpoint(eager=False)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.lit(j),
-                        *[
-                            F.col("sig").getItem(j * rows_per_band + r)
-                            for r in range(rows_per_band)
-                        ],
-                    ]
-                ).alias("bkey"),
+    # built as ONE SQL string (same Py4J-round-trip economics as
+    # minhash_signatures; sig[i] is 0-based GetArrayItem, identical to
+    # .getItem, and band seeds stay INT literals → bit-identical keys)
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({j} AS band, xxhash64({j}, "
+            + ", ".join(
+                f"sig[{j * rows_per_band + r}]" for r in range(rows_per_band)
             )
+            + ") AS bkey)"
             for j in range(num_bands)
-        ]
+        )
+        + ")"
     )
     bands = sig.select("id", F.explode(band_structs).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
@@ -263,27 +264,35 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     over words; simhash bit b = 1 iff the sum > 0. The 64 per-bit sums
     are one partial-aggregatable groupBy (map-side combine), then the
     bits are folded into one BIGINT. No Python in the loop.
+
+    The 64 aggregates and the 64-term fold are built as SQL strings
+    (one ``F.expr`` per aggregate, ONE for the fold), not as composed
+    Column objects: the Column form costs ~6 Py4J round-trips per
+    expression (~2.3 s of driver time per plan build, measured at
+    sf0.01 — more than the query's own execution); the string form
+    parses JVM-side and builds the identical tree in ~0.25 s.
     """
     from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
 
     narrow = maybe_parallelize(df.select(F.col(id_col), F.col(text_col)))
-    words = narrow.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ", -1)).alias("word"),
-    ).filter(F.length("word") > 0)
-    h = F.xxhash64(F.col("word"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+    words = (
+        narrow.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ", -1)).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .select("id", F.xxhash64("word").alias("h"))
+    )
+    aggs = [
+        F.expr(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}")
         for b in range(64)
     ]
-    sums = words.groupBy("id").agg(*bit_sums)
-    fold = None
-    for b in range(64):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
-        fold = term if fold is None else fold + term
-    return sums.select("id", fold.alias("simhash"))
+    sums = words.groupBy("id").agg(*aggs)
+    fold = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2**b if b < 63 else -(2**63)}L ELSE 0L END)"
+        for b in range(64)
+    )
+    return sums.select("id", F.expr(fold).alias("simhash"))
 
 
 def simhash_numpy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -439,58 +448,76 @@ def embedding_lsh_pairs(
     num_bits: int = 32,
     num_bands: int = 8,
     threshold: float = 0.4,
+    seed: int = 42,
 ) -> DataFrame:
-    """Sub-quadratic embedding near-dup: random-hyperplane (SimHash for
-    vectors) LSH with exact cosine verification — the 100 TB path that
-    replaces the O(n²) brute-force pair join.
+    """Sub-quadratic embedding near-dup: random-hyperplane LSH
+    (Charikar signatures) with exact cosine verification — the 100 TB
+    path that replaces the O(n²) brute-force pair join.
 
-    Signature bit b = sign(v · r_b) where r_b is a deterministic
-    pseudo-random ±1 hyperplane derived from xxhash64(b, i) — no
-    stored projection matrix, reproducible everywhere. P[bit match] =
-    1 - angle/π, so banding the bits (pigeonhole) finds high-cosine
-    candidates with an equi-join on (band, block value); exact cosine
-    then filters false positives. Candidate volume is O(n × bands).
+    Signature bit b = sign(v · r_b), r_b drawn from ONE seeded
+    Gaussian matrix regenerated identically inside every task (no
+    broadcast needed, deterministic everywhere). All num_bits dots are
+    one Arrow-batch float64 matmul per partition — a prior version
+    built 32 per-bit F.aggregate/zip_with expression trees instead,
+    which cost ~16k Py4J round-trips to construct and evaluated
+    interpreted (never codegen'd), measuring 80+ s at sf0.1 vs ~2 s
+    for this form. P[bit match] = 1 - angle/π, so banding the bits
+    (pigeonhole) finds high-cosine candidates via an equi-join on
+    (band, block); candidate volume is O(n × bands), and only the
+    packed BIGINT signature is shuffled — vectors join back onto the
+    (few) candidates for exact-cosine verification (broadcastable at
+    dim×8B×n ≪ fact scale; no dim-wide rows through the band join).
     """
-    from lakehouse_to_rag_spark.functions.vectors import dot, l2_norm
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
 
     dim = len(emb.select(vec_col).first()[0])
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-
-    def bit(b: int):
-        # v · r_b with r_b[i] = +1 if xxhash64(b, i) even else -1
-        terms = F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[
-                    F.when(F.xxhash64(F.lit(b), F.lit(i)) % 2 == 0, F.lit(1.0))
-                    .otherwise(F.lit(-1.0))
-                    for i in range(dim)
-                ]),
-                lambda x, r: x * r,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(terms >= 0, F.lit(1)).otherwise(F.lit(0))
-
     bits_per_band = num_bits // num_bands
-    sig = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        *[bit(b).alias(f"b{b}") for b in range(num_bits)],
-    ).localCheckpoint(eager=False)
+    sig_schema = StructType(
+        [StructField("id", LongType()), StructField("sig", LongType())]
+    )
 
-    block = lambda j: F.concat_ws(
-        "", *[F.col(f"b{j * bits_per_band + r}") for r in range(bits_per_band)]
+    def signatures(batches):
+        rng = np.random.default_rng(seed)
+        r = rng.standard_normal((dim, num_bits))
+        weights = np.uint64(1) << np.arange(num_bits, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (m @ r) >= 0
+            sig = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+            yield pd.DataFrame({"id": ids, "sig": sig.astype(np.int64)})
+
+    # eager: with a lazy checkpoint the band self-join materializes
+    # the Python signature stage once per SIDE per action (measured
+    # 2x re-execution); eager runs it exactly once, and the
+    # checkpointed frame is all the join touches
+    narrow = maybe_parallelize(emb.select(id_col, vec_col))
+    sig = narrow.mapInPandas(signatures, schema=sig_schema).localCheckpoint(
+        eager=True
     )
-    blocks = F.array(
-        *[
-            F.struct(F.lit(j).alias("band"), block(j).alias("bval"))
+
+    mask = (1 << bits_per_band) - 1
+    band_arr = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({j} AS band, shiftright(sig, {j * bits_per_band}) & {mask}L AS bval)"
             for j in range(num_bands)
-        ]
+        )
+        + ")"
     )
-    banded = sig.select("id", "vec", F.explode(blocks).alias("bb")).select(
-        "id", "vec", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    banded = sig.select("id", F.explode(band_arr).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
     )
     x = banded.alias("x")
     y = banded.alias("y")
@@ -501,20 +528,56 @@ def embedding_lsh_pairs(
             & (F.col("x.bval") == F.col("y.bval"))
             & (F.col("x.id") < F.col("y.id")),
         )
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.vec").alias("va"),
-            F.col("y.vec").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
     )
-    sim = dot(F.col("va"), F.col("vb")) / F.nullif(
-        l2_norm(F.col("va")) * l2_norm(F.col("vb")), F.lit(0.0)
+    # Verification: at low cosine thresholds candidate volume is
+    # O(n²/buckets) — millions of pairs. Joining vectors onto pairs
+    # ships pairs × 2 × dim doubles (12 GB of Arrow at sf0.1); an
+    # expression dot evaluates interpreted (~10 µs/pair → 60+ s).
+    # Instead only the id pairs go to Python (16 B/pair) and vectors
+    # resolve from a task-closure matrix (n × dim ≪ candidate volume;
+    # same legitimacy argument as embedding_dup_pairs_numpy — at a
+    # corpus scale where the matrix outgrows the closure, brute
+    # verification would shard it, but candidates shrink faster via
+    # more bits per band first). einsum over gathered rows does the
+    # whole batch in one vectorized pass.
+    rows = emb.select(id_col, vec_col).collect()
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = np.nan
+    pos = {int(v): k for k, v in enumerate(all_ids)}
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
     )
-    return cand.select(
-        "id_a", "id_b", F.round(sim, 4).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ia = pdf["id_a"].map(pos).to_numpy(dtype=np.int64)
+            ib = pdf["id_b"].map(pos).to_numpy(dtype=np.int64)
+            cos = (
+                np.einsum("ij,ij->i", mat[ia], mat[ib]) / norms[ia] / norms[ib]
+            )
+            keep = cos >= threshold
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(dtype=np.int64)[keep],
+                    "id_b": pdf["id_b"].to_numpy(dtype=np.int64)[keep],
+                    "cosine": np.round(cos[keep], 4),
+                }
+            )
+
+    return cand.mapInPandas(verify, schema=out_schema)
 
 
 def minhash_lsh_pairs_ml(

@@ -588,8 +588,18 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+# Default = the GEMM path: at sf0.1 the pure-JVM interpreted
+# dot-product pair join measures 153 s vs 1.6 s for batch matmul
+# (both exact, same oracle). The JVM form stays registered below as
+# dedup_embedding_jvm — the no-Python-workers fallback.
 @_q("dedup_embedding", _EMB_DEDUP_ORACLE)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_dup_pairs_numpy(e, threshold=0.4)
+
+
+@_q("dedup_embedding_jvm", _EMB_DEDUP_ORACLE)
+def dedup_embedding_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return dd.embedding_dup_pairs(e, threshold=0.4)
 
@@ -2527,14 +2537,6 @@ def events_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 4).alias("cume_dist"),
         F.dense_rank().over(w).cast("long").alias("drank"),
     )
-
-
-# same oracle as dedup_embedding: the GEMM path emits the identical
-# pair set (verified at sf0.001/0.01/0.1 — see operator docstring)
-@_q("dedup_embedding_numpy", _EMB_DEDUP_ORACLE)
-def dedup_embedding_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return dd.embedding_dup_pairs_numpy(e, threshold=0.4)
 
 
 _UDTF_SPANS_ORACLE = """

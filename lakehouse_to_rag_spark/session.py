@@ -56,7 +56,14 @@ def get_spark(app_name: str = "lakehouse-to-rag-spark", cpus: int | None = None)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs ALL executor work inside the driver JVM: at 8g
+        # the heap fills after ~20 mixed queries and full GCs stall
+        # plan building for 5-20 s (measured: dedup_simhash 1.7 s vs
+        # 20.6 s across bench runs, variance entirely in driver-side
+        # build). 32g on the 128 GiB harness box removes the cliff; on
+        # a real cluster driver memory only holds plans + collected
+        # results, so 8-16g suffices there.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
