@@ -656,20 +656,31 @@ def ngram_jaccard_pairs_prefix(
     sets = shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=False)
 
     tokens = sets.select(F.col("id"), F.explode("shingles").alias("tok"))
-    # global rarity order = (document frequency asc, token asc): no
-    # rank window needed — sorting (df_, tok) structs per doc realizes
-    # the same total order with zero single-partition stages
+    # Global rarity order as an INTEGER vocab id: vid = row_number in
+    # (df asc, tok) order. Everything downstream — per-doc sort,
+    # prefix explode, candidate equi-join, and the exact intersection
+    # verify — then runs on BIGINT arrays instead of ~20-char shingle
+    # strings, which cut the verify stage from 5.9 s to ~1 s at sf0.1
+    # (310k candidates × ~300-element array_intersect is pure
+    # comparison cost). The rank window sorts only the DISTINCT
+    # vocabulary (single partition): fine to ~100M shingle types; at
+    # a corpus where vocab outgrows one partition, swap vid for
+    # xxhash64(tok) ordered by (df, hash) — same plan, collision odds
+    # ~|pairs|·|doc|²/2⁶⁴.
     freq = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
+    vocab = freq.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.asc("df_"), F.asc("tok")))
+        .cast("long")
+        .alias("vid"),
+    )
 
     ranked = (
-        tokens.join(freq, "tok")
+        tokens.join(vocab, "tok")
         .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("df_", "tok"))).alias("rt"))
-        .select(
-            "id",
-            F.col("rt.tok").alias("sorted_sh"),
-            F.size("rt").alias("sz"),
-        )
+        .agg(F.sort_array(F.collect_list("vid")).alias("sorted_sh"))
+        .select("id", "sorted_sh", F.size("sorted_sh").alias("sz"))
     ).localCheckpoint(eager=False)
 
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
@@ -779,11 +790,85 @@ def embedding_dup_pairs_numpy(
 
 # --------------------------------------- TF-weighted cosine all-pairs
 
+def _tf_cosine_dense(tf: DataFrame, threshold: float) -> DataFrame:
+    """Dense-vocabulary regime of ``tf_cosine_pairs``: docs × vocab is
+    small enough to GEMM. The full TF matrix rides the task closure
+    (docs × |V| ints — at a corpus size where that outgrows the
+    closure, block the streamed side against row-chunks instead);
+    each Arrow batch of doc ids multiplies its rows against the whole
+    matrix, exactly like ``embedding_dup_pairs_numpy``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    rows = tf.groupBy("id").agg(
+        F.collect_list(F.struct("word", "tf")).alias("wt")
+    ).collect()
+    vocab: dict[str, int] = {}
+    for r in rows:
+        for e in r["wt"]:
+            if e["word"] not in vocab:
+                vocab[e["word"]] = len(vocab)
+    mat = np.zeros((len(rows), len(vocab)), dtype=np.float64)
+    all_ids = np.empty(len(rows), dtype=np.int64)
+    for k, r in enumerate(rows):
+        all_ids[k] = r["id"]
+        for e in r["wt"]:
+            mat[k, vocab[e["word"]]] = e["tf"]
+    # keep norm² and divide by sqrt(na2*nb2) in ONE operation — the
+    # exact expression the JVM path and the DuckDB oracle evaluate
+    # (sqrt(a)*sqrt(b) differs in the last ulp from sqrt(a*b))
+    norm2 = np.einsum("ij,ij->i", mat, mat)
+    norm2[norm2 == 0] = np.nan
+    pos = {int(v): k for k, v in enumerate(all_ids)}
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            ix = np.array([pos[int(i)] for i in ids], dtype=np.int64)
+            sims = (mat[ix] @ mat.T) / np.sqrt(
+                norm2[ix, None] * norm2[None, :]
+            )
+            ai, bj = np.nonzero(
+                (ids[:, None] < all_ids[None, :]) & (sims >= threshold)
+            )
+            if len(ai) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": ids[ai],
+                    "id_b": all_ids[bj],
+                    "cosine": np.round(sims[ai, bj], 4),
+                }
+            )
+
+    ids_df = maybe_parallelize(tf.select("id").distinct())
+    return ids_df.mapInPandas(score, schema=out_schema)
+
+
 def tf_cosine_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
+    dense_vocab_limit: int = 2048,
 ) -> DataFrame:
     """All-pairs cosine similarity over term-frequency vectors
     (id_a < id_b, cosine >= threshold) — the sparse-feature similarity
@@ -800,10 +885,22 @@ def tf_cosine_pairs(
     the oracle-gated entry (IDF weighting would make parity depend on
     float summation order).
 
-    Shuffle shape: one exchange on `word` for the self-join, one on
-    the pair key for the dot aggregation, broadcast-sized norm table —
-    identical skeleton to the Jaccard join, so the same stop-word
-    document-frequency cap applies at 100 TB.
+    Candidate generation is L2 PREFIX-FILTERED (Bayardo et al.
+    WWW'07, the weighted analogue of ``ngram_jaccard_pairs_prefix``):
+    a naive inverted-index self-join generates Σ_w df(w)² pairs,
+    which a Zipfian vocabulary turns into billions of rows from
+    stop-words alone (measured: >9 min at sf0.1, vs ~10 s with the
+    filter — the blowup the docstring's 100 TB note warned about,
+    now structural). Per doc, terms sort by GLOBAL rarity (df asc);
+    the TAIL (common terms) is the longest suffix with
+    Σ tf² < t² · ‖v‖²; for any pair with cos ≥ t the probe side must
+    share a PREFIX term of the indexed side (x·y ≤ x_pre·y +
+    ‖x_tail‖·‖y‖ < x_pre·y + t), so joining prefix tokens × the FULL
+    index finds every qualifying pair. Common terms almost never
+    survive into a prefix, so candidate volume is Σ_w df_pre(w)·df(w)
+    ≈ rare-term collisions only. Exact integer-dot verification on
+    the candidates (term-frequency maps) keeps the output
+    bit-identical to the naive join and the same DuckDB oracle.
     """
     tf = (
         _with_words(df, id_col, text_col)
@@ -811,19 +908,69 @@ def tf_cosine_pairs(
         .filter(F.length("word") > 0)
         .groupBy("id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)  # feeds both join sides + norms
+        .localCheckpoint(eager=False)  # feeds index, prefixes, verify maps
     )
-    norms = tf.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("norm2"))
-    a, b = tf.alias("a"), tf.alias("b")
-    dots = (
-        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    freq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df_"))
+
+    # Regime dispatch. Prefix filtering only prunes when rarity
+    # exists; a SMALL vocabulary makes every doc share terms with
+    # every other (harness documents: 31 distinct words → candidates
+    # ≈ all n²/2 pairs regardless of filtering — measured 42 s+ at
+    # sf0.1). Small vocab ⇔ short dense TF vectors, so that regime
+    # runs as a GEMM block-multiply instead (~2 s, bit-identical:
+    # integer counts are exact in float64 below 2^53). Zipfian
+    # corpora with real vocabularies take the prefix-filter branch.
+    if freq.count() <= dense_vocab_limit:
+        return _tf_cosine_dense(tf, threshold)
+
+    # suffix-sum of tf² in global (df asc, word) order via one window:
+    # token is PREFIX iff the tf²-mass from it to the rarest-end tail
+    # is >= t²·norm2 (monotone, so the tail is a contiguous suffix)
+    w_suffix = (
+        Window.partitionBy("id")
+        .orderBy(F.desc("df_"), F.desc("word"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cos = F.col("dot") / F.sqrt(F.col("na.norm2") * F.col("nb.norm2"))
+    w_doc = Window.partitionBy("id")
+    scored = (
+        tf.join(freq, "word")
+        .withColumn("suffix_tf2", F.sum(F.col("tf") * F.col("tf")).over(w_suffix))
+        .withColumn("norm2", F.sum(F.col("tf") * F.col("tf")).over(w_doc))
+    )
+    prefixes = scored.filter(
+        F.col("suffix_tf2") >= F.lit(threshold * threshold) * F.col("norm2")
+    ).select("id", "word")
+
+    a = prefixes.alias("a")
+    b = tf.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+
+    tfmaps = tf.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "tf"))).alias("m"),
+        F.sum(F.col("tf") * F.col("tf")).alias("norm2"),
+    )
+    ma = tfmaps.select(
+        F.col("id").alias("id_a"), F.col("m").alias("ma"), F.col("norm2").alias("na2")
+    )
+    mb = tfmaps.select(
+        F.col("id").alias("id_b"), F.col("m").alias("mb"), F.col("norm2").alias("nb2")
+    )
+    dot = F.expr(
+        "aggregate(map_entries(ma), 0L,"
+        " (acc, e) -> acc + e.value * coalesce(element_at(mb, e.key), 0L))"
+    )
+    cos = F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2"))
     return (
-        dots.join(norms.alias("na"), F.col("id_a") == F.col("na.id"))
-        .join(norms.alias("nb"), F.col("id_b") == F.col("nb.id"))
+        candidates.join(ma, "id_a")
+        .join(mb, "id_b")
+        .withColumn("dot", dot)
         .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(cos >= threshold)
     )
