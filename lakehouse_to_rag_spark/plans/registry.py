@@ -2609,3 +2609,58 @@ def events_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+_RECURSIVE_SPINE_ORACLE = """
+WITH RECURSIVE months(m) AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+)
+SELECT strftime(m, '%Y-%m') AS order_month,
+       CAST(COALESCE(r.order_cnt, 0) AS BIGINT) AS order_cnt,
+       ROUND(COALESCE(r.revenue, 0.0), 4) AS revenue
+FROM months
+LEFT JOIN (
+  SELECT date_trunc('month', o_orderdate) AS om,
+         COUNT(*) AS order_cnt,
+         SUM(o_totalprice) AS revenue
+  FROM orders GROUP BY 1
+) r ON m = r.om
+"""
+
+
+@_q("orders_monthly_spine_recursive", _RECURSIVE_SPINE_ORACLE)
+def orders_monthly_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): data-driven monthly
+    spine — anchor = first order month, recursive step adds one month
+    until the last — LEFT JOINed to the monthly revenue rollup so
+    months with no orders surface as zero rows (the gap-filling shape
+    `events_hourly_gapfilled` gets from sequence(), expressed as
+    ANSI recursion; DuckDB runs the same construct as the oracle).
+    Recursion depth = months spanned (~80 at harness scale, one
+    iteration per month of history — bounded and data-independent of
+    row COUNT, so the shape holds at 100 TB where the rollup input
+    grows but the spine does not)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+        )
+        SELECT date_format(m, 'yyyy-MM') AS order_month,
+               CAST(COALESCE(r.order_cnt, 0) AS BIGINT) AS order_cnt,
+               ROUND(COALESCE(r.revenue, 0.0), 4) AS revenue
+        FROM months
+        LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS om,
+                 COUNT(*) AS order_cnt,
+                 SUM(o_totalprice) AS revenue
+          FROM orders GROUP BY 1
+        ) r ON m = r.om
+        """
+    )
