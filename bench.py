@@ -42,6 +42,13 @@ HEADLINE = [
     "knn_bruteforce_numpy",
     "dedup_simhash",
     "events_value_percentiles",
+    "dedup_tf_cosine",
+    "q15_top_supplier",
+    # orders_monthly_spine_recursive stays out: Spark executes
+    # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
+    # ~15 s of pure scheduling floor regardless of data size); the
+    # performant gap-fill shape is the sequence()-based
+    # events_hourly_gapfilled already benched via the registry
 ]
 
 

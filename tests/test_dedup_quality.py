@@ -68,6 +68,26 @@ def test_knn_numpy_matches_jvm(spark, sf_dir):
     assert jvm == np_
 
 
+def test_tf_cosine_prefix_branch_matches_dense(spark, sf_dir):
+    """tf_cosine_pairs dispatches to a dense GEMM when the vocabulary
+    is small (the harness corpus: 31 words) — so the L2 prefix-filter
+    branch would otherwise never run against real data. Forcing
+    dense_vocab_limit=0 sends the same corpus down the prefix-filter
+    inverted-index path; both branches must emit the identical exact
+    pair set (values included, 4dp)."""
+    from lakehouse_to_rag_spark.operators.dedup import tf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    dense = {(r["id_a"], r["id_b"], r["cosine"])
+             for r in tf_cosine_pairs(docs, "doc_id", "text", 0.95).collect()}
+    prefix = {(r["id_a"], r["id_b"], r["cosine"])
+              for r in tf_cosine_pairs(
+                  docs, "doc_id", "text", 0.95, dense_vocab_limit=0
+              ).collect()}
+    assert dense == prefix
+    assert dense, "testdata should contain near-dup documents"
+
+
 def test_embedding_lsh_recall_vs_bruteforce(spark, sf_dir):
     """Hyperplane-LSH candidates must recover most true near-dup pairs
     and (by exact verification) introduce no false positives."""
