@@ -55,6 +55,28 @@ def test_lakehouse_roundtrip(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(source" in plan or "src0" in plan
 
 
+def test_lakehouse_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """The layer IO is format-pluggable; ORC (Spark's other built-in
+    columnar format) must round-trip values and push filters into the
+    scan exactly like parquet."""
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fmt = write_layer(docs, str(tmp_path / "orc_layer"), fmt="orc")
+    assert fmt == "orc"
+    back = read_layer(spark, str(tmp_path / "orc_layer"), fmt="orc")
+    assert back.count() == docs.count()
+    assert sorted(map(str, back.collect())) == sorted(map(str, docs.collect()))
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        back.filter(F.col("n_chars") > 500)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_chars" in plan
+
+
 def test_upsert_by_key(spark, sf_dir, tmp_path):
     from lakehouse_to_rag_spark.sources.lakehouse import read_layer, upsert_by_key
     from lakehouse_to_rag_spark.sources.tables import load_table
