@@ -62,24 +62,29 @@ def main() -> None:
     # doesn't pay session startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # 3 interleaved passes over the whole list, min per query: the
+    # harness VM shows host-level degradation WINDOWS lasting minutes
+    # (the same query measures 1.5 s and 28.5 s across bench runs with
+    # an idle system, no full GCs, no CPU throttling — measured).
+    # Back-to-back repeats of one query all land inside a window;
+    # whole-list passes put each query's repeats minutes apart, so a
+    # window poisons at most one pass of each query, never its min.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        best, n = None, 0
-        # min of 3: the harness VM shows intermittent multi-second
-        # host-level stalls (pure-JVM queries vary 1 s ↔ 26 s with an
-        # idle system, no full GCs, no CPU throttling — measured); a
-        # third repeat keeps one stall from poisoning the recorded
-        # number while still reporting steady-state, not luck
-        for _ in range(3):
+    rowcounts: dict[str, int] = {}
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
+            df = QUERIES[name](spark, sf_dir)
+            rowcounts[name] = df.count()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            timings[name] = min(timings.get(name, dt), dt)
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+    for name in HEADLINE:
+        timings[name] = round(timings[name], 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s rows={rowcounts[name]}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
