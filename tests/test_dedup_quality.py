@@ -68,6 +68,30 @@ def test_knn_numpy_matches_jvm(spark, sf_dir):
     assert jvm == np_
 
 
+def test_simhash_banding_is_exact_for_hamming_radius(spark, sf_dir):
+    """Pigeonhole guarantee: with num_bands=4 blocks, any pair within
+    hamming distance < 4 MUST agree on at least one block, so
+    simhash_pairs(max_hamming=3) is EXACT — identical to the
+    brute-force all-pairs hamming join over the same signatures, not
+    just high-recall."""
+    from lakehouse_to_rag_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    sh = simhash(docs, "doc_id", "text")
+    a = sh.selectExpr("id AS id_a", "simhash AS ha")
+    b = sh.selectExpr("id AS id_b", "simhash AS hb")
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .selectExpr("id_a", "id_b", "bit_count(ha ^ hb) AS hamming")
+        .filter("hamming <= 3")
+        .collect()
+    }
+    assert banded == brute
+
+
 def test_tf_cosine_prefix_branch_matches_dense(spark, sf_dir):
     """tf_cosine_pairs dispatches to a dense GEMM when the vocabulary
     is small (the harness corpus: 31 words) — so the L2 prefix-filter
