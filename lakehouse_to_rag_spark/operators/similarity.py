@@ -237,51 +237,110 @@ def kmeans_centroids(
     over small materialized centroid tables — the corpus is never
     collected.
     """
-    cent = (
-        corpus.orderBy(F.col(id_col))
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cent_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.orderBy(F.col(id_col))
         .limit(num_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
-        )
-        .localCheckpoint(eager=True)
+        .select(id_col, vec_col)
+        .collect()
     )
     v = corpus.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    ).localCheckpoint(eager=False)
+
+    # Per iteration: ONE Arrow pass over the corpus — each batch GEMMs
+    # against the (k × dim) centroid matrix riding the closure, and
+    # emits per-partition PARTIAL (cluster, dim, sum, cnt) rows; the
+    # recompute shuffle is k × dim × partitions rows, independent of
+    # corpus size. A previous form crossJoined every row against every
+    # centroid and scored with zip_with/aggregate lambdas, which never
+    # enter codegen (interpreted ~10 µs/dot — the same trap as the
+    # embedding pair join), then shuffled corpus × dim posexploded
+    # rows per iteration.
+    part_schema = StructType(
+        [
+            StructField("cluster", LongType()),
+            StructField("dim", LongType()),
+            StructField("s", DoubleType()),
+            StructField("cnt", LongType()),
+        ]
     )
+
+    def _partials(cmat, cnorm, cids):
+        def run(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.array(list(pdf["v"]), dtype=np.float64)
+                n = np.linalg.norm(m, axis=1)
+                n[n == 0] = np.nan
+                sims = (m @ cmat.T) / n[:, None] / cnorm[None, :]
+                # argmax = first max → smallest centroid id on ties
+                # (cmat rows are cid-ascending), matching
+                # max_by(struct(csim, -centroid_id))
+                best = np.nanargmax(sims, axis=1)
+                k, dim = cmat.shape
+                sums = np.zeros((k, dim))
+                np.add.at(sums, best, m)
+                cnts = np.bincount(best, minlength=k)
+                nz = np.nonzero(cnts)[0]
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.repeat(cids[nz], dim),
+                        "dim": np.tile(np.arange(dim), len(nz)),
+                        "s": sums[nz].ravel(),
+                        "cnt": np.repeat(cnts[nz], dim),
+                    }
+                )
+
+        return run
+
     for _ in range(iterations):
-        scored = v.crossJoin(F.broadcast(cent)).select(
-            F.col(id_col),
-            "v",
-            "centroid_id",
-            cosine_similarity(F.col("v"), F.col("cvec")).alias("csim"),
-        )
-        assigned = scored.groupBy(id_col, "v").agg(
-            F.max_by(
-                F.col("centroid_id"),
-                F.struct(F.col("csim"), -F.col("centroid_id")),
-            ).alias("cluster")
-        )
-        dims = assigned.select(
-            "cluster", F.posexplode("v").alias("dim", "val")
-        )
-        new_cent = (
-            dims.groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("cval"))
+        cids = np.array([c[0] for c in cent_rows], dtype=np.int64)
+        cmat = np.array([c[1] for c in cent_rows], dtype=np.float64)
+        cnorm = np.linalg.norm(cmat, axis=1)
+        cnorm[cnorm == 0] = np.nan
+        merged = (
+            v.mapInPandas(_partials(cmat, cnorm, cids), schema=part_schema)
+            .groupBy("cluster", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
             .groupBy("cluster")
             .agg(
                 F.array_sort(
-                    F.collect_list(F.struct("dim", "cval"))
+                    F.collect_list(F.struct("dim", "s", "cnt"))
                 ).alias("packed")
             )
             .select(
                 F.col("cluster").alias("centroid_id"),
-                F.transform(F.col("packed"), lambda s: s["cval"]).alias("cvec"),
+                F.transform(
+                    F.col("packed"), lambda e: e["s"] / e["cnt"]
+                ).alias("cvec"),
             )
         )
-        cent = new_cent.localCheckpoint(eager=True)
-    return cent
+        cent_rows = sorted(
+            (int(r[0]), [float(x) for x in r[1]]) for r in merged.collect()
+        )
+
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in cent_rows],
+        StructType(
+            [
+                StructField("centroid_id", LongType()),
+                StructField("cvec", ArrayType(DoubleType())),
+            ]
+        ),
+    )
 
 
 def ivf_topk_kmeans(
@@ -296,24 +355,40 @@ def ivf_topk_kmeans(
 ) -> DataFrame:
     """IVF search over k-means-refined centroids (higher recall than
     the untrained quantizer at the same nprobe)."""
-    cent = F.broadcast(
-        kmeans_centroids(corpus, num_centroids, iterations, id_col, vec_col)
+    import numpy as np
+    import pandas as pd
+
+    cent_df = kmeans_centroids(corpus, num_centroids, iterations, id_col, vec_col)
+    cent = F.broadcast(cent_df)
+    cent_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]]) for r in cent_df.collect()
     )
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    assigned = (
-        corpus.crossJoin(cent)
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            "centroid_id",
-            cosine_similarity(v, F.col("cvec")).alias("csim"),
-        )
-        .groupBy(id_col, vec_col)
-        .agg(
-            F.max_by(
-                F.col("centroid_id"), F.struct(F.col("csim"), -F.col("centroid_id"))
-            ).alias("cluster")
-        )
+    cids = np.array([c[0] for c in cent_rows], dtype=np.int64)
+    cmat = np.array([c[1] for c in cent_rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = np.nan
+
+    # corpus→cluster assignment as one Arrow GEMM pass (same
+    # reasoning as kmeans_centroids: the crossJoin × interpreted-dot
+    # form pays k interpreted dots per row)
+    assign_schema = corpus.select(F.col(id_col), F.col(vec_col)).schema.add(
+        "cluster", "long"
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = np.nan
+            sims = (m @ cmat.T) / n[:, None] / cnorm[None, :]
+            out = pdf[[id_col, vec_col]].copy()
+            out["cluster"] = cids[np.nanargmax(sims, axis=1)]
+            yield out
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        _assign, schema=assign_schema
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     probe_w = Window.partitionBy("query_id").orderBy(
