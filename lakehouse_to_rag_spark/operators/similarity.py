@@ -72,6 +72,47 @@ def knn_bruteforce(
     return _ranked_topk(pairs, k)
 
 
+def _gemm_assign(
+    corpus: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Nearest-centroid (max cosine) assignment as ONE Arrow pass:
+    each batch GEMMs against the (k × dim) centroid matrix riding the
+    task closure. Shared by the trained and untrained IVF quantizers —
+    the crossJoin × zip_with/aggregate form it replaces evaluates
+    interpreted (never codegen'd), paying k interpreted dots per row.
+    Ties resolve to the smallest centroid id (rows are cid-ascending
+    and argmax keeps the first maximum), matching the previous
+    max_by(struct(csim, -centroid_id)) semantics."""
+    import numpy as np
+
+    cent_rows = sorted(cent_rows)
+    cids = np.array([c[0] for c in cent_rows], dtype=np.int64)
+    cmat = np.array([c[1] for c in cent_rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = np.nan
+
+    schema = corpus.select(F.col(id_col), F.col(vec_col)).schema.add(
+        "cluster", "long"
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = np.nan
+            sims = (m @ cmat.T) / n[:, None] / cnorm[None, :]
+            out = pdf[[id_col, vec_col]].copy()
+            out["cluster"] = cids[np.nanargmax(sims, axis=1)]
+            yield out
+
+    return corpus.select(id_col, vec_col).mapInPandas(_assign, schema=schema)
+
+
 def ivf_assign(
     corpus: DataFrame,
     num_centroids: int = 16,
@@ -82,27 +123,17 @@ def ivf_assign(
     the first ``num_centroids`` vectors by id (deterministic; real
     k-means would refine them — the *plumbing* is identical). Returns
     (centroids, corpus tagged with nearest-centroid cluster id).
-
-    Assignment broadcasts the centroids and keeps, per vector, the
-    argmax-cosine centroid via one max_by aggregation — no window, no
-    shuffle of the corpus beyond the groupBy(id) which AQE coalesces.
     """
-    cent = F.broadcast(
+    cent_src = (
         corpus.orderBy(F.col(id_col)).limit(num_centroids).select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
         )
     )
-    scored = corpus.crossJoin(cent).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("centroid_id"),
-        cosine_similarity(F.col(vec_col), F.col("cvec")).alias("csim"),
-    )
-    assigned = scored.groupBy(id_col, vec_col).agg(
-        F.max_by(
-            F.col("centroid_id"), F.struct(F.col("csim"), -F.col("centroid_id"))
-        ).alias("cluster")
-    )
+    cent_rows = [
+        (int(r[0]), [float(x) for x in r[1]]) for r in cent_src.collect()
+    ]
+    cent = F.broadcast(cent_src)
+    assigned = _gemm_assign(corpus, cent_rows, id_col, vec_col)
     return cent, assigned
 
 
@@ -355,41 +386,12 @@ def ivf_topk_kmeans(
 ) -> DataFrame:
     """IVF search over k-means-refined centroids (higher recall than
     the untrained quantizer at the same nprobe)."""
-    import numpy as np
-    import pandas as pd
-
     cent_df = kmeans_centroids(corpus, num_centroids, iterations, id_col, vec_col)
     cent = F.broadcast(cent_df)
-    cent_rows = sorted(
+    cent_rows = [
         (int(r[0]), [float(x) for x in r[1]]) for r in cent_df.collect()
-    )
-    cids = np.array([c[0] for c in cent_rows], dtype=np.int64)
-    cmat = np.array([c[1] for c in cent_rows], dtype=np.float64)
-    cnorm = np.linalg.norm(cmat, axis=1)
-    cnorm[cnorm == 0] = np.nan
-
-    # corpus→cluster assignment as one Arrow GEMM pass (same
-    # reasoning as kmeans_centroids: the crossJoin × interpreted-dot
-    # form pays k interpreted dots per row)
-    assign_schema = corpus.select(F.col(id_col), F.col(vec_col)).schema.add(
-        "cluster", "long"
-    )
-
-    def _assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            n = np.linalg.norm(m, axis=1)
-            n[n == 0] = np.nan
-            sims = (m @ cmat.T) / n[:, None] / cnorm[None, :]
-            out = pdf[[id_col, vec_col]].copy()
-            out["cluster"] = cids[np.nanargmax(sims, axis=1)]
-            yield out
-
-    assigned = corpus.select(id_col, vec_col).mapInPandas(
-        _assign, schema=assign_schema
-    )
+    ]
+    assigned = _gemm_assign(corpus, cent_rows, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("qcsim"), F.asc("centroid_id")
