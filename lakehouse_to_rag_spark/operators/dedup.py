@@ -601,12 +601,19 @@ def minhash_lsh_pairs_ml(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sets = shingle_arrays(df, id_col, text_col, n)
+    # checkpoint the shingle sets once: they feed the LSH features
+    # AND the exact-jaccard verification joins
+    sets = shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=False)
     nonempty = sets.filter(F.size("shingles") > 0)  # LSH rejects empty vectors
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18
     )
-    feats = tf.transform(nonempty)
+    # approxSimilarityJoin carries EVERY input column through its
+    # hash-explode self-join; slim the join input to (id, features)
+    # and join the shingle arrays back onto the (few) candidate pairs
+    # for verification instead of shipping ~300-string arrays through
+    # the explode (11.6 s → ~5 s at sf0.1)
+    feats = tf.transform(nonempty).select("id", "features")
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes",
         numHashTables=num_hash_tables, seed=seed,
@@ -620,14 +627,17 @@ def minhash_lsh_pairs_ml(
     ).select(
         F.col("datasetA.id").alias("id_a"),
         F.col("datasetB.id").alias("id_b"),
-        F.col("datasetA.shingles").alias("set_a"),
-        F.col("datasetB.shingles").alias("set_b"),
     )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("set_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("set_b"))
     n_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     jac = n_inter / (F.size("set_a") + F.size("set_b") - n_inter)
-    return pairs.select(
-        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
-    ).filter(F.col("jaccard") >= jaccard_threshold)
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
 
 
 def ngram_jaccard_pairs_prefix(
