@@ -531,23 +531,18 @@ def embedding_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # Verification: at low cosine thresholds candidate volume is
-    # O(n²/buckets) — millions of pairs. Joining vectors onto pairs
-    # ships pairs × 2 × dim doubles (12 GB of Arrow at sf0.1); an
-    # expression dot evaluates interpreted (~10 µs/pair → 60+ s).
-    # Instead only the id pairs go to Python (16 B/pair) and vectors
-    # resolve from a task-closure matrix (n × dim ≪ candidate volume;
-    # same legitimacy argument as embedding_dup_pairs_numpy — at a
-    # corpus scale where the matrix outgrows the closure, brute
-    # verification would shard it, but candidates shrink faster via
-    # more bits per band first). einsum over gathered rows does the
-    # whole batch in one vectorized pass.
-    rows = emb.select(id_col, vec_col).collect()
-    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = np.nan
-    pos = {int(v): k for k, v in enumerate(all_ids)}
+    # Verification: join the narrow (id, vector) table onto the (few)
+    # candidate pairs — fully distributed, nothing corpus-sized ever
+    # touches the driver. The join is an equi-join on id (AQE
+    # broadcasts the vector side when it is small; at corpus scale it
+    # becomes a shuffle hash join, which is exactly right), and the
+    # per-pair cosine is one vectorized einsum per Arrow batch — an
+    # expression dot would evaluate interpreted (~10 µs/pair → 60+ s
+    # measured), so the batched float64 kernel is the fast AND the
+    # scale-safe form.
+    va = narrow.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = narrow.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    paired = cand.join(va, "id_a").join(vb, "id_b")
 
     out_schema = StructType(
         [
@@ -561,11 +556,14 @@ def embedding_lsh_pairs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ia = pdf["id_a"].map(pos).to_numpy(dtype=np.int64)
-            ib = pdf["id_b"].map(pos).to_numpy(dtype=np.int64)
-            cos = (
-                np.einsum("ij,ij->i", mat[ia], mat[ib]) / norms[ia] / norms[ib]
-            )
+            ma = np.array(list(pdf["va"]), dtype=np.float64)
+            mb = np.array(list(pdf["vb"]), dtype=np.float64)
+            na = np.linalg.norm(ma, axis=1)
+            nb = np.linalg.norm(mb, axis=1)
+            na[na == 0] = np.nan
+            nb[nb == 0] = np.nan
+            # same op order as the brute-force twin: dot / na / nb
+            cos = np.einsum("ij,ij->i", ma, mb) / na / nb
             keep = cos >= threshold
             if not keep.any():
                 continue
@@ -577,7 +575,7 @@ def embedding_lsh_pairs(
                 }
             )
 
-    return cand.mapInPandas(verify, schema=out_schema)
+    return paired.mapInPandas(verify, schema=out_schema)
 
 
 def minhash_lsh_pairs_ml(
@@ -733,13 +731,23 @@ def embedding_dup_pairs_numpy(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """GEMM fast path for the brute-force embedding pair join: each
-    Arrow batch of the streamed side multiplies against the broadcast
+    Arrow batch of the streamed side multiplies against a BROADCAST
     full matrix in one float64 matmul (same split as
     similarity.knn_bruteforce_numpy — the legitimate pandas case:
     dense linear algebra the per-element JVM expression tree
     interprets ~10× slower). Emits id_a < id_b pairs with cosine >= t.
+
+    Contract: brute force is inherently O(n²) work with the corpus
+    matrix resident per executor, so this path is EXPLICITLY bounded —
+    the matrix ships as a Spark broadcast variable (torrent-distributed
+    once per executor, never per task) and the operator refuses
+    corpora beyond ``max_broadcast_rows`` (default 2M rows ≈ 2 GB at
+    dim=128 float64) instead of silently OOMing. Beyond the bound, use
+    ``embedding_dup_pairs`` (distributed JVM pair join, the default)
+    or ``embedding_lsh_pairs`` (sub-quadratic LSH).
 
     Parity note: SIMD pairwise summation can differ from sequential
     sums in the last ulp; like the kNN twin, outputs round to 4dp and
@@ -755,11 +763,25 @@ def embedding_dup_pairs_numpy(
         StructType,
     )
 
-    rows = emb.select(id_col, vec_col).collect()
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    narrow = maybe_parallelize(emb.select(id_col, vec_col)).localCheckpoint(
+        eager=True
+    )
+    n_rows = narrow.count()  # cheap: counts the checkpointed blocks
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_dup_pairs_numpy: corpus has {n_rows} rows > "
+            f"max_broadcast_rows={max_broadcast_rows}; the broadcast GEMM "
+            "contract is bounded. Use embedding_dup_pairs (distributed "
+            "JVM pair join) or embedding_lsh_pairs (sub-quadratic LSH)."
+        )
+    rows = narrow.collect()
     all_ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = np.nan
+    bc = emb.sparkSession.sparkContext.broadcast((all_ids, mat, norms))
 
     out_schema = StructType(
         [
@@ -770,6 +792,7 @@ def embedding_dup_pairs_numpy(
     )
 
     def score(batches):
+        b_ids, b_mat, b_norms = bc.value
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
@@ -777,36 +800,47 @@ def embedding_dup_pairs_numpy(
                 continue
             n = np.linalg.norm(m, axis=1)
             n[n == 0] = np.nan
-            sims = (m @ mat.T) / n[:, None] / norms[None, :]
+            sims = (m @ b_mat.T) / n[:, None] / b_norms[None, :]
             # keep only id_a < id_b and cosine >= t
             ai, bj = np.nonzero(
-                (ids[:, None] < all_ids[None, :]) & (sims >= threshold)
+                (ids[:, None] < b_ids[None, :]) & (sims >= threshold)
             )
             if len(ai) == 0:
                 continue
             yield pd.DataFrame(
                 {
                     "id_a": ids[ai],
-                    "id_b": all_ids[bj],
+                    "id_b": b_ids[bj],
                     "cosine": np.round(sims[ai, bj], 4),
                 }
             )
 
-    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
-
-    narrow = maybe_parallelize(emb.select(id_col, vec_col))
     return narrow.mapInPandas(score, schema=out_schema)
 
 
 # --------------------------------------- TF-weighted cosine all-pairs
 
-def _tf_cosine_dense(tf: DataFrame, threshold: float) -> DataFrame:
-    """Dense-vocabulary regime of ``tf_cosine_pairs``: docs × vocab is
-    small enough to GEMM. The full TF matrix rides the task closure
-    (docs × |V| ints — at a corpus size where that outgrows the
-    closure, block the streamed side against row-chunks instead);
-    each Arrow batch of doc ids multiplies its rows against the whole
-    matrix, exactly like ``embedding_dup_pairs_numpy``."""
+def _tf_cosine_dense(
+    tf: DataFrame,
+    freq: DataFrame,
+    threshold: float,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Dense-vocabulary regime of ``tf_cosine_pairs`` as a DISTRIBUTED
+    upper-triangular block GEMM. Nothing corpus-sized ever touches the
+    driver: the driver holds only the vocabulary index (bounded by
+    ``dense_vocab_limit`` — the dispatch contract) and the block
+    count; per-doc sparse TF rows are grouped into ``block_rows``-row
+    blocks, every block pair (pa <= pb) becomes one executor task, and
+    each task densifies its two blocks against the broadcast
+    vocabulary and multiplies them in one float64 matmul. Work is the
+    inherent O(n²/block_rows²) tasks of an all-pairs join; shuffle is
+    O(n·nb) sparse rows (each block ships once per partner block) —
+    the classic BlockMatrix multiply shape, with no O(corpus) driver
+    or single-executor materialization.
+    """
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -816,28 +850,44 @@ def _tf_cosine_dense(tf: DataFrame, threshold: float) -> DataFrame:
         StructType,
     )
 
-    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+    spark = tf.sparkSession
+    # vocabulary index: small by the dispatch contract (<= dense_vocab_limit)
+    words = sorted(r["word"] for r in freq.select("word").collect())
+    bc_vocab = spark.sparkContext.broadcast({w: i for i, w in enumerate(words)})
 
-    rows = tf.groupBy("id").agg(
-        F.collect_list(F.struct("word", "tf")).alias("wt")
-    ).collect()
-    vocab: dict[str, int] = {}
-    for r in rows:
-        for e in r["wt"]:
-            if e["word"] not in vocab:
-                vocab[e["word"]] = len(vocab)
-    mat = np.zeros((len(rows), len(vocab)), dtype=np.float64)
-    all_ids = np.empty(len(rows), dtype=np.int64)
-    for k, r in enumerate(rows):
-        all_ids[k] = r["id"]
-        for e in r["wt"]:
-            mat[k, vocab[e["word"]]] = e["tf"]
-    # keep norm² and divide by sqrt(na2*nb2) in ONE operation — the
-    # exact expression the JVM path and the DuckDB oracle evaluate
-    # (sqrt(a)*sqrt(b) differs in the last ulp from sqrt(a*b))
-    norm2 = np.einsum("ij,ij->i", mat, mat)
-    norm2[norm2 == 0] = np.nan
-    pos = {int(v): k for k, v in enumerate(all_ids)}
+    docs = (
+        tf.groupBy("id")
+        .agg(F.collect_list(F.struct("word", "tf")).alias("ent"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = docs.count()  # cheap: counts the checkpointed blocks
+    nb = max(1, math.ceil(n_docs / block_rows))
+
+    blocks = docs.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int")
+    )
+    packed = blocks.groupBy("blk").agg(
+        F.collect_list(F.struct("id", "ent")).alias("docs_")
+    )
+    # upper-triangular block-pair task list: tiny (nb² ints), equi-joined
+    # so neither corpus side is ever broadcast
+    keys = (
+        spark.range(nb)
+        .select(F.col("id").cast("int").alias("pa"))
+        .crossJoin(spark.range(nb).select(F.col("id").cast("int").alias("pb")))
+        .filter(F.col("pa") <= F.col("pb"))
+    )
+    pa_side = packed.select(F.col("blk").alias("pa"), F.col("docs_").alias("docs_a"))
+    pb_side = packed.select(F.col("blk").alias("pb"), F.col("docs_").alias("docs_b"))
+    n_tasks = nb * (nb + 1) // 2
+    tasks = (
+        keys.join(pa_side, "pa")
+        .join(pb_side, "pb")
+        # one block pair per partition: each row carries two full blocks,
+        # so batching several into one Arrow batch would multiply peak
+        # task memory for zero win
+        .repartition(min(n_tasks, 4 * spark.sparkContext.defaultParallelism))
+    )
 
     out_schema = StructType(
         [
@@ -847,30 +897,51 @@ def _tf_cosine_dense(tf: DataFrame, threshold: float) -> DataFrame:
         ]
     )
 
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            ix = np.array([pos[int(i)] for i in ids], dtype=np.int64)
-            sims = (mat[ix] @ mat.T) / np.sqrt(
-                norm2[ix, None] * norm2[None, :]
-            )
-            ai, bj = np.nonzero(
-                (ids[:, None] < all_ids[None, :]) & (sims >= threshold)
-            )
-            if len(ai) == 0:
-                continue
-            yield pd.DataFrame(
-                {
-                    "id_a": ids[ai],
-                    "id_b": all_ids[bj],
-                    "cosine": np.round(sims[ai, bj], 4),
-                }
-            )
+    def gemm(batches):
+        vocab = bc_vocab.value
+        nv = len(vocab)
 
-    ids_df = maybe_parallelize(tf.select("id").distinct())
-    return ids_df.mapInPandas(score, schema=out_schema)
+        def densify(cell):
+            ids = np.empty(len(cell), dtype=np.int64)
+            m = np.zeros((len(cell), nv), dtype=np.float64)
+            for k, d in enumerate(cell):
+                ids[k] = d["id"]
+                for e in d["ent"]:
+                    m[k, vocab[e["word"]]] = e["tf"]
+            return ids, m
+
+        for pdf in batches:
+            for pa, pb, docs_a, docs_b in zip(
+                pdf["pa"], pdf["pb"], pdf["docs_a"], pdf["docs_b"]
+            ):
+                ida, ma = densify(docs_a)
+                idb, mb = densify(docs_b)
+                # keep norm² and divide by sqrt(na2*nb2) in ONE
+                # operation — the exact expression the JVM path and
+                # the DuckDB oracle evaluate (sqrt(a)*sqrt(b) differs
+                # in the last ulp from sqrt(a*b))
+                na2 = np.einsum("ij,ij->i", ma, ma)
+                nb2 = np.einsum("ij,ij->i", mb, mb)
+                na2[na2 == 0] = np.nan
+                nb2[nb2 == 0] = np.nan
+                sims = (ma @ mb.T) / np.sqrt(na2[:, None] * nb2[None, :])
+                keep = sims >= threshold
+                if pa == pb:
+                    keep &= ida[:, None] < idb[None, :]
+                ai, bj = np.nonzero(keep)
+                if len(ai) == 0:
+                    continue
+                lo = np.minimum(ida[ai], idb[bj])
+                hi = np.maximum(ida[ai], idb[bj])
+                yield pd.DataFrame(
+                    {
+                        "id_a": lo,
+                        "id_b": hi,
+                        "cosine": np.round(sims[ai, bj], 4),
+                    }
+                )
+
+    return tasks.mapInPandas(gemm, schema=out_schema)
 
 
 def tf_cosine_pairs(
@@ -931,7 +1002,7 @@ def tf_cosine_pairs(
     # integer counts are exact in float64 below 2^53). Zipfian
     # corpora with real vocabularies take the prefix-filter branch.
     if freq.count() <= dense_vocab_limit:
-        return _tf_cosine_dense(tf, threshold)
+        return _tf_cosine_dense(tf, freq, threshold)
 
     # suffix-sum of tf² in global (df asc, word) order via one window:
     # token is PREFIX iff the tf²-mass from it to the rarest-end tail
