@@ -24,6 +24,14 @@ _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # Parquet timestamps written WITHOUT isAdjustedToUTC otherwise read
+    # as TIMESTAMP_NTZ, which strict chrono functions (unix_micros,
+    # to_utc_timestamp) reject at analysis time. With the session tz
+    # pinned to UTC above, reading them as plain TIMESTAMP is
+    # value-identical to the naive-timestamp oracle AND keeps min/max
+    # footer stats usable by time-range pushdown (a projection-level
+    # NTZ->TZ cast would block PushedFilters).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -68,6 +68,15 @@ def load_table(
         for c in nanos_cols:
             if dict(df.dtypes).get(c) == "bigint":
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # Defense in depth: the harness regenerates testdata per round
+        # with varying parquet timestamp encodings (nanos-as-int96 in
+        # round 1, unadjusted micros in round 2). tune() already maps
+        # unadjusted micros to TIMESTAMP via inferTimestampNTZ=false;
+        # if that conf is static on some build, cast any survivor NTZ
+        # column here (exact under the pinned UTC session tz).
+        for c, t in df.dtypes:
+            if t == "timestamp_ntz":
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
         _DF_CACHE[key] = df
     if parallelize:
         df = maybe_parallelize(df, _cache_key=key)
@@ -92,6 +101,13 @@ def maybe_parallelize(
     if nparts >= target:
         return df
     return df.repartition(target)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Catalog convenience: every table as a dict of lazy scans."""
+    return {t: load_table(spark, sf_dir, t) for t in tables or TABLES}
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
