@@ -69,20 +69,27 @@ def main() -> None:
     # Back-to-back repeats of one query all land inside a window;
     # whole-list passes put each query's repeats minutes apart, so a
     # window poisons at most one pass of each query, never its min.
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rowcounts: dict[str, int] = {}
     for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             rowcounts[name] = df.count()
-            dt = time.perf_counter() - t0
-            timings[name] = min(timings.get(name, dt), dt)
+            samples[name].append(time.perf_counter() - t0)
             spark.catalog.clearCache()
+    # min is the noise-floor signal (see window rationale above);
+    # median is reported alongside so a regression cannot hide behind
+    # one lucky pass (round-over-round comparability).
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(timings[name], 3)
+        runs = sorted(samples[name])
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
         print(
-            f"# {name}: {timings[name]:.3f}s rows={rowcounts[name]}",
+            f"# {name}: min={timings[name]:.3f}s p50={medians[name]:.3f}s "
+            f"rows={rowcounts[name]}",
             file=sys.stderr,
         )
 
@@ -94,6 +101,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_p50": medians,
+                "value_p50": round(sum(medians.values()), 3),
                 "sf": sf,
             }
         )

@@ -137,26 +137,21 @@ def ivf_assign(
     return cent, assigned
 
 
-def ivf_topk(
-    corpus: DataFrame,
+def _query_probes(
     queries: DataFrame,
-    k: int = 5,
-    num_centroids: int = 16,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    cent: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the ``nprobe`` clusters
-    nearest to each query. At scale the assigned corpus is written
-    bucketed/partitioned by ``cluster`` so a probe reads only matching
-    partitions (partition pruning); here the pruning happens via the
-    equi-join on cluster id."""
-    cent, assigned = ivf_assign(corpus, num_centroids, id_col, vec_col)
+    """(query_id, qvec, cluster) rows for each query's ``nprobe``
+    nearest centroids — the tiny side of every IVF probe (queries ×
+    centroids rows, both small by contract)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("qcsim"), F.asc("centroid_id")
     )
-    probes = (
+    return (
         q.crossJoin(cent)
         .select(
             "query_id",
@@ -168,6 +163,12 @@ def ivf_topk(
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "qvec", F.col("centroid_id").alias("cluster"))
     )
+
+
+def _score_probed(
+    assigned: DataFrame, probes: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Equi-join probed clusters onto the assigned corpus and rank."""
     sim = F.round(cosine_similarity(F.col("qvec"), F.col(vec_col)), 4)
     pairs = (
         assigned.join(F.broadcast(probes), "cluster")
@@ -177,6 +178,79 @@ def ivf_topk(
         )
     )
     return _ranked_topk(pairs, k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the ``nprobe`` clusters
+    nearest to each query. At scale the assigned corpus is written
+    partitioned by ``cluster`` so a probe reads only matching
+    partitions (see ``write_ivf_index``/``ivf_topk_from_index``, with
+    a scan-metrics test proving the pruning); here the pruning happens
+    via the equi-join on cluster id."""
+    cent, assigned = ivf_assign(corpus, num_centroids, id_col, vec_col)
+    probes = _query_probes(queries, cent, nprobe, id_col, vec_col)
+    return _score_probed(assigned, probes, k, id_col, vec_col)
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Persist the IVF index as a cluster-partitioned lakehouse layer:
+    ``{path}/cluster=N/`` holds each cluster's vectors and
+    ``{path}/_centroids`` the quantizer (underscore prefix = invisible
+    to readers of the corpus root, the same convention parquet uses
+    for ``_SUCCESS``). This is the 100 TB layout the probe path needs:
+    directory-level partition pruning means a probe LISTS (not just
+    skips) only nprobe of num_centroids directories, so scan cost
+    scales with probed fraction, not corpus size. Returns the format
+    written."""
+    from lakehouse_to_rag_spark.sources.lakehouse import write_layer
+
+    cent, assigned = ivf_assign(corpus, num_centroids, id_col, vec_col)
+    fmt = write_layer(assigned, path, partition_by=["cluster"])
+    write_layer(cent.select("centroid_id", "cvec"), f"{path}/_centroids")
+    return fmt
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted ``write_ivf_index`` layout. The probed
+    cluster ids (≤ num_centroids ints — the one legitimately tiny
+    driver-side list) become a LITERAL ``isin`` partition filter, so
+    Catalyst prunes non-probed ``cluster=N`` directories at file-listing
+    time — the executed scan's ``numPartitions`` metric equals the
+    probed-cluster count, not num_centroids (asserted in
+    tests/test_sources.py)."""
+    from lakehouse_to_rag_spark.sources.lakehouse import read_layer
+
+    cent = F.broadcast(read_layer(spark, f"{path}/_centroids"))
+    probes = _query_probes(queries, cent, nprobe, id_col, vec_col)
+    probe_clusters = sorted(
+        r["cluster"] for r in probes.select("cluster").distinct().collect()
+    )
+    assigned = read_layer(spark, path).filter(
+        F.col("cluster").isin(probe_clusters)
+    )
+    return _score_probed(assigned, probes, k, id_col, vec_col)
 
 
 def knn_bruteforce_numpy(
