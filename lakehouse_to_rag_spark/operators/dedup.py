@@ -855,19 +855,21 @@ def _tf_cosine_dense(
     words = sorted(r["word"] for r in freq.select("word").collect())
     bc_vocab = spark.sparkContext.broadcast({w: i for i, w in enumerate(words)})
 
-    docs = (
-        tf.groupBy("id")
-        .agg(F.collect_list(F.struct("word", "tf")).alias("ent"))
-        .localCheckpoint(eager=True)
-    )
-    n_docs = docs.count()  # cheap: counts the checkpointed blocks
+    # one partial-agg job for the block count (distinct ids only shuffle)
+    n_docs = tf.select("id").distinct().count()
     nb = max(1, math.ceil(n_docs / block_rows))
 
-    blocks = docs.withColumn(
-        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int")
-    )
-    packed = blocks.groupBy("blk").agg(
-        F.collect_list(F.struct("id", "ent")).alias("docs_")
+    # ONE corpus shuffle packs the sparse tf rows straight into blocks
+    # (blk is a pure function of id, so a per-id pre-grouping would be
+    # a second full-data exchange for zero compression — the task-side
+    # densify groups rows by id for free while filling the matrix).
+    # Eager checkpoint: both the pa and pb sides of the pair join read
+    # these blocks, so without it the packing executes twice.
+    packed = (
+        tf.withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "word", "tf")).alias("docs_"))
+        .localCheckpoint(eager=True)
     )
     # upper-triangular block-pair task list: tiny (nb² ints), equi-joined
     # so neither corpus side is ever broadcast
@@ -902,12 +904,19 @@ def _tf_cosine_dense(
         nv = len(vocab)
 
         def densify(cell):
-            ids = np.empty(len(cell), dtype=np.int64)
-            m = np.zeros((len(cell), nv), dtype=np.float64)
-            for k, d in enumerate(cell):
-                ids[k] = d["id"]
-                for e in d["ent"]:
-                    m[k, vocab[e["word"]]] = e["tf"]
+            # flat (id, word, tf) rows -> per-id dense rows; grouping
+            # by id happens here, while filling, instead of as a
+            # second corpus-wide exchange upstream
+            index: dict[int, int] = {}
+            for d in cell:
+                if d["id"] not in index:
+                    index[d["id"]] = len(index)
+            ids = np.empty(len(index), dtype=np.int64)
+            for i, k in index.items():
+                ids[k] = i
+            m = np.zeros((len(index), nv), dtype=np.float64)
+            for d in cell:
+                m[index[d["id"]], vocab[d["word"]]] = d["tf"]
             return ids, m
 
         for pdf in batches:
@@ -950,6 +959,7 @@ def tf_cosine_pairs(
     text_col: str,
     threshold: float = 0.8,
     dense_vocab_limit: int = 2048,
+    dense_block_rows: int = 4096,
 ) -> DataFrame:
     """All-pairs cosine similarity over term-frequency vectors
     (id_a < id_b, cosine >= threshold) — the sparse-feature similarity
@@ -1002,7 +1012,7 @@ def tf_cosine_pairs(
     # integer counts are exact in float64 below 2^53). Zipfian
     # corpora with real vocabularies take the prefix-filter branch.
     if freq.count() <= dense_vocab_limit:
-        return _tf_cosine_dense(tf, freq, threshold)
+        return _tf_cosine_dense(tf, freq, threshold, block_rows=dense_block_rows)
 
     # suffix-sum of tf² in global (df asc, word) order via one window:
     # token is PREFIX iff the tf²-mass from it to the rarest-end tail

@@ -208,3 +208,23 @@ def test_simhash_numpy_equals_jvm(spark, sf_dir):
     a = sorted(map(tuple, simhash(d, "doc_id", "text").collect()))
     b = sorted(map(tuple, simhash_numpy(d, "doc_id", "text").collect()))
     assert a == b and len(a) > 0
+
+
+def test_tf_cosine_dense_multiblock_matches_single_block(spark, sf_dir):
+    """The dense regime is a distributed upper-triangular block GEMM;
+    at harness scale the corpus fits one block, so the cross-block
+    machinery (hash block assignment, pa<pb pair tasks, pa==pb
+    self-dedup) would otherwise never execute. Forcing tiny blocks
+    (64 rows -> 8 blocks, 36 block-pair tasks over ~500 docs) must
+    reproduce the single-block pair set exactly."""
+    from lakehouse_to_rag_spark.operators.dedup import tf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    one = {(r["id_a"], r["id_b"], r["cosine"])
+           for r in tf_cosine_pairs(docs, "doc_id", "text", 0.9).collect()}
+    many = {(r["id_a"], r["id_b"], r["cosine"])
+            for r in tf_cosine_pairs(
+                docs, "doc_id", "text", 0.9, dense_block_rows=64
+            ).collect()}
+    assert one == many
+    assert one  # threshold 0.9 must catch the planted near-dups
