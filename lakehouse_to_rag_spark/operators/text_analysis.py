@@ -420,3 +420,49 @@ def stratified_sample_by_hash(
     for value, f in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == value, F.lit(f)).otherwise(frac)
     return df.filter(bucket < frac * 10000)
+
+
+def sequence_pack(
+    df: DataFrame,
+    seq_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step between curated
+    documents and fixed-length training batches: documents concatenate
+    in deterministic (group, id) order and the stream is cut every
+    ``seq_tokens`` tokens, so each doc gets the training-sequence id
+    its first token lands in plus a flag for straddling a cut (where a
+    real pipeline inserts the EOS/BOS boundary handling). This is the
+    packing shape LLM pipelines actually use (greedy first-fit bin
+    packing is inherently sequential state; concatenation is not).
+
+    Scale shape: packing runs PER GROUP (source/shard), so the cumsum
+    window parallelizes across groups — one exchange on ``group_col``,
+    no global ordering bottleneck. At 100 TB the group key is the
+    shard assignment (e.g. train_split_assign's bucket), giving
+    arbitrarily many independent packing streams. Token counts are the
+    whitespace estimator from ``token_counts`` (same expression, so
+    budgets agree across the two operators).
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    toks = F.size(F.split(t, r"\s+", -1)).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")  # first-token offset in the stream
+    end = cum - F.lit(1)  # last-token offset
+    return (
+        df.select(F.col(id_col), F.col(group_col), toks.alias("n_tokens"))
+        .withColumn("seq_id", (start / seq_tokens).cast("long"))
+        .withColumn(
+            "straddles_boundary",
+            ((end / seq_tokens).cast("long") > (start / seq_tokens).cast("long")),
+        )
+    )

@@ -2634,23 +2634,34 @@ LEFT JOIN (
 @_q("orders_monthly_spine_recursive", _RECURSIVE_SPINE_ORACLE)
 def orders_monthly_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 WITH RECURSIVE): data-driven monthly
-    spine — anchor = first order month, recursive step adds one month
-    until the last — LEFT JOINed to the monthly revenue rollup so
-    months with no orders surface as zero rows (the gap-filling shape
-    `events_hourly_gapfilled` gets from sequence(), expressed as
-    ANSI recursion; DuckDB runs the same construct as the oracle).
-    Recursion depth = months spanned (~80 at harness scale, one
-    iteration per month of history — bounded and data-independent of
-    row COUNT, so the shape holds at 100 TB where the rollup input
-    grows but the spine does not)."""
+    spine — anchor = first order month — LEFT JOINed to the monthly
+    revenue rollup so months with no orders surface as zero rows (the
+    gap-filling shape `events_hourly_gapfilled` gets from sequence(),
+    expressed as ANSI recursion; DuckDB runs per-month recursion as
+    the oracle, identical values). The recursive step advances a YEAR
+    BLOCK (12 months exploded per iteration) rather than one month:
+    Spark executes each recursion step as its own job, so per-month
+    stepping costs ~0.2 s of scheduling floor per month of history
+    (~15 s for the harness's 80 months) while per-year stepping is
+    ~7 jobs for the same spine — recursion depth stays bounded by data
+    SPAN, never row count, so the shape holds at 100 TB."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
-        WITH RECURSIVE months(m) AS (
+        WITH RECURSIVE year_blocks(y) AS (
           SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
           UNION ALL
-          SELECT m + INTERVAL '1' MONTH FROM months
-          WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+          SELECT y + INTERVAL '12' MONTH FROM year_blocks
+          WHERE y + INTERVAL '12' MONTH <=
+                (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+        ),
+        months AS (
+          SELECT m
+          FROM year_blocks
+          LATERAL VIEW explode(
+            sequence(y, y + INTERVAL '11' MONTH, INTERVAL '1' MONTH)
+          ) t AS m
+          WHERE m <= (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
         )
         SELECT date_format(m, 'yyyy-MM') AS order_month,
                CAST(COALESCE(r.order_cnt, 0) AS BIGINT) AS order_cnt,
@@ -2664,6 +2675,37 @@ def orders_monthly_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFram
         ) r ON m = r.om
         """
     )
+
+
+_SEQUENCE_PACK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL
+), cums AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+       FLOOR((cum - 1) / 2048.0) > FLOOR((cum - n_tokens) / 2048.0)
+         AS straddles_boundary
+FROM cums
+"""
+
+
+@_q("sequence_pack", _SEQUENCE_PACK_ORACLE)
+def sequence_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk training-sequence packing over curated docs
+    (per-source streams, whitespace token budget 2048) — the
+    curated-docs -> fixed-length-batches step of an LLM data pipeline
+    (see operators/text_analysis.py:sequence_pack for the scale
+    rationale: one exchange on the group key, no global ordering)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return ta.sequence_pack(d, seq_tokens=2048)
 
 
 # =====================================================================
