@@ -829,22 +829,37 @@ def _tf_cosine_dense(
     """Dense-vocabulary regime of ``tf_cosine_pairs`` as a DISTRIBUTED
     upper-triangular block GEMM. Nothing corpus-sized ever touches the
     driver: the driver holds only the vocabulary index (bounded by
-    ``dense_vocab_limit`` — the dispatch contract) and the block
-    count; per-doc sparse TF rows are grouped into ``block_rows``-row
-    blocks, every block pair (pa <= pb) becomes one executor task, and
-    each task densifies its two blocks against the broadcast
-    vocabulary and multiplies them in one float64 matmul. Work is the
-    inherent O(n²/block_rows²) tasks of an all-pairs join; shuffle is
-    O(n·nb) sparse rows (each block ships once per partner block) —
-    the classic BlockMatrix multiply shape, with no O(corpus) driver
-    or single-executor materialization.
+    ``dense_vocab_limit`` — the dispatch contract) and the block count.
+
+    Two Arrow stages:
+    1. pack: FLAT (blk, id, vid, tf) int rows repartition by blk (ONE
+       corpus exchange — flat Arrow int columns, never nested
+       collect_list structs: measured 2× slower end-to-end at sf0.1
+       from nested-Arrow + per-row Python decode) and each partition
+       densifies its blocks ONCE, fully vectorized (np.unique +
+       fancy-index fill), into binary blobs — int64 id vector + int32
+       row-major TF matrix. The 20x probe showed why blobs: densifying
+       inside the pair task runs the fill once per block PER PARTNER
+       (nb× redundant work); blobs ship compact bytes (block_rows ×
+       |V| × 4B) and the pair task does zero per-row work.
+    2. gemm: every (pa <= pb) blob pair is one task — np.frombuffer,
+       one float64 matmul, threshold, emit pairs. int32 TF counts are
+       exact in float64 (< 2^53), so results are bit-identical to the
+       JVM/oracle expression.
+
+    Work is the inherent O(n²/block_rows²) tasks of an all-pairs join;
+    shuffle is O(n·nb/block_rows) blob rows — the classic BlockMatrix
+    multiply shape, with no O(corpus) driver or single-executor
+    materialization.
     """
     import math
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
+        BinaryType,
         DoubleType,
+        IntegerType,
         LongType,
         StructField,
         StructType,
@@ -853,42 +868,25 @@ def _tf_cosine_dense(
     spark = tf.sparkSession
     # vocabulary index: small by the dispatch contract (<= dense_vocab_limit)
     words = sorted(r["word"] for r in freq.select("word").collect())
-    bc_vocab = spark.sparkContext.broadcast({w: i for i, w in enumerate(words)})
+    nv = len(words)
+    vocab_df = F.broadcast(
+        spark.createDataFrame(
+            [(w, i) for i, w in enumerate(words)], "word string, vid int"
+        )
+    )
 
     # one partial-agg job for the block count (distinct ids only shuffle)
     n_docs = tf.select("id").distinct().count()
     nb = max(1, math.ceil(n_docs / block_rows))
 
-    # ONE corpus shuffle packs the sparse tf rows straight into blocks
-    # (blk is a pure function of id, so a per-id pre-grouping would be
-    # a second full-data exchange for zero compression — the task-side
-    # densify groups rows by id for free while filling the matrix).
-    # Eager checkpoint: both the pa and pb sides of the pair join read
-    # these blocks, so without it the packing executes twice.
-    packed = (
-        tf.withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int"))
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("id", "word", "tf")).alias("docs_"))
-        .localCheckpoint(eager=True)
-    )
-    # upper-triangular block-pair task list: tiny (nb² ints), equi-joined
-    # so neither corpus side is ever broadcast
-    keys = (
-        spark.range(nb)
-        .select(F.col("id").cast("int").alias("pa"))
-        .crossJoin(spark.range(nb).select(F.col("id").cast("int").alias("pb")))
-        .filter(F.col("pa") <= F.col("pb"))
-    )
-    pa_side = packed.select(F.col("blk").alias("pa"), F.col("docs_").alias("docs_a"))
-    pb_side = packed.select(F.col("blk").alias("pb"), F.col("docs_").alias("docs_b"))
-    n_tasks = nb * (nb + 1) // 2
-    tasks = (
-        keys.join(pa_side, "pa")
-        .join(pb_side, "pb")
-        # one block pair per partition: each row carries two full blocks,
-        # so batching several into one Arrow batch would multiply peak
-        # task memory for zero win
-        .repartition(min(n_tasks, 4 * spark.sparkContext.defaultParallelism))
+    # ONE corpus shuffle routes flat (blk, id, vid, tf) int rows to
+    # their block's partition (blk is a pure function of id, so a
+    # per-id pre-grouping would be a second full-data exchange for
+    # zero compression; flat ints keep Arrow transfer columnar).
+    flat = (
+        tf.join(vocab_df, "word")
+        .withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int"))
+        .select("blk", "id", "vid", "tf")
     )
 
     out_schema = StructType(
@@ -899,56 +897,145 @@ def _tf_cosine_dense(
         ]
     )
 
+    def _densify(ids_raw, vids, tfs):
+        # vectorized sparse->dense: rows sort by id via np.unique, the
+        # inverse permutation scatters every tf in one fancy-index fill
+        ids, inv = np.unique(ids_raw, return_inverse=True)
+        m = np.zeros((len(ids), nv), dtype=np.int32)
+        m[inv, vids] = tfs
+        return ids, m
+
+    def _block_pairs(pa, pb, ida, idb, ma, mb):
+        # keep norm² and divide by sqrt(na2*nb2) in ONE operation — the
+        # exact expression the JVM path and the DuckDB oracle evaluate
+        # (sqrt(a)*sqrt(b) differs in the last ulp from sqrt(a*b))
+        na2 = np.einsum("ij,ij->i", ma, ma)
+        nb2 = np.einsum("ij,ij->i", mb, mb)
+        na2[na2 == 0] = np.nan
+        nb2[nb2 == 0] = np.nan
+        sims = (ma @ mb.T) / np.sqrt(na2[:, None] * nb2[None, :])
+        keep = sims >= threshold
+        if pa == pb:
+            keep &= ida[:, None] < idb[None, :]
+        ai, bj = np.nonzero(keep)
+        if len(ai) == 0:
+            return None
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ida[ai], idb[bj]),
+                "id_b": np.maximum(ida[ai], idb[bj]),
+                "cosine": np.round(sims[ai, bj], 4),
+            }
+        )
+
+    if nb == 1:
+        # single block = single task: concatenate the flat batches,
+        # densify once, self-GEMM right there — the pack/join/
+        # checkpoint pipeline below exists only to ship blocks to
+        # PARTNER tasks, which don't exist at nb=1
+        def self_gemm(batches):
+            chunks = [p for p in batches if len(p)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            ids, m = _densify(
+                pdf["id"].to_numpy(np.int64),
+                pdf["vid"].to_numpy(np.int64),
+                pdf["tf"].to_numpy(np.int32),
+            )
+            mf = m.astype(np.float64)
+            out = _block_pairs(0, 0, ids, ids, mf, mf)
+            if out is not None:
+                yield out
+
+        return flat.repartition(1).mapInPandas(self_gemm, schema=out_schema)
+
+    blob_schema = StructType(
+        [
+            StructField("blk", IntegerType()),
+            StructField("n", IntegerType()),
+            StructField("ids", BinaryType()),
+            StructField("mat", BinaryType()),
+        ]
+    )
+
+    def pack(batches):
+        # a hash partition may hold several blks (or none): group the
+        # flat rows by blk in-memory, one blob row out per blk
+        chunks = [p for p in batches if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for blk, g in pdf.groupby("blk", sort=False):
+            ids, m = _densify(
+                g["id"].to_numpy(np.int64),
+                g["vid"].to_numpy(np.int64),
+                g["tf"].to_numpy(np.int32),
+            )
+            yield pd.DataFrame(
+                {
+                    "blk": [int(blk)],
+                    "n": [len(ids)],
+                    "ids": [ids.tobytes()],
+                    "mat": [m.tobytes()],
+                }
+            )
+
+    # Eager checkpoint: both the pa and pb sides of the pair join read
+    # the blobs, so without it the pack stage executes twice.
+    packed = (
+        flat.repartition(nb, "blk")
+        .mapInPandas(pack, schema=blob_schema)
+        .localCheckpoint(eager=True)
+    )
+
+    # upper-triangular block-pair task list: tiny (nb² ints), equi-joined
+    # so neither corpus side is ever broadcast
+    keys = (
+        spark.range(nb)
+        .select(F.col("id").cast("int").alias("pa"))
+        .crossJoin(spark.range(nb).select(F.col("id").cast("int").alias("pb")))
+        .filter(F.col("pa") <= F.col("pb"))
+    )
+    pa_side = packed.select(
+        F.col("blk").alias("pa"),
+        F.col("n").alias("na"),
+        F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"),
+    )
+    pb_side = packed.select(
+        F.col("blk").alias("pb"),
+        F.col("n").alias("nb_"),
+        F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"),
+    )
+    n_tasks = nb * (nb + 1) // 2
+    tasks = (
+        keys.join(pa_side, "pa")
+        .join(pb_side, "pb")
+        # one block pair per partition: each row carries two full blocks,
+        # so batching several into one Arrow batch would multiply peak
+        # task memory for zero win
+        .repartition(min(n_tasks, 4 * spark.sparkContext.defaultParallelism))
+    )
+
     def gemm(batches):
-        vocab = bc_vocab.value
-        nv = len(vocab)
-
-        def densify(cell):
-            # flat (id, word, tf) rows -> per-id dense rows; grouping
-            # by id happens here, while filling, instead of as a
-            # second corpus-wide exchange upstream
-            index: dict[int, int] = {}
-            for d in cell:
-                if d["id"] not in index:
-                    index[d["id"]] = len(index)
-            ids = np.empty(len(index), dtype=np.int64)
-            for i, k in index.items():
-                ids[k] = i
-            m = np.zeros((len(index), nv), dtype=np.float64)
-            for d in cell:
-                m[index[d["id"]], vocab[d["word"]]] = d["tf"]
-            return ids, m
-
         for pdf in batches:
-            for pa, pb, docs_a, docs_b in zip(
-                pdf["pa"], pdf["pb"], pdf["docs_a"], pdf["docs_b"]
+            for pa, pb, na, ids_a, mat_a, nb_r, ids_b, mat_b in zip(
+                pdf["pa"], pdf["pb"],
+                pdf["na"], pdf["ids_a"], pdf["mat_a"],
+                pdf["nb_"], pdf["ids_b"], pdf["mat_b"],
             ):
-                ida, ma = densify(docs_a)
-                idb, mb = densify(docs_b)
-                # keep norm² and divide by sqrt(na2*nb2) in ONE
-                # operation — the exact expression the JVM path and
-                # the DuckDB oracle evaluate (sqrt(a)*sqrt(b) differs
-                # in the last ulp from sqrt(a*b))
-                na2 = np.einsum("ij,ij->i", ma, ma)
-                nb2 = np.einsum("ij,ij->i", mb, mb)
-                na2[na2 == 0] = np.nan
-                nb2[nb2 == 0] = np.nan
-                sims = (ma @ mb.T) / np.sqrt(na2[:, None] * nb2[None, :])
-                keep = sims >= threshold
-                if pa == pb:
-                    keep &= ida[:, None] < idb[None, :]
-                ai, bj = np.nonzero(keep)
-                if len(ai) == 0:
-                    continue
-                lo = np.minimum(ida[ai], idb[bj])
-                hi = np.maximum(ida[ai], idb[bj])
-                yield pd.DataFrame(
-                    {
-                        "id_a": lo,
-                        "id_b": hi,
-                        "cosine": np.round(sims[ai, bj], 4),
-                    }
+                ida = np.frombuffer(ids_a, dtype=np.int64)
+                idb = np.frombuffer(ids_b, dtype=np.int64)
+                ma = np.frombuffer(mat_a, dtype=np.int32).reshape(na, nv)
+                mb = np.frombuffer(mat_b, dtype=np.int32).reshape(nb_r, nv)
+                out = _block_pairs(
+                    pa, pb, ida, idb,
+                    ma.astype(np.float64), mb.astype(np.float64),
                 )
+                if out is not None:
+                    yield out
 
     return tasks.mapInPandas(gemm, schema=out_schema)
 
@@ -959,7 +1046,7 @@ def tf_cosine_pairs(
     text_col: str,
     threshold: float = 0.8,
     dense_vocab_limit: int = 2048,
-    dense_block_rows: int = 4096,
+    dense_block_rows: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine similarity over term-frequency vectors
     (id_a < id_b, cosine >= threshold) — the sparse-feature similarity
@@ -1011,7 +1098,14 @@ def tf_cosine_pairs(
     # runs as a GEMM block-multiply instead (~2 s, bit-identical:
     # integer counts are exact in float64 below 2^53). Zipfian
     # corpora with real vocabularies take the prefix-filter branch.
-    if freq.count() <= dense_vocab_limit:
+    nv = freq.count()
+    if nv <= dense_vocab_limit:
+        if dense_block_rows is None:
+            # size blocks so one int32 blob stays ~16 MB regardless of
+            # vocab width (4096 rows at |V|=1024, 2048 at the 2048-word
+            # dispatch limit) — bounds per-task memory at 2 blobs +
+            # their float64 copies, independent of corpus size
+            dense_block_rows = min(8192, max(512, (16 << 20) // (4 * nv)))
         return _tf_cosine_dense(tf, freq, threshold, block_rows=dense_block_rows)
 
     # suffix-sum of tf² in global (df asc, word) order via one window:

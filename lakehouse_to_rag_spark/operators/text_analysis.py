@@ -72,11 +72,16 @@ def language_id(
 
 
 def quality_scores(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Heuristic document-quality signals: length, token stats,
     punctuation ratio, stopword ratio, and a composite score — the
-    standard cheap pre-filters before expensive model-based scoring."""
+    standard cheap pre-filters before expensive model-based scoring.
+    ``carry_cols`` pass through unchanged (cheaper than a join-back
+    when a consumer needs e.g. the grouping column)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     words = F.split(t, " ", -1)
@@ -99,6 +104,7 @@ def quality_scores(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols or []],
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(avg_word_len, 4).alias("avg_word_len"),
@@ -464,5 +470,45 @@ def sequence_pack(
         .withColumn(
             "straddles_boundary",
             ((end / seq_tokens).cast("long") > (start / seq_tokens).cast("long")),
+        )
+    )
+
+
+def quality_prune(
+    df: DataFrame,
+    keep_fraction: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Percentile quality pruning — keep each group's top
+    ``keep_fraction`` of documents by composite quality score (the
+    curation step between cheap scoring and training: relative-rank
+    pruning adapts to per-source score distributions where a global
+    threshold over- or under-prunes a whole source).
+
+    percent_rank over (score desc, id) inside each group is one
+    exchange on ``group_col`` (same scale shape as sequence_pack:
+    groups bound the window, no global sort); ties break on the id so
+    the kept set is deterministic across engines. Scores are the
+    ROUNDED composite from ``quality_scores`` so rank order matches
+    any 4dp-rounding oracle bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    scored = quality_scores(
+        df, id_col=id_col, text_col=text_col, carry_cols=[group_col]
+    ).select(id_col, group_col, "quality_score")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("quality_score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") < keep_fraction)
+        .select(
+            id_col,
+            group_col,
+            "quality_score",
+            F.round("pr", 4).alias("quality_pct_rank"),
         )
     )

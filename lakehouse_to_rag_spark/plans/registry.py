@@ -2708,6 +2708,38 @@ def sequence_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.sequence_pack(d, seq_tokens=2048)
 
 
+_QUALITY_PRUNE_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         ROUND(LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+             + (CAST(len(list_intersect(string_split(text, ' '), {_SW})) AS DOUBLE)
+                / len(string_split(text, ' '))) * 0.4
+             + (1.0 - LEAST((CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                             / LENGTH(text)) * 10.0, 1.0)) * 0.1, 4) AS quality_score
+  FROM documents
+), r AS (
+  SELECT doc_id, source, quality_score,
+         PERCENT_RANK() OVER (PARTITION BY source
+                              ORDER BY quality_score DESC, doc_id) AS pr
+  FROM q
+)
+SELECT doc_id, source, quality_score, ROUND(pr, 4) AS quality_pct_rank
+FROM r
+WHERE pr < 0.5
+"""
+
+
+@_q("quality_prune", _QUALITY_PRUNE_ORACLE)
+def quality_prune_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile quality pruning: keep each source's top half of
+    documents by the composite quality score (relative-rank curation —
+    one exchange on the group key; ranks computed on the 4dp-rounded
+    score with id tie-breaks so the kept set is deterministic across
+    engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ta.quality_prune(d, keep_fraction=0.5)
+
+
 # =====================================================================
 # Driver evidence-window ordering
 # =====================================================================
@@ -2729,8 +2761,9 @@ _DRIVER_WINDOW: list[str] = [
     "silver_docs",
     "gold_chunks_fixed",
     "gold_chunks_recursive",
-    "medallion_stats",
-    # analytics A1-A7 / O1-O2 / T1 / D1
+    # analytics A1-A7 / O1-O2 / T1 / D1 (medallion_stats demoted past
+    # the window: its union-of-layer-aggs shape is the row_counts +
+    # doc_stats evidence already in it)
     "row_counts",
     "doc_stats",
     "missing_values_docs",
@@ -2761,7 +2794,6 @@ _DRIVER_WINDOW: list[str] = [
     "token_counts",
     "doc_fingerprint",
     "tfidf_top_terms",
-    "bigram_freq_top20",
     "pii_redaction",
     "contamination_check",
     "curation_pipeline",
@@ -2769,6 +2801,8 @@ _DRIVER_WINDOW: list[str] = [
     "train_split_assign",
     "duplicate_ngram_spans",
     "vocab_top_tokens",
+    "sequence_pack",
+    "quality_prune",
     # multimodal plumbing
     "multimodal_digest",
     # mergeable sketches

@@ -167,6 +167,9 @@ def test_headline_plan_count_regression(spark, sf_dir):
         "lang_id": (1, 0),
         "token_counts": (1, 0),
         "q21_sole_late_suppliers": (3, 5),
+        # round-2 curation ops: one exchange on the group key, no more
+        "sequence_pack": (1, 1),
+        "quality_prune": (1, 1),
     }
     for name, (max_scans, max_ex) in bounds.items():
         c = plan_counts(QUERIES[name](spark, sf_dir))

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""N-fold corpus replication probe for the dedup scale paths.
+
+Replicates documents/embeddings FACTOR times with shifted ids (every
+row joins a FACTOR-clique of exact replicas — worst-case dup density:
+the true-pair set grows quadratically in FACTOR), then times the
+operators whose 100 TB story was rebuilt in round 2:
+
+- tf_cosine_pairs dense regime: distributed upper-triangular block
+  GEMM — at FACTOR=20 the 5k-doc sf0.1 corpus becomes 100k docs =
+  25 blocks = 325 block-pair tasks, so the multi-block path (never hit
+  at bench scale) carries real volume.
+- embedding_lsh_pairs: banded signature join + distributed pair-join
+  verification (no driver-side matrix since round 2).
+
+Usage: python tools/scale_probe.py [factor] [sf_dir]
+Prints one line per operator: seconds + output rows (stderr noise from
+Spark; stdout is the result lines only).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lakehouse_to_rag_spark.operators.dedup import (  # noqa: E402
+    embedding_lsh_pairs,
+    tf_cosine_pairs,
+)
+from lakehouse_to_rag_spark.session import get_spark  # noqa: E402
+from lakehouse_to_rag_spark.sources.tables import load_table  # noqa: E402
+
+ID_STRIDE = 10_000_000
+
+
+def replicate(df, id_col: str, factor: int):
+    k = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
+    return (
+        df.select("*", k)
+        .withColumn(id_col, F.col(id_col) + F.col("k") * F.lit(ID_STRIDE))
+        .drop("k")
+        .localCheckpoint(eager=True)  # time the operator, not the blow-up
+    )
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = replicate(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        "doc_id",
+        factor,
+    )
+    emb = replicate(load_table(spark, sf_dir, "embeddings"), "vec_id", factor)
+    n_docs, n_vecs = docs.count(), emb.count()
+    print(f"# corpus: {n_docs} docs, {n_vecs} vectors ({factor}x)")
+
+    t0 = time.perf_counter()
+    n = tf_cosine_pairs(docs, "doc_id", "text", threshold=0.9).count()
+    print(
+        f"tf_cosine_dense_blockgemm: {time.perf_counter() - t0:.1f}s pairs={n}"
+    )
+
+    t0 = time.perf_counter()
+    n = embedding_lsh_pairs(
+        emb, num_bits=64, num_bands=8, threshold=0.9
+    ).count()
+    print(f"embedding_lsh_pairjoin_verify: {time.perf_counter() - t0:.1f}s pairs={n}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
