@@ -1,0 +1,234 @@
+"""Corpus-assembly operators for large-scale training pipelines:
+bloom-filter decontamination, deterministic global shuffle, domain
+mixing, and incremental (new-batch-vs-corpus) dedup.
+
+These are the steps BETWEEN per-document scoring (text_analysis.py)
+and training: decide what may enter the corpus (decontaminate),
+in what proportions (domain mix), without re-admitting what a prior
+snapshot already holds (incremental dedup), and in what order
+(training shuffle). Reference parity: the reference engine stops at
+per-table analytics (src/analysis/duckdb_queries.py); these extend
+the same documents data model to the curation surface a 100 TB
+pipeline needs.
+
+All hashing here is md5-derived (not xxhash64): every operator's
+output must be reproducible by ANY engine that stores the corpus —
+split/sample/shuffle decisions are part of the dataset contract, not
+engine internals — and md5 is the hash both Spark and the DuckDB
+oracles evaluate bit-identically (same rationale as
+text_analysis.train_split_assign).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_to_rag_spark.functions.text import normalize_text
+
+
+def md5_bucket(col: Column, salt: str, m: int) -> Column:
+    """Deterministic uniform bucket in [0, m): first 15 hex chars of
+    md5(salt || value) = 60 unsigned bits (fits a signed long), mod m.
+    Portable: DuckDB spells it ('0x' || substr(md5(...),1,15))::BIGINT.
+    """
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(h.substr(1, 15), 16, 10).cast("long") % m
+
+
+def _bloom_positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    return [md5_bucket(col, f"bloom{i}:", m_bits) for i in range(k)]
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    holdout: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    holdout_text_col: str | None = None,
+) -> DataFrame:
+    """Flag documents whose text collides with a held-out set in a
+    Bloom filter — the scale-safe benchmark-decontamination primitive.
+
+    Why a Bloom filter and not an exact semi-join on content hashes:
+    the filter's size is FIXED at ``m_bits`` bits no matter how large
+    the holdout grows, so the broadcast side is bounded by contract
+    (≤ m_bits distinct bit positions; 2^20 bits ≈ 128 KiB of state vs
+    an unbounded hash set of holdout fingerprints). The cost is a
+    tunable false-positive rate ≈ (set_bits/m)^k — acceptable for
+    decontamination, where flagged docs are dropped or reviewed, never
+    kept on the filter's word alone.
+
+    Spark-first physical shape: the "filter" is the DISTINCT set of
+    bit positions the holdout sets (one partial-aggregatable explode +
+    distinct, ≤ m_bits rows), and membership is a broadcast join of
+    each probe doc's k positions against it — the same physical
+    operator a JVM bitmap literal would compile to, with zero Python
+    and no driver materialization. A doc is flagged iff ALL k of its
+    probe bits are set, exactly the classic Bloom contract (false
+    positives occur when other keys set all k bits — the DuckDB oracle
+    reproduces them bit-for-bit, since the position set, not the
+    bitmap encoding, is the filter's entire state).
+
+    Output: (id, n_hit_bits, is_flagged) for every input doc.
+    """
+    probe_text = F.col(text_col)
+    ho_text = F.col(holdout_text_col or text_col)
+
+    bits = (
+        holdout.select(
+            F.explode(F.array(*_bloom_positions(ho_text, m_bits, k))).alias(
+                "pos"
+            )
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probes = df.select(
+        F.col(id_col),
+        F.explode(F.array(*_bloom_positions(probe_text, m_bits, k))).alias(
+            "pos"
+        ),
+    )
+    return (
+        probes.join(F.broadcast(bits), "pos", "left")
+        .groupBy(id_col)
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit_bits"))
+        .select(
+            F.col(id_col),
+            F.col("n_hit_bits").cast("long").alias("n_hit_bits"),
+            (F.col("n_hit_bits") >= k).alias("is_flagged"),
+        )
+    )
+
+
+def training_shuffle(
+    df: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    seed: str = "shuffle0",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every doc gets
+    a reproducible pseudo-random sort key (md5 of seed+id) and a shard
+    assignment, and rows come back hash-partitioned by shard and
+    sorted by key WITHIN each shard.
+
+    The 100 TB shape is the point: a true global ORDER BY would funnel
+    the corpus through a range exchange and a total sort; training
+    ingestion doesn't need it — readers consume shards independently,
+    so one hash exchange on ``shard`` plus a local sort (both shown in
+    the plan) delivers a reproducible shuffle with per-shard
+    sequential I/O. Changing ``seed`` is a fresh epoch permutation;
+    no RNG state, any engine recomputes the same order from the ids.
+    """
+    skey = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    shard = md5_bucket(F.col(id_col), f"{seed}/shard:", n_shards)
+    keyed = df.select(
+        F.col(id_col),
+        shard.cast("int").alias("shard"),
+        skey.alias("shuffle_key"),
+    )
+    return keyed.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", "shuffle_key"
+    )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic domain-mixing sample: draw the LARGEST corpus in
+    which each listed group holds exactly its target weight share
+    (groups absent from ``weights`` are dropped). The binding group is
+    the one with the least data relative to its target — its rate is
+    1.0 and every other group downsamples proportionally:
+    N_max = min_g(n_g / w_g), rate_g = N_max · w_g / n_g.
+
+    Two passes, both scale-flat: a per-group count (partial-aggregated,
+    |groups| rows) joined BROADCAST back onto the corpus, then a
+    per-row keep decision by md5 bucket < rate·precision — no RNG, no
+    sort, reproducible by any engine. The float expression for rate is
+    written identically in the DuckDB oracle so the cast-to-long
+    threshold matches bit-for-bit.
+    """
+    spark = df.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(g, float(w)) for g, w in weights.items()],
+            f"{group_col} string, w double",
+        )
+    )
+    counts = (
+        df.join(wdf, group_col)
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_g"))
+    )
+    # global min over the |groups|-row counts frame (single-partition
+    # window is fine at that size; the corpus never takes this path)
+    n_max = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rates = counts.withColumn(
+        "rate",
+        F.least(
+            F.lit(1.0),
+            F.min(F.col("n_g") / F.col("w")).over(n_max)
+            * F.col("w")
+            / F.col("n_g"),
+        ),
+    ).select(group_col, "rate")
+    bucket = md5_bucket(F.col(id_col), "mix:", precision)
+    # explicit floor: Spark's double->long cast truncates while other
+    # engines round, so the threshold must be floored BEFORE comparing
+    # for the kept set to be engine-portable
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(bucket < F.floor(F.col("rate") * precision).cast("long"))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.round("rate", 6).alias("sample_rate"),
+        )
+    )
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_text_col: str | None = None,
+) -> DataFrame:
+    """Admit only the incoming documents whose normalized content is
+    new — the continuous-ingest companion to the whole-corpus dedup
+    family: a nightly batch dedups against yesterday's 100 TB snapshot
+    without ever re-clustering the snapshot.
+
+    Content identity is md5(normalize(text)) — the same normalization
+    as the exact-dedup operators. Two pruning steps, both shuffle-lean:
+    a LEFT ANTI join against the corpus's distinct fingerprints
+    (fingerprints only — the corpus's text never moves; at 100 TB the
+    fingerprint table is the thing you maintain incrementally as a
+    lakehouse table, cf. sources/lakehouse.py upsert_by_key), then a
+    keep-first-by-id window WITHIN the incoming batch for dups that
+    arrive together. Output: surviving (id, content_fp) rows.
+    """
+    fp_in = F.md5(normalize_text(F.col(text_col)))
+    fp_corp = F.md5(normalize_text(F.col(corpus_text_col or text_col)))
+
+    seen = corpus.select(fp_corp.alias("content_fp")).distinct()
+    fresh = (
+        incoming.select(F.col(id_col), fp_in.alias("content_fp"))
+        .join(seen, "content_fp", "left_anti")
+    )
+    w = Window.partitionBy("content_fp").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("content_fp"))
+    )

@@ -489,3 +489,93 @@ def ivf_topk_kmeans(
         .select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cosine"))
     )
     return _ranked_topk(pairs, k)
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127/max|v_i|,
+    q_i = round(v_i · scale) ∈ [-127, 127], stored as array<tinyint>.
+
+    The 100 TB story is storage and shuffle bandwidth: a 4-byte-float
+    embedding column shrinks 4× (8× vs double), which is usually the
+    difference between an ANN corpus that fits executor memory and one
+    that spills. Quantization error only perturbs cosine ~1e-2 at
+    64-dim — the recall test quantifies it against the exact path.
+
+    Engine-portable by construction: every step (float→double widen,
+    one double multiply, round-half-away-from-zero) evaluates
+    identically in Spark and DuckDB, so quantized vectors — and
+    everything computed from their exact integer dots — oracle-match
+    bit-for-bit.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    s = F.lit(127.0) / F.nullif(maxabs, F.lit(0.0))
+    qv = F.transform(v, lambda x: F.round(x * s).cast("tinyint"))
+    return df.select(
+        F.col(id_col),
+        qv.alias("qvec"),
+        F.round(s, 6).alias("qscale"),
+    )
+
+
+def knn_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors — the
+    memory-bound regime's ANN baseline (scales cancel in cosine, so
+    the quantized similarity needs no dequantization at all).
+
+    Same distributed shape as ``knn_bruteforce`` (broadcast queries,
+    two-phase top-k); the scoring arithmetic is exact 64-bit integer
+    dots over the tinyint arrays (every sum < 2^53, so the double
+    division + round is bit-deterministic on any engine — unlike
+    float-vector cosine, whose summation order varies). norm² is
+    precomputed per side once, and cosine divides by sqrt(na·nb) in
+    one operation, the same expression the oracle evaluates.
+    """
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cz = quantize_int8(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("nv"),
+        dot(F.col("qvec"), F.col("qvec")).alias("nn2"),
+    )
+    qz = F.broadcast(
+        quantize_int8(queries, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col("qvec").alias("qv"),
+            dot(F.col("qvec"), F.col("qvec")).alias("qn2"),
+        )
+    )
+    sim = F.round(
+        dot(F.col("qv"), F.col("nv")).cast("double")
+        / F.sqrt(
+            (F.col("qn2") * F.col("nn2")).cast("double")
+        ),
+        4,
+    )
+    pairs = (
+        cz.join(qz, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    local_w = Window.partitionBy("query_id", "pid").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    pairs = (
+        pairs.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrank", F.row_number().over(local_w))
+        .filter(F.col("lrank") <= k)
+        .drop("pid", "lrank")
+    )
+    return _ranked_topk(pairs, k)

@@ -1,0 +1,243 @@
+"""Corpus-assembly operator tests: bloom decontamination semantics,
+training-shuffle determinism and distribution, domain-mix proportions,
+incremental dedup vs whole-corpus dedup, and int8-kNN recall.
+
+Value parity with DuckDB is covered by test_oracle_parity.py; these
+tests pin the SEMANTIC contracts an oracle can't express (no false
+negatives, epoch independence, recall floors)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_to_rag_spark.operators import curation as cu
+from lakehouse_to_rag_spark.operators.similarity import (
+    knn_bruteforce,
+    knn_int8,
+    quantize_int8,
+)
+from lakehouse_to_rag_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+
+
+class TestBloomDecontaminate:
+    def test_no_false_negatives(self, spark, sf_dir):
+        """Every doc whose exact text appears in the holdout MUST be
+        flagged — bloom filters never miss a true member."""
+        d = _docs(spark, sf_dir)
+        holdout = d.filter(F.col("doc_id") % 3 == 0)
+        flags = cu.bloom_decontaminate(d, holdout, m_bits=1 << 14, k=3)
+        true_members = {
+            r["doc_id"]
+            for r in d.join(
+                holdout.select(F.col("text").alias("t")),
+                F.col("text") == F.col("t"),
+                "left_semi",
+            ).collect()
+        }
+        flagged = {
+            r["doc_id"] for r in flags.filter("is_flagged").collect()
+        }
+        missed = true_members - flagged
+        assert not missed, f"false negatives: {sorted(missed)[:5]}"
+
+    def test_fp_rate_shrinks_with_m(self, spark, sf_dir):
+        """Raising m (more bits) can only reduce flagged count on the
+        same data: the false-positive rate is monotone in set_bits/m."""
+        d = _docs(spark, sf_dir)
+        holdout = d.filter(F.col("doc_id") % 5 == 0)
+        probe = d.filter(F.col("doc_id") % 5 != 0)
+        small = (
+            cu.bloom_decontaminate(probe, holdout, m_bits=1 << 8, k=2)
+            .filter("is_flagged")
+            .count()
+        )
+        big = (
+            cu.bloom_decontaminate(probe, holdout, m_bits=1 << 16, k=2)
+            .filter("is_flagged")
+            .count()
+        )
+        assert big <= small
+
+    def test_broadcast_bits_in_plan(self, spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        plan = cu.bloom_decontaminate(
+            d, d.limit(50), m_bits=4096
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestTrainingShuffle:
+    def test_deterministic_and_epoch_independent(self, spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        a = {
+            (r["doc_id"], r["shard"], r["shuffle_key"])
+            for r in cu.training_shuffle(d, 16, seed="e0").collect()
+        }
+        b = {
+            (r["doc_id"], r["shard"], r["shuffle_key"])
+            for r in cu.training_shuffle(d, 16, seed="e0").collect()
+        }
+        assert a == b
+        c = {
+            (r["doc_id"], r["shard"], r["shuffle_key"])
+            for r in cu.training_shuffle(d, 16, seed="e1").collect()
+        }
+        assert {t[0] for t in c} == {t[0] for t in a}  # same docs...
+        assert c != a  # ...different permutation
+
+    def test_shards_balanced(self, spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        n = d.count()
+        counts = [
+            r["n"]
+            for r in cu.training_shuffle(d, 8)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        assert len(counts) == 8
+        assert max(counts) < 2.5 * n / 8  # md5 buckets are near-uniform
+
+    def test_sorted_within_partitions(self, spark, sf_dir):
+        """The contract is per-shard order with no global sort: rows of
+        each physical partition must be ascending by shuffle_key."""
+        d = _docs(spark, sf_dir)
+        out = cu.training_shuffle(d, 4)
+
+        def check(it):
+            prev = None
+            for row in it:
+                key = (row["shard"], row["shuffle_key"])
+                assert prev is None or key >= prev
+                prev = key
+                yield row
+
+        out.rdd.mapPartitions(check).count()  # raises on violation
+
+
+class TestDomainMix:
+    def test_binding_source_not_sampled(self, spark, sf_dir):
+        """The source with the least data relative to its weight keeps
+        rate 1.0 (nothing dropped); every other listed source
+        downsamples; unlisted sources vanish."""
+        d = _docs(spark, sf_dir)
+        weights = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+        out = cu.domain_mix_sample(d, weights)
+        rates = {
+            r["source"]: r["sample_rate"]
+            for r in out.select("source", "sample_rate").distinct().collect()
+        }
+        assert set(rates) <= set(weights)
+        n_by = {
+            r["source"]: r["n"]
+            for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        binding = min(weights, key=lambda g: n_by[g] / weights[g])
+        assert rates[binding] == pytest.approx(1.0)
+        assert all(v <= 1.0 for v in rates.values())
+
+    def test_proportions_approach_targets(self, spark):
+        """At sf0.01 (25 docs/source) the sample is small; use sf0.01
+        documents but check the MAXIMAL-corpus property instead of
+        tight ratios: kept_g <= ceil(rate_g * n_g) and kept_binding ==
+        n_binding."""
+        from tests.conftest import SF_DIR_01
+
+        d = _docs(spark, SF_DIR_01)
+        weights = {"src0": 0.4, "src3": 0.6}
+        out = cu.domain_mix_sample(d, weights)
+        kept = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        n_by = {
+            r["source"]: r["n"]
+            for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        binding = min(weights, key=lambda g: n_by[g] / weights[g])
+        assert kept[binding] == n_by[binding]
+        for g in weights:
+            assert kept[g] <= n_by[g]
+
+
+class TestIncrementalDedup:
+    def test_agrees_with_whole_corpus_dedup(self, spark, sf_dir):
+        """Incremental admission must equal the batch answer: a doc
+        survives iff its fingerprint is absent from the corpus AND it
+        is the min-id holder of its fingerprint within the batch."""
+        d = _docs(spark, sf_dir)
+        incoming = d.filter(F.col("doc_id") % 2 == 1)
+        corpus = d.filter(F.col("doc_id") % 2 == 0)
+        got = {
+            r["doc_id"]
+            for r in cu.incremental_dedup(incoming, corpus).collect()
+        }
+
+        from lakehouse_to_rag_spark.functions.text import normalize_text
+
+        fp = F.md5(normalize_text(F.col("text")))
+        corpus_fps = {
+            r["fp"] for r in corpus.select(fp.alias("fp")).distinct().collect()
+        }
+        batch = [
+            (r["doc_id"], r["fp"])
+            for r in incoming.select("doc_id", fp.alias("fp")).collect()
+        ]
+        first_of = {}
+        for did, f in sorted(batch):
+            first_of.setdefault(f, did)
+        want = {
+            did
+            for did, f in batch
+            if f not in corpus_fps and first_of[f] == did
+        }
+        assert got == want
+
+    def test_idempotent(self, spark, sf_dir):
+        """Re-admitting the survivors against corpus+survivors yields
+        nothing new — the continuous-ingest invariant."""
+        d = _docs(spark, sf_dir)
+        incoming = d.filter(F.col("doc_id") % 2 == 1)
+        corpus = d.filter(F.col("doc_id") % 2 == 0)
+        survivors = cu.incremental_dedup(incoming, corpus)
+        admitted = incoming.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        )
+        grown = corpus.select("doc_id", "text").unionByName(
+            admitted.select("doc_id", "text")
+        )
+        again = cu.incremental_dedup(admitted, grown)
+        assert again.count() == 0
+
+
+class TestKnnInt8:
+    def test_recall_vs_exact(self, spark, sf_dir):
+        """Quantized top-5 must recover most of the exact top-5
+        (64-dim int8 keeps cosine within ~1e-2; recall@5 >= 0.8)."""
+        e = load_table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 10)
+        exact = knn_bruteforce(e, q, k=5)
+        approx = knn_int8(e, q, k=5)
+        ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        assert len(ex & ap) / len(ex) >= 0.8
+
+    def test_quantized_range_and_schema(self, spark, sf_dir):
+        e = load_table(spark, sf_dir, "embeddings")
+        z = quantize_int8(e)
+        assert dict(z.dtypes)["qvec"] == "array<tinyint>"
+        bad = z.filter(
+            F.exists("qvec", lambda x: (x > 127) | (x < -127))
+        ).count()
+        assert bad == 0
+        # max|q| is exactly 127 for every non-zero vector
+        off = z.filter(
+            F.array_max(F.transform("qvec", lambda x: F.abs(x.cast("int"))))
+            != 127
+        ).count()
+        assert off == 0

@@ -170,6 +170,13 @@ def test_headline_plan_count_regression(spark, sf_dir):
         # round-2 curation ops: one exchange on the group key, no more
         "sequence_pack": (1, 1),
         "quality_prune": (1, 1),
+        # corpus-assembly ops: broadcast the small side (bit positions /
+        # rates / fingerprints), never sort-merge the corpus
+        "bloom_decontaminate": (2, 3),
+        "training_shuffle": (1, 1),
+        "domain_mix": (2, 4),
+        "dedup_incremental": (2, 3),
+        "knn_int8": (2, 3),
     }
     for name, (max_scans, max_ex) in bounds.items():
         c = plan_counts(QUERIES[name](spark, sf_dir))
