@@ -905,28 +905,42 @@ def _tf_cosine_dense(
         m[inv, vids] = tfs
         return ids, m
 
-    def _block_pairs(pa, pb, ida, idb, ma, mb):
+    def _block_pairs(pa, pb, ida, idb, ma, mb, strip=1024):
         # keep norm² and divide by sqrt(na2*nb2) in ONE operation — the
         # exact expression the JVM path and the DuckDB oracle evaluate
-        # (sqrt(a)*sqrt(b) differs in the last ulp from sqrt(a*b))
+        # (sqrt(a)*sqrt(b) differs in the last ulp from sqrt(a*b)).
+        # The GEMM runs in row STRIPS: a full block-pair sims matrix is
+        # block_rows² doubles (0.5 GB at 8192 rows — an executor-OOM at
+        # real per-core memory budgets); strips bound peak extra memory
+        # at strip × block_rows × 8 B (~64 MB) with identical output.
         na2 = np.einsum("ij,ij->i", ma, ma)
         nb2 = np.einsum("ij,ij->i", mb, mb)
         na2[na2 == 0] = np.nan
         nb2[nb2 == 0] = np.nan
-        sims = (ma @ mb.T) / np.sqrt(na2[:, None] * nb2[None, :])
-        keep = sims >= threshold
-        if pa == pb:
-            keep &= ida[:, None] < idb[None, :]
-        ai, bj = np.nonzero(keep)
-        if len(ai) == 0:
+        outs = []
+        for s in range(0, len(ida), strip):
+            e = s + strip
+            sims = (ma[s:e] @ mb.T) / np.sqrt(
+                na2[s:e, None] * nb2[None, :]
+            )
+            keep = sims >= threshold
+            if pa == pb:
+                keep &= ida[s:e, None] < idb[None, :]
+            ai, bj = np.nonzero(keep)
+            if len(ai) == 0:
+                continue
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ida[s:e][ai], idb[bj]),
+                        "id_b": np.maximum(ida[s:e][ai], idb[bj]),
+                        "cosine": np.round(sims[ai, bj], 4),
+                    }
+                )
+            )
+        if not outs:
             return None
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(ida[ai], idb[bj]),
-                "id_b": np.maximum(ida[ai], idb[bj]),
-                "cosine": np.round(sims[ai, bj], 4),
-            }
-        )
+        return pd.concat(outs, ignore_index=True)
 
     if nb == 1:
         # single block = single task: concatenate the flat batches,
