@@ -44,6 +44,14 @@ HEADLINE = [
     "events_value_percentiles",
     "dedup_tf_cosine",
     "q15_top_supplier",
+    # round-2 corpus-assembly additions
+    "sequence_pack",
+    "quality_prune",
+    "bloom_decontaminate",
+    "domain_mix",
+    "training_shuffle",
+    "dedup_incremental",
+    "knn_int8",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the
