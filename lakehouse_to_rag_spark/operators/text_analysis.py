@@ -512,3 +512,66 @@ def quality_prune(
             F.round("pr", 4).alias("quality_pct_rank"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document perplexity proxy from a corpus-trained bigram LM —
+    the CCNet-style (Wenzek et al. 2020) quality signal: documents
+    whose word transitions are improbable under the corpus's own
+    statistics are boilerplate/gibberish candidates. No external model:
+    the LM is add-alpha-smoothed bigram MLE,
+    p(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V), with c(w1) the context
+    count (Σ_w2 c(w1,w2)) and V the distinct-context count.
+
+    Scale shape: bigram extraction is two shifted array slices zipped
+    per doc (zero joins); the count model is vocab²-bounded partial
+    aggs; scoring is ONE corpus-sized join of bigram rows onto the
+    enriched count table keyed (w1, w2) — AQE broadcasts it when the
+    vocabulary is small, shuffle-hash joins it when not. The bigram
+    rows are lazily checkpointed because both the model build and the
+    scoring pass read them.
+
+    Output: (id, n_bigrams, avg_logprob, pseudo_ppl = e^(-avg)); both
+    doubles rounded 4dp — every count is exact, so cross-engine drift
+    is confined to ln/avg ulps that a 4dp round absorbs.
+    """
+    words = F.filter(
+        F.split(F.col(text_col), " ", -1), lambda x: F.length(x) > 0
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), words.alias("_w"))
+        .filter(F.size("_w") >= 2)
+    )
+    w1s = F.slice(F.col("_w"), 1, F.size("_w") - 1)
+    w2s = F.slice(F.col("_w"), 2, F.size("_w") - 1)
+    pairs = F.zip_with(w1s, w2s, lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    bg = (
+        base.select("id", F.explode(pairs).alias("p"))
+        .select("id", "p.w1", "p.w2")
+        .localCheckpoint(eager=False)  # feeds model build AND scoring
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cw = cb.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vv = cb.select(F.countDistinct("w1").alias("v"))
+    model = cb.join(cw, "w1").crossJoin(F.broadcast(vv))
+    lp = F.log(
+        (F.col("c2") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(lp), 4).alias("avg_logprob"),
+            F.round(F.exp(-F.avg(lp)), 4).alias("pseudo_ppl"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_bigrams", "avg_logprob", "pseudo_ppl"
+        )
+    )

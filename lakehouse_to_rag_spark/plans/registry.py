@@ -2776,6 +2776,43 @@ def quality_prune_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.quality_prune(d, keep_fraction=0.5)
 
 
+_BIGRAM_LM_ORACLE = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> LENGTH(x) > 0) AS ws
+  FROM documents WHERE text IS NOT NULL
+), bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+), cb AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+), cw AS (
+  SELECT w1, SUM(c2) AS c1 FROM cb GROUP BY w1
+), vv AS (
+  SELECT COUNT(DISTINCT w1) AS v FROM cb
+)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(LN((c2 + 0.4) / (c1 + 0.4 * v))), 4) AS avg_logprob,
+       ROUND(EXP(-AVG(LN((c2 + 0.4) / (c1 + 0.4 * v)))), 4) AS pseudo_ppl
+FROM bg
+JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+JOIN cw ON bg.w1 = cw.w1
+CROSS JOIN vv
+GROUP BY bg.doc_id
+"""
+
+
+@_q("bigram_lm_scores", _BIGRAM_LM_ORACLE)
+def bigram_lm_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy scoring under a corpus-trained
+    add-alpha bigram LM (exact integer counts; the oracle re-derives
+    the same model, so only ln/avg ulps separate engines — absorbed by
+    the 4dp round)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ta.bigram_lm_scores(d)
+
+
 # =====================================================================
 # Corpus-assembly / curation extensions (operators/curation.py)
 # =====================================================================

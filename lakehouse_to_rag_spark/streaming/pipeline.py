@@ -232,3 +232,61 @@ def stream_upsert_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_dedup_stream(
+    incoming: DataFrame,
+    snapshot_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    watermark_col: str = "processed_at",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``operators.curation.incremental_dedup``:
+    continuously admit only documents whose normalized content is
+    absent from the existing corpus snapshot AND not already seen on
+    the stream.
+
+    Two dedup layers, mirroring the batch operator's two steps:
+    1. stream–static LEFT ANTI join against the snapshot's fingerprint
+       table (fingerprints only — re-resolved per micro-batch, so a
+       compaction/upsert of the fingerprint table is picked up on the
+       next trigger; the static side broadcasts when it fits).
+    2. watermark-bounded ``dropDuplicates`` on the fingerprint for
+       intra-stream dups (the batch keep-first-by-id window becomes
+       keep-first-ARRIVAL — the only order a stream can honor; state
+       expires with the watermark instead of growing forever).
+
+    ``snapshot_fps`` must carry a ``content_fp`` column (build it with
+    ``curation.incremental_dedup``'s fingerprint: md5 of normalized
+    text, e.g. via ``snapshot_fingerprints``).
+    """
+    from lakehouse_to_rag_spark.functions.text import normalize_text
+
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        incoming.select(
+            F.col(id_col),
+            fp.alias("content_fp"),
+            F.col(watermark_col),
+        )
+        .join(snapshot_fps.select("content_fp"), "content_fp", "left_anti")
+        .withWatermark(watermark_col, watermark_delay)
+        .dropDuplicates(["content_fp"])
+    )
+
+
+def snapshot_fingerprints(
+    corpus: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Distinct content fingerprints of a corpus snapshot — the small
+    static side of ``incremental_dedup_stream`` (maintain it
+    incrementally with ``sources.lakehouse.upsert_by_key`` instead of
+    re-scanning the snapshot)."""
+    from lakehouse_to_rag_spark.functions.text import normalize_text
+
+    return (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(F.md5(normalize_text(F.col(text_col))).alias("content_fp"))
+        .distinct()
+    )

@@ -284,3 +284,45 @@ def test_stream_static_enrichment_join(spark, sf_dir, tmp_path):
     assert got.count() == batch.count() > 0
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming snapshot dedup must admit exactly the batch
+    operator's fingerprint set: anti-join vs snapshot + intra-stream
+    dedup. (Ids may differ — the stream keeps first ARRIVAL, the batch
+    keeps min id — so equality is on surviving fingerprints.)"""
+    from lakehouse_to_rag_spark.operators.curation import incremental_dedup
+    from lakehouse_to_rag_spark.sources.tables import load_table
+    from lakehouse_to_rag_spark.streaming.pipeline import (
+        incremental_dedup_stream,
+        snapshot_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+
+    inc_dir = str(tmp_path / "incoming_stream")
+    incoming.select(
+        "doc_id", "text", F.current_timestamp().alias("processed_at")
+    ).write.parquet(inc_dir)
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(inc_dir).schema
+        ).parquet(inc_dir)
+    )
+    admitted = incremental_dedup_stream(
+        stream, snapshot_fingerprints(corpus)
+    )
+    q = _run_to_memory(admitted, "incr_dedup_mem")
+    got = {
+        r["content_fp"]
+        for r in spark.sql("SELECT content_fp FROM incr_dedup_mem").collect()
+    }
+    want = {
+        r["content_fp"]
+        for r in incremental_dedup(incoming, corpus).collect()
+    }
+    assert got == want and len(got) > 0
