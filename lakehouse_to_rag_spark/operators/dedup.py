@@ -353,13 +353,21 @@ def simhash_pairs(
     equi-join on (block_idx, block_value) finds all candidates without
     an all-pairs product. Verification = bit_count(xor) on candidates.
     """
-    bits_per = 64 // num_bands
     # localCheckpoint materializes the tiny (docs × 1 long) hash table
     # once; without it the self-join can recompute the full
     # explode+64-bit-sum pipeline for both sides when broadcast breaks
     # exchange reuse (same fix as minhash_lsh_pairs above)
     sim_fn = simhash_numpy if use_numpy else simhash
     sh = sim_fn(df, id_col, text_col).localCheckpoint(eager=False)
+    return _banded_hamming_pairs(sh, 64, num_bands, max_hamming)
+
+
+def _banded_hamming_pairs(
+    sh: DataFrame, n_bits: int, num_bands: int, max_hamming: int
+) -> DataFrame:
+    """Pigeonhole-banded hamming join over an (id, simhash) table —
+    shared by the xxhash64 and md5 signature variants."""
+    bits_per = n_bits // num_bands
     mask = (1 << bits_per) - 1
     blocks = F.array(
         *[
@@ -393,6 +401,59 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_md5(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 60
+) -> DataFrame:
+    """Engine-portable SimHash twin: per-word hash = first 60 bits of
+    md5 (15 hex chars — non-negative in a signed long), same per-bit
+    majority fold as ``simhash``. 60 bits instead of 64 so NO engine
+    needs unsigned arithmetic, which makes the signature — and the
+    banded pair join over it — exactly reproducible in ANSI SQL: this
+    is the variant with a full DuckDB oracle, upgrading the simhash
+    family from rows-only evidence. Same plan shape as ``simhash``
+    (one codegen'd groupBy of n_bits partial sums, SQL-string
+    expressions for the same Py4J-overhead reason)."""
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    narrow = maybe_parallelize(df.select(F.col(id_col), F.col(text_col)))
+    words = (
+        narrow.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ", -1)).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .select(
+            "id",
+            F.conv(F.md5(F.col("word")).substr(1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    aggs = [
+        F.expr(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}")
+        for b in range(n_bits)
+    ]
+    sums = words.groupBy("id").agg(*aggs)
+    fold = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2**b}L ELSE 0L END)" for b in range(n_bits)
+    )
+    return sums.select("id", F.expr(fold).alias("simhash"))
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """``simhash_pairs`` over the md5-derived 60-bit signature — the
+    oracle-checkable variant (pigeonhole guarantee identical: hamming
+    <= num_bands-1 pairs agree on >= 1 of the 15-bit blocks)."""
+    sh = simhash_md5(df, id_col, text_col).localCheckpoint(eager=False)
+    return _banded_hamming_pairs(sh, 60, num_bands, max_hamming)
 
 
 # ------------------------------------------------- embedding near-dup

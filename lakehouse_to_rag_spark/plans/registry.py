@@ -2776,6 +2776,48 @@ def quality_prune_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.quality_prune(d, keep_fraction=0.5)
 
 
+_SIMHASH_BITS = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(60)
+)
+_SIMHASH_FOLD = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(60)
+)
+_SIMHASH_BANDS = " OR ".join(
+    f"((a.simhash >> {j * 15}) & 32767) = ((b.simhash >> {j * 15}) & 32767)"
+    for j in range(4)
+)
+
+_SIMHASH_MD5_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t.word), 1, 15))::BIGINT AS h
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
+  WHERE LENGTH(t.word) > 0
+), s AS (
+  SELECT doc_id, {_SIMHASH_BITS} FROM w GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST({_SIMHASH_FOLD} AS BIGINT) AS simhash FROM s
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b
+  ON a.doc_id < b.doc_id AND ({_SIMHASH_BANDS})
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@_q("dedup_simhash_md5", _SIMHASH_MD5_ORACLE)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the md5-derived 60-bit signature —
+    the engine-portable twin of dedup_simhash whose signature, banding,
+    and hamming verification are ALL reproduced by the DuckDB oracle
+    (the xxhash64 default stays rows-only + pigeonhole/brute-force
+    tested)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs_md5(d, "doc_id", "text", max_hamming=3)
+
+
 _BIGRAM_LM_ORACLE = """
 WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> LENGTH(x) > 0) AS ws
@@ -2987,7 +3029,11 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_tf_cosine",
     "dedup_minhash",
-    "dedup_simhash",
+    # md5-signature twin carries the family's driver evidence (full
+    # signature+banding+hamming oracle); the xxhash64 default is
+    # rows-only by nature and stays covered by pigeonhole/brute-force
+    # tests in the local suite
+    "dedup_simhash_md5",
     "dedup_embedding",
     "dedup_embedding_lsh",
     "dedup_clusters",

@@ -92,6 +92,34 @@ def test_simhash_banding_is_exact_for_hamming_radius(spark, sf_dir):
     assert banded == brute
 
 
+def test_simhash_md5_banding_is_exact_for_hamming_radius(spark, sf_dir):
+    """Same pigeonhole exactness for the md5-derived 60-bit variant
+    (4 × 15-bit blocks): banded pairs == brute-force hamming join."""
+    from lakehouse_to_rag_spark.operators.dedup import (
+        simhash_md5,
+        simhash_pairs_md5,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_md5(
+            docs, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    sh = simhash_md5(docs, "doc_id", "text")
+    a = sh.selectExpr("id AS id_a", "simhash AS ha")
+    b = sh.selectExpr("id AS id_b", "simhash AS hb")
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .selectExpr("id_a", "id_b", "bit_count(ha ^ hb) AS hamming")
+        .filter("hamming <= 3")
+        .collect()
+    }
+    assert banded == brute
+
+
 def test_tf_cosine_prefix_branch_matches_dense(spark, sf_dir):
     """tf_cosine_pairs dispatches to a dense GEMM when the vocabulary
     is small (the harness corpus: 31 words) — so the L2 prefix-filter
