@@ -669,8 +669,50 @@ def knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simi.knn_int8(e, queries, k=5)
 
 
-@_q("knn_ivf")  # approximate (cluster pruning): rows-only check
+_KNN_IVF_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16
+), asg AS (
+  SELECT vec_id, v, centroid_id AS cluster FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qv, centroid_id AS cluster FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM e q CROSS JOIN cent c WHERE q.vec_id < 10
+  ) WHERE rn <= 4
+), p AS (
+  SELECT probes.query_id, asg.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(probes.qv, asg.v), 4) AS cosine
+  FROM probes JOIN asg ON probes.cluster = asg.cluster
+  WHERE asg.vec_id <> probes.query_id
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+@_q("knn_ivf", _KNN_IVF_ORACLE)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Untrained-quantizer IVF probe. Every step is deterministic
+    (centroids = first 16 ids, argmax assignment with smallest-id
+    ties, nprobe=4 probes, rounded ranking), so the full pipeline —
+    assignment, probing, pruned scoring — is reproduced by the oracle;
+    only sub-ulp float summation order separates engines, absorbed by
+    ordering gaps and the 4dp round."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return simi.ivf_topk(e, queries, k=5, num_centroids=16, nprobe=4)
