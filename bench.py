@@ -52,6 +52,7 @@ HEADLINE = [
     "training_shuffle",
     "dedup_incremental",
     "knn_int8",
+    "bigram_lm_scores",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the
