@@ -75,6 +75,46 @@ def main() -> None:
     ).count()
     print(f"embedding_lsh_pairjoin_verify: {time.perf_counter() - t0:.1f}s pairs={n}")
 
+    # linear / banded operators: wall should grow ~FACTOR× (plus the
+    # quadratic true-dup pair OUTPUT for the pair ops), never FACTOR²
+    from lakehouse_to_rag_spark.operators.curation import (
+        bloom_decontaminate,
+        domain_mix_sample,
+        training_shuffle,
+    )
+    from lakehouse_to_rag_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from lakehouse_to_rag_spark.operators.text_analysis import bigram_lm_scores
+
+    t0 = time.perf_counter()
+    n = minhash_lsh_pairs(docs, "doc_id", "text").count()
+    print(f"minhash_banded: {time.perf_counter() - t0:.1f}s pairs={n}")
+
+    t0 = time.perf_counter()
+    n = simhash_pairs(docs, "doc_id", "text", max_hamming=3).count()
+    print(f"simhash_banded: {time.perf_counter() - t0:.1f}s pairs={n}")
+
+    t0 = time.perf_counter()
+    holdout = docs.filter(F.col("doc_id") % 10 == 0)
+    n = bloom_decontaminate(docs, holdout, m_bits=1 << 20, k=3).count()
+    print(f"bloom_decontaminate: {time.perf_counter() - t0:.1f}s rows={n}")
+
+    t0 = time.perf_counter()
+    n = bigram_lm_scores(docs).count()
+    print(f"bigram_lm_scores: {time.perf_counter() - t0:.1f}s rows={n}")
+
+    t0 = time.perf_counter()
+    n = training_shuffle(docs, n_shards=64).count()
+    n2 = domain_mix_sample(
+        docs, {"src0": 0.4, "src1": 0.3, "src2": 0.3}
+    ).count()
+    print(
+        f"training_shuffle+domain_mix: {time.perf_counter() - t0:.1f}s "
+        f"rows={n}/{n2}"
+    )
+
     spark.stop()
 
 
