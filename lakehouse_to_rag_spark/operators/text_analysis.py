@@ -575,3 +575,98 @@ def bigram_lm_scores(
             F.col("id").alias(id_col), "n_bigrams", "avg_logprob", "pseudo_ppl"
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The removal half of Lee et al. 2021 exact-substring dedup (the
+    detection half is ``duplicate_ngram_spans``): excise every word
+    covered by an n-gram that occurs in >= ``min_docs`` distinct
+    documents, and return the rewritten text. Word-granular
+    approximation of ExactSubstr — span boundaries snap to whitespace
+    tokens, which is what a distributed engine can do without a global
+    suffix array.
+
+    Scale shape: grams (with 1-based start positions) are the join
+    currency — the corpus-wide duplicated-gram table comes from the
+    same two-level partial agg as the detection op, and marking a
+    doc's covered words is one join on the gram string followed by
+    per-doc ARRAY algebra (sequence/flatten/array_distinct — no
+    per-word explode, no window): the covered-index set rides a single
+    groupBy(id). Rebuild is a JVM (x, i) -> filter lambda over the
+    original word array; docs with no duplicated span never shuffle
+    text at all (left join keeps them with a NULL covered set).
+    """
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    base = maybe_parallelize(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("t")
+        )
+    ).localCheckpoint(eager=False)  # feeds gram mining AND rebuild
+    words = base.select(
+        "id",
+        F.filter(
+            F.split(F.col("t"), " ", -1), lambda w: F.length(w) > 0
+        ).alias("ws"),
+    ).localCheckpoint(eager=False)
+
+    gram_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("ws"), i, n), " "
+    )
+    grams = words.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("ws") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                    lambda i: F.struct(i.alias("pos"), gram_at(i).alias("gram")),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<pos:int,gram:string>>")
+            )
+        ).alias("g"),
+    ).select("id", "g.pos", "g.gram")
+
+    dup = (
+        grams.groupBy("gram", "id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+                        )
+                    )
+                )
+            ).alias("cov")
+        )
+    )
+    kept = F.filter(
+        F.col("ws"),
+        lambda w, i: F.col("cov").isNull()
+        | ~F.array_contains(F.col("cov"), i + 1),  # cov is 1-based
+    )
+    return (
+        words.join(covered, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.array_join(kept, " ").alias("clean_text"),
+            (F.size("ws") - F.size(kept)).cast("long").alias("n_removed_words"),
+        )
+    )

@@ -2818,6 +2818,47 @@ def quality_prune_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.quality_prune(d, keep_fraction=0.5)
 
 
+_REMOVE_SPANS_ORACLE = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> LENGTH(x) > 0) AS ws
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[i:i+4], ' ') AS gram
+  FROM w, UNNEST(range(1, len(ws) - 3)) AS t(i)
+  WHERE len(ws) >= 5
+), dup AS (
+  SELECT gram
+  FROM (SELECT gram, doc_id FROM g GROUP BY gram, doc_id)
+  GROUP BY gram HAVING COUNT(*) >= 2
+), cov AS (
+  SELECT g.doc_id,
+         list_sort(list_distinct(flatten(list(range(g.pos, g.pos + 5))))) AS cov
+  FROM g JOIN dup USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT w.doc_id,
+       COALESCE(array_to_string(
+         [ws[i] FOR i IN range(1, len(ws) + 1)
+                IF cov IS NULL OR NOT list_contains(cov, i)], ' '), '')
+         AS clean_text,
+       CAST(len(ws) - len(
+         [ws[i] FOR i IN range(1, len(ws) + 1)
+                IF cov IS NULL OR NOT list_contains(cov, i)]) AS BIGINT)
+         AS n_removed_words
+FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
+"""
+
+
+@_q("remove_duplicate_spans", _REMOVE_SPANS_ORACLE)
+def remove_duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup (Lee et al. 2021):
+    excise every word covered by a 5-gram occurring in >= 2 documents
+    and return the rewritten text — word-granular span surgery as pure
+    array algebra, fully reproduced by the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return ta.remove_duplicate_spans(d, n=5, min_docs=2)
+
+
 _SIMHASH_BITS = ", ".join(
     f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
     for b in range(60)
@@ -3099,7 +3140,10 @@ _DRIVER_WINDOW: list[str] = [
     "curation_pipeline",
     "repetition_scores",
     "train_split_assign",
-    "duplicate_ngram_spans",
+    # span REMOVAL subsumes the detection pipeline it builds on, so it
+    # carries the family's window slot; duplicate_ngram_spans stays
+    # oracle-covered in the local suite
+    "remove_duplicate_spans",
     "sequence_pack",
     "quality_prune",
     # corpus-assembly family (decontaminate / mix / shuffle)

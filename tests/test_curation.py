@@ -241,3 +241,43 @@ class TestKnnInt8:
             != 127
         ).count()
         assert off == 0
+
+
+class TestRemoveDuplicateSpans:
+    def test_planted_shared_span_excised_unique_untouched(self, spark):
+        """Two docs sharing their full text lose every word (all their
+        5-grams are shared); a unique doc is returned verbatim."""
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            remove_duplicate_spans,
+        )
+
+        shared = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (1, shared),
+            (2, shared),
+            (3, "one two three four five six seven"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+            for r in remove_duplicate_spans(df, n=5, min_docs=2).collect()
+        }
+        assert out[1] == ("", 6) and out[2] == ("", 6)
+        assert out[3] == ("one two three four five six seven", 0)
+
+    def test_partial_overlap_removes_only_covered_words(self, spark):
+        """A shared 5-gram inside longer distinct docs removes exactly
+        the covered words, keeping the distinct prefix/suffix."""
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            remove_duplicate_spans,
+        )
+
+        core = "v w x y z"
+        rows = [(1, f"a1 b1 {core} c1"), (2, f"a2 {core} b2 c2")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+            for r in remove_duplicate_spans(df, n=5, min_docs=2).collect()
+        }
+        assert out[1] == ("a1 b1 c1", 5)
+        assert out[2] == ("a2 b2 c2", 5)
