@@ -2,12 +2,15 @@
 metadata (SURVEY.md §2.13 / BASELINE.json north-star).
 
 The Spark-side plumbing is real and tested — schemas, Arrow-batched
-``mapInPandas`` UDF signatures, batch shapes, partition sizing. The
-actual codec calls (PIL/ffmpeg/librosa) are STUBBED because the
-harness container ships no media libraries: each stub raises
+``mapInPandas`` UDF signatures, batch shapes, partition sizing. Codec
+calls that need PIL/ffmpeg/librosa are STUBBED because the harness
+container ships no media libraries: each stub raises
 ``NotImplementedError`` when a real decode is requested, and provides
 a deterministic fake (parsing our synthetic header format) so the
-distributed pipeline around it is exercised end-to-end.
+distributed pipeline around it is exercised end-to-end. One codec IS
+real: 24-bit BMP (encode/decode/nearest-neighbor resize in pure
+numpy, bottom of this file), so the image path also runs with real
+pixels.
 
 Scale notes: media rows are large and skewed — batch size is governed
 by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (bytes, not rows,
@@ -266,3 +269,127 @@ def binary_digest_arrow(
             )
 
     return df.select(id_col, payload_col).mapInArrow(_digest, schema=out_schema)
+
+
+# =====================================================================
+# Real codec: 24-bit uncompressed BMP (pure numpy — no media libs)
+# =====================================================================
+# One honest, dependency-free codec so the image path is exercised with
+# REAL pixels end-to-end: BMP is a fixed-layout format (14-byte file
+# header + 40-byte BITMAPINFOHEADER + bottom-up BGR rows padded to 4
+# bytes), decodable with struct + numpy alone. PIL/ffmpeg formats stay
+# stubbed (NotImplementedError above); everything downstream —
+# batching, resize, features — is identical code for any codec.
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BMP."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    # BMP stores bottom-up BGR
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB
+    array. Raises NotImplementedError for any other format — the same
+    contract as the stubbed codecs."""
+    if payload is None or payload[:2] != b"BM":
+        raise NotImplementedError("only 24-bit BMP is decodable without media libs")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp, compression = struct.unpack_from("<HI", payload, 28)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    flipped = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=offset)
+    rows = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if flipped:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def _nn_resize(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample via two fancy-index gathers."""
+    h, w, _ = px.shape
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return px[yi][:, xi]
+
+
+_BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_r", FloatType()),
+        StructField("mean_g", FloatType()),
+        StructField("mean_b", FloatType()),
+    ]
+)
+
+
+def decode_bmp_stats(media: DataFrame) -> DataFrame:
+    """Decode real BMP payloads and emit per-image pixel statistics —
+    the canonical decode→aggregate media stage, Arrow-batched."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp(payload)
+                means = px.reshape(-1, 3).mean(axis=0)
+                out["media_id"].append(mid)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["mean_r"].append(np.float32(means[0]))
+                out["mean_g"].append(np.float32(means[1]))
+                out["mean_b"].append(np.float32(means[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_stats, schema=_BMP_STATS_SCHEMA)
+
+
+def resize_bmp(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real pixel resize (nearest neighbor) with BMP re-encode; output
+    schema = input schema, so it composes with any downstream op."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_bmp(_nn_resize(decode_bmp(p), width, height))
+                for p in pdf["payload"]
+            ]
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["n_bytes"] = [len(p) for p in payloads]
+            yield out
+
+    return media.mapInPandas(_resize, schema=media.schema)
+
+
+def synth_bmp_table(spark: SparkSession, n: int = 50) -> DataFrame:
+    """Deterministic real-BMP corpus: gradient + id-seeded pattern
+    pixels, sized (16 + id % 17) × (12 + id % 13)."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + i % 17, 12 + i % 13
+        y, x = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [
+                (x * 255 // max(w - 1, 1)).astype(np.uint8),
+                (y * 255 // max(h - 1, 1)).astype(np.uint8),
+                ((x * y + i) % 256).astype(np.uint8),
+            ],
+            axis=2,
+        )
+        p = encode_bmp(px)
+        rows.append((i, "image", p, "image/bmp", len(p)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -83,3 +83,66 @@ def test_binary_digest_arrow_equals_pandas(spark, sf_dir):
     a = sorted(map(tuple, binary_digest(docs).collect()))
     b = sorted(map(tuple, binary_digest_arrow(docs).collect()))
     assert a == b and len(a) > 0
+
+
+class TestBmpCodec:
+    """Real 24-bit BMP codec (pure numpy): the one dependency-free
+    format where decode/resize run on REAL pixels, not header fakes."""
+
+    def test_roundtrip_identity(self):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import decode_bmp, encode_bmp
+
+        rng = np.random.default_rng(7)
+        for w, h in [(1, 1), (5, 3), (16, 12), (33, 21)]:  # incl. row-padding cases
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert (decode_bmp(encode_bmp(px)) == px).all()
+
+    def test_non_bmp_raises_not_implemented(self):
+        import pytest
+
+        from lakehouse_to_rag_spark.multimodal.ops import decode_bmp
+
+        with pytest.raises(NotImplementedError):
+            decode_bmp(b"\x89PNG____not_a_bmp")
+
+    def test_decode_stats_distributed(self, spark):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import (
+            decode_bmp,
+            decode_bmp_stats,
+            synth_bmp_table,
+        )
+
+        media = synth_bmp_table(spark, n=30)
+        got = {r["media_id"]: r for r in decode_bmp_stats(media).collect()}
+        assert len(got) == 30
+        # spot-check one image against a local decode
+        payload = media.filter("media_id = 7").collect()[0]["payload"]
+        px = decode_bmp(bytes(payload))
+        r = got[7]
+        assert (r["height"], r["width"]) == px.shape[:2]
+        assert abs(r["mean_r"] - px.reshape(-1, 3).mean(axis=0)[0]) < 1e-3
+
+    def test_resize_changes_pixels_not_just_header(self, spark):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import (
+            decode_bmp,
+            resize_bmp,
+            synth_bmp_table,
+        )
+
+        media = synth_bmp_table(spark, n=6)
+        out = resize_bmp(media, width=8, height=8).collect()
+        assert len(out) == 6
+        for row in out:
+            px = decode_bmp(bytes(row["payload"]))
+            assert px.shape == (8, 8, 3)
+        # resized content must come from the source image (gradient
+        # corner pixels survive nearest-neighbor)
+        src = decode_bmp(bytes(media.filter("media_id = 0").collect()[0]["payload"]))
+        dst = decode_bmp(bytes([r for r in out if r["media_id"] == 0][0]["payload"]))
+        assert (dst[0, 0] == src[0, 0]).all()
