@@ -670,3 +670,41 @@ def remove_duplicate_spans(
             (F.size("ws") - F.size(kept)).cast("long").alias("n_removed_words"),
         )
     )
+
+
+def per_group_cap(
+    df: DataFrame,
+    cap: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Absolute per-group document cap — the crawl-curation companion
+    to ``quality_prune``'s relative-fraction pruning: no group (domain,
+    feed, shard) may contribute more than ``cap`` documents, and the
+    kept ones are its highest-quality. Protects the mixture from a
+    single exploding source where a fraction-based rule would still
+    let it dominate.
+
+    Same one-exchange shape as quality_prune: rank by the ROUNDED
+    composite quality score (id tie-break → deterministic across
+    engines) inside each group, keep rank <= cap.
+    """
+    from pyspark.sql import Window
+
+    scored = quality_scores(
+        df, id_col=id_col, text_col=text_col, carry_cols=[group_col]
+    ).select(id_col, group_col, "quality_score")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("quality_score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= cap)
+        .select(
+            id_col,
+            group_col,
+            "quality_score",
+            F.col("rnk").cast("long").alias("quality_rank"),
+        )
+    )

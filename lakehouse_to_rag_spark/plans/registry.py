@@ -2807,6 +2807,35 @@ WHERE pr < 0.5
 """
 
 
+_PER_GROUP_CAP_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         ROUND(LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+             + (CAST(len(list_intersect(string_split(text, ' '), {_SW})) AS DOUBLE)
+                / len(string_split(text, ' '))) * 0.4
+             + (1.0 - LEAST((CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                             / LENGTH(text)) * 10.0, 1.0)) * 0.1, 4) AS quality_score
+  FROM documents
+), r AS (
+  SELECT doc_id, source, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, doc_id) AS rnk
+  FROM q
+)
+SELECT doc_id, source, quality_score, CAST(rnk AS BIGINT) AS quality_rank
+FROM r WHERE rnk <= 10
+"""
+
+
+@_q("per_group_cap", _PER_GROUP_CAP_ORACLE)
+def per_group_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute per-source cap (crawl-style domain limiting): keep each
+    source's top 10 documents by composite quality — one exchange on
+    the group key, deterministic id tie-breaks."""
+    d = load_table(spark, sf_dir, "documents")
+    return ta.per_group_cap(d, cap=10)
+
+
 @_q("quality_prune", _QUALITY_PRUNE_ORACLE)
 def quality_prune_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile quality pruning: keep each source's top half of

@@ -172,6 +172,7 @@ def test_headline_plan_count_regression(spark, sf_dir):
         "quality_prune": (1, 1),
         # corpus-assembly ops: broadcast the small side (bit positions /
         # rates / fingerprints), never sort-merge the corpus
+        "per_group_cap": (1, 1),
         "bloom_decontaminate": (2, 3),
         "training_shuffle": (1, 1),
         "domain_mix": (2, 4),
