@@ -158,3 +158,68 @@ def run_custom_query(spark: SparkSession, sql: str) -> DataFrame:
     """Pass-through SQL entry (duckdb_queries.py:131-136 parity).
     Views must be registered first (sources.register_views)."""
     return spark.sql(sql)
+
+
+def count_min_heavy_hitters(
+    df,
+    key_col: str = "user_id",
+    width: int = 256,
+    depth: int = 3,
+    top_k: int = 20,
+):
+    """Engine-portable count-min sketch + heavy-hitter probe.
+
+    The sketch is a SPARSE (row_i, bucket, count) table — depth md5
+    bucket hashes per key, one partial-aggregatable groupBy — instead
+    of the JVM binary ``count_min_sketch`` (which no SQL function can
+    query or merge outside the JVM). Size is bounded by depth×width
+    rows no matter the corpus; merging snapshots is summing counts per
+    (row_i, bucket); estimating ANY key needs only this table, never
+    the raw data. estimate = min over rows of the key's bucket count —
+    the classic over-estimate-only CMS bound (≤ true + eps·N with
+    eps ≈ e/width at confidence 1 - (1/e)^depth).
+
+    The returned frame carries the exact top-``top_k`` keys with true
+    and estimated counts side by side, so the error is visible (and
+    oracle-checkable) rather than hidden behind the sketch.
+    """
+    from lakehouse_to_rag_spark.operators.curation import md5_bucket
+
+    key = F.col(key_col)
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row_i"),
+                    md5_bucket(key, f"cms{i}:", width).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    sketch = (
+        df.select(rb.alias("rb"))
+        .select("rb.row_i", "rb.bucket")
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc(key_col))
+        .limit(top_k)
+    )
+    for i in range(depth):
+        side = sketch.filter(F.col("row_i") == i).select(
+            F.col("bucket").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+        )
+        probes = probes.withColumn(
+            f"b{i}", md5_bucket(key, f"cms{i}:", width)
+        ).join(F.broadcast(side), f"b{i}")
+    return probes.select(
+        key_col,
+        F.col("true_count").cast("long").alias("true_count"),
+        F.least(*[F.col(f"c{i}") for i in range(depth)])
+        .cast("long")
+        .alias("cms_estimate"),
+    )

@@ -2180,6 +2180,61 @@ def duplicate_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.duplicate_ngram_spans(load_table(spark, sf_dir, "documents"))
 
 
+def _cms_bucket_sql(i: int) -> str:
+    return (
+        f"('0x' || substr(md5('cms{i}:' || CAST(user_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT % 256"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH pb AS (
+  SELECT user_id,
+         {_cms_bucket_sql(0)} AS b0,
+         {_cms_bucket_sql(1)} AS b1,
+         {_cms_bucket_sql(2)} AS b2,
+         COUNT(*) AS cnt
+  FROM events GROUP BY user_id
+), probes AS (
+  SELECT user_id, b0, b1, b2, cnt AS true_count
+  FROM pb ORDER BY cnt DESC, user_id LIMIT 20
+), sk AS (
+  SELECT row_i, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT u.row_i,
+           CASE u.row_i
+             WHEN 0 THEN {_cms_bucket_sql(0)}
+             WHEN 1 THEN {_cms_bucket_sql(1)}
+             ELSE {_cms_bucket_sql(2)}
+           END AS bucket
+    FROM events, (SELECT UNNEST(range(0, 3)) AS row_i) u
+  ) GROUP BY row_i, bucket
+)
+SELECT p.user_id,
+       CAST(p.true_count AS BIGINT) AS true_count,
+       CAST(LEAST(s0.c, s1.c, s2.c) AS BIGINT) AS cms_estimate
+FROM probes p
+JOIN sk s0 ON s0.row_i = 0 AND s0.bucket = p.b0
+JOIN sk s1 ON s1.row_i = 1 AND s1.bucket = p.b1
+JOIN sk s2 ON s2.row_i = 2 AND s2.bucket = p.b2
+"""
+
+
+@_q("events_heavy_hitters", _CMS_ORACLE)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable count-min sketch heavy hitters: the sketch is a SPARSE
+    (row, bucket, count) table built with md5 bucket hashes — depth 3 ×
+    width 256 here — so it is engine-portable (unlike the JVM binary
+    ``count_min_sketch``, which has no SQL query function), mergeable
+    by summing counts per (row, bucket), and the estimate for any key
+    is min over rows of its bucket count (over-estimate only, bounded
+    by eps·N). Probes are the exact top-20 users; the entry returns
+    true count and CMS estimate side by side, both oracle-checked."""
+    e = load_table(spark, sf_dir, "events")
+    return analytics.count_min_heavy_hitters(
+        e, key_col="user_id", width=256, depth=3, top_k=20
+    )
+
+
 @_q("events_approx_stats")  # no oracle: sketch outputs are estimates;
 # accuracy is bounded by tests/test_properties.py::test_approx_stats_bounds
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -285,3 +285,55 @@ def test_applyinpandas_ols_matches_sql_regression(spark, sf_dir):
         assert n1 == n2
         assert abs(s1 - s2) < 1e-3, (u, s1, s2)
         assert abs(r1 - r2_) < 1e-3, (u, r1, r2_)
+
+
+def test_count_min_heavy_hitters_bounds(spark, sf_dir):
+    """CMS invariants: estimate is NEVER below the true count (min of
+    over-counted buckets), and the sparse sketch table is bounded by
+    depth × width rows regardless of corpus size; sketches of disjoint
+    halves merged by summing (row_i, bucket) counts equal the
+    whole-corpus sketch (mergeability)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_to_rag_spark.operators.analytics import (
+        count_min_heavy_hitters,
+    )
+    from lakehouse_to_rag_spark.operators.curation import md5_bucket
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    out = count_min_heavy_hitters(e, width=64, depth=3, top_k=50).collect()
+    assert len(out) > 0
+    assert all(r["cms_estimate"] >= r["true_count"] for r in out)
+
+    def sketch(df):
+        rb = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        md5_bucket(F.col("user_id"), f"cms{i}:", 64).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(3)
+                ]
+            )
+        )
+        return (
+            df.select(rb.alias("rb"))
+            .select("rb.row_i", "rb.bucket")
+            .groupBy("row_i", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    whole = {(r["row_i"], r["bucket"]): r["c"] for r in sketch(e).collect()}
+    assert len(whole) <= 3 * 64
+    ha = sketch(e.filter(F.col("event_id") % 2 == 0)).collect()
+    hb = sketch(e.filter(F.col("event_id") % 2 == 1)).collect()
+    merged: dict = {}
+    for rows in (ha, hb):
+        for r in rows:
+            k = (r["row_i"], r["bucket"])
+            merged[k] = merged.get(k, 0) + r["c"]
+    assert merged == whole
