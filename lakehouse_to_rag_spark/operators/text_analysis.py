@@ -708,3 +708,59 @@ def per_group_cap(
             F.col("rnk").cast("long").alias("quality_rank"),
         )
     )
+
+
+def tokenize_to_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    oov_id: int = -1,
+) -> DataFrame:
+    """Map each document to its token-id sequence under the corpus
+    vocabulary (``vocab_builder``'s frequency-ranked ids) — the step
+    between vocabulary induction and ``sequence_pack``: what a
+    training pipeline materializes as its tokenized shards.
+
+    Shape: posexplode to (doc, pos, word) — the corpus-sized relation
+    tokenization inherently is — one BROADCAST join against the
+    bounded vocabulary (~1e6 rows post-min_count at any corpus size),
+    unknown words → ``oov_id``, then one groupBy(doc) reassembles the
+    sequence via sort_array(struct(pos, tid)) with no window and no
+    second exchange. Output carries the sequence as a space-joined
+    string (engine-portable value equality) plus token/OOV counts.
+    """
+    vocab = vocab_builder(df, text_col=text_col, min_count=min_count)
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.filter(
+                    F.split(F.col(text_col), " ", -1),
+                    lambda w: F.length(w) > 0,
+                )
+            ).alias("pos", "word"),
+        )
+        .join(F.broadcast(vocab.select("word", "token_id")), "word", "left")
+        .select(
+            "id",
+            "pos",
+            F.coalesce(F.col("token_id"), F.lit(oov_id)).alias("tid"),
+        )
+    )
+    seq = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+        lambda s: s["tid"].cast("string"),
+    )
+    return (
+        toks.groupBy("id")
+        .agg(
+            F.array_join(seq, " ").alias("token_ids"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum((F.col("tid") == oov_id).cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(F.col("id").alias(id_col), "token_ids", "n_tokens", "n_oov")
+    )

@@ -2149,6 +2149,48 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.vocab_builder(load_table(spark, sf_dir, "documents"))
 
 
+_TOKENIZE_ORACLE = """
+WITH counts AS (
+  SELECT w AS word, COUNT(*) AS n
+  FROM (
+    SELECT unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE text IS NOT NULL
+  )
+  WHERE LENGTH(w) > 0
+  GROUP BY w
+  HAVING COUNT(*) >= 5
+), vocab AS (
+  SELECT word, ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) - 1 AS token_id
+  FROM counts
+), d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> LENGTH(x) > 0) AS ws
+  FROM documents WHERE text IS NOT NULL
+), tok AS (
+  SELECT d.doc_id, t.i AS pos, ws[t.i] AS word
+  FROM d, UNNEST(range(1, len(ws) + 1)) AS t(i)
+), joined AS (
+  SELECT tok.doc_id, tok.pos, COALESCE(v.token_id, -1) AS tid
+  FROM tok LEFT JOIN vocab v ON v.word = tok.word
+)
+SELECT doc_id,
+       string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS token_ids,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM joined
+GROUP BY doc_id
+"""
+
+
+@_q("tokenize_to_ids", _TOKENIZE_ORACLE)
+def tokenize_to_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vocabulary tokenization: each doc's frequency-ranked
+    token-id sequence (OOV = -1), one broadcast vocab join + one
+    reassembly groupBy — the materialization step between
+    vocab_top_tokens and sequence_pack, oracle-checked end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    return ta.tokenize_to_ids(d, min_count=5)
+
+
 _DUP_SPANS_ORACLE = """
 WITH ws AS (
   SELECT doc_id,
