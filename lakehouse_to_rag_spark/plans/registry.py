@@ -3259,11 +3259,11 @@ _DRIVER_WINDOW: list[str] = [
     "lang_id",
     "quality_scores",
     "token_counts",
-    "doc_fingerprint",
+    "tokenize_to_ids",
     "tfidf_top_terms",
     "pii_redaction",
     "contamination_check",
-    "curation_pipeline",
+    "bigram_lm_scores",
     "repetition_scores",
     "train_split_assign",
     # span REMOVAL subsumes the detection pipeline it builds on, so it
@@ -3279,7 +3279,7 @@ _DRIVER_WINDOW: list[str] = [
     # multimodal plumbing
     "multimodal_digest",
     # mergeable sketches (DataSketches rollup twin demoted)
-    "events_approx_stats",
+    "events_heavy_hitters",
     # skew tooling
     "salted_user_stats",
     # python extension points (UDTF; the pandas-UDAF twin demoted)
