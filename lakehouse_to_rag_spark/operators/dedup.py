@@ -995,7 +995,12 @@ def _tf_cosine_dense(
                     {
                         "id_a": np.minimum(ida[s:e][ai], idb[bj]),
                         "id_b": np.maximum(ida[s:e][ai], idb[bj]),
-                        "cosine": np.round(sims[ai, bj], 4),
+                        # half-AWAY-from-zero (sims >= threshold >= 0
+                        # here: integer TF counts make cosine
+                        # non-negative), matching F.round / DuckDB
+                        # ROUND — np.round's half-to-even would diverge
+                        # on an exact .xxxx5 boundary
+                        "cosine": np.floor(sims[ai, bj] * 1e4 + 0.5) / 1e4,
                     }
                 )
             )
@@ -1174,6 +1179,13 @@ def tf_cosine_pairs(
     # integer counts are exact in float64 below 2^53). Zipfian
     # corpora with real vocabularies take the prefix-filter branch.
     nv = freq.count()
+    if nv == 0:
+        # all-empty/whitespace corpus: no terms, no pairs — short-
+        # circuit instead of letting the dense branch divide by nv
+        return df.sparkSession.createDataFrame(
+            [],
+            "id_a long, id_b long, cosine double",
+        )
     if nv <= dense_vocab_limit:
         if dense_block_rows is None:
             # size blocks so one int32 blob stays ~16 MB regardless of

@@ -106,6 +106,11 @@ def _gemm_assign(
             n = np.linalg.norm(m, axis=1)
             n[n == 0] = np.nan
             sims = (m @ cmat.T) / n[:, None] / cnorm[None, :]
+            # round to 12dp before the argmax so a near-tie (last-ulp
+            # summation-order gap between engines) collapses to an
+            # exact tie that the smallest-centroid-id rule resolves
+            # identically everywhere — the oracle rounds the same way
+            sims = np.round(sims, 12)
             out = pdf[[id_col, vec_col]].copy()
             out["cluster"] = cids[np.nanargmax(sims, axis=1)]
             yield out
@@ -157,7 +162,11 @@ def _query_probes(
             "query_id",
             "qvec",
             "centroid_id",
-            cosine_similarity(F.col("qvec"), F.col("cvec")).alias("qcsim"),
+            # 12dp tolerance: near-tie probe selection must resolve by
+            # centroid_id identically in every engine (oracle matches)
+            F.round(
+                cosine_similarity(F.col("qvec"), F.col("cvec")), 12
+            ).alias("qcsim"),
         )
         .withColumn("pr", F.row_number().over(probe_w))
         .filter(F.col("pr") <= nprobe)
@@ -476,7 +485,11 @@ def ivf_topk_kmeans(
             "query_id",
             "qvec",
             "centroid_id",
-            cosine_similarity(F.col("qvec"), F.col("cvec")).alias("qcsim"),
+            # 12dp tolerance: near-tie probe selection must resolve by
+            # centroid_id identically in every engine (oracle matches)
+            F.round(
+                cosine_similarity(F.col("qvec"), F.col("cvec")), 12
+            ).alias("qcsim"),
         )
         .withColumn("pr", F.row_number().over(probe_w))
         .filter(F.col("pr") <= nprobe)

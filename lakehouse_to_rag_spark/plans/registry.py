@@ -675,10 +675,12 @@ WITH e AS (
 ), cent AS (
   SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16
 ), asg AS (
+  -- assignment sims rounded to 12dp (both engines): a last-ulp
+  -- near-tie collapses to an exact tie resolved by centroid_id
   SELECT vec_id, v, centroid_id AS cluster FROM (
     SELECT e.vec_id, e.v, c.centroid_id,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+             ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 12) DESC,
                       c.centroid_id ASC) AS rn
     FROM e CROSS JOIN cent c
   ) WHERE rn = 1
@@ -686,7 +688,7 @@ WITH e AS (
   SELECT query_id, qv, centroid_id AS cluster FROM (
     SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+             ORDER BY ROUND(list_cosine_similarity(q.v, c.cv), 12) DESC,
                       c.centroid_id ASC) AS rn
     FROM e q CROSS JOIN cent c WHERE q.vec_id < 10
   ) WHERE rn <= 4
@@ -710,9 +712,12 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Untrained-quantizer IVF probe. Every step is deterministic
     (centroids = first 16 ids, argmax assignment with smallest-id
     ties, nprobe=4 probes, rounded ranking), so the full pipeline —
-    assignment, probing, pruned scoring — is reproduced by the oracle;
-    only sub-ulp float summation order separates engines, absorbed by
-    ordering gaps and the 4dp round."""
+    assignment, probing, pruned scoring — is reproduced by the oracle.
+    Sub-ulp float summation-order gaps between engines are absorbed at
+    every ranking step: assignment and probe-selection sims round to
+    12dp BEFORE their ROW_NUMBER tie-breaks (both engines, so a
+    near-tie resolves by centroid_id identically) and final scores
+    round to 4dp."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return simi.ivf_topk(e, queries, k=5, num_centroids=16, nprobe=4)

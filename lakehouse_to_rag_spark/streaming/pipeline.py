@@ -252,10 +252,14 @@ def incremental_dedup_stream(
        table (fingerprints only — re-resolved per micro-batch, so a
        compaction/upsert of the fingerprint table is picked up on the
        next trigger; the static side broadcasts when it fits).
-    2. watermark-bounded ``dropDuplicates`` on the fingerprint for
+    2. ``dropDuplicatesWithinWatermark`` on the fingerprint for
        intra-stream dups (the batch keep-first-by-id window becomes
-       keep-first-ARRIVAL — the only order a stream can honor; state
-       expires with the watermark instead of growing forever).
+       keep-first-ARRIVAL — the only order a stream can honor).
+       ``dropDuplicates`` on a non-event-time subset would grow its
+       state store forever (Spark only evicts dedup state when the
+       event-time column is part of the subset); the within-watermark
+       variant evicts each fingerprint's state once the watermark
+       passes its first arrival, so state is bounded by the dup window.
 
     ``snapshot_fps`` must carry a ``content_fp`` column (build it with
     ``curation.incremental_dedup``'s fingerprint: md5 of normalized
@@ -272,7 +276,7 @@ def incremental_dedup_stream(
         )
         .join(snapshot_fps.select("content_fp"), "content_fp", "left_anti")
         .withWatermark(watermark_col, watermark_delay)
-        .dropDuplicates(["content_fp"])
+        .dropDuplicatesWithinWatermark(["content_fp"])
     )
 
 

@@ -256,3 +256,18 @@ def test_tf_cosine_dense_multiblock_matches_single_block(spark, sf_dir):
             ).collect()}
     assert one == many
     assert one  # threshold 0.9 must catch the planted near-dups
+
+
+def test_tf_cosine_empty_vocabulary_returns_empty(spark):
+    """An all-empty/whitespace corpus has zero distinct terms; the
+    dense-regime dispatch (nv <= limit) must short-circuit to an
+    empty pair set instead of dividing block size by nv == 0."""
+    from lakehouse_to_rag_spark.operators.dedup import tf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "\t\n")],
+        "doc_id long, text string",
+    )
+    out = tf_cosine_pairs(docs, "doc_id", "text", 0.8)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
