@@ -7,10 +7,12 @@ calls that need PIL/ffmpeg/librosa are STUBBED because the harness
 container ships no media libraries: each stub raises
 ``NotImplementedError`` when a real decode is requested, and provides
 a deterministic fake (parsing our synthetic header format) so the
-distributed pipeline around it is exercised end-to-end. One codec IS
-real: 24-bit BMP (encode/decode/nearest-neighbor resize in pure
-numpy, bottom of this file), so the image path also runs with real
-pixels.
+distributed pipeline around it is exercised end-to-end. Two codecs
+ARE real: 24-bit BMP (pure numpy) and non-interlaced 8-bit RGB/RGBA
+PNG (stdlib zlib, all five scanline filters on decode) — both at the
+bottom of this file — so the image path (metadata, stats, resize,
+features) runs with real pixels in two formats. JPEG/video remain
+stubbed (they genuinely need libjpeg/ffmpeg).
 
 Scale notes: media rows are large and skewed — batch size is governed
 by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (bytes, not rows,
@@ -72,13 +74,25 @@ def synth_media_table(spark: SparkSession, n: int = 100) -> DataFrame:
 
 
 def _parse_header(payload: bytes) -> tuple[int, int, int]:
-    if payload is None or not payload.startswith(_MAGIC):
-        raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg (not in this container); "
-            "only SYNM synthetic payloads are decodable here"
-        )
-    w, h, frames = struct.unpack_from("<III", payload, len(_MAGIC))
-    return w, h, frames
+    """(width, height, n_frames) from a payload HEADER alone — no
+    pixel decode. Understands the SYNM synthetic format plus the two
+    real codecs at the bottom of this file (24-bit BMP, 8-bit PNG), so
+    ``decode_metadata`` is format-aware wherever a real decoder
+    exists; everything else needs PIL/ffmpeg and raises."""
+    if payload is not None and payload.startswith(_MAGIC):
+        w, h, frames = struct.unpack_from("<III", payload, len(_MAGIC))
+        return w, h, frames
+    if payload is not None and payload[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return w, abs(h), 1
+    if payload is not None and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is always the first chunk: sig(8) len(4) tag(4) W H ...
+        w, h = struct.unpack_from(">II", payload, 16)
+        return w, h, 1
+    raise NotImplementedError(
+        "real media decode requires PIL/ffmpeg (not in this container); "
+        "only SYNM/BMP/PNG payloads are decodable here"
+    )
 
 
 _DECODED_SCHEMA = StructType(
@@ -116,14 +130,20 @@ def decode_metadata(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: rewrites the synthetic header to the target size
-    (a real impl would transcode pixels via PIL here). Output schema =
-    input schema — resize composes with any downstream media op."""
+    """Resize: REAL pixel resample (nearest neighbor) for payloads
+    with a real codec (BMP/PNG — decode, resample, re-encode in the
+    same format); header rewrite for SYNM synthetic payloads (the
+    stub a PIL transcode would replace). Output schema = input
+    schema — resize composes with any downstream media op."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def _one(p: bytes) -> bytes:
-                _parse_header(p)  # validates / raises for real formats
+                _parse_header(p)  # validates / raises for unknown formats
+                if not p.startswith(_MAGIC):
+                    return encode_image_like(
+                        _nn_resize(decode_image(p), width, height), p
+                    )
                 _, _, frames = struct.unpack_from("<III", p, len(_MAGIC))
                 return _MAGIC + struct.pack("<III", width, height, frames) + p[16:]
 
@@ -173,17 +193,27 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
-    """Feature extraction stub: deterministic pseudo-embedding from the
-    payload bytes (a real impl would run a vision/audio encoder).
-    Output feeds directly into operators.similarity / dedup.embedding —
-    the array<float> contract is the real interface."""
+    """Feature extraction: for payloads with a real codec (BMP/PNG)
+    the embedding is a REAL pixel feature — the image resampled to a
+    fixed grid, channel-interleaved, L2-normalized (the classic
+    tiny-thumbnail descriptor; deterministic, resolution-invariant-ish,
+    and meaningful for near-dup detection). SYNM payloads keep the
+    deterministic byte-hash pseudo-embedding (a real impl would run a
+    vision/audio encoder there). Output feeds directly into
+    operators.similarity / dedup.embedding — the array<float>
+    contract is the real interface."""
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _embed(payload: pd.Series) -> pd.Series:
         def _one(p: bytes) -> list[float]:
             _parse_header(p)
-            rng = np.frombuffer(p[: 16 + 64].ljust(80, b"\0"), dtype=np.uint8)
-            v = np.resize(rng.astype(np.float32), dim)
+            if not p.startswith(_MAGIC):
+                px = decode_image(p)[:, :, :3].astype(np.float32)
+                side = max(1, int(np.sqrt(dim / 3.0)))
+                v = np.resize(_nn_resize(px, side, side).ravel(), dim)
+            else:
+                rng = np.frombuffer(p[: 16 + 64].ljust(80, b"\0"), dtype=np.uint8)
+                v = np.resize(rng.astype(np.float32), dim)
             n = float(np.sqrt((v * v).sum()))
             return (v / n if n else v).tolist()
 
@@ -316,6 +346,142 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
+# =====================================================================
+# Real codec #2: PNG (stdlib zlib + struct + numpy — no media libs)
+# =====================================================================
+# Non-interlaced 8-bit-per-channel RGB/RGBA PNG. Encode emits
+# filter-0 scanlines in one zlib stream; decode handles ALL five
+# scanline filters (None/Sub/Up/Average/Paeth), so PNGs produced by
+# real encoders — which pick filters per row — decode too, not just
+# our own output. Same contract as the BMP codec: any unsupported
+# shape raises NotImplementedError.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w, 4) RGBA uint8 array as a
+    non-interlaced 8-bit PNG (filter 0 scanlines, one IDAT)."""
+    import zlib
+
+    h, w, ch = pixels.shape
+    if ch not in (3, 4):
+        raise NotImplementedError("encode_png supports RGB/RGBA only")
+    color_type = 2 if ch == 3 else 6
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.empty((h, 1 + w * ch), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type None per scanline
+    raw[:, 1:] = pixels.reshape(h, w * ch)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering: sequential over rows (Up/Average/
+    Paeth reference the prior reconstructed row), vectorized across
+    each row where the filter allows."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rows = raw.reshape(h, 1 + stride)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 1:  # Sub = per-channel cumulative sum mod 256
+            cur = (
+                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(-1).astype(np.int32)
+        elif ft in (3, 4):  # Average / Paeth: left+up sequential
+            cur = line.copy()
+            if ft == 3:
+                for x in range(stride):
+                    left = cur[x - bpp] if x >= bpp else 0
+                    cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ft} is invalid")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit RGB/RGBA PNG into an (h, w, 3|4)
+    uint8 array. Raises NotImplementedError for anything else
+    (palette, 16-bit, interlaced) — same contract as decode_bmp."""
+    import zlib
+
+    if payload is None or payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload")
+    pos, idat, meta = len(_PNG_SIG), [], None
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + tag + body + crc
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if meta is None or not idat:
+        raise NotImplementedError("malformed PNG (missing IHDR/IDAT)")
+    w, h, depth, color_type, comp, filt, interlace = meta
+    if depth != 8 or color_type not in (2, 6) or comp or filt or interlace:
+        raise NotImplementedError(
+            "only non-interlaced 8-bit RGB/RGBA PNG decodable without media libs"
+        )
+    ch = 3 if color_type == 2 else 4
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + stride):
+        raise NotImplementedError("PNG scanline payload size mismatch")
+    return _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-dispatch decode over the real codecs (24-bit BMP, 8-bit
+    RGB/RGBA PNG). The pipeline stages below call THIS, so every stage
+    runs unchanged over any format with a real decoder; unsupported
+    formats raise NotImplementedError exactly like the PIL/ffmpeg
+    stubs."""
+    if payload is not None and payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
+    return decode_bmp(payload)
+
+
+def encode_image_like(pixels: np.ndarray, original: bytes) -> bytes:
+    """Re-encode pixels in the ORIGINAL payload's format — keeps
+    resize/transcode stages format-preserving."""
+    if original[: len(_PNG_SIG)] == _PNG_SIG:
+        return encode_png(pixels)
+    return encode_bmp(pixels[:, :, :3])
+
+
 def _nn_resize(px: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample via two fancy-index gathers."""
     h, w, _ = px.shape
@@ -336,15 +502,16 @@ _BMP_STATS_SCHEMA = StructType(
 )
 
 
-def decode_bmp_stats(media: DataFrame) -> DataFrame:
-    """Decode real BMP payloads and emit per-image pixel statistics —
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """Decode real image payloads (any format ``decode_image``
+    dispatches — BMP and PNG) and emit per-image pixel statistics —
     the canonical decode→aggregate media stage, Arrow-batched."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_bmp(payload)
+                px = decode_image(payload)[:, :, :3]
                 means = px.reshape(-1, 3).mean(axis=0)
                 out["media_id"].append(mid)
                 out["height"].append(px.shape[0])
@@ -357,14 +524,15 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_stats, schema=_BMP_STATS_SCHEMA)
 
 
-def resize_bmp(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Real pixel resize (nearest neighbor) with BMP re-encode; output
-    schema = input schema, so it composes with any downstream op."""
+def resize_real_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real pixel resize (nearest neighbor) with format-preserving
+    re-encode (BMP stays BMP, PNG stays PNG); output schema = input
+    schema, so it composes with any downstream op."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                encode_bmp(_nn_resize(decode_bmp(p), width, height))
+                encode_image_like(_nn_resize(decode_image(p), width, height), p)
                 for p in pdf["payload"]
             ]
             out = pdf.copy()
@@ -393,3 +561,28 @@ def synth_bmp_table(spark: SparkSession, n: int = 50) -> DataFrame:
         p = encode_bmp(px)
         rows.append((i, "image", p, "image/bmp", len(p)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_png_table(spark: SparkSession, n: int = 50) -> DataFrame:
+    """Deterministic real-PNG corpus: same pixel recipe as the BMP
+    table (so cross-format tests can compare decoded pixels), RGBA on
+    every third image to exercise the 4-channel path."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + i % 17, 12 + i % 13
+        y, x = np.mgrid[0:h, 0:w]
+        chans = [
+            (x * 255 // max(w - 1, 1)).astype(np.uint8),
+            (y * 255 // max(h - 1, 1)).astype(np.uint8),
+            ((x * y + i) % 256).astype(np.uint8),
+        ]
+        if i % 3 == 0:
+            chans.append(((x + y + i) % 256).astype(np.uint8))
+        p = encode_png(np.stack(chans, axis=2))
+        rows.append((i, "image", p, "image/png", len(p)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# Backward-compatible aliases from the BMP-only era of this module.
+decode_bmp_stats = decode_image_stats
+resize_bmp = resize_real_images

@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from lakehouse_to_rag_spark.functions.text import ENGLISH_STOPWORDS, STOPWORDS
 from lakehouse_to_rag_spark.operators import analytics
@@ -2063,6 +2064,83 @@ def multimodal_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return binary_digest(payloads)
+
+
+_PNG_STATS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 9 AS BIGINT) AS w,
+         CAST(6 + doc_id % 7 AS BIGINT) AS h
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.w, d.h, x.range AS x, y.range AS y
+  FROM d, range(17) x, range(13) y
+  WHERE x.range < d.w AND y.range < d.h
+)
+SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+       CAST(SUM((x * 255) // (w - 1)) AS DOUBLE) / COUNT(*) AS mean_r,
+       CAST(SUM((y * 255) // (h - 1)) AS DOUBLE) / COUNT(*) AS mean_g,
+       CAST(SUM((x * y + doc_id) % 256) AS DOUBLE) / COUNT(*) AS mean_b
+FROM px
+GROUP BY doc_id
+"""
+
+
+@_q("png_pixel_stats", _PNG_STATS_ORACLE)
+def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stdlib PNG codec oracle-gated end-to-end: per doc_id,
+    synthesize a deterministic gradient image, ENCODE it as a real
+    PNG, DECODE those bytes back, and emit pixel-mean stats from the
+    decoded array — all inside an Arrow-batched mapInPandas. DuckDB
+    derives the identical means in closed form from the pixel recipe,
+    so any corruption anywhere in encode->zlib->decode->unfilter
+    changes a mean and fails the hash. Means are exact integer-sum /
+    count divisions — bit-identical doubles on both engines, no
+    rounding needed."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_to_rag_spark.multimodal.ops import decode_png, encode_png
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("mean_r", DoubleType()),
+            StructField("mean_g", DoubleType()),
+            StructField("mean_b", DoubleType()),
+        ]
+    )
+
+    def _stats(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 9, 6 + i % 7
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (x * 255 // (w - 1)).astype(np.uint8),
+                        (y * 255 // (h - 1)).astype(np.uint8),
+                        ((x * y + i) % 256).astype(np.uint8),
+                    ],
+                    axis=2,
+                )
+                dec = decode_png(encode_png(px)).astype(np.int64)
+                out["doc_id"].append(i)
+                out["height"].append(dec.shape[0])
+                out["width"].append(dec.shape[1])
+                npix = dec.shape[0] * dec.shape[1]
+                out["mean_r"].append(dec[:, :, 0].sum() / npix)
+                out["mean_g"].append(dec[:, :, 1].sum() / npix)
+                out["mean_b"].append(dec[:, :, 2].sum() / npix)
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_stats, schema=out_schema)
 
 
 _Q20_ORACLE = """

@@ -146,3 +146,170 @@ class TestBmpCodec:
         src = decode_bmp(bytes(media.filter("media_id = 0").collect()[0]["payload"]))
         dst = decode_bmp(bytes([r for r in out if r["media_id"] == 0][0]["payload"]))
         assert (dst[0, 0] == src[0, 0]).all()
+
+
+class TestPngCodec:
+    """Stdlib PNG codec: roundtrip, filter coverage, and the full
+    distributed pipeline (metadata/stats/resize/features) over real
+    PNG pixels."""
+
+    def test_roundtrip_rgb_and_rgba(self):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import decode_png, encode_png
+
+        rng = np.random.default_rng(7)
+        for shape in [(1, 1, 3), (5, 3, 3), (12, 17, 3), (9, 4, 4), (33, 31, 4)]:
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            assert (decode_png(encode_png(px)) == px).all()
+
+    def test_decode_all_scanline_filters(self):
+        """Hand-build a PNG whose rows use filters 0-4 and check the
+        decoder against an independent straight-line reference
+        implementation (real encoders pick filters per row, so the
+        decoder must handle all five, not just our filter-0 output)."""
+        import struct as st
+        import zlib
+
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import _PNG_SIG, decode_png
+
+        rng = np.random.default_rng(11)
+        w, h, ch = 9, 5, 3
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).astype(int)
+        filters = [0, 1, 2, 3, 4]
+
+        # reference FORWARD filtering (per PNG spec, plain loops)
+        stride = w * ch
+        flat = px.reshape(h, stride)
+        raw = bytearray()
+        for y, ft in enumerate(filters):
+            raw.append(ft)
+            for x in range(stride):
+                cur = flat[y][x]
+                a = flat[y][x - ch] if x >= ch else 0
+                b = flat[y - 1][x] if y > 0 else 0
+                c = flat[y - 1][x - ch] if y > 0 and x >= ch else 0
+                if ft == 0:
+                    v = cur
+                elif ft == 1:
+                    v = cur - a
+                elif ft == 2:
+                    v = cur - b
+                elif ft == 3:
+                    v = cur - ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = cur - pred
+                raw.append(v & 0xFF)
+
+        def chunk(tag, body):
+            return (
+                st.pack(">I", len(body)) + tag + body
+                + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            _PNG_SIG
+            + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        assert (decode_png(payload) == px).all()
+
+    def test_unsupported_png_shapes_raise(self):
+        import struct as st
+        import zlib
+
+        import pytest
+
+        from lakehouse_to_rag_spark.multimodal.ops import _PNG_SIG, decode_png
+
+        def chunk(tag, body):
+            return (
+                st.pack(">I", len(body)) + tag + body
+                + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        # palette color type (3) is out of scope
+        pal = (
+            _PNG_SIG
+            + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            decode_png(pal)
+        with pytest.raises(NotImplementedError):
+            decode_png(b"BMnot_a_png")
+
+    def test_png_pipeline_distributed(self, spark):
+        """metadata -> stats -> resize -> features over a mixed
+        BMP+PNG corpus: every stage dispatches per payload format."""
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import (
+            decode_image,
+            decode_image_stats,
+            decode_metadata,
+            extract_features,
+            resize_real_images,
+            synth_bmp_table,
+            synth_png_table,
+        )
+
+        bmp = synth_bmp_table(spark, n=10)
+        png = synth_png_table(spark, n=10).withColumn(
+            "media_id", F.col("media_id") + 100
+        )
+        media = bmp.unionByName(png)
+
+        meta = {r["media_id"]: r for r in decode_metadata(media).collect()}
+        assert len(meta) == 20
+        payload7 = bytes(png.filter("media_id = 107").collect()[0]["payload"])
+        px7 = decode_image(payload7)
+        assert (meta[107]["height"], meta[107]["width"]) == px7.shape[:2]
+
+        stats = {r["media_id"]: r for r in decode_image_stats(media).collect()}
+        assert abs(
+            stats[107]["mean_r"] - px7[:, :, :3].reshape(-1, 3).mean(axis=0)[0]
+        ) < 1e-3
+
+        out = resize_real_images(media, width=8, height=6).collect()
+        assert len(out) == 20
+        for row in out:
+            px = decode_image(bytes(row["payload"]))
+            assert px.shape[:2] == (6, 8)
+            # format preserved
+            is_png = bytes(row["payload"])[:4] == b"\x89PNG"[:4]
+            assert is_png == (row["media_id"] >= 100)
+
+        emb = extract_features(media, dim=48).collect()
+        assert len(emb) == 20
+        for r in emb:
+            v = np.array(r["embedding"], dtype=np.float32)
+            assert v.shape == (48,) and abs(float((v * v).sum()) - 1.0) < 1e-3
+
+    def test_png_bmp_same_pixels_same_features(self, spark):
+        """The BMP and PNG synth tables share the pixel recipe; for
+        RGB images the real-pixel feature extractor must therefore
+        produce identical embeddings regardless of container format."""
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import (
+            extract_features,
+            synth_bmp_table,
+            synth_png_table,
+        )
+
+        bmp = synth_bmp_table(spark, n=9)
+        png = synth_png_table(spark, n=9)
+        fb = {r["media_id"]: r["embedding"] for r in extract_features(bmp, dim=27).collect()}
+        fp = {r["media_id"]: r["embedding"] for r in extract_features(png, dim=27).collect()}
+        rgb_ids = [i for i in range(9) if i % 3 != 0]  # RGBA thirds differ
+        assert rgb_ids
+        for i in rgb_ids:
+            assert np.allclose(fb[i], fp[i], atol=1e-6)
