@@ -21,7 +21,7 @@ text_analysis.train_split_assign).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_to_rag_spark.functions.text import normalize_text
@@ -232,3 +232,69 @@ def incremental_dedup(
         .filter(F.col("rn") == 1)
         .select(F.col(id_col), F.col("content_fp"))
     )
+
+
+def incremental_dedup_fps(
+    incoming: DataFrame,
+    snapshot_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``incremental_dedup`` against a MAINTAINED fingerprint table
+    instead of the raw corpus — the shape the 100 TB story actually
+    runs: the snapshot's text is never re-read, only its (small)
+    distinct-fingerprint table, which ``admit_batch`` below keeps
+    current via ``upsert_by_key`` after every batch.
+
+    ``snapshot_fps`` needs one column: ``content_fp``.
+    """
+    fp_in = F.md5(normalize_text(F.col(text_col)))
+    fresh = (
+        incoming.select(F.col(id_col), fp_in.alias("content_fp"))
+        .join(snapshot_fps.select("content_fp"), "content_fp", "left_anti")
+    )
+    w = Window.partitionBy("content_fp").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("content_fp"))
+    )
+
+
+def admit_batch(
+    spark: SparkSession,
+    fp_table_path: str,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One turn of the continuous-ingest dedup loop: dedup ``incoming``
+    against the fingerprint table at ``fp_table_path``, then upsert the
+    admitted fingerprints back into that table so the NEXT batch
+    excludes this batch's admissions. First call bootstraps the table.
+
+    Returns the admitted (id, content_fp) rows (materialized before
+    the upsert mutates the table they were computed against). Delta
+    MERGE when delta-spark is present, atomic parquet swap otherwise —
+    ``sources.lakehouse.upsert_by_key`` picks."""
+    import os
+
+    from lakehouse_to_rag_spark.sources.lakehouse import upsert_by_key
+
+    if os.path.exists(fp_table_path):
+        fps = spark.read.parquet(fp_table_path).select("content_fp")
+    else:
+        fps = spark.createDataFrame([], "content_fp string")
+    admitted = incremental_dedup_fps(incoming, fps, id_col, text_col)
+    # materialize BEFORE the upsert swaps the directory out from under
+    # the lazy plan reading it
+    rows = admitted.collect()
+    out = spark.createDataFrame(rows, admitted.schema)
+    upsert_by_key(
+        spark,
+        fp_table_path,
+        out.select("content_fp").distinct(),
+        ["content_fp"],
+        fmt="parquet",
+    )
+    return out

@@ -281,3 +281,63 @@ class TestRemoveDuplicateSpans:
         }
         assert out[1] == ("a1 b1 c1", 5)
         assert out[2] == ("a2 b2 c2", 5)
+
+
+class TestFingerprintLoop:
+    """The continuous-ingest loop closed end-to-end: admitted
+    fingerprints are upserted into the maintained table, so batch N+1
+    dedups against batch N's admissions without re-reading any text."""
+
+    def test_batch_n1_excludes_batch_n_admissions(self, spark, tmp_path):
+        fp_path = str(tmp_path / "fps")
+        b1 = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+            "doc_id long, text string",
+        )
+        a1 = cu.admit_batch(spark, fp_path, b1)
+        got1 = {r["doc_id"] for r in a1.collect()}
+        assert got1 == {1, 2}  # 3 is an intra-batch dup of 1
+
+        # batch 2: two copies of batch-1 content under new ids + one new doc
+        b2 = spark.createDataFrame(
+            [(10, "alpha beta"), (11, "  GAMMA   delta "), (12, "epsilon zeta")],
+            "doc_id long, text string",
+        )
+        a2 = cu.admit_batch(spark, fp_path, b2)
+        got2 = {r["doc_id"] for r in a2.collect()}
+        # 10 matches fp of 1; 11 normalizes to fp of 2; only 12 is new
+        assert got2 == {12}
+
+        # the table now holds exactly the 3 admitted fingerprints
+        fps = spark.read.parquet(fp_path)
+        assert fps.count() == fps.distinct().count() == 3
+
+        # batch 3 resubmits batch 2 verbatim -> nothing admitted
+        a3 = cu.admit_batch(spark, fp_path, b2)
+        assert a3.count() == 0
+        assert spark.read.parquet(fp_path).count() == 3
+
+    def test_matches_one_shot_incremental_dedup(self, spark, sf_dir, tmp_path):
+        """Looping admit_batch over two halves of the incoming set must
+        admit the same fingerprint set as one incremental_dedup call
+        over the union (modulo which id carries a shared fingerprint:
+        the loop admits the first batch's id)."""
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        incoming = d.filter(F.col("doc_id") % 2 == 1)
+        corpus = d.filter(F.col("doc_id") % 2 == 0)
+
+        fp_path = str(tmp_path / "fps2")
+        cu.admit_batch(spark, fp_path, corpus)  # seed snapshot
+        h1 = incoming.filter(F.col("doc_id") % 4 == 1)
+        h2 = incoming.filter(F.col("doc_id") % 4 == 3)
+        f1 = {r["content_fp"] for r in cu.admit_batch(spark, fp_path, h1).collect()}
+        f2 = {r["content_fp"] for r in cu.admit_batch(spark, fp_path, h2).collect()}
+        assert not (f1 & f2)
+
+        want = {
+            r["content_fp"]
+            for r in cu.incremental_dedup(incoming, corpus).collect()
+        }
+        assert f1 | f2 == want and want
