@@ -326,3 +326,79 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in incremental_dedup(incoming, corpus).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_running_stats_processor_matches_batch_no_protobuf(spark, sf_dir):
+    """Unconditional evidence for the transformWithState anomaly
+    operator: drive RunningStatsProcessor.handleInputRows directly
+    (fake state handle, per-user micro-batch chunks — 2 calls x 2
+    pandas batches each, so state must survive both the batch iterator
+    and separate invocations) and require exact agreement with the
+    oracle-checked batch twin. Runs everywhere; the protobuf-gated
+    test above additionally exercises the real control channel."""
+    import math
+
+    from lakehouse_to_rag_spark.operators.events import running_anomalies_batch
+    from lakehouse_to_rag_spark.sources.tables import load_table
+    from lakehouse_to_rag_spark.streaming.anomaly import RunningStatsProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            return FakeValueState()
+
+    ev = load_table(spark, sf_dir, "events")
+    pdf = (
+        ev.select("user_id", "event_id", "value", "ts")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+
+    got = {}
+    for uid, grp in pdf.groupby("user_id"):
+        proc = RunningStatsProcessor(z_threshold=2.5, min_history=5)
+        proc.init(FakeHandle())
+        grp = grp[["event_id", "value"]].reset_index(drop=True)
+        quarters = [grp.iloc[j * len(grp) // 4 : (j + 1) * len(grp) // 4]
+                    for j in range(4)] if len(grp) >= 4 else [grp]
+        # two handleInputRows calls, each consuming an iterator of two
+        # pandas batches
+        for call in range(0, len(quarters), 2):
+            batches = iter(quarters[call : call + 2])
+            for out in proc.handleInputRows((uid,), batches, None):
+                for r in out.itertuples(index=False):
+                    got[(uid, r.event_id)] = (
+                        round(r.value, 4),
+                        round(r.zscore, 4),
+                        bool(r.is_anomaly),
+                    )
+        proc.close()
+
+    want = {
+        (r["user_id"], r["event_id"]): (
+            r["value"], r["zscore"], bool(r["is_anomaly"])
+        )
+        for r in running_anomalies_batch(
+            ev, z_threshold=2.5, min_history=5
+        ).collect()
+    }
+    assert len(got) == len(want) > 0
+    mism = {k for k in want if not (
+        math.isclose(got[k][0], want[k][0], abs_tol=1e-9)
+        and math.isclose(got[k][1], want[k][1], abs_tol=1e-9)
+        and got[k][2] == want[k][2]
+    )}
+    assert not mism, sorted(mism)[:5]
+    assert any(v[2] for v in want.values())  # the flag fires somewhere
