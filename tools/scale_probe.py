@@ -105,6 +105,27 @@ def main() -> None:
     n = bigram_lm_scores(docs).count()
     print(f"bigram_lm_scores: {time.perf_counter() - t0:.1f}s rows={n}")
 
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        remove_duplicate_spans,
+        sequence_pack,
+    )
+
+    # worst-case gram skew by construction: every replica clique makes
+    # every 5-gram a duplicated gram appearing in >= FACTOR docs, and
+    # the small synthetic vocabulary means a handful of grams appear in
+    # a large fraction of ALL docs — the boilerplate-gram hot key
+    t0 = time.perf_counter()
+    removed = remove_duplicate_spans(docs, min_docs=max(2, factor))
+    n = removed.filter(F.col("n_removed_words") > 0).count()
+    print(
+        f"remove_duplicate_spans: {time.perf_counter() - t0:.1f}s "
+        f"docs_touched={n}"
+    )
+
+    t0 = time.perf_counter()
+    n = sequence_pack(docs, seq_tokens=2048).count()
+    print(f"sequence_pack: {time.perf_counter() - t0:.1f}s rows={n}")
+
     t0 = time.perf_counter()
     n = training_shuffle(docs, n_shards=64).count()
     n2 = domain_mix_sample(
