@@ -7,12 +7,14 @@ calls that need PIL/ffmpeg/librosa are STUBBED because the harness
 container ships no media libraries: each stub raises
 ``NotImplementedError`` when a real decode is requested, and provides
 a deterministic fake (parsing our synthetic header format) so the
-distributed pipeline around it is exercised end-to-end. Two codecs
-ARE real: 24-bit BMP (pure numpy) and non-interlaced 8-bit RGB/RGBA
-PNG (stdlib zlib, all five scanline filters on decode) — both at the
-bottom of this file — so the image path (metadata, stats, resize,
-features) runs with real pixels in two formats. JPEG/video remain
-stubbed (they genuinely need libjpeg/ffmpeg).
+distributed pipeline around it is exercised end-to-end. Three codecs
+ARE real: 24-bit BMP (pure numpy), non-interlaced 8-bit RGB/RGBA PNG
+(stdlib zlib, all five scanline filters on decode), and 16-bit PCM
+WAV — all at the bottom of this file — so the image path (metadata,
+stats, resize, features) runs with real pixels in two formats and the
+audio path (stats, spectral features) runs with real samples.
+JPEG/compressed-audio/video remain stubbed (they genuinely need
+libjpeg/ffmpeg).
 
 Scale notes: media rows are large and skewed — batch size is governed
 by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (bytes, not rows,
@@ -34,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -586,3 +589,160 @@ def synth_png_table(spark: SparkSession, n: int = 50) -> DataFrame:
 # Backward-compatible aliases from the BMP-only era of this module.
 decode_bmp_stats = decode_image_stats
 resize_bmp = resize_real_images
+
+
+# =====================================================================
+# Real codec #3: WAV / PCM16 audio (stdlib struct + numpy)
+# =====================================================================
+# Canonical RIFF/WAVE with one fmt and one data chunk, 16-bit signed
+# PCM, any channel count. This puts the AUDIO leg of the multimodal
+# pipeline on real samples the same way BMP/PNG did for images;
+# compressed audio (mp3/flac/ogg) genuinely needs codec libs and
+# stays stubbed.
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode an (n,) mono or (n, ch) int16 array as 16-bit PCM WAV."""
+    if samples.dtype != np.int16:
+        raise NotImplementedError("encode_wav takes int16 PCM samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    byte_rate = sample_rate * ch * 2
+    data = samples.astype("<i2").tobytes()  # interleaved frames
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a 16-bit PCM WAV into (sample_rate, (n, ch) int16
+    array). Raises NotImplementedError for float/compressed/other-
+    depth WAV — same contract as the other real codecs."""
+    if (
+        payload is None
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag, ln = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise NotImplementedError("malformed WAV (missing fmt/data chunk)")
+    audio_format, ch, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            "only 16-bit integer PCM WAV decodable without audio libs"
+        )
+    frames = np.frombuffer(data, dtype="<i2", count=(len(data) // (2 * ch)) * ch)
+    return sample_rate, frames.reshape(-1, ch)
+
+
+_AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Decode real WAV payloads and emit per-clip signal statistics
+    (duration, RMS, peak, zero-crossing count) — the audio analogue of
+    ``decode_image_stats``, Arrow-batched. RMS/duration are exact
+    integer-sum / count arithmetic, so results are engine-portable."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_samples",
+                "duration_sec", "rms", "peak", "zero_crossings",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, frames = decode_wav(payload)
+                mono = frames[:, 0].astype(np.int64)
+                n = len(mono)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(frames.shape[1])
+                out["n_samples"].append(n)
+                out["duration_sec"].append(n / rate)
+                out["rms"].append(
+                    float(np.sqrt((mono * mono).sum() / n)) if n else 0.0
+                )
+                out["peak"].append(int(np.abs(mono).max()) if n else 0)
+                sign = mono >= 0
+                out["zero_crossings"].append(
+                    int((sign[1:] != sign[:-1]).sum()) if n > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_stats, schema=_AUDIO_STATS_SCHEMA)
+
+
+def audio_features(media: DataFrame, n_bands: int = 16) -> DataFrame:
+    """Real audio embedding: log-energy in ``n_bands`` equal FFT bands
+    of the (mono-mixed) signal, L2-normalized — the deterministic
+    spectral descriptor feeding similarity/dedup, like the pixel-grid
+    descriptor for images. Output contract: (media_id, embedding
+    array<float>)."""
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed(payload: pd.Series) -> pd.Series:
+        def _one(p: bytes) -> list[float]:
+            _, frames = decode_wav(p)
+            mono = frames.mean(axis=1).astype(np.float64)
+            if len(mono) == 0:
+                return [0.0] * n_bands
+            spec = np.abs(np.fft.rfft(mono))
+            bands = np.array_split(spec, n_bands)
+            v = np.array(
+                [np.log1p(float((b * b).sum())) for b in bands],
+                dtype=np.float32,
+            )
+            norm = float(np.sqrt((v * v).sum()))
+            return (v / norm if norm else v).tolist()
+
+        return payload.map(_one)
+
+    return media.select("media_id", _embed(F.col("payload")).alias("embedding"))
+
+
+def synth_wav_table(spark: SparkSession, n: int = 50) -> DataFrame:
+    """Deterministic real-WAV corpus: integer sawtooth samples
+    s[i] = ((i*k + id) % 65536) - 32768 with id-dependent length and
+    step — closed-form enough that a SQL oracle can re-derive every
+    statistic exactly. Every third clip is stereo (second channel a
+    shifted copy — NOT inverted, which would cancel to silence under
+    mean-mixing) to exercise the channel path."""
+    rows = []
+    for i in range(n):
+        length = 800 + (i % 7) * 100
+        k = 3 + i % 5
+        idx = np.arange(length, dtype=np.int64)
+        mono = (((idx * k + i) % 65536) - 32768).astype(np.int16)
+        samples = (np.stack([mono, np.roll(mono, 7)], axis=1)
+                   if i % 3 == 0 else mono)
+        p = encode_wav(samples, sample_rate=8000)
+        rows.append((i, "audio", p, "audio/wav", len(p)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -2143,6 +2143,85 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_stats, schema=out_schema)
 
 
+_WAV_STATS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(800 + (doc_id % 7) * 100 AS BIGINT) AS n,
+         CAST(3 + doc_id % 5 AS BIGINT) AS k
+  FROM documents
+), s AS (
+  SELECT d.doc_id, d.n, x.range AS i,
+         ((x.range * d.k + d.doc_id) % 65536) - 32768 AS v
+  FROM d, range(1400) x
+  WHERE x.range < d.n
+), z AS (
+  SELECT doc_id, n, v,
+         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id,
+       MAX(n) AS n_samples,
+       CAST(MAX(n) AS DOUBLE) / 8000 AS duration_sec,
+       SQRT(CAST(SUM(v * v) AS DOUBLE) / MAX(n)) AS rms,
+       MAX(ABS(v)) AS peak,
+       CAST(SUM(CASE WHEN pv IS NOT NULL
+                      AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings
+FROM z
+GROUP BY doc_id
+"""
+
+
+@_q("wav_audio_stats", _WAV_STATS_ORACLE)
+def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stdlib WAV codec oracle-gated end-to-end (audio twin of
+    ``png_pixel_stats``): per doc_id, synthesize an integer sawtooth
+    waveform, ENCODE it as real 16-bit PCM WAV, DECODE those bytes
+    back, and emit signal statistics from the decoded samples. DuckDB
+    re-derives every statistic in closed form from the waveform
+    recipe; RMS is sqrt(exact-integer-sum / count) and duration is
+    int/int — bit-identical doubles on both engines, no rounding."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_to_rag_spark.multimodal.ops import decode_wav, encode_wav
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("duration_sec", DoubleType()),
+            StructField("rms", DoubleType()),
+            StructField("peak", LongType()),
+            StructField("zero_crossings", LongType()),
+        ]
+    )
+
+    def _stats(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "n_samples", "duration_sec", "rms",
+                    "peak", "zero_crossings")}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n, k = 800 + (i % 7) * 100, 3 + i % 5
+                idx = np.arange(n, dtype=np.int64)
+                mono = (((idx * k + i) % 65536) - 32768).astype(np.int16)
+                rate, frames = decode_wav(encode_wav(mono, sample_rate=8000))
+                v = frames[:, 0].astype(np.int64)
+                sign = v >= 0
+                out["doc_id"].append(i)
+                out["n_samples"].append(len(v))
+                out["duration_sec"].append(len(v) / rate)
+                out["rms"].append(float(np.sqrt((v * v).sum() / len(v))))
+                out["peak"].append(int(np.abs(v).max()))
+                out["zero_crossings"].append(int((sign[1:] != sign[:-1]).sum()))
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_stats, schema=out_schema)
+
+
 _Q20_ORACLE = """
 SELECT s_suppkey AS suppkey, s_name AS supplier_name, n_name AS nation
 FROM supplier JOIN nation ON s_nationkey = n_nationkey

@@ -313,3 +313,80 @@ class TestPngCodec:
         assert rgb_ids
         for i in rgb_ids:
             assert np.allclose(fb[i], fp[i], atol=1e-6)
+
+
+class TestWavCodec:
+    """Stdlib WAV/PCM16 codec: roundtrip, malformed payloads, and the
+    distributed audio stats/features stages on real samples."""
+
+    def test_roundtrip_mono_stereo(self):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import decode_wav, encode_wav
+
+        rng = np.random.default_rng(3)
+        mono = rng.integers(-32768, 32768, size=301, dtype=np.int16)
+        rate, back = decode_wav(encode_wav(mono, sample_rate=16000))
+        assert rate == 16000 and back.shape == (301, 1)
+        assert (back[:, 0] == mono).all()
+
+        stereo = rng.integers(-32768, 32768, size=(77, 2), dtype=np.int16)
+        rate, back = decode_wav(encode_wav(stereo, sample_rate=44100))
+        assert rate == 44100 and (back == stereo).all()
+
+    def test_unsupported_raises(self):
+        import numpy as np
+        import pytest
+
+        from lakehouse_to_rag_spark.multimodal.ops import decode_wav, encode_wav
+
+        with pytest.raises(NotImplementedError):
+            decode_wav(b"RIFFxxxxNOPE")
+        with pytest.raises(NotImplementedError):
+            decode_wav(b"\x89PNG\r\n\x1a\n")
+        with pytest.raises(NotImplementedError):
+            encode_wav(np.zeros(4, dtype=np.float32))
+
+    def test_audio_stats_distributed(self, spark):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import (
+            audio_stats,
+            decode_wav,
+            synth_wav_table,
+        )
+
+        media = synth_wav_table(spark, n=20)
+        got = {r["media_id"]: r for r in audio_stats(media).collect()}
+        assert len(got) == 20
+        # stereo every third clip
+        assert got[0]["n_channels"] == 2 and got[1]["n_channels"] == 1
+        # spot-check one clip against a local decode
+        payload = bytes(media.filter("media_id = 5").collect()[0]["payload"])
+        _, frames = decode_wav(payload)
+        v = frames[:, 0].astype(np.int64)
+        r = got[5]
+        assert r["n_samples"] == len(v)
+        assert abs(r["rms"] - float(np.sqrt((v * v).sum() / len(v)))) < 1e-9
+        assert r["peak"] == int(np.abs(v).max())
+
+    def test_audio_features_contract(self, spark):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import (
+            audio_features,
+            synth_wav_table,
+        )
+
+        media = synth_wav_table(spark, n=12)
+        emb = {r["media_id"]: np.array(r["embedding"], dtype=np.float32)
+               for r in audio_features(media, n_bands=16).collect()}
+        assert len(emb) == 12
+        for v in emb.values():
+            assert v.shape == (16,)
+            assert abs(float((v * v).sum()) - 1.0) < 1e-3
+        # deterministic: same table re-collected gives identical vectors
+        emb2 = {r["media_id"]: np.array(r["embedding"], dtype=np.float32)
+                for r in audio_features(media, n_bands=16).collect()}
+        for k in emb:
+            assert np.allclose(emb[k], emb2[k])
