@@ -92,10 +92,46 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
         # IHDR is always the first chunk: sig(8) len(4) tag(4) W H ...
         w, h = struct.unpack_from(">II", payload, 16)
         return w, h, 1
+    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, n = _gif_header_scan(payload)
+        return w, h, n
     raise NotImplementedError(
         "real media decode requires PIL/ffmpeg (not in this container); "
-        "only SYNM/BMP/PNG payloads are decodable here"
+        "only SYNM/BMP/PNG/GIF payloads are decodable here"
     )
+
+
+def _gif_header_scan(payload: bytes) -> tuple[int, int, int]:
+    """(canvas_w, canvas_h, n_frames) from GIF structure alone — walks
+    the block graph counting image descriptors, no LZW decode."""
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (1 << ((flags & 7) + 1))
+    n_frames = 0
+
+    def skip_blocks(p: int) -> int:
+        while payload[p]:
+            p += payload[p] + 1
+        return p + 1
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            pos = skip_blocks(pos + 2)
+        elif b == 0x2C:
+            iflags = payload[pos + 9]
+            pos += 10
+            if iflags & 0x80:
+                pos += 3 * (1 << ((iflags & 7) + 1))
+            pos += 1  # LZW min code size
+            pos = skip_blocks(pos)
+            n_frames += 1
+        else:
+            raise NotImplementedError(f"unknown GIF block 0x{b:02x}")
+    return w, h, n_frames
 
 
 _DECODED_SCHEMA = StructType(
@@ -172,13 +208,27 @@ _FRAME_SCHEMA = StructType(
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling for video: one output row per sampled frame.
     The fan-out ratio (n_frames/every_n) is why this runs AFTER a
-    repartition at scale — the stub emits a deterministic frame stamp
-    where a real impl would emit decoded JPEG bytes."""
+    repartition at scale. Real GIF payloads decode to real frames
+    re-encoded as PNG (so sampled frames feed the image pipeline with
+    actual pixels); SYNM payloads emit the deterministic stamp a real
+    ffmpeg impl would replace."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, payloads = [], [], []
             for _, row in pdf.iterrows():
+                p = bytes(row["payload"])
+                if p[:6] in (b"GIF87a", b"GIF89a"):
+                    # REAL path: decode the animation, emit sampled
+                    # frames as real PNG payloads -> the sampled frames
+                    # flow straight into the image pipeline (features,
+                    # resize, stats) with actual pixels
+                    all_frames = decode_gif(p)
+                    for fi in range(0, len(all_frames), every_n):
+                        ids.append(row["media_id"])
+                        idxs.append(fi)
+                        payloads.append(encode_png(all_frames[fi]))
+                    continue
                 _, _, frames = _parse_header(row["payload"])
                 for fi in range(0, frames, every_n):
                     ids.append(row["media_id"])
@@ -745,4 +795,237 @@ def synth_wav_table(spark: SparkSession, n: int = 50) -> DataFrame:
                    if i % 3 == 0 else mono)
         p = encode_wav(samples, sample_rate=8000)
         rows.append((i, "audio", p, "audio/wav", len(p)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# =====================================================================
+# Real codec #4: GIF — animated, LZW, stdlib-only
+# =====================================================================
+# GIF87a/89a with global/local color tables and full LZW (variable
+# code width 3..12 bits, clear/EOI codes, deferred-clear streams).
+# Animated GIF is the one *video* container decodable without ffmpeg,
+# which puts the video leg of the pipeline (frame sampling ->
+# per-frame image ops) on real pixel data. Interlaced images raise;
+# frame composition replaces the frame's rectangle (disposal methods
+# beyond that are ignored — documented, tests use full-frame frames).
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    code_size = min_code_size + 1
+    table: dict[int, tuple[int, ...]] = {}
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits:
+        # LSB-first variable-width read
+        byte_i, bit_i = bitpos >> 3, bitpos & 7
+        window = int.from_bytes(
+            data[byte_i : byte_i + 3].ljust(3, b"\0"), "little"
+        )
+        code = (window >> bit_i) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = {}
+            next_code = end + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = (code,)
+            if code >= clear:
+                raise NotImplementedError("corrupt GIF LZW stream")
+        elif code < clear:
+            entry = (code,)
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)
+        else:
+            raise NotImplementedError("corrupt GIF LZW stream")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc, nbits = 0, 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, code_size)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        # the decoder learns this entry one code later, so IT grows its
+        # read width when ITS next_code (= ours - 1) hits 2^size; match
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code == 4096:  # table full: reset both sides
+            emit(clear, code_size)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Wrap raw bytes into GIF 255-byte data sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delay_cs: int = 10,
+) -> bytes:
+    """Encode index-array frames (each (h, w) uint8, values indexing
+    ``palette`` of shape (n<=256, 3)) as an animated GIF89a with one
+    global color table. Taking indices+palette keeps encoding exact
+    (no quantization step), which is what the roundtrip oracle needs."""
+    if not frames:
+        raise NotImplementedError("encode_gif needs at least one frame")
+    h, w = frames[0].shape
+    p = max(2, int(np.ceil(np.log2(max(2, len(palette))))))
+    gct = np.zeros((1 << p, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((p - 1) << 4) | (p - 1), 0, 0)
+    out += gct.tobytes()
+    min_code = max(2, p)
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise NotImplementedError("all GIF frames must share the canvas size")
+        out += b"\x21\xf9\x04"  # graphic control extension
+        out += struct.pack("<BHB", 0, delay_cs, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        out += _sub_blocks(_lzw_encode(fr.ravel(), min_code))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> list[np.ndarray]:
+    """Decode an (animated) GIF into a list of (h, w, 3) uint8 RGB
+    frames. Each frame is the full composited canvas (a frame's
+    rectangle replaces that region of the previous canvas). Interlaced
+    images raise NotImplementedError; transparency/disposal beyond
+    replace-composition are ignored."""
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 1 << ((flags & 7) + 1)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None:
+        canvas[:] = gct[_bg] if _bg < len(gct) else 0
+    frames: list[np.ndarray] = []
+
+    def skip_blocks(p: int) -> int:
+        while payload[p]:
+            p += payload[p] + 1
+        return p + 1
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos = skip_blocks(pos + 2)
+            continue
+        if b != 0x2C:
+            raise NotImplementedError(f"unknown GIF block 0x{b:02x}")
+        left, top, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        ct = gct
+        if iflags & 0x80:
+            n = 1 << ((iflags & 7) + 1)
+            ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if ct is None:
+            raise NotImplementedError("GIF frame without any color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += ln + 1
+        pos += 1
+        idx = np.array(_lzw_decode(bytes(data), min_code), dtype=np.int32)
+        if len(idx) < fw * fh:
+            raise NotImplementedError("GIF frame pixel data truncated")
+        idx = idx[: fw * fh].reshape(fh, fw)
+        canvas[top : top + fh, left : left + fw] = ct[np.clip(idx, 0, len(ct) - 1)]
+        frames.append(canvas.copy())
+    return frames
+
+
+def synth_gif_table(spark: SparkSession, n: int = 20) -> DataFrame:
+    """Deterministic real-GIF corpus: id-seeded moving-block animation
+    over a 6x6x6 color-cube palette, (3 + id % 5) frames each."""
+    cube = np.array(
+        [(r, g, b) for r in range(6) for g in range(6) for b in range(6)],
+        dtype=np.int64,
+    )
+    palette = (cube * 51).astype(np.uint8)
+    rows = []
+    for i in range(n):
+        w, h = 24 + i % 9, 18 + i % 7
+        nf = 3 + i % 5
+        frames = []
+        for f in range(nf):
+            y, x = np.mgrid[0:h, 0:w]
+            fr = ((x + y + i + f * 3) % len(palette)).astype(np.uint8)
+            bx = (i + f * 2) % max(1, w - 6)
+            fr[2:6, bx : bx + 6] = (i + f) % len(palette)
+            frames.append(fr)
+        p = encode_gif(frames, palette)
+        rows.append((i, "video", p, "image/gif", len(p)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -2143,6 +2143,93 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_stats, schema=out_schema)
 
 
+_GIF_STATS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(24 + doc_id % 9 AS BIGINT) AS w,
+         CAST(18 + doc_id % 7 AS BIGINT) AS h,
+         CAST(3 + doc_id % 5 AS BIGINT) AS nf
+  FROM documents
+), fr AS (
+  SELECT d.*, f.range AS frame_index
+  FROM d, range(8) f WHERE f.range < d.nf
+), px AS (
+  SELECT fr.doc_id, fr.frame_index, fr.w, fr.h,
+         (x.range + y.range + fr.doc_id + fr.frame_index * 3) % 216 AS v
+  FROM fr, range(33) x, range(25) y
+  WHERE x.range < fr.w AND y.range < fr.h
+)
+SELECT doc_id, frame_index, MAX(w) AS width, MAX(h) AS height,
+       CAST(SUM((v // 36) * 51) AS DOUBLE) / COUNT(*) AS mean_r,
+       CAST(SUM(((v // 6) % 6) * 51) AS DOUBLE) / COUNT(*) AS mean_g,
+       CAST(SUM((v % 6) * 51) AS DOUBLE) / COUNT(*) AS mean_b
+FROM px
+GROUP BY doc_id, frame_index
+"""
+
+
+@_q("gif_frame_stats", _GIF_STATS_ORACLE)
+def gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stdlib animated-GIF codec oracle-gated end-to-end (video
+    twin of ``png_pixel_stats``): per doc_id, synthesize an animation
+    over the 6x6x6 color-cube palette, ENCODE it as a real LZW GIF,
+    DECODE those bytes back, and emit per-frame pixel means from the
+    decoded canvases. DuckDB re-derives the means in closed form from
+    the frame recipe, so corruption anywhere in the LZW bit packing /
+    variable code widths / table resets / palette lookup changes a
+    mean and fails the hash. Exact integer-sum / count doubles."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_to_rag_spark.multimodal.ops import decode_gif, encode_gif
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_index", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("mean_r", DoubleType()),
+            StructField("mean_g", DoubleType()),
+            StructField("mean_b", DoubleType()),
+        ]
+    )
+    cube = np.array(
+        [(r, g, b) for r in range(6) for g in range(6) for b in range(6)],
+        dtype=np.int64,
+    )
+    palette = (cube * 51).astype(np.uint8)
+
+    def _stats(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "frame_index", "width", "height",
+                    "mean_r", "mean_g", "mean_b")}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, nf = 24 + i % 9, 18 + i % 7, 3 + i % 5
+                y, x = np.mgrid[0:h, 0:w]
+                frames = [
+                    ((x + y + i + f * 3) % 216).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                decoded = decode_gif(encode_gif(frames, palette))
+                for f, fr in enumerate(decoded):
+                    ch = fr.astype(np.int64)
+                    npix = ch.shape[0] * ch.shape[1]
+                    out["doc_id"].append(i)
+                    out["frame_index"].append(f)
+                    out["height"].append(ch.shape[0])
+                    out["width"].append(ch.shape[1])
+                    out["mean_r"].append(ch[:, :, 0].sum() / npix)
+                    out["mean_g"].append(ch[:, :, 1].sum() / npix)
+                    out["mean_b"].append(ch[:, :, 2].sum() / npix)
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_stats, schema=out_schema)
+
+
 _WAV_STATS_ORACLE = """
 WITH d AS (
   SELECT doc_id,

@@ -390,3 +390,121 @@ class TestWavCodec:
                 for r in audio_features(media, n_bands=16).collect()}
         for k in emb:
             assert np.allclose(emb[k], emb2[k])
+
+
+class TestGifCodec:
+    """Stdlib animated-GIF codec (full LZW): roundtrip, structure
+    scan, and the real video -> frames -> image pipeline chain."""
+
+    def test_lzw_roundtrip_all_regimes(self):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import _lzw_decode, _lzw_encode
+
+        rng = np.random.default_rng(5)
+        # (min_code_size, n): growth to wider codes, 12-bit cap + reset
+        for min_code, n in [(2, 40), (2, 6000), (4, 1000), (8, 120000)]:
+            idx = [int(x) for x in rng.integers(0, 1 << min_code, size=n)]
+            assert _lzw_decode(_lzw_encode(idx, min_code), min_code) == idx
+        # repetitive input exercises long dictionary matches
+        rep = [3, 1, 4, 1, 5] * 2000
+        assert _lzw_decode(_lzw_encode(rep, 4), 4) == rep
+
+    def test_animated_roundtrip(self):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import decode_gif, encode_gif
+
+        rng = np.random.default_rng(9)
+        pal = rng.integers(0, 256, size=(216, 3), dtype=np.uint8)
+        frames = [
+            rng.integers(0, 216, size=(11, 19)).astype(np.uint8)
+            for _ in range(5)
+        ]
+        out = decode_gif(encode_gif(frames, pal))
+        assert len(out) == 5
+        for got, idx in zip(out, frames):
+            assert (got == pal[idx]).all()
+
+    def test_header_scan_matches_decode(self):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import (
+            _parse_header,
+            decode_gif,
+            encode_gif,
+        )
+
+        pal = np.array([[0, 0, 0], [255, 255, 255], [10, 20, 30]], dtype=np.uint8)
+        frames = [np.zeros((7, 9), dtype=np.uint8) + (i % 3) for i in range(4)]
+        gif = encode_gif(frames, pal)
+        w, h, n = _parse_header(gif)
+        assert (w, h, n) == (9, 7, 4)
+        assert len(decode_gif(gif)) == 4
+
+    def test_interlaced_and_garbage_raise(self):
+        import pytest
+
+        from lakehouse_to_rag_spark.multimodal.ops import decode_gif
+
+        with pytest.raises(NotImplementedError):
+            decode_gif(b"NOTAGIF")
+        # minimal interlaced image descriptor
+        import struct as st
+
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import encode_gif
+
+        pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+        gif = bytearray(encode_gif([np.zeros((4, 4), dtype=np.uint8)], pal))
+        # flip the interlace bit of the first image descriptor
+        pos = gif.index(0x2C, 13)
+        gif[pos + 9] |= 0x40
+        with pytest.raises(NotImplementedError):
+            decode_gif(bytes(gif))
+
+    def test_video_frames_to_image_pipeline(self, spark):
+        """The multimodal triad end-to-end on real codecs: GIF video ->
+        sample_frames emits real PNG frames -> image feature extraction
+        consumes them. Sampled frame pixels must equal the directly
+        decoded animation frames."""
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import (
+            decode_gif,
+            decode_png,
+            extract_features,
+            sample_frames,
+            synth_gif_table,
+        )
+
+        media = synth_gif_table(spark, n=8)
+        sampled = sample_frames(media, every_n=2).collect()
+        assert sampled
+        by_media = {}
+        for r in sampled:
+            by_media.setdefault(r["media_id"], []).append(r)
+        for mid, rows in by_media.items():
+            payload = bytes(
+                media.filter(F.col("media_id") == mid).collect()[0]["payload"]
+            )
+            truth = decode_gif(payload)
+            assert [r["frame_index"] for r in sorted(rows, key=lambda r: r["frame_index"])] == list(range(0, len(truth), 2))
+            for r in rows:
+                px = decode_png(bytes(r["frame_payload"]))
+                assert (px == truth[r["frame_index"]]).all()
+
+        # sampled PNG frames feed the image feature extractor directly
+        frames_df = spark.createDataFrame(
+            [(r["media_id"] * 1000 + r["frame_index"], "image",
+              bytes(r["frame_payload"]), "image/png",
+              len(bytes(r["frame_payload"])))
+             for r in sampled],
+            "media_id long, media_type string, payload binary, mime string, n_bytes long",
+        )
+        emb = extract_features(frames_df, dim=27).collect()
+        assert len(emb) == len(sampled)
+        for r in emb:
+            v = np.array(r["embedding"], dtype=np.float32)
+            assert abs(float((v * v).sum()) - 1.0) < 1e-3
