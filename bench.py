@@ -53,6 +53,17 @@ HEADLINE = [
     "dedup_incremental",
     "knn_int8",
     "bigram_lm_scores",
+    # round-3 additions: IVF probe + curation hot path + span removal
+    # + the three oracle-gated real media codecs
+    "knn_ivf",
+    "tokenize_to_ids",
+    "remove_duplicate_spans",
+    "png_pixel_stats",
+    "wav_audio_stats",
+    # gif_frame_stats stays out: its 10 s at sf0.1 is the pure-Python
+    # LZW codec (sequential by nature, ~12M pixels), not engine work —
+    # it would dominate a total that otherwise measures query
+    # execution. The correctness gate still runs it at sf0.01.
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the
