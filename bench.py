@@ -56,6 +56,7 @@ HEADLINE = [
     # round-3 additions: IVF probe + curation hot path + span removal
     # + the three oracle-gated real media codecs
     "knn_ivf",
+    "knn_pq",
     "tokenize_to_ids",
     "remove_duplicate_spans",
     "png_pixel_stats",

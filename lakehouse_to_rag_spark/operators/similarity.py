@@ -592,3 +592,312 @@ def knn_int8(
         .drop("pid", "lrank")
     )
     return _ranked_topk(pairs, k)
+
+
+# =====================================================================
+# Product quantization (PQ) ANN
+# =====================================================================
+# The storage tier below int8: a D-dim float vector becomes m CODE
+# BYTES (m subspaces, each quantized to one of k codebook centroids —
+# 64-dim float32 = 256 B -> 8 B at m=8, a 32x shrink), and query
+# scoring never touches vectors at all: per query, one (m x k) lookup
+# table of query-subvector -> centroid distances is built ONCE, then
+# every corpus vector scores as m table lookups (asymmetric distance
+# computation, Jegou et al. TPAMI 2011). At 100 TB the encoded corpus
+# is what you store and shuffle; codebooks are (m*k*D/m) floats of
+# broadcast model state, same contract as kmeans centroids.
+
+
+def _subspace_codebooks_from_rows(
+    rows: list[list[float]], m: int
+) -> "np.ndarray":
+    """(m, n_rows, d_sub) subvector tensor from collected vectors."""
+    import numpy as np
+
+    mat = np.asarray(rows, dtype=np.float64)
+    n, dim = mat.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    return mat.reshape(n, m, dim // m).transpose(1, 0, 2)
+
+
+def _maybe_unit(mat: "np.ndarray", normalize: bool) -> "np.ndarray":
+    import numpy as np
+
+    if not normalize:
+        return mat
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    sample_rows: int = 16384,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> "np.ndarray":
+    """Train per-subspace codebooks with numpy Lloyd iterations on a
+    bounded, deterministic sample (first ``sample_rows`` vectors by
+    id — FAISS-style sample training; the full corpus never reaches
+    the driver). Deterministic: init is the first k distinct sample
+    subvectors, iteration count is fixed, no RNG. Returns (m, k,
+    d_sub) float64 codebooks — broadcastable model state."""
+    import numpy as np
+
+    id_col = corpus.columns[0]
+    sample = [
+        [float(x) for x in r[0]]
+        for r in corpus.select(vec_col)
+        .orderBy(F.col(id_col))
+        .limit(sample_rows)
+        .collect()
+    ]
+    import numpy as np
+
+    arr = _maybe_unit(np.asarray(sample, dtype=np.float64), normalize)
+    subs = _subspace_codebooks_from_rows([list(r) for r in arr], m)  # (m, n, d_sub)
+    books = []
+    for j in range(m):
+        pts = subs[j]
+        uniq = np.unique(pts, axis=0)
+        kk = min(k, len(uniq))
+        cent = uniq[:kk].copy()
+        for _ in range(iters):
+            d2 = (
+                (pts * pts).sum(1)[:, None]
+                - 2.0 * (pts @ cent.T)
+                + (cent * cent).sum(1)[None, :]
+            )
+            asg = d2.argmin(1)
+            for c in range(kk):
+                mask = asg == c
+                if mask.any():
+                    cent[c] = pts[mask].mean(0)
+        if kk < k:  # pad so every subspace has k rows (unused tail)
+            cent = np.vstack([cent, np.repeat(cent[:1], k - kk, axis=0)])
+        books.append(cent)
+    return np.stack(books)  # (m, k, d_sub)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Encode each vector as m code bytes (binary column): per
+    subspace, nearest codebook centroid by squared L2 — one GEMM per
+    Arrow batch against the broadcast codebooks, argmin ties to the
+    lowest code (centroid rows are code-ordered)."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    m, k, d_sub = codebooks.shape
+    cb = codebooks
+    cb_n2 = (cb * cb).sum(2)  # (m, k)
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("codes", BinaryType())]
+    )
+
+    def _enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _maybe_unit(
+                np.array(list(pdf[vec_col]), dtype=np.float64), normalize
+            )
+            n = len(mat)
+            sub = mat.reshape(n, m, d_sub)
+            codes = np.empty((n, m), dtype=np.uint8)
+            for j in range(m):
+                d2 = (
+                    (sub[:, j] * sub[:, j]).sum(1)[:, None]
+                    - 2.0 * (sub[:, j] @ cb[j].T)
+                    + cb_n2[j][None, :]
+                )
+                codes[:, j] = np.round(d2, 12).argmin(1)
+            yield __import__("pandas").DataFrame(
+                {id_col: pdf[id_col], "codes": [c.tobytes() for c in codes]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(_enc, schema=schema)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: "np.ndarray",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """ADC top-k over PQ codes: broadcast the (small) query set +
+    codebooks, build each query's (m x k_codes) distance lookup table
+    once per task, score every corpus code with m table lookups, and
+    rank with the standard two-phase top-k (per-partition prune, then
+    one global window over <= partitions x k rows per query). Returns
+    (query_id, neighbor_id, adc_dist, rank) — ascending approximate
+    squared L2."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    m, kc, d_sub = codebooks.shape
+    q_rows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.select(id_col, vec_col).collect()
+    ]
+    q_rows.sort()
+    qids = np.array([q[0] for q in q_rows], dtype=np.int64)
+    qsub = _maybe_unit(
+        np.array([q[1] for q in q_rows], dtype=np.float64), normalize
+    ).reshape(len(q_rows), m, d_sub)
+    cb = codebooks
+    # LUT[q, j, c] = squared L2 between query q's subvector j and code c
+    lut = (
+        (qsub * qsub).sum(2)[:, :, None]
+        - 2.0 * np.einsum("qjd,jcd->qjc", qsub, cb)
+        + (cb * cb).sum(2)[None, :, :]
+    )
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("adc_dist", DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            nids = pdf[id_col].to_numpy(dtype=np.int64)
+            outs = []
+            for qi in range(len(qids)):
+                # m gathers + one sum: the ADC hot loop
+                d = lut[qi][np.arange(m)[None, :], codes].sum(1)
+                mask = nids != qids[qi]
+                nloc = nids[mask]
+                dloc = np.round(d[mask], 4)
+                take = min(k, len(nloc))
+                if take == 0:
+                    continue
+                part = np.lexsort((nloc, dloc))[:take]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": nloc[part],
+                            "adc_dist": dloc[part],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    pairs = codes_df.mapInPandas(_score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    num_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Untrained-codebook PQ — the oracle-checkable twin (cf.
+    ``ivf_topk``'s untrained quantizer): codebooks are the subvectors
+    of the first ``num_codes`` vectors by id, assignment rounds to
+    12dp before argmin (code ties to the lowest id) and ADC scores
+    round to 4dp before ranking, so the full encode -> LUT -> rank
+    pipeline is reproduced exactly by a DuckDB oracle. Real
+    deployments use ``pq_train`` + ``pq_encode`` + ``pq_topk``."""
+    import numpy as np
+
+    cent_rows = [
+        [float(x) for x in r[0]]
+        for r in corpus.select(vec_col)
+        .orderBy(F.col(id_col))
+        .limit(num_codes)
+        .collect()
+    ]
+    codebooks = _subspace_codebooks_from_rows(cent_rows, m)  # (m, k, d_sub)
+    codes = pq_encode(corpus, codebooks, id_col, vec_col, normalize=False)
+    return pq_topk(
+        codes, queries, codebooks, k, id_col, vec_col, normalize=False
+    )
+
+
+def knn_pq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: "np.ndarray",
+    k: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """PQ shortlist + exact re-rank — the production ANN shape (cf.
+    IVF-PQ + refinement in Jegou et al. / FAISS): ADC over the code
+    column selects ``rerank`` candidates per query (cheap: m byte
+    lookups per vector, the full-precision corpus never scanned), then
+    ONE equi-join pulls true vectors for only queries x rerank rows
+    and exact rounded cosine ranks the final top-k. Quantization error
+    moves the shortlist boundary, not the returned ranking — recall
+    is tunable with ``rerank`` at fixed storage cost.
+
+    Returns (query_id, neighbor_id, cosine, rank) — same contract as
+    ``knn_bruteforce``, so the two are drop-in interchangeable."""
+    codes = pq_encode(corpus, codebooks, id_col, vec_col, normalize)
+    shortlist = pq_topk(
+        codes, queries, codebooks, rerank, id_col, vec_col, normalize
+    ).select("query_id", "neighbor_id")
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    qvec = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    sim = F.round(cosine_similarity(F.col("qvec"), F.col("nvec")), 4)
+    pairs = (
+        shortlist.join(nvec, "neighbor_id")
+        .join(qvec, "query_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    return _ranked_topk(pairs, k)

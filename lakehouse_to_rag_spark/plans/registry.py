@@ -2143,6 +2143,63 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_stats, schema=out_schema)
 
 
+_KNN_PQ_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sub AS (
+  SELECT e.vec_id, j.range AS j,
+         list_slice(e.v, j.range * 8 + 1, j.range * 8 + 8) AS sv
+  FROM e, range(8) j
+), cent AS (
+  SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16
+), asg AS (
+  -- per (vector, subspace): nearest codebook row by squared L2,
+  -- 12dp-rounded before the tie-break (same rule as the Spark argmin)
+  SELECT vec_id, j, cid FROM (
+    SELECT s.vec_id, s.j, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY ROUND(list_dot_product(s.sv, s.sv)
+                            - 2 * list_dot_product(s.sv, c.cv)
+                            + list_dot_product(c.cv, c.cv), 12) ASC,
+                      c.cid ASC) AS rn
+    FROM sub s JOIN cent c ON s.j = c.j
+  ) WHERE rn = 1
+), p AS (
+  -- ADC: sum over subspaces of d2(query subvector, assigned centroid)
+  SELECT qs.vec_id AS query_id, a.vec_id AS neighbor_id,
+         ROUND(SUM(list_dot_product(qs.sv, qs.sv)
+                   - 2 * list_dot_product(qs.sv, c.cv)
+                   + list_dot_product(c.cv, c.cv)), 4) AS adc_dist
+  FROM sub qs
+  JOIN asg a ON a.j = qs.j AND a.vec_id <> qs.vec_id
+  JOIN cent c ON c.j = a.j AND c.cid = a.cid
+  WHERE qs.vec_id < 10
+  GROUP BY qs.vec_id, a.vec_id
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+@_q("knn_pq", _KNN_PQ_ORACLE)
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, oracle-gated end-to-end (the PQ
+    sibling of ``knn_ivf``'s untrained quantizer): codebooks are the
+    8-dim subvectors of the first 16 vectors, every vector encodes to
+    8 code bytes by 12dp-rounded argmin, and queries rank neighbors by
+    the 4dp-rounded ADC table-lookup distance. The oracle reproduces
+    the identical encode -> LUT -> rank pipeline in SQL. Trained
+    codebooks + exact re-ranking (``pq_train``/``knn_pq_rerank``) are
+    the production path, recall-tested in the local suite."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return simi.knn_pq(e, queries, k=5, m=8, num_codes=16)
+
+
 _GIF_STATS_ORACLE = """
 WITH d AS (
   SELECT doc_id,
