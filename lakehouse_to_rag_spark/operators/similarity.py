@@ -659,26 +659,41 @@ def pq_train(
     import numpy as np
 
     arr = _maybe_unit(np.asarray(sample, dtype=np.float64), normalize)
-    subs = _subspace_codebooks_from_rows([list(r) for r in arr], m)  # (m, n, d_sub)
+    return _train_subspace_books(arr, m, k, iters)
+
+
+def _lloyd(pts: "np.ndarray", k: int, iters: int) -> "np.ndarray":
+    """Deterministic k-means: first-k-distinct init, fixed iteration
+    count, no RNG. Returns (k', dim) with k' <= k."""
+    import numpy as np
+
+    uniq = np.unique(pts, axis=0)
+    cent = uniq[: min(k, len(uniq))].copy()
+    for _ in range(iters):
+        d2 = (
+            (pts * pts).sum(1)[:, None]
+            - 2.0 * (pts @ cent.T)
+            + (cent * cent).sum(1)[None, :]
+        )
+        asg = d2.argmin(1)
+        for c in range(len(cent)):
+            mask = asg == c
+            if mask.any():
+                cent[c] = pts[mask].mean(0)
+    return cent
+
+
+def _train_subspace_books(
+    arr: "np.ndarray", m: int, k: int, iters: int
+) -> "np.ndarray":
+    import numpy as np
+
+    subs = _subspace_codebooks_from_rows([list(r) for r in arr], m)
     books = []
     for j in range(m):
-        pts = subs[j]
-        uniq = np.unique(pts, axis=0)
-        kk = min(k, len(uniq))
-        cent = uniq[:kk].copy()
-        for _ in range(iters):
-            d2 = (
-                (pts * pts).sum(1)[:, None]
-                - 2.0 * (pts @ cent.T)
-                + (cent * cent).sum(1)[None, :]
-            )
-            asg = d2.argmin(1)
-            for c in range(kk):
-                mask = asg == c
-                if mask.any():
-                    cent[c] = pts[mask].mean(0)
-        if kk < k:  # pad so every subspace has k rows (unused tail)
-            cent = np.vstack([cent, np.repeat(cent[:1], k - kk, axis=0)])
+        cent = _lloyd(subs[j], k, iters)
+        if len(cent) < k:  # pad so every subspace has k rows (unused tail)
+            cent = np.vstack([cent, np.repeat(cent[:1], k - len(cent), axis=0)])
         books.append(cent)
     return np.stack(books)  # (m, k, d_sub)
 
@@ -901,3 +916,357 @@ def knn_pq_rerank(
         .select("query_id", "neighbor_id", sim.alias("cosine"))
     )
     return _ranked_topk(pairs, k)
+
+
+# =====================================================================
+# IVF-PQ: coarse cluster pruning x residual product quantization
+# =====================================================================
+# The canonical billion-scale ANN index (FAISS IVFPQ): a coarse
+# quantizer prunes the corpus to nprobe clusters per query, and within
+# clusters vectors exist only as m RESIDUAL code bytes (residual =
+# vector - its coarse centroid; residuals are small, so the same
+# codebook budget quantizes them far more precisely than raw vectors).
+# At 100 TB: the (cluster, codes) table is the stored index —
+# partition it by cluster (write_ivf_index layout) and a probe reads
+# nprobe partitions of 8-byte codes; coarse centroids + codebooks are
+# tiny broadcast model state.
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    m: int = 8,
+    k: int = 64,
+    sample_rows: int = 16384,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Train (coarse_centroids (C, dim), residual codebooks (m, k,
+    d_sub)) on a bounded deterministic sample of unit-normalized
+    vectors — same no-RNG discipline as ``pq_train``."""
+    import numpy as np
+
+    sample = [
+        [float(x) for x in r[0]]
+        for r in corpus.select(vec_col)
+        .orderBy(F.col(id_col))
+        .limit(sample_rows)
+        .collect()
+    ]
+    arr = _maybe_unit(np.asarray(sample, dtype=np.float64), True)
+    coarse = _lloyd(arr, num_centroids, iters)
+    d2 = (
+        (arr * arr).sum(1)[:, None]
+        - 2.0 * (arr @ coarse.T)
+        + (coarse * coarse).sum(1)[None, :]
+    )
+    resid = arr - coarse[d2.argmin(1)]
+    return coarse, _train_subspace_books(resid, m, k, iters)
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    coarse: "np.ndarray",
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, codes) — each vector's coarse cluster plus its
+    m-byte residual code. One Arrow pass, two GEMMs per batch."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    m, kc, d_sub = codebooks.shape
+    cb, co = codebooks, coarse
+    co_n2 = (co * co).sum(1)
+    cb_n2 = (cb * cb).sum(2)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cluster", LongType()),
+            StructField("codes", BinaryType()),
+        ]
+    )
+
+    def _enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _maybe_unit(
+                np.array(list(pdf[vec_col]), dtype=np.float64), True
+            )
+            n = len(mat)
+            d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ co.T) + co_n2[None, :]
+            cl = d2.argmin(1)
+            resid = (mat - co[cl]).reshape(n, m, d_sub)
+            codes = np.empty((n, m), dtype=np.uint8)
+            for j in range(m):
+                dj = (
+                    (resid[:, j] * resid[:, j]).sum(1)[:, None]
+                    - 2.0 * (resid[:, j] @ cb[j].T)
+                    + cb_n2[j][None, :]
+                )
+                codes[:, j] = np.round(dj, 12).argmin(1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": cl.astype(np.int64),
+                    "codes": [c.tobytes() for c in codes],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(_enc, schema=schema)
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    coarse: "np.ndarray",
+    codebooks: "np.ndarray",
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over the IVF-PQ index: each query probes its
+    ``nprobe`` nearest coarse clusters (pruning via the cluster
+    equi-join — only probed partitions of the code table are read in
+    the persisted layout), and scores rows with a per-(query, cluster)
+    residual lookup table: dist ~= || (q - c) - codebook[code] ||²
+    summed over subspaces. Output ascending approximate squared L2
+    over unit vectors (= cosine ranking)."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    m, kc, d_sub = codebooks.shape
+    cb, co = codebooks, coarse
+    q_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.select(id_col, vec_col).collect()
+    )
+    qids = np.array([q[0] for q in q_rows], dtype=np.int64)
+    qmat = _maybe_unit(
+        np.array([q[1] for q in q_rows], dtype=np.float64), True
+    )
+    qd2 = (
+        (qmat * qmat).sum(1)[:, None]
+        - 2.0 * (qmat @ co.T)
+        + (co * co).sum(1)[None, :]
+    )
+    probe_clusters = np.argsort(np.round(qd2, 12), axis=1, kind="stable")[
+        :, :nprobe
+    ]
+    probes = [
+        (int(qids[qi]), int(c))
+        for qi in range(len(qids))
+        for c in probe_clusters[qi]
+    ]
+    spark = codes_df.sparkSession
+    probes_df = F.broadcast(
+        spark.createDataFrame(probes, "query_id long, cluster long")
+    )
+
+    qidx = {int(q): i for i, q in enumerate(qids)}
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("adc_dist", DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        import pandas as pd
+
+        luts: dict[tuple[int, int], np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for (qid, cl), grp in pdf.groupby(["query_id", "cluster"]):
+                key = (int(qid), int(cl))
+                if key not in luts:
+                    qres = (qmat[qidx[key[0]]] - co[key[1]]).reshape(m, d_sub)
+                    luts[key] = (
+                        (qres * qres).sum(1)[:, None]
+                        - 2.0 * np.einsum("jd,jcd->jc", qres, cb)
+                        + (cb * cb).sum(2)
+                    )
+                lut = luts[key]
+                codes = np.frombuffer(
+                    b"".join(grp["codes"]), dtype=np.uint8
+                ).reshape(len(grp), m)
+                nids = grp[id_col].to_numpy(dtype=np.int64)
+                d = lut[np.arange(m)[None, :], codes].sum(1)
+                mask = nids != key[0]
+                nloc, dloc = nids[mask], np.round(d[mask], 4)
+                take = min(k, len(nloc))
+                if take == 0:
+                    continue
+                part = np.lexsort((nloc, dloc))[:take]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": key[0],
+                            "neighbor_id": nloc[part],
+                            "adc_dist": dloc[part],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    pairs = codes_df.join(probes_df, "cluster").mapInPandas(
+        _score, schema=schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def knn_ivfpq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    pq_k: int = 64,
+    rerank: int = 50,
+    sample_rows: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end IVF-PQ with exact re-ranking: train on a bounded
+    sample, encode the corpus to (cluster, 8-byte residual code),
+    ADC-shortlist ``rerank`` candidates from ``nprobe`` probed
+    clusters, then exact rounded-cosine rank of the shortlist. Same
+    output contract as ``knn_bruteforce``."""
+    coarse, books = ivfpq_train(
+        corpus, num_centroids, m, pq_k, sample_rows,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = ivfpq_encode(corpus, coarse, books, id_col, vec_col)
+    shortlist = ivfpq_topk(
+        codes, queries, coarse, books, rerank, nprobe, id_col, vec_col
+    ).select("query_id", "neighbor_id")
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    qvec = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    sim = F.round(cosine_similarity(F.col("qvec"), F.col("nvec")), 4)
+    pairs = (
+        shortlist.join(nvec, "neighbor_id")
+        .join(qvec, "query_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    return _ranked_topk(pairs, k)
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    m: int = 8,
+    pq_k: int = 64,
+    sample_rows: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Persist the IVF-PQ index: ``{path}/cluster=N/`` holds each
+    cluster's (id, codes) rows — the SAME directory-pruned layout as
+    ``write_ivf_index`` but storing m code bytes per vector instead of
+    the full vector (the layout a 100 TB ANN corpus actually ships);
+    ``{path}/_coarse`` and ``{path}/_codebooks`` hold the model state
+    as flattened float rows. Returns the format written."""
+    from lakehouse_to_rag_spark.sources.lakehouse import write_layer
+
+    spark = corpus.sparkSession
+    coarse, books = ivfpq_train(
+        corpus, num_centroids, m, pq_k, sample_rows,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = ivfpq_encode(corpus, coarse, books, id_col, vec_col)
+    fmt = write_layer(codes, path, partition_by=["cluster"])
+    write_layer(
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(coarse)],
+            "centroid_id long, cvec array<double>",
+        ),
+        f"{path}/_coarse",
+    )
+    m_, k_, d_ = books.shape
+    write_layer(
+        spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in books[j, c]])
+                for j in range(m_)
+                for c in range(k_)
+            ],
+            "subspace long, code long, cvec array<double>",
+        ),
+        f"{path}/_codebooks",
+    )
+    return fmt
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index: rebuild the (tiny) model state
+    from ``_coarse``/``_codebooks``, then score exactly like the
+    in-memory path — the cluster equi-join prunes to the probed
+    ``cluster=N/`` directories."""
+    import numpy as np
+
+    from lakehouse_to_rag_spark.sources.lakehouse import read_layer
+
+    coarse_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in read_layer(spark, f"{path}/_coarse").collect()
+    )
+    coarse = np.array([r[1] for r in coarse_rows], dtype=np.float64)
+    book_rows = sorted(
+        (int(r[0]), int(r[1]), [float(x) for x in r[2]])
+        for r in read_layer(spark, f"{path}/_codebooks").collect()
+    )
+    m = 1 + max(r[0] for r in book_rows)
+    kc = 1 + max(r[1] for r in book_rows)
+    d_sub = len(book_rows[0][2])
+    books = np.zeros((m, kc, d_sub), dtype=np.float64)
+    for j, c, v in book_rows:
+        books[j, c] = v
+    codes = read_layer(spark, path)
+    return ivfpq_topk(
+        codes, queries, coarse, books, k, nprobe, id_col, vec_col
+    )

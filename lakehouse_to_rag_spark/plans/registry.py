@@ -2930,6 +2930,19 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("knn_ivfpq")  # trained coarse+residual quantizers (sample k-means):
+# rows-only by nature; clustered-corpus recall 1.0 and nprobe
+# monotonicity are pinned in tests/test_dedup_quality.py::TestIvfPq,
+# and the untrained PQ half is fully oracle-checked via knn_pq
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return simi.knn_ivfpq_rerank(
+        e, queries, k=5, num_centroids=16, nprobe=4, rerank=50,
+        sample_rows=2048,
+    )
+
+
 # =====================================================================
 # End-to-end RAG retrieval (the reference's namesake use case composed
 # from engine operators: exact kNN -> document join -> chunk stats)
