@@ -2930,6 +2930,22 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("bpe_token_counts")  # sample-trained merge table (driver BPE
+# training, like every production tokenizer): rows-only by nature;
+# merge order, distributed==local encode, roundtrip, and compression
+# monotonicity are pinned in tests/test_curation.py::TestBpeTokenizer
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real subword tokenization for the corpus: BPE merges trained on
+    a bounded sample (Sennrich-style, RNG-free), corpus encoded
+    distributedly with per-word memoization; emits (doc_id, n_tokens)
+    — the budget column sequence packing and curation consume."""
+    from lakehouse_to_rag_spark.functions.bpe import bpe_encode, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(d, num_merges=200, sample_rows=500)
+    return bpe_encode(d, merges, vocab).select("doc_id", "n_tokens")
+
+
 @_q("knn_ivfpq")  # trained coarse+residual quantizers (sample k-means):
 # rows-only by nature; clustered-corpus recall 1.0 and nprobe
 # monotonicity are pinned in tests/test_dedup_quality.py::TestIvfPq,

@@ -341,3 +341,91 @@ class TestFingerprintLoop:
             for r in cu.incremental_dedup(incoming, corpus).collect()
         }
         assert f1 | f2 == want and want
+
+
+class TestBpeTokenizer:
+    """Sample-trained BPE: hand-derived merge order, distributed
+    encode equivalence, roundtrip, compression monotonicity."""
+
+    def _toy(self, spark):
+        words = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+        return spark.createDataFrame(
+            [(0, " ".join(words))], "doc_id long, text string"
+        )
+
+    def test_textbook_merge_order(self, spark):
+        """Sennrich's low/lower/newest/widest corpus. With the
+        (freq, lexicographic) tie rule the first merges are hand-
+        derivable: (t,</w>) wins the 9-way tie, then the suffix chain
+        builds 'est</w>', then (o,w) at freq 7."""
+        from lakehouse_to_rag_spark.functions.bpe import bpe_train
+
+        merges, vocab = bpe_train(self._toy(spark), num_merges=4, sample_rows=10)
+        assert merges == [
+            ("t", "</w>"),
+            ("s", "t</w>"),
+            ("e", "st</w>"),
+            ("o", "w"),
+        ]
+        assert vocab["est</w>"] > 0 and vocab["ow"] > 0
+
+    def test_distributed_encode_matches_local(self, spark, sf_dir):
+        from lakehouse_to_rag_spark.functions.bpe import (
+            bpe_encode,
+            bpe_encode_word,
+            bpe_train,
+        )
+
+        d = load_table(spark, sf_dir, "documents")
+        merges, vocab = bpe_train(d, num_merges=80, sample_rows=200)
+        ranks = {p: i for i, p in enumerate(merges)}
+        got = {r["doc_id"]: list(r["token_ids"])
+               for r in bpe_encode(d, merges, vocab).collect()}
+        for row in d.filter(F.col("text").isNotNull()).limit(20).collect():
+            want = []
+            for w in row["text"].split():
+                want.extend(vocab.get(s, 0) for s in bpe_encode_word(w, ranks))
+            assert got[row["doc_id"]] == want
+
+    def test_roundtrip_and_determinism(self, spark, sf_dir):
+        from lakehouse_to_rag_spark.functions.bpe import (
+            bpe_decode_ids,
+            bpe_encode,
+            bpe_train,
+        )
+
+        d = load_table(spark, sf_dir, "documents")
+        m1, v1 = bpe_train(d, num_merges=120, sample_rows=300)
+        m2, v2 = bpe_train(d, num_merges=120, sample_rows=300)
+        assert m1 == m2 and v1 == v2
+        enc = bpe_encode(d, m1, v1).collect()
+        texts = {r["doc_id"]: r["text"]
+                 for r in d.filter(F.col("text").isNotNull()).collect()}
+        assert len(enc) == len(texts)
+        for r in enc[:10]:
+            norm = " ".join(texts[r["doc_id"]].split())
+            assert bpe_decode_ids(list(r["token_ids"]), v1) == norm
+
+    def test_more_merges_compress_more(self, spark):
+        """Token count must fall monotonically with merge budget, from
+        chars+1 per word (0 merges) toward 1 per word (saturation)."""
+        import numpy as np
+
+        from lakehouse_to_rag_spark.functions.bpe import bpe_encode, bpe_train
+
+        rng = np.random.default_rng(1)
+        vocab_words = ["".join(rng.choice(list("abcdefgh"), size=rng.integers(3, 9)))
+                       for _ in range(60)]
+        docs = [(i, " ".join(rng.choice(vocab_words, size=40)))
+                for i in range(30)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        totals = []
+        for nm in (0, 20, 80, 300):
+            merges, vocab = bpe_train(df, num_merges=nm, sample_rows=30)
+            totals.append(sum(
+                r["n_tokens"] for r in bpe_encode(df, merges, vocab).collect()
+            ))
+        assert totals == sorted(totals, reverse=True)
+        n_words = sum(len(t.split()) for _, t in docs)
+        assert totals[-1] >= n_words  # can never beat 1 token/word
+        assert totals[0] > 3 * n_words  # char-level start
