@@ -764,3 +764,120 @@ def tokenize_to_ids(
         )
         .select(F.col("id").alias(id_col), "token_ids", "n_tokens", "n_oov")
     )
+
+
+def trigram_backoff_scores(
+    df: DataFrame,
+    model_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid-Backoff trigram scoring (Brants et al. 2007 — the
+    large-LM scheme built for exactly this setting: counts are exact,
+    no discounting to tune) of ``df`` under n-gram tables trained on
+    ``model_df``. Unlike the self-trained bigram scorer, the model
+    corpus is a SEPARATE split, so backoff genuinely fires on unseen
+    trigrams:
+
+        S(w3|w1w2) = c3/c2                 if the trigram was seen
+                   = α · c(w2w3)/c(w2)     else if the bigram was
+                   = α² · (c(w3)+1)/(N+V)  else (add-1 unigram floor)
+
+    Scale shape: n-gram tables are model-corpus-bounded partial aggs;
+    scoring is three LEFT equi-joins of the doc trigram rows onto
+    them — AQE broadcasts small tables, shuffle-hash joins big ones.
+    Every count is an exact integer, so cross-engine drift is confined
+    to ln/avg ulps absorbed by the 4dp round.
+
+    Output: (id, n_trigrams, avg_logscore, backoff_rate) — the rate
+    of non-top-level matches is itself a novelty signal (how much of
+    the doc is phrasing the model corpus never saw).
+    """
+    words = F.filter(
+        F.split(F.col(text_col), " ", -1), lambda x: F.length(x) > 0
+    )
+
+    def grams(src: DataFrame, n: int, *names: str) -> DataFrame:
+        base = (
+            src.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"), words.alias("_w"))
+            .filter(F.size("_w") >= n)
+        )
+        t = F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+            lambda i: F.struct(
+                *[
+                    F.element_at(F.col("_w"), i + j).alias(names[j])
+                    for j in range(n)
+                ]
+            ),
+        )
+        return base.select("id", F.explode(t).alias("g")).select(
+            "id", *[f"g.{nm}" for nm in names]
+        )
+
+    c3 = (
+        grams(model_df, 3, "w1", "w2", "w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    c2 = (
+        grams(model_df, 2, "w1", "w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = (
+        grams(model_df, 1, "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    totals = F.broadcast(
+        c1.agg(
+            F.sum("c1").alias("n_total"),
+            F.count(F.lit(1)).alias("v_total"),
+        )
+    )
+
+    tg = grams(df, 3, "w1", "w2", "w3")
+    scored = (
+        tg.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2, ["w1", "w2"], "left")
+        .join(
+            c2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2").alias("cb2"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1w2")), ["w2"], "left")
+        .join(c1.select(F.col("w").alias("w3"), F.col("c1").alias("c1w3")), ["w3"], "left")
+        .crossJoin(totals)
+    )
+    a = F.lit(alpha)
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2"))
+        .when(F.col("cb2").isNotNull(), a * F.col("cb2") / F.col("c1w2"))
+        .otherwise(
+            a * a * (F.coalesce(F.col("c1w3"), F.lit(0)) + F.lit(1))
+            / (F.col("n_total") + F.col("v_total"))
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.round(F.avg(F.log(s)), 4).alias("avg_logscore"),
+            F.round(
+                F.avg(F.when(F.col("c3").isNotNull(), 0.0).otherwise(1.0)), 4
+            ).alias("backoff_rate"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_trigrams",
+            "avg_logscore",
+            "backoff_rate",
+        )
+    )

@@ -3399,6 +3399,71 @@ def bigram_lm_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bigram_lm_scores(d)
 
 
+_TRIGRAM_BACKOFF_ORACLE = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> LENGTH(x) > 0) AS ws
+  FROM documents WHERE text IS NOT NULL
+), mt AS (  -- model trigrams (even ids)
+  SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3 AND doc_id % 2 = 0
+), c3 AS (
+  SELECT w1, w2, w3, COUNT(*) AS c3 FROM mt GROUP BY 1, 2, 3
+), mb AS (  -- model bigrams
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2 AND doc_id % 2 = 0
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM mb GROUP BY 1, 2
+), mu AS (
+  SELECT u.x AS wd FROM w, UNNEST(ws) AS u(x) WHERE doc_id % 2 = 0
+), c1 AS (
+  SELECT wd, COUNT(*) AS c1 FROM mu GROUP BY 1
+), tot AS (
+  SELECT SUM(c1) AS n_total, COUNT(*) AS v_total FROM c1
+), tg AS (  -- scored trigrams (odd ids)
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3 AND doc_id % 2 = 1
+), s AS (
+  SELECT tg.doc_id,
+         CASE
+           WHEN c3.c3 IS NOT NULL THEN CAST(c3.c3 AS DOUBLE) / c2a.c2
+           WHEN c2b.c2 IS NOT NULL
+             THEN 0.4 * c2b.c2 / u2.c1
+           ELSE 0.4 * 0.4 * (COALESCE(u3.c1, 0) + 1)
+                / (tot.n_total + tot.v_total)
+         END AS sc,
+         CASE WHEN c3.c3 IS NOT NULL THEN 0.0 ELSE 1.0 END AS backed
+  FROM tg
+  LEFT JOIN c3 ON tg.w1 = c3.w1 AND tg.w2 = c3.w2 AND tg.w3 = c3.w3
+  LEFT JOIN c2 c2a ON tg.w1 = c2a.w1 AND tg.w2 = c2a.w2
+  LEFT JOIN c2 c2b ON tg.w2 = c2b.w1 AND tg.w3 = c2b.w2
+  LEFT JOIN c1 u2 ON tg.w2 = u2.wd
+  LEFT JOIN c1 u3 ON tg.w3 = u3.wd
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       ROUND(AVG(LN(sc)), 4) AS avg_logscore,
+       ROUND(AVG(backed), 4) AS backoff_rate
+FROM s GROUP BY doc_id
+"""
+
+
+@_q("trigram_backoff_scores", _TRIGRAM_BACKOFF_ORACLE)
+def trigram_backoff_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff trigram scoring of the odd-id half under n-gram
+    tables trained on the even-id half — a true held-out split, so the
+    backoff chain (trigram -> bigram -> add-1 unigram floor) actually
+    executes and the oracle checks every branch of it. Exact integer
+    counts throughout; ln/avg ulps absorbed by the 4dp round."""
+    d = load_table(spark, sf_dir, "documents")
+    return ta.trigram_backoff_scores(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
 # =====================================================================
 # Corpus-assembly / curation extensions (operators/curation.py)
 # =====================================================================

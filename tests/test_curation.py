@@ -429,3 +429,33 @@ class TestBpeTokenizer:
         n_words = sum(len(t.split()) for _, t in docs)
         assert totals[-1] >= n_words  # can never beat 1 token/word
         assert totals[0] > 3 * n_words  # char-level start
+
+
+def test_trigram_backoff_branches_all_fire(spark, sf_dir):
+    """Held-out scoring must exercise every backoff branch: some
+    trigrams seen (rate < 1 for some doc), some docs back off
+    (rate > 0 somewhere), and scores are finite logs (the add-1
+    unigram floor guarantees sc > 0 even for OOV words)."""
+    import math
+
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        trigram_backoff_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = trigram_backoff_scores(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+    ).collect()
+    assert out
+    rates = [r["backoff_rate"] for r in out]
+    assert any(r > 0 for r in rates)
+    assert any(r < 1 for r in rates)
+    assert all(math.isfinite(r["avg_logscore"]) for r in out)
+    # totally-OOV text still scores finitely via the unigram floor
+    oov = spark.createDataFrame(
+        [(1, "zzq qqz zqz xxj jjx")], "doc_id long, text string"
+    )
+    got = trigram_backoff_scores(oov, d.filter(F.col("doc_id") % 2 == 0)).collect()
+    assert len(got) == 1 and got[0]["backoff_rate"] == 1.0
+    assert math.isfinite(got[0]["avg_logscore"])
