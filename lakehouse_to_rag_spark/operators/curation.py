@@ -197,6 +197,58 @@ def domain_mix_sample(
     )
 
 
+def temperature_mix_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixing (the multilingual-corpus standard,
+    cf. multilingual-BERT / XLM-R exponential smoothing): target
+    shares proportional to n_g^alpha instead of fixed weights, so
+    alpha=1 keeps natural proportions, alpha->0 approaches uniform,
+    and 0<alpha<1 boosts small groups without starving big ones.
+    Draws the LARGEST corpus achieving those shares exactly: the
+    binding group gets rate 1.0 (for alpha<=1 that is always the
+    SMALLEST group: rate_g ∝ (n_b/n_g)^(1-alpha) ≤ 1), every other
+    group downsamples by md5 bucket — the same two-pass
+    count+broadcast-join shape as ``domain_mix_sample``, no RNG.
+
+    Engine-portable discipline: the rate is rounded to 9dp BEFORE the
+    floor(rate·precision) threshold in both engines, so a last-ulp
+    pow() difference cannot flip a keep decision."""
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n_g")
+    )
+    n_max = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # rate_g = min_h(n_h / n_h^alpha) * n_g^alpha / n_g
+    rates = counts.withColumn(
+        "rate",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.min(F.col("n_g") / F.pow("n_g", F.lit(alpha))).over(n_max)
+                * F.pow("n_g", F.lit(alpha))
+                / F.col("n_g"),
+            ),
+            9,
+        ),
+    ).select(group_col, "rate")
+    bucket = md5_bucket(F.col(id_col), "tmix:", precision)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(bucket < F.floor(F.col("rate") * precision).cast("long"))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.round("rate", 6).alias("sample_rate"),
+        )
+    )
+
+
 def incremental_dedup(
     incoming: DataFrame,
     corpus: DataFrame,

@@ -3562,6 +3562,35 @@ def domain_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMPERATURE_MIX_ORACLE = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_g
+  FROM documents GROUP BY source
+), rates AS (
+  SELECT source,
+         ROUND(LEAST(1.0,
+           MIN(n_g / POW(n_g, 0.5)) OVER () * POW(n_g, 0.5) / n_g), 9)
+           AS rate
+  FROM counts
+)
+SELECT d.doc_id, d.source, ROUND(rate, 6) AS sample_rate
+FROM documents d JOIN rates ON d.source = rates.source
+WHERE ('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+      < CAST(FLOOR(rate * 1000000) AS BIGINT)
+"""
+
+
+@_q("temperature_mix", _TEMPERATURE_MIX_ORACLE)
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixing at alpha=0.5 (multilingual-corpus
+    exponential smoothing): shares proportional to sqrt(group size),
+    smallest group binds at rate 1.0, md5-bucket keep decisions. The
+    9dp rate rounding BEFORE the floor threshold (both engines) makes
+    the pow() expression engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    return cu.temperature_mix_sample(d, alpha=0.5)
+
+
 _NORM_SQL = (
     r"TRIM(REGEXP_REPLACE(LOWER(REGEXP_REPLACE(TRIM(text), "
     r"'[^\w\d\s\.,!?;:\-\(\)]', ' ', 'g')), '\s+', ' ', 'g'))"

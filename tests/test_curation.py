@@ -459,3 +459,33 @@ def test_trigram_backoff_branches_all_fire(spark, sf_dir):
     got = trigram_backoff_scores(oov, d.filter(F.col("doc_id") % 2 == 0)).collect()
     assert len(got) == 1 and got[0]["backoff_rate"] == 1.0
     assert math.isfinite(got[0]["avg_logscore"])
+
+
+def test_temperature_mix_properties(spark, sf_dir):
+    """alpha=1 keeps natural proportions (every rate 1.0, nothing
+    dropped); alpha=0.5 keeps the smallest group whole and makes kept
+    shares track n_g^0.5 normalization."""
+    from lakehouse_to_rag_spark.operators.curation import temperature_mix_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    n_in = {r["source"]: r["cnt"]
+            for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+
+    full = temperature_mix_sample(d, alpha=1.0)
+    assert full.count() == d.count()
+    assert full.select("sample_rate").distinct().collect()[0][0] == 1.0
+
+    out = temperature_mix_sample(d, alpha=0.5).collect()
+    kept = {}
+    for r in out:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    smallest = min(n_in, key=n_in.get)
+    assert kept[smallest] == n_in[smallest]  # binding group never drops
+    # kept shares ~ sqrt-scaled targets (md5 sampling noise ~ 1/sqrt(n))
+    import math
+
+    tot_t = sum(math.sqrt(v) for v in n_in.values())
+    tot_k = sum(kept.values())
+    for g, n in n_in.items():
+        target = math.sqrt(n) / tot_t
+        assert abs(kept[g] / tot_k - target) < 0.05, (g, kept[g] / tot_k, target)
