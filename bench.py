@@ -61,6 +61,8 @@ HEADLINE = [
     "remove_duplicate_spans",
     "png_pixel_stats",
     "wav_audio_stats",
+    "temperature_mix",
+    "trigram_backoff_scores",
     # gif_frame_stats stays out: its 10 s at sf0.1 is the pure-Python
     # LZW codec (sequential by nature, ~12M pixels), not engine work —
     # it would dominate a total that otherwise measures query
