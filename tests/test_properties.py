@@ -337,3 +337,79 @@ def test_count_min_heavy_hitters_bounds(spark, sf_dir):
             k = (r["row_i"], r["bucket"])
             merged[k] = merged.get(k, 0) + r["c"]
     assert merged == whole
+
+
+# ---------------------------------------------------------------------
+# Round-3 codec + tokenizer properties (pure functions: no Spark
+# session needed, so hypothesis can hammer them cheaply)
+# ---------------------------------------------------------------------
+
+
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, rgba, seed):
+    import numpy as np
+
+    from lakehouse_to_rag_spark.multimodal.ops import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 4 if rgba else 3), dtype=np.uint8)
+    assert (decode_png(encode_png(px)) == px).all()
+
+
+@given(
+    st.lists(st.integers(0, 255), min_size=0, max_size=3000),
+    st.integers(2, 8),
+)
+@settings(max_examples=40, deadline=None)
+def test_lzw_roundtrip_property(data, min_code):
+    from lakehouse_to_rag_spark.multimodal.ops import _lzw_decode, _lzw_encode
+
+    vals = [v % (1 << min_code) for v in data]
+    assert _lzw_decode(_lzw_encode(vals, min_code), min_code) == vals
+
+
+@given(
+    st.integers(1, 2000),
+    st.integers(1, 3),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(n, ch, seed, rate):
+    import numpy as np
+
+    from lakehouse_to_rag_spark.multimodal.ops import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    got_rate, back = decode_wav(encode_wav(samples, sample_rate=rate))
+    assert got_rate == rate and (back == samples).all()
+
+
+@given(st.lists(st.text(alphabet=st.characters(
+    min_codepoint=33, max_codepoint=126), min_size=1, max_size=12),
+    min_size=1, max_size=60))
+@settings(max_examples=30, deadline=None)
+def test_bpe_word_encode_reconstructs(words):
+    """For ANY trained merge table, encoding then concatenating the
+    symbols of a word must reproduce the word + end marker — merges
+    can never lose or reorder characters."""
+    from lakehouse_to_rag_spark.functions.bpe import (
+        _EOW,
+        bpe_encode_word,
+    )
+
+    # ranks from bigrams of the words themselves: arbitrary but valid
+    pairs = []
+    for w in words:
+        syms = list(w) + [_EOW]
+        pairs.extend(zip(syms, syms[1:]))
+    ranks = {p: i for i, p in enumerate(dict.fromkeys(pairs))}
+    for w in words:
+        assert "".join(bpe_encode_word(w, ranks)) == w + _EOW
