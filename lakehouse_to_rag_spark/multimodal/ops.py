@@ -577,15 +577,19 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_stats, schema=_BMP_STATS_SCHEMA)
 
 
-def resize_real_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Real pixel resize (nearest neighbor) with format-preserving
-    re-encode (BMP stays BMP, PNG stays PNG); output schema = input
-    schema, so it composes with any downstream op."""
+def resize_real_images(
+    media: DataFrame, width: int, height: int, method: str = "nearest"
+) -> DataFrame:
+    """Real pixel resize with format-preserving re-encode (BMP stays
+    BMP, PNG stays PNG); ``method`` is "nearest" (exact gathers) or
+    "bilinear" (4-gather lerp, the PIL/OpenCV default look). Output
+    schema = input schema, so it composes with any downstream op."""
+    fn = {"nearest": _nn_resize, "bilinear": _bilinear_resize}[method]
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                encode_image_like(_nn_resize(decode_image(p), width, height), p)
+                encode_image_like(fn(decode_image(p), width, height), p)
                 for p in pdf["payload"]
             ]
             out = pdf.copy()
@@ -1029,3 +1033,59 @@ def synth_gif_table(spark: SparkSession, n: int = 20) -> DataFrame:
         p = encode_gif(frames, palette)
         rows.append((i, "video", p, "image/gif", len(p)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _bilinear_resize(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Bilinear resample via four gathers + vectorized lerp (align to
+    pixel centers, the OpenCV/PIL convention). uint8 in, uint8 out."""
+    h, w, ch = px.shape
+    ys = (np.arange(height) + 0.5) * h / height - 0.5
+    xs = (np.arange(width) + 0.5) * w / width - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def resample_audio(
+    media: DataFrame, target_rate: int = 16000
+) -> DataFrame:
+    """Linear-interpolation resample of real WAV payloads to
+    ``target_rate`` (np.interp per channel — deterministic, no
+    windowed sinc needed for pipeline plumbing); output schema = input
+    schema with re-encoded payloads, so it composes like the image
+    resize."""
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def _one(p: bytes) -> bytes:
+                rate, frames = decode_wav(p)
+                if rate == target_rate:
+                    return p
+                n = frames.shape[0]
+                m = max(1, int(round(n * target_rate / rate)))
+                src_t = np.arange(n, dtype=np.float64) / rate
+                dst_t = np.arange(m, dtype=np.float64) / target_rate
+                chans = [
+                    np.interp(dst_t, src_t, frames[:, c].astype(np.float64))
+                    for c in range(frames.shape[1])
+                ]
+                out = np.stack(chans, axis=1)
+                out = np.clip(np.floor(out + 0.5), -32768, 32767).astype(
+                    np.int16
+                )
+                return encode_wav(out, sample_rate=target_rate)
+
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(_one)
+            out["n_bytes"] = out["payload"].map(len)
+            yield out
+
+    return media.mapInPandas(_resample, schema=MEDIA_SCHEMA)

@@ -508,3 +508,81 @@ class TestGifCodec:
         for r in emb:
             v = np.array(r["embedding"], dtype=np.float32)
             assert abs(float((v * v).sum()) - 1.0) < 1e-3
+
+
+class TestMediaTransforms:
+    """Bilinear resize + audio resampling round out the transform set."""
+
+    def test_bilinear_matches_reference_2x2(self):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import _bilinear_resize
+
+        px = np.array(
+            [[[0, 0, 0], [100, 100, 100]], [[200, 200, 200], [40, 40, 40]]],
+            dtype=np.uint8,
+        )
+        # upscale 2x2 -> 4x4: center-aligned sample grid lands at
+        # src coords {-0.25, 0.25, 0.75, 1.25}; corners replicate
+        out = _bilinear_resize(px, 4, 4)
+        assert out.shape == (4, 4, 3)
+        assert (out[0, 0] == 0).all() and (out[0, 3] == 100).all()
+        assert (out[3, 0] == 200).all() and (out[3, 3] == 40).all()
+        # exact midpoint between 0 and 100 at (0, y=0.25..) row blend
+        assert out[1, 1, 0] == round(0 * 0.75 * 0.75 + 100 * 0.75 * 0.25
+                                     + 200 * 0.25 * 0.75 + 40 * 0.25 * 0.25)
+
+    def test_bilinear_constant_image_is_exact_any_size(self):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import _bilinear_resize
+
+        px = np.full((7, 11, 3), 137, dtype=np.uint8)
+        for w, h in [(3, 3), (22, 14), (1, 1), (30, 2)]:
+            assert (_bilinear_resize(px, w, h) == 137).all()
+
+    def test_bilinear_distributed_format_preserving(self, spark):
+        from lakehouse_to_rag_spark.multimodal.ops import (
+            decode_image,
+            resize_real_images,
+            synth_bmp_table,
+            synth_png_table,
+        )
+
+        media = synth_bmp_table(spark, n=4).unionByName(
+            synth_png_table(spark, n=4).withColumn(
+                "media_id", F.col("media_id") + 100
+            )
+        )
+        out = resize_real_images(media, 9, 7, method="bilinear").collect()
+        assert len(out) == 8
+        for r in out:
+            assert decode_image(bytes(r["payload"])).shape[:2] == (7, 9)
+
+    def test_audio_resample_properties(self, spark):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.ops import (
+            decode_wav,
+            resample_audio,
+            synth_wav_table,
+        )
+
+        media = synth_wav_table(spark, n=6)
+        orig = {r["media_id"]: decode_wav(bytes(r["payload"]))
+                for r in media.collect()}
+        out = {r["media_id"]: decode_wav(bytes(r["payload"]))
+               for r in resample_audio(media, target_rate=16000).collect()}
+        for mid, (rate, frames) in out.items():
+            assert rate == 16000
+            o_rate, o_frames = orig[mid]
+            # 8000 -> 16000: double the samples (within rounding)
+            assert abs(len(frames) - 2 * len(o_frames)) <= 1
+            assert frames.shape[1] == o_frames.shape[1]
+            # linear interp passes through original samples at 2x
+            assert (frames[::2, 0] == o_frames[: len(frames[::2]), 0]).all()
+        # identity when already at target rate
+        same = {r["media_id"]: bytes(r["payload"])
+                for r in resample_audio(media, target_rate=8000).collect()}
+        for r in media.collect():
+            assert same[r["media_id"]] == bytes(r["payload"])
