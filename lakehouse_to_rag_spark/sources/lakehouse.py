@@ -15,6 +15,7 @@ given (e.g. source / date) so downstream reads prune partitions;
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _delta_available(spark: SparkSession) -> bool:
@@ -277,3 +278,112 @@ def read_layer_merged(spark: SparkSession, path: str) -> DataFrame:
     older rows) — the read-side half of additive schema evolution
     without a table format."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def compact_layer(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    fmt: str | None = None,
+) -> int:
+    """Small-file compaction — the operational fix for the #1 cause of
+    slow 100 TB scans (a layer written by many tasks/micro-batches
+    accumulates thousands of KB-sized files; each costs a task launch
+    + footer read). Reads the layer, coalesces to
+    ceil(bytes / target_file_bytes) output files, atomically swaps the
+    directory (same crash-safe rename discipline as ``upsert_by_key``).
+    Returns the new file count. With a table format this is OPTIMIZE /
+    bin-packing; the parquet fallback keeps the identical contract.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    fmt = fmt or ("delta" if _delta_available(spark) else "parquet")
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    # coalesce, not repartition: narrowing to n files must not shuffle
+    df.coalesce(n).write.format(fmt).save(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits_per_col: int = 8,
+    fmt: str | None = None,
+) -> str:
+    """Z-order clustered write: interleave the bits of each column's
+    rank-bucket into a Morton key, range-partition + sort the data by
+    it, and write — so EVERY listed column has a bounded value range
+    per output file and parquet min/max row-group stats prune scans
+    filtered on ANY of them (single-column sorting only prunes its own
+    column). This is Delta OPTIMIZE ZORDER BY re-expressed as plain
+    DataFrame ops: quantile bucket -> bit-interleave ->
+    repartitionByRange + sortWithinPartitions.
+
+    Relationship to ``write_zordered`` below: that one scales values
+    linearly over [min, max] (pure JVM bit-spread, zero extra passes —
+    right for uniform-ish columns); THIS one buckets by approximate
+    quantiles, which survives skewed distributions and low-cardinality
+    columns (where min-max scaling parks most rows in a few codes, and
+    collapsed buckets here are spread back across the full bit range —
+    the footer-stats test pins that property on a 15-value column).
+
+    Rank-bucketing (not raw bit-slicing) makes the curve robust to
+    skewed value distributions; ties share a bucket, which only
+    relaxes pruning, never breaks correctness. Buckets come from
+    ``approxQuantile`` boundaries (Greenwald-Khanna, distributed, one
+    pass, driver holds only 2^bits-1 cut points) — NOT a global
+    rank window, which would funnel the corpus through one task.
+    """
+    fmt = fmt or ("delta" if _delta_available(df.sparkSession) else "parquet")
+    n_buckets = 1 << bits_per_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    zcols = []
+    for c in cols:
+        bounds = sorted(set(df.approxQuantile(c, probs, 0.001)))
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        # bucket = #boundaries <= value (codegen'd array filter). A
+        # low-cardinality column collapses to len(bounds)+1 < 2^bits
+        # buckets; SPREAD them across the full bit range, otherwise
+        # their high Morton bits are constant zero and the interleave
+        # degenerates to a sort on the other columns alone.
+        bucket = F.size(
+            F.filter(arr, lambda x: x <= F.col(c).cast("double"))
+        ).cast("long")
+        spread = n_buckets // (len(bounds) + 1)
+        if spread > 1:
+            bucket = bucket * F.lit(spread)
+        zcols.append(bucket)
+    # interleave: bit b of column i lands at position b*len(cols)+i
+    z = F.lit(0).cast("long")
+    for b in range(bits_per_col):
+        for i, bucket in enumerate(zcols):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                b * len(cols) + i,
+            )
+    keyed = df.withColumn("_zorder", z)
+    (
+        keyed.repartitionByRange(n_files, "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.format(fmt)
+        .save(path)
+    )
+    return fmt
