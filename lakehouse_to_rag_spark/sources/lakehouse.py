@@ -232,10 +232,11 @@ def compact_layer(
     path: str,
     target_files: int | None = None,
     fmt: str | None = None,
+    target_file_bytes: int = 128 << 20,
 ) -> int:
     """Small-file compaction: rewrite a layer into ``target_files``
-    files (default: one per ~128 MB of input, min 1) with an atomic
-    directory swap. Streaming/incremental sinks accrete many small
+    files (default: one per ``target_file_bytes`` of input, min 1)
+    with an atomic directory swap. Streaming/incremental sinks accrete many small
     files; scans then pay per-file open cost and tiny row groups
     defeat pruning — periodic compaction is the standard fix. Uses
     coalesce (no shuffle) since output count only shrinks. Returns
@@ -255,9 +256,17 @@ def compact_layer(
             for f in pathlib.Path(path).rglob("*")
             if f.is_file()
         )
-        target_files = max(1, math.ceil(size / (128 * 1024 * 1024)))
+        target_files = max(1, math.ceil(size / target_file_bytes))
     tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
-    df.coalesce(target_files).write.format(fmt).mode("overwrite").save(tmp)
+    # coalesce narrows without a shuffle; growing the file count (re-
+    # splitting an over-compacted layer) genuinely needs repartition
+    parts = df.rdd.getNumPartitions()
+    sized = (
+        df.coalesce(target_files)
+        if target_files <= parts
+        else df.repartition(target_files)
+    )
+    sized.write.format(fmt).mode("overwrite").save(tmp)
     old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
@@ -278,45 +287,6 @@ def read_layer_merged(spark: SparkSession, path: str) -> DataFrame:
     older rows) — the read-side half of additive schema evolution
     without a table format."""
     return spark.read.option("mergeSchema", "true").parquet(path)
-
-
-def compact_layer(
-    spark: SparkSession,
-    path: str,
-    target_file_bytes: int = 128 << 20,
-    fmt: str | None = None,
-) -> int:
-    """Small-file compaction — the operational fix for the #1 cause of
-    slow 100 TB scans (a layer written by many tasks/micro-batches
-    accumulates thousands of KB-sized files; each costs a task launch
-    + footer read). Reads the layer, coalesces to
-    ceil(bytes / target_file_bytes) output files, atomically swaps the
-    directory (same crash-safe rename discipline as ``upsert_by_key``).
-    Returns the new file count. With a table format this is OPTIMIZE /
-    bin-packing; the parquet fallback keeps the identical contract.
-    """
-    import math
-    import os
-    import shutil
-    import uuid
-
-    fmt = fmt or ("delta" if _delta_available(spark) else "parquet")
-    total = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(path)
-        for f in fs
-        if not f.startswith(("_", "."))
-    )
-    n = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.format(fmt).load(path)
-    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
-    # coalesce, not repartition: narrowing to n files must not shuffle
-    df.coalesce(n).write.format(fmt).save(tmp)
-    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return n
 
 
 def zorder_write(

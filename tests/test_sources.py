@@ -593,6 +593,8 @@ class TestLayoutMaintenance:
         n = compact_layer(spark, path, target_file_bytes=64 << 20)
         after = len(parquet_files(path))
         assert after == n < before
+        # explicit file-count override wins over the byte target
+        assert compact_layer(spark, path, target_files=3) == 3
         got = spark.read.parquet(path)
         assert got.count() == ev.count()
         assert got.exceptAll(ev).count() == 0
