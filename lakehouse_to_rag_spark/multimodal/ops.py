@@ -78,8 +78,10 @@ def synth_media_table(spark: SparkSession, n: int = 100) -> DataFrame:
 
 def _parse_header(payload: bytes) -> tuple[int, int, int]:
     """(width, height, n_frames) from a payload HEADER alone — no
-    pixel decode. Understands the SYNM synthetic format plus the two
-    real codecs at the bottom of this file (24-bit BMP, 8-bit PNG), so
+    pixel decode (except WAV, which reads its fmt/data chunks).
+    Understands the SYNM synthetic format plus every real codec at the
+    bottom of this file (BMP, PNG, GIF — and WAV, mapped as
+    width=sample_rate, height=n_channels, n_frames=n_samples), so
     ``decode_metadata`` is format-aware wherever a real decoder
     exists; everything else needs PIL/ffmpeg and raises."""
     if payload is not None and payload.startswith(_MAGIC):
@@ -95,6 +97,11 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
     if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h, n = _gif_header_scan(payload)
         return w, h, n
+    if payload is not None and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # audio mapping, documented: width=sample_rate,
+        # height=n_channels, n_frames=n_samples
+        rate, frames = decode_wav(payload)
+        return rate, frames.shape[1], frames.shape[0]
     raise NotImplementedError(
         "real media decode requires PIL/ffmpeg (not in this container); "
         "only SYNM/BMP/PNG/GIF payloads are decodable here"
@@ -518,12 +525,17 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-dispatch decode over the real codecs (24-bit BMP, 8-bit
-    RGB/RGBA PNG). The pipeline stages below call THIS, so every stage
-    runs unchanged over any format with a real decoder; unsupported
-    formats raise NotImplementedError exactly like the PIL/ffmpeg
-    stubs."""
+    RGB/RGBA PNG, GIF -> first frame). The pipeline stages below call
+    THIS, so every stage runs unchanged over any format with a real
+    decoder; unsupported formats raise NotImplementedError exactly
+    like the PIL/ffmpeg stubs."""
     if payload is not None and payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+        frames = decode_gif(payload)
+        if not frames:
+            raise NotImplementedError("GIF with no image frames")
+        return frames[0]
     return decode_bmp(payload)
 
 

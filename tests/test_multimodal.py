@@ -586,3 +586,49 @@ class TestMediaTransforms:
                 for r in resample_audio(media, target_rate=8000).collect()}
         for r in media.collect():
             assert same[r["media_id"]] == bytes(r["payload"])
+
+
+def test_dispatch_consistency_all_real_codecs(spark):
+    """Every payload _parse_header accepts must flow through the
+    pipeline stages without NotImplementedError: GIF decodes via
+    decode_image (first frame), WAV maps to audio metadata, and
+    extract_features handles a table mixing all four real formats."""
+    import numpy as np
+
+    from lakehouse_to_rag_spark.multimodal.ops import (
+        _parse_header,
+        decode_gif,
+        decode_image,
+        decode_metadata,
+        extract_features,
+        synth_bmp_table,
+        synth_gif_table,
+        synth_png_table,
+        synth_wav_table,
+    )
+
+    gif = synth_gif_table(spark, n=3)
+    gpayload = bytes(gif.collect()[0]["payload"])
+    assert (decode_image(gpayload) == decode_gif(gpayload)[0]).all()
+
+    wav = synth_wav_table(spark, n=3)
+    wpayload = bytes(wav.collect()[1]["payload"])
+    rate, ch, n = _parse_header(wpayload)
+    assert rate == 8000 and ch == 1 and n == 900
+
+    media = (
+        synth_bmp_table(spark, n=3)
+        .unionByName(synth_png_table(spark, n=3).withColumn(
+            "media_id", F.col("media_id") + 100))
+        .unionByName(gif.withColumn("media_id", F.col("media_id") + 200))
+        .unionByName(wav.withColumn("media_id", F.col("media_id") + 300))
+    )
+    meta = decode_metadata(media).collect()
+    assert len(meta) == 12
+    emb = extract_features(
+        media.filter(F.col("media_type") != "audio"), dim=27
+    ).collect()
+    assert len(emb) == 9
+    for r in emb:
+        v = np.array(r["embedding"], dtype=np.float32)
+        assert abs(float((v * v).sum()) - 1.0) < 1e-3
