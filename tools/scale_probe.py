@@ -126,6 +126,41 @@ def main() -> None:
     n = sequence_pack(docs, seq_tokens=2048).count()
     print(f"sequence_pack: {time.perf_counter() - t0:.1f}s rows={n}")
 
+    from lakehouse_to_rag_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        trigram_backoff_scores,
+    )
+    from lakehouse_to_rag_spark.operators.curation import (
+        temperature_mix_sample,
+    )
+
+    t0 = time.perf_counter()
+    books = pq_train(emb, m=8, k=64, sample_rows=4096, iters=5)
+    codes = pq_encode(emb, books).localCheckpoint(eager=True)
+    t_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    queries = emb.filter(F.col("vec_id") < 10)
+    n = pq_topk(codes, queries, books, k=10).count()
+    print(
+        f"pq_train+encode: {t_enc:.1f}s  pq_topk_adc: "
+        f"{time.perf_counter() - t0:.1f}s rows={n}"
+    )
+
+    t0 = time.perf_counter()
+    n = trigram_backoff_scores(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    ).count()
+    print(f"trigram_backoff: {time.perf_counter() - t0:.1f}s rows={n}")
+
+    t0 = time.perf_counter()
+    n = temperature_mix_sample(docs, alpha=0.5).count()
+    print(f"temperature_mix: {time.perf_counter() - t0:.1f}s rows={n}")
+
     t0 = time.perf_counter()
     n = training_shuffle(docs, n_shards=64).count()
     n2 = domain_mix_sample(
