@@ -29,11 +29,20 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 200,
-    sample_rows: int = 4096,
+    sample_rows: int = 16384,
     id_col: str = "doc_id",
 ) -> tuple[list[tuple[str, str]], dict[str, int]]:
     """Train BPE merges on the first ``sample_rows`` documents by id.
-    Returns (ordered merge list, symbol -> id vocabulary)."""
+    Returns (ordered merge list, symbol -> id vocabulary).
+
+    Pair counts are maintained INCREMENTALLY: each merge touches only
+    the words that actually contain the merged pair (tracked in an
+    inverted pair -> words index), not the whole word dict — the
+    classic O(sample_vocab x num_merges) full rescan becomes
+    O(affected_words) per merge, which is why the default sample is
+    16k docs rather than 4k. Merge order is bit-identical to the
+    rescanning form: the argmax key (count, a, b) is a total order
+    over pairs, so dict iteration order never matters."""
     rows = (
         df.filter(F.col(text_col).isNotNull())
         .orderBy(F.col(id_col))
@@ -49,24 +58,44 @@ def bpe_train(
             word_freq[key] = word_freq.get(key, 0) + 1
             base.update(w)
 
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[tuple[str, ...]]] = {}
+    for word, freq in word_freq.items():
+        for p in zip(word, word[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + freq
+            pair_words.setdefault(p, set()).add(word)
+
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for word, freq in word_freq.items():
-            for a, b in zip(word, word[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + freq
-        if not pairs:
+        if not pair_counts:
             break
         # max frequency, lexicographic tie-break: deterministic
-        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        best = max(
+            pair_counts.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1])
+        )
         if best[1] < 2:  # nothing left worth merging
             break
         a, b = best[0]
         merged = a + b
         merges.append((a, b))
-        new_freq: dict[tuple[str, ...], int] = {}
-        for word, freq in word_freq.items():
-            out, i = [], 0
+        # rewrite ONLY the words containing (a, b); a rewritten word
+        # cannot itself still contain (a, b) (left-to-right replacement
+        # consumes both symbols), so the snapshot list is stable
+        for word in list(pair_words.get((a, b), ())):
+            freq = word_freq.pop(word)
+            for p in zip(word, word[1:]):
+                c = pair_counts[p] - freq
+                if c:
+                    pair_counts[p] = c
+                else:
+                    del pair_counts[p]
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(word)
+                    if not ws:
+                        del pair_words[p]
+            out: list[str] = []
+            i = 0
             while i < len(word):
                 if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
                     out.append(merged)
@@ -74,9 +103,11 @@ def bpe_train(
                 else:
                     out.append(word[i])
                     i += 1
-            key = tuple(out)
-            new_freq[key] = new_freq.get(key, 0) + freq
-        word_freq = new_freq
+            new = tuple(out)
+            word_freq[new] = word_freq.get(new, 0) + freq
+            for p in zip(new, new[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + freq
+                pair_words.setdefault(p, set()).add(new)
 
     vocab: dict[str, int] = {}
     for i, sym in enumerate(sorted(base)):

@@ -83,25 +83,41 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
     bottom of this file (BMP, PNG, GIF — and WAV, mapped as
     width=sample_rate, height=n_channels, n_frames=n_samples), so
     ``decode_metadata`` is format-aware wherever a real decoder
-    exists; everything else needs PIL/ffmpeg and raises."""
-    if payload is not None and payload.startswith(_MAGIC):
-        w, h, frames = struct.unpack_from("<III", payload, len(_MAGIC))
-        return w, h, frames
-    if payload is not None and payload[:2] == b"BM":
-        w, h = struct.unpack_from("<ii", payload, 18)
-        return w, abs(h), 1
-    if payload is not None and payload[:8] == b"\x89PNG\r\n\x1a\n":
-        # IHDR is always the first chunk: sig(8) len(4) tag(4) W H ...
-        w, h = struct.unpack_from(">II", payload, 16)
-        return w, h, 1
-    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
-        w, h, n = _gif_header_scan(payload)
-        return w, h, n
-    if payload is not None and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        # audio mapping, documented: width=sample_rate,
-        # height=n_channels, n_frames=n_samples
-        rate, frames = decode_wav(payload)
-        return rate, frames.shape[1], frames.shape[0]
+    exists; everything else needs PIL/ffmpeg and raises.
+
+    Contract: EVERY undecodable payload — unknown magic OR a payload
+    whose magic matches but is truncated/corrupt — raises
+    NotImplementedError, so one bad row fails under the documented
+    contract instead of leaking struct.error/IndexError and killing
+    the whole Arrow batch with an undocumented exception type."""
+    try:
+        if payload is not None and payload.startswith(_MAGIC):
+            w, h, frames = struct.unpack_from("<III", payload, len(_MAGIC))
+            return w, h, frames
+        if payload is not None and payload[:2] == b"BM":
+            w, h = struct.unpack_from("<ii", payload, 18)
+            return w, abs(h), 1
+        if payload is not None and payload[:8] == b"\x89PNG\r\n\x1a\n":
+            # IHDR is always the first chunk: sig(8) len(4) tag(4) W H ...
+            w, h = struct.unpack_from(">II", payload, 16)
+            return w, h, 1
+        if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h, n = _gif_header_scan(payload)
+            return w, h, n
+        if (
+            payload is not None
+            and payload[:4] == b"RIFF"
+            and payload[8:12] == b"WAVE"
+        ):
+            # audio mapping, documented: width=sample_rate,
+            # height=n_channels, n_frames=n_samples
+            rate, frames = decode_wav(payload)
+            return rate, frames.shape[1], frames.shape[0]
+    except (struct.error, IndexError, ValueError) as exc:
+        raise NotImplementedError(
+            f"corrupt/truncated media payload (magic matched but header "
+            f"parse failed: {exc})"
+        ) from exc
     raise NotImplementedError(
         "real media decode requires PIL/ffmpeg (not in this container); "
         "only SYNM/BMP/PNG/GIF payloads are decodable here"
@@ -541,9 +557,29 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 def encode_image_like(pixels: np.ndarray, original: bytes) -> bytes:
     """Re-encode pixels in the ORIGINAL payload's format — keeps
-    resize/transcode stages format-preserving."""
+    resize/transcode stages format-preserving for every dispatched
+    format (PNG stays PNG, GIF stays single-frame GIF, BMP stays BMP).
+
+    GIF re-encode builds the palette from the image's distinct colors
+    (exact — no quantization); pixels that resize/crop out of an
+    existing GIF always satisfy this. >256 distinct colors would need
+    a quantizer (PIL territory) and raises NotImplementedError rather
+    than silently switching container formats."""
     if original[: len(_PNG_SIG)] == _PNG_SIG:
         return encode_png(pixels)
+    if original[:6] in (b"GIF87a", b"GIF89a"):
+        rgb = np.ascontiguousarray(pixels[:, :, :3], dtype=np.uint8)
+        h, w, _ = rgb.shape
+        flat = rgb.reshape(-1, 3)
+        palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(palette) > 256:
+            raise NotImplementedError(
+                "GIF re-encode with >256 distinct colors requires a "
+                "quantizer (PIL); refusing to silently emit another format"
+            )
+        return encode_gif(
+            [inverse.reshape(h, w).astype(np.uint8)], palette
+        )
     return encode_bmp(pixels[:, :, :3])
 
 
@@ -736,7 +772,14 @@ def audio_stats(media: DataFrame) -> DataFrame:
     """Decode real WAV payloads and emit per-clip signal statistics
     (duration, RMS, peak, zero-crossing count) — the audio analogue of
     ``decode_image_stats``, Arrow-batched. RMS/duration are exact
-    integer-sum / count arithmetic, so results are engine-portable."""
+    integer-sum / count arithmetic, so results are engine-portable.
+
+    Channel convention: rms/peak/zero_crossings are computed over
+    CHANNEL 0 only (the reference channel), NOT a mono mixdown —
+    unlike ``audio_features``, which mean-mixes. Channel-0 keeps the
+    stats exact integers reproducible by a SQL oracle; a mixdown
+    introduces fractional samples. Stereo callers wanting all-channel
+    stats should mix before encoding or use ``audio_features``."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -339,9 +339,10 @@ def admit_batch(
         fps = spark.createDataFrame([], "content_fp string")
     admitted = incremental_dedup_fps(incoming, fps, id_col, text_col)
     # materialize BEFORE the upsert swaps the directory out from under
-    # the lazy plan reading it
-    rows = admitted.collect()
-    out = spark.createDataFrame(rows, admitted.schema)
+    # the lazy plan reading it — on the EXECUTORS (localCheckpoint cuts
+    # the lineage back to cached blocks), never the driver: an ingest
+    # batch at 100 TB scale must not round-trip through collect().
+    out = admitted.localCheckpoint(eager=True)
     upsert_by_key(
         spark,
         fp_table_path,

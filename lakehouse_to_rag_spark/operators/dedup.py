@@ -88,21 +88,39 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
-    Shuffle shape: one exchange on `shingle` for the self-join (skew
-    note: a stop-shingle shared by millions of docs would explode the
-    join — at scale, drop shingles with document frequency above a cap
-    first; that filter is itself one partial-agg). Intersection counts
-    and set sizes are integers, so jaccard is bit-deterministic.
+    Shuffle shape: one exchange on `shingle` for the self-join.
+    Skew guard: a stop-shingle shared by m documents contributes
+    O(m^2) join rows — ``max_shingle_df`` drops shingles whose
+    document frequency exceeds the cap BEFORE the join (one partial
+    agg + a semi-join), bounding per-shingle fan-out at cap^2. The
+    capped universe is used consistently for intersections AND set
+    sizes, so jaccard stays a true Jaccard over the filtered shingle
+    space (ubiquitous shingles carry no near-dup signal; at the
+    default cap of 100k nothing is dropped below web-corpus scale,
+    and results are bit-identical to the uncapped form whenever no
+    shingle exceeds the cap). ``None`` disables the cap.
+    Intersection counts and set sizes are integers, so jaccard is
+    bit-deterministic.
 
     The shingle table feeds THREE consumers (both join sides + the
     size aggregate) — localCheckpoint materializes the split+explode+
     distinct pipeline once instead of re-running it per consumer
     (plan sweep showed 4 document scans / 14 exchanges without it).
     """
-    sh = word_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -639,16 +639,16 @@ def pq_train(
     iters: int = 10,
     vec_col: str = "embedding",
     normalize: bool = True,
+    id_col: str = "vec_id",
 ) -> "np.ndarray":
     """Train per-subspace codebooks with numpy Lloyd iterations on a
     bounded, deterministic sample (first ``sample_rows`` vectors by
-    id — FAISS-style sample training; the full corpus never reaches
-    the driver). Deterministic: init is the first k distinct sample
-    subvectors, iteration count is fixed, no RNG. Returns (m, k,
-    d_sub) float64 codebooks — broadcastable model state."""
+    ``id_col`` — FAISS-style sample training; the full corpus never
+    reaches the driver). Deterministic: init is the first k distinct
+    sample subvectors, iteration count is fixed, no RNG. Returns
+    (m, k, d_sub) float64 codebooks — broadcastable model state."""
     import numpy as np
 
-    id_col = corpus.columns[0]
     sample = [
         [float(x) for x in r[0]]
         for r in corpus.select(vec_col)

@@ -3641,17 +3641,23 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 #   round 1 window: first 50 by build order        (50 checked)
 #   round 2 window: one representative per family  (76 cumulative)
-#   round 3 window (this one): 10 cross-family CANARIES that stay in
-#     every window to catch regressions + 40 entries never yet
+#   round 3 window: 10 cross-family CANARIES that stay in every
+#     window to catch regressions + 40 entries never yet
 #     driver-checked, INCLUDING the equivalence twins a previous
 #     revision demoted past the window (that demotion is removed:
 #     hiding twins from the gate could mask a regression in them).
-#     Cumulative after round 3: 116 of 124.
-#   round 4 window: the canaries + the 8 entries still unchecked
-#     (knn_ivf_kmeans, events_approx_stats, bigram_freq_top20,
-#     events_central_tendency, user_value_trend, events_sliding_1h30m,
-#     duplicate_ngram_spans, events_pipe_syntax) + least-recently
-#     checked entries — completing 124/124, then round-robin.
+#     Cumulative after round 3: 116 of 132.
+#   round 4 window (this one): the 10 canaries + ALL 16 entries still
+#     never driver-checked (knn_pq, knn_ivfpq, knn_ivf_kmeans,
+#     bpe_token_counts, trigram_backoff_scores, temperature_mix,
+#     png/gif/wav media stats, duplicate_ngram_spans,
+#     bigram_freq_top20, events_approx_stats, events_central_tendency,
+#     events_pipe_syntax, events_sliding_1h30m, user_value_trend) —
+#     completing cumulative coverage 132/132 — + the 24 stalest
+#     re-confirmations (entries whose only driver-green row is from
+#     round 1; the two round-1-only equivalence twins of
+#     fresher-checked primaries, events_type_pivot and
+#     knn_bruteforce_numpy, defer to round 5's round-robin).
 #
 # Entries outside a given round's window remain fully oracle-checked
 # by the local suite every session (tests/test_oracle_parity.py runs
@@ -3674,52 +3680,49 @@ _CANARIES: list[str] = [
 ]
 
 _DRIVER_WINDOW: list[str] = _CANARIES + [
-    # --- 40 entries never driver-checked in rounds 1-2 ---
-    # TPC-H analogues q2-q22 (every join/subquery shape: correlated
-    # EXISTS, disjunctive predicates, anti-join aggregates, ...)
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_bulk_part_suppliers",
-    "q21_sole_late_suppliers",
-    "q22_inactive_rich_customers",
-    # events/window extensions
-    "events_rank_functions",
-    "events_value_deciles",
-    "events_value_histogram",
-    "events_funnel",
-    "events_running_anomalies",
-    "events_hourly_gapfilled",
-    "events_stratified_sample",
-    "events_weighted_mean_udaf",
-    "user_event_sequences",
-    "user_retention_cohorts",
-    "user_sketch_rollup",
-    "click_attribution",
-    "users_click_and_purchase",
-    "users_click_no_purchase",
-    "orders_above_customer_avg",
-    # formerly-demoted equivalence twins, now in the audited window
-    "events_type_pivot_native",
-    "events_sessionize_native",
-    "events_pivot_roundtrip",
-    "dedup_ngram_jaccard_prefix",
-    # remaining curation / text entries
-    "per_group_cap",
-    "vocab_top_tokens",
-    "curation_pipeline",
-    "dedup_minhash_ml",
+    # --- the 16 entries never driver-checked in rounds 1-3 ---
+    # (completes cumulative driver coverage 132/132)
+    "knn_pq",
+    "knn_ivfpq",
+    "knn_ivf_kmeans",
+    "bpe_token_counts",
+    "trigram_backoff_scores",
+    "temperature_mix",
+    "png_pixel_stats",
+    "gif_frame_stats",
+    "wav_audio_stats",
+    "duplicate_ngram_spans",
+    "bigram_freq_top20",
+    "events_approx_stats",
+    "events_central_tendency",
+    "events_pipe_syntax",
+    "events_sliding_1h30m",
+    "user_value_trend",
+    # --- 24 stalest re-confirmations (last driver-green in round 1) ---
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_regional_revenue",
+    "top_suppliers",
+    "segment_order_stats",
+    "part_type_stats",
+    "events_hourly",
+    "events_sessionize",
+    "events_top_users",
+    "events_props_rollup",
+    "events_variant_props",
+    "dedup_simhash",
+    "dedup_embedding_jvm",
+    "doc_fingerprint",
+    "events_user_lag",
+    "events_rolling_1h",
+    "first_event_per_user",
+    "orders_rollup",
+    "customers_without_orders",
+    "medallion_stats",
+    "session_intervals",
+    "events_session_range_join",
+    "events_multi_rollup",
+    "events_value_percentiles",
 ]
 
 

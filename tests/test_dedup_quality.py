@@ -454,3 +454,35 @@ class TestIvfPq:
         stored = spark.read.parquet(path)
         assert "embedding" not in stored.columns
         assert any(d.startswith("cluster=") for d in os.listdir(path))
+
+
+def test_ngram_jaccard_df_cap_equals_uncapped_when_under_cap(spark, sf_dir):
+    """Default cap (100k) drops nothing at test scale, so the capped
+    form must be bit-identical to max_shingle_df=None."""
+    docs = load_table(spark, sf_dir, "documents")
+    capped = {
+        tuple(r) for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    uncapped = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.5, max_shingle_df=None
+        ).collect()
+    }
+    assert capped == uncapped and capped
+
+
+def test_ngram_jaccard_stop_shingle_cap_bounds_pair_volume(spark):
+    """A planted stop-shingle shared by all 40 docs creates C(40,2)=780
+    join pairs uncapped; a DF cap of 10 drops it before the self-join,
+    collapsing candidate volume to zero — the skew guard at work."""
+    rows = [
+        (i, f"the quick brown u{i}x t{i}y w{i}z e{i}q") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(
+        df, "doc_id", "text", 3, 0.01, max_shingle_df=None
+    )
+    assert uncapped.count() == 40 * 39 // 2
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.01, max_shingle_df=10)
+    assert capped.count() == 0

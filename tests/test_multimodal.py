@@ -632,3 +632,49 @@ def test_dispatch_consistency_all_real_codecs(spark):
     for r in emb:
         v = np.array(r["embedding"], dtype=np.float32)
         assert abs(float((v * v).sum()) - 1.0) < 1e-3
+
+
+def test_truncated_magic_payloads_raise_documented_error():
+    """Corrupt payloads whose magic matches a known format must still
+    fail under the documented NotImplementedError contract, not leak
+    struct.error/IndexError into the Arrow batch."""
+    import pytest
+
+    from lakehouse_to_rag_spark.multimodal.ops import _parse_header
+
+    for corrupt in (
+        b"BM",                      # BMP magic, no header
+        b"\x89PNG\r\n\x1a\n",       # bare PNG signature
+        b"GIF89a",                  # 6-byte GIF
+        b"GIF89a\x04\x00\x03\x00",  # GIF truncated mid-screen-descriptor
+        b"RIFF\x00\x00\x00\x00WAVE",  # WAV with no chunks
+        b"SYNM\x01\x00",            # synthetic magic, truncated dims
+    ):
+        with pytest.raises(NotImplementedError):
+            _parse_header(corrupt)
+
+
+def test_gif_resize_is_format_preserving(spark):
+    """resize_real_images on GIF payloads must re-emit GIF (mime_type
+    stays honest), with the resized first frame decodable at target
+    size and pixel-equal to resizing the decoded frame directly."""
+    import numpy as np
+
+    from lakehouse_to_rag_spark.multimodal.ops import (
+        _nn_resize,
+        decode_gif,
+        resize_real_images,
+        synth_gif_table,
+    )
+
+    media = synth_gif_table(spark, n=4)
+    originals = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = resize_real_images(media, 8, 6).collect()
+    assert len(out) == 4
+    for r in out:
+        payload = bytes(r["payload"])
+        assert payload[:6] in (b"GIF87a", b"GIF89a")
+        frames = decode_gif(payload)
+        assert frames[0].shape == (6, 8, 3)
+        want = _nn_resize(decode_gif(originals[r["media_id"]])[0], 8, 6)
+        assert np.array_equal(frames[0], want)
