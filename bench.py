@@ -63,10 +63,18 @@ HEADLINE = [
     "wav_audio_stats",
     "temperature_mix",
     "trigram_backoff_scores",
-    # gif_frame_stats stays out: its 10 s at sf0.1 is the pure-Python
-    # LZW codec (sequential by nature, ~12M pixels), not engine work —
-    # it would dominate a total that otherwise measures query
-    # execution. The correctness gate still runs it at sf0.01.
+    # round-4 additions: every remaining operator family gets a perf
+    # row — trained ANN (coarse k-means + PQ residuals), the replayable
+    # Lloyd-trained IVF, subword tokenization, the prefix-filtered
+    # Jaccard twin, and the GIF leg of the media set. Note on
+    # gif_frame_stats: its time is dominated by the pure-Python LZW
+    # codec (sequential per payload, ~12M pixels at sf0.1) — compare
+    # it round-over-round, not against JVM-side query rows.
+    "knn_ivfpq",
+    "knn_ivf_kmeans",
+    "bpe_token_counts",
+    "dedup_ngram_jaccard_prefix",
+    "gif_frame_stats",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

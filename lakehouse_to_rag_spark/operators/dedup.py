@@ -95,14 +95,17 @@ def ngram_jaccard_pairs(
     Shuffle shape: one exchange on `shingle` for the self-join.
     Skew guard: a stop-shingle shared by m documents contributes
     O(m^2) join rows — ``max_shingle_df`` drops shingles whose
-    document frequency exceeds the cap BEFORE the join (one partial
-    agg + a semi-join), bounding per-shingle fan-out at cap^2. The
-    capped universe is used consistently for intersections AND set
-    sizes, so jaccard stays a true Jaccard over the filtered shingle
-    space (ubiquitous shingles carry no near-dup signal; at the
-    default cap of 100k nothing is dropped below web-corpus scale,
-    and results are bit-identical to the uncapped form whenever no
-    shingle exceeds the cap). ``None`` disables the cap.
+    document frequency exceeds the cap BEFORE the join, bounding
+    per-shingle fan-out at cap^2. Implemented as a COUNT window over
+    `shingle` (one exchange, no second pass over the shingle
+    pipeline — measured faster than both the agg+semi-join form and
+    the uncapped form at sf0.1, since it pre-clusters the join key).
+    The capped universe is used consistently for intersections AND
+    set sizes, so jaccard stays a true Jaccard over the filtered
+    shingle space (ubiquitous shingles carry no near-dup signal; at
+    the default cap of 100k nothing is dropped below web-corpus
+    scale, and results are bit-identical to the uncapped form
+    whenever no shingle exceeds the cap). ``None`` disables the cap.
     Intersection counts and set sizes are integers, so jaccard is
     bit-deterministic.
 
@@ -113,13 +116,12 @@ def ngram_jaccard_pairs(
     """
     sh = word_shingles(df, id_col, text_col, n)
     if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
             .filter(F.col("_df") <= max_shingle_df)
-            .select("shingle")
+            .drop("_df")
         )
-        sh = sh.join(rare, "shingle", "left_semi")
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")

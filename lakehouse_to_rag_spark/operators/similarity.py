@@ -399,6 +399,11 @@ def kmeans_centroids(
                 n = np.linalg.norm(m, axis=1)
                 n[n == 0] = np.nan
                 sims = (m @ cmat.T) / n[:, None] / cnorm[None, :]
+                # 12dp round before argmax: a last-ulp summation-order
+                # gap between engines collapses to an exact tie that
+                # the smallest-centroid-id rule resolves identically —
+                # this is what lets a SQL oracle replay the training
+                sims = np.round(sims, 12)
                 # argmax = first max → smallest centroid id on ties
                 # (cmat rows are cid-ascending), matching
                 # max_by(struct(csim, -centroid_id))
@@ -436,8 +441,12 @@ def kmeans_centroids(
             )
             .select(
                 F.col("cluster").alias("centroid_id"),
+                # 12dp round of each mean component: partial-agg float
+                # summation order differs across engines/runs; rounding
+                # pins the refined centroids bit-identically so the
+                # next iteration sees the same quantizer everywhere
                 F.transform(
-                    F.col("packed"), lambda e: e["s"] / e["cnt"]
+                    F.col("packed"), lambda e: F.round(e["s"] / e["cnt"], 12)
                 ).alias("cvec"),
             )
         )

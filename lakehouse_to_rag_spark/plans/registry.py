@@ -2919,10 +2919,80 @@ def events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("knn_ivf_kmeans")  # approximate (trained quantizer): rows-only
-# check; recall vs the untrained quantizer is pinned in
-# tests/test_dedup_quality.py
+# One Lloyd iteration, unrolled: assignment under the previous
+# centroids (12dp-rounded sims, ties -> smallest centroid id — exactly
+# kmeans_centroids' np.round + nanargmax), then per-cluster
+# per-dimension means rounded to 12dp (exactly the F.round(s/cnt, 12)
+# recompute). Rounding at BOTH steps is what makes distributed
+# partial-sum training replayable by sequential SQL: every cross-engine
+# ulp gap collapses before it can flip an argmax.
+_KMEANS_ITER_SQL = """, a{i} AS (
+  SELECT vec_id, v, centroid_id AS cluster FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 12) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN c{prev} c
+  ) WHERE rn = 1
+), c{i} AS (
+  SELECT cluster AS centroid_id, list(mu ORDER BY dim) AS cv FROM (
+    SELECT cluster, dim, ROUND(SUM(x) / COUNT(*), 12) AS mu FROM (
+      SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim
+      FROM a{i}
+    ) GROUP BY cluster, dim
+  ) GROUP BY cluster
+)"""
+
+_KNN_IVF_KMEANS_ORACLE = (
+    """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16
+)"""
+    + "".join(_KMEANS_ITER_SQL.format(i=i, prev=i - 1) for i in (1, 2, 3))
+    + """
+, asg AS (
+  SELECT vec_id, v, centroid_id AS cluster FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 12) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN c3 c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qv, centroid_id AS cluster FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(q.v, c.cv), 12) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM e q CROSS JOIN c3 c WHERE q.vec_id < 10
+  ) WHERE rn <= 4
+), p AS (
+  SELECT probes.query_id, asg.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(probes.qv, asg.v), 4) AS cosine
+  FROM probes JOIN asg ON probes.cluster = asg.cluster
+  WHERE asg.vec_id <> probes.query_id
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5"""
+)
+
+
+@_q("knn_ivf_kmeans", _KNN_IVF_KMEANS_ORACLE)
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quantizer IVF: 3 Lloyd iterations (deterministic —
+    first-16-ids init, fixed iteration count, no RNG) refine the
+    coarse centroids, then the standard assignment/probe/score path.
+    The FULL training loop is replayed by the oracle: sims round to
+    12dp before every argmax and centroid means round to 12dp after
+    every recompute, in both engines, so distributed partial-sum
+    training and sequential SQL converge on bit-identical quantizers
+    (upgraded from rows-only; recall vs the untrained quantizer is
+    pinned in tests/test_dedup_quality.py)."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return simi.ivf_topk_kmeans(
