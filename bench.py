@@ -75,6 +75,7 @@ HEADLINE = [
     "bpe_token_counts",
     "dedup_ngram_jaccard_prefix",
     "gif_frame_stats",
+    "jpeg_pixel_stats",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

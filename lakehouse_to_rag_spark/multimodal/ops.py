@@ -113,6 +113,11 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
             # height=n_channels, n_frames=n_samples
             rate, frames = decode_wav(payload)
             return rate, frames.shape[1], frames.shape[0]
+        if payload is not None and payload[:2] == b"\xff\xd8":
+            from lakehouse_to_rag_spark.multimodal.jpeg import jpeg_dimensions
+
+            w, h = jpeg_dimensions(payload)
+            return w, h, 1
     except (struct.error, IndexError, ValueError) as exc:
         raise NotImplementedError(
             f"corrupt/truncated media payload (magic matched but header "
@@ -120,7 +125,7 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
         ) from exc
     raise NotImplementedError(
         "real media decode requires PIL/ffmpeg (not in this container); "
-        "only SYNM/BMP/PNG/GIF payloads are decodable here"
+        "only SYNM/BMP/PNG/GIF/JPEG/WAV payloads are decodable here"
     )
 
 
@@ -541,10 +546,10 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-dispatch decode over the real codecs (24-bit BMP, 8-bit
-    RGB/RGBA PNG, GIF -> first frame). The pipeline stages below call
-    THIS, so every stage runs unchanged over any format with a real
-    decoder; unsupported formats raise NotImplementedError exactly
-    like the PIL/ffmpeg stubs."""
+    RGB/RGBA PNG, GIF -> first frame, baseline JPEG). The pipeline
+    stages below call THIS, so every stage runs unchanged over any
+    format with a real decoder; unsupported formats raise
+    NotImplementedError exactly like the PIL/ffmpeg stubs."""
     if payload is not None and payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
     if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -552,6 +557,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         if not frames:
             raise NotImplementedError("GIF with no image frames")
         return frames[0]
+    if payload is not None and payload[:2] == b"\xff\xd8":
+        from lakehouse_to_rag_spark.multimodal.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     return decode_bmp(payload)
 
 
@@ -564,9 +573,15 @@ def encode_image_like(pixels: np.ndarray, original: bytes) -> bytes:
     (exact — no quantization); pixels that resize/crop out of an
     existing GIF always satisfy this. >256 distinct colors would need
     a quantizer (PIL territory) and raises NotImplementedError rather
-    than silently switching container formats."""
+    than silently switching container formats. JPEG re-encodes as
+    baseline quality-90 4:4:4 (lossy by nature — the one format where
+    a resize roundtrip is approximate, as with any real tool)."""
     if original[: len(_PNG_SIG)] == _PNG_SIG:
         return encode_png(pixels)
+    if original[:2] == b"\xff\xd8":
+        from lakehouse_to_rag_spark.multimodal.jpeg import encode_jpeg
+
+        return encode_jpeg(pixels[:, :, :3], quality=90)
     if original[:6] in (b"GIF87a", b"GIF89a"):
         rgb = np.ascontiguousarray(pixels[:, :, :3], dtype=np.uint8)
         h, w, _ = rgb.shape

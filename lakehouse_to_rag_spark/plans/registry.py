@@ -2143,6 +2143,110 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_stats, schema=out_schema)
 
 
+# Closed-form replay of the baseline JPEG pipeline on FLAT-color
+# images: a constant 8x8 block has only a DC coefficient, and the
+# codec computes DC exactly (integer sum / 8, see jpeg.py), so the
+# decoded color is FLOOR-arithmetic over doubles that both engines
+# evaluate identically (same literals, same association order):
+#   RGB -> YCbCr (half-up round, clamp)
+#   DC quantize/dequantize: FLOOR(8*(v-128)/q + 0.5) * q / 8 + 128
+#   YCbCr -> RGB from the UNROUNDED reconstructed planes, then
+#   half-up round + clamp (exactly decode_jpeg's order of operations).
+# Even doc_ids encode at quality 75 / 4:4:4 (q00: luma 8, chroma 9 by
+# the IJG formula), odd at quality 90 / 4:2:0 (3, 3) — both sampling
+# paths and two quant scales under the hash.
+_JPEG_STATS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id * 37 % 256 AS DOUBLE) AS r,
+         CAST(doc_id * 91 % 256 AS DOUBLE) AS g,
+         CAST(doc_id * 53 % 256 AS DOUBLE) AS b,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 3 END AS DOUBLE) AS ql,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 9 ELSE 3 END AS DOUBLE) AS qc,
+         CAST(9 + doc_id % 17 AS BIGINT) AS w,
+         CAST(6 + doc_id % 13 AS BIGINT) AS h
+  FROM documents
+), ycc AS (
+  SELECT *,
+    LEAST(255, GREATEST(0, FLOOR(0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS y,
+    LEAST(255, GREATEST(0, FLOOR(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5))) AS cb,
+    LEAST(255, GREATEST(0, FLOOR(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5))) AS cr
+  FROM d
+), rec AS (
+  SELECT *,
+    FLOOR(8 * (y - 128) / ql + 0.5) * ql / 8 + 128 AS y2,
+    FLOOR(8 * (cb - 128) / qc + 0.5) * qc / 8 + 128 AS cb2,
+    FLOOR(8 * (cr - 128) / qc + 0.5) * qc / 8 + 128 AS cr2
+  FROM ycc
+)
+SELECT doc_id, w AS width, h AS height,
+  CAST(LEAST(255, GREATEST(0, FLOOR(y2 + 1.402 * (cr2 - 128) + 0.5))) AS DOUBLE) AS mean_r,
+  CAST(LEAST(255, GREATEST(0, FLOOR(y2 - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128) + 0.5))) AS DOUBLE) AS mean_g,
+  CAST(LEAST(255, GREATEST(0, FLOOR(y2 + 1.772 * (cb2 - 128) + 0.5))) AS DOUBLE) AS mean_b
+FROM rec
+"""
+
+
+@_q("jpeg_pixel_stats", _JPEG_STATS_ORACLE)
+def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stdlib baseline-JPEG codec (multimodal/jpeg.py) oracle-gated
+    end-to-end: per doc_id, a flat-color image is ENCODED as a real
+    JFIF payload (markers, quant tables, Annex-K Huffman entropy
+    coding, byte stuffing; even ids 4:4:4 q75, odd ids 4:2:0 q90),
+    DECODED back through the Huffman/dequant/IDCT path, and pixel
+    means emitted. Flat color makes the lossy pipeline exactly
+    predictable (DC-only blocks with the exact-DC discipline in
+    jpeg.py), so DuckDB replays the arithmetic closed-form — any
+    corruption in marker layout, entropy coding, quantization, or
+    color conversion changes a mean and fails the hash. Non-flat
+    content is covered by PSNR/golden tests in tests/test_multimodal.py
+    (a closed-form AC oracle would require exact float DCT parity,
+    which no two engines guarantee)."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_to_rag_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("mean_r", DoubleType()),
+            StructField("mean_g", DoubleType()),
+            StructField("mean_b", DoubleType()),
+        ]
+    )
+
+    def _stats(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 9 + i % 17, 6 + i % 13
+                rgb = (i * 37 % 256, i * 91 % 256, i * 53 % 256)
+                px = np.full((h, w, 3), rgb, dtype=np.uint8)
+                quality, sub = (75, "444") if i % 2 == 0 else (90, "420")
+                dec = decode_jpeg(
+                    encode_jpeg(px, quality=quality, subsampling=sub)
+                ).astype(np.int64)
+                out["doc_id"].append(i)
+                out["height"].append(dec.shape[0])
+                out["width"].append(dec.shape[1])
+                npix = dec.shape[0] * dec.shape[1]
+                out["mean_r"].append(dec[:, :, 0].sum() / npix)
+                out["mean_g"].append(dec[:, :, 1].sum() / npix)
+                out["mean_b"].append(dec[:, :, 2].sum() / npix)
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_stats, schema=out_schema)
+
+
 _KNN_PQ_ORACLE = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -3791,8 +3895,12 @@ _DRIVER_WINDOW: list[str] = _CANARIES + [
     "medallion_stats",
     "session_intervals",
     "events_session_range_join",
-    "events_multi_rollup",
     "events_value_percentiles",
+    # round-4 addition, never driver-checked (takes the slot of
+    # events_multi_rollup, whose rollup family is already
+    # double-covered in-window by events_props_rollup+orders_rollup
+    # and which keeps its r1 driver-green row)
+    "jpeg_pixel_stats",
 ]
 
 

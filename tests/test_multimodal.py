@@ -678,3 +678,202 @@ def test_gif_resize_is_format_preserving(spark):
         assert frames[0].shape == (6, 8, 3)
         want = _nn_resize(decode_gif(originals[r["media_id"]])[0], 8, 6)
         assert np.array_equal(frames[0], want)
+
+
+class TestJpegCodec:
+    """Baseline JPEG (multimodal/jpeg.py): flat-color exactness (the
+    oracle's contract), lossy-roundtrip quality, format dispatch, and
+    honest refusal of unsupported modes."""
+
+    def _flat_closed_form(self, rgb, quality):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.jpeg import (
+            quality_scaled_tables,
+        )
+
+        def rhu(x):
+            return np.floor(x + 0.5)
+
+        r, g, b = map(float, rgb)
+        y = min(255.0, max(0.0, rhu(0.299 * r + 0.587 * g + 0.114 * b)))
+        cb = min(255.0, max(0.0, rhu(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)))
+        cr = min(255.0, max(0.0, rhu(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)))
+        lq, cq = quality_scaled_tables(quality)
+        ql, qc = float(lq[0, 0]), float(cq[0, 0])
+
+        def rt(v, q):  # unrounded reconstructed plane value
+            return rhu(8 * (v - 128) / q) * q / 8 + 128
+
+        y2, cb2, cr2 = rt(y, ql), rt(cb, qc), rt(cr, qc)
+        rr = min(255, max(0, rhu(y2 + 1.402 * (cr2 - 128))))
+        gg = min(255, max(0, rhu(y2 - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128))))
+        bb = min(255, max(0, rhu(y2 + 1.772 * (cb2 - 128))))
+        return (int(rr), int(gg), int(bb))
+
+    def test_flat_color_exact_all_qualities_and_samplings(self):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            jpeg_dimensions,
+        )
+
+        for sub in ("444", "420"):
+            for q in (50, 75, 90, 95):
+                for i in range(25):
+                    rgb = (i * 37 % 256, i * 91 % 256, i * 53 % 256)
+                    h, w = 6 + i % 13, 9 + i % 17
+                    img = np.full((h, w, 3), rgb, dtype=np.uint8)
+                    payload = encode_jpeg(img, quality=q, subsampling=sub)
+                    assert payload[:2] == b"\xff\xd8"
+                    assert jpeg_dimensions(payload) == (w, h)
+                    dec = decode_jpeg(payload)
+                    assert dec.shape == (h, w, 3)
+                    assert (dec == dec[0, 0]).all(), "flat in, flat out"
+                    got = tuple(int(x) for x in dec[0, 0])
+                    assert got == self._flat_closed_form(rgb, q), (sub, q, rgb)
+
+    def test_smooth_roundtrip_psnr(self):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        y, x = np.mgrid[0:48, 0:56]
+        img = np.stack(
+            [
+                (128 + 100 * np.sin(y / 9.0) * np.cos(x / 11.0)),
+                (128 + 90 * np.cos(y / 7.0)),
+                (128 + 80 * np.sin(x / 8.0)),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        for sub, floor_db in (("444", 40.0), ("420", 32.0)):
+            dec = decode_jpeg(
+                encode_jpeg(img, quality=95, subsampling=sub)
+            ).astype(np.float64)
+            mse = ((dec - img) ** 2).mean()
+            psnr = 10 * np.log10(255**2 / mse)
+            assert psnr >= floor_db, (sub, psnr)
+
+    def test_dc_prediction_across_blocks(self):
+        """A step image spanning several MCUs exercises nonzero DC
+        diffs in both directions; block interiors must land near the
+        step levels."""
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = np.zeros((16, 40, 3), dtype=np.uint8)
+        img[:, :16] = 40
+        img[:, 16:32] = 200
+        img[:, 32:] = 90
+        dec = decode_jpeg(encode_jpeg(img, quality=95)).astype(np.int64)
+        assert abs(int(dec[4, 4, 0]) - 40) <= 4
+        assert abs(int(dec[4, 24, 0]) - 200) <= 4
+        assert abs(int(dec[12, 36, 0]) - 90) <= 6
+
+    def test_grayscale_single_component_decode(self):
+        """decode_jpeg handles 1-component scans (Y replicated to
+        RGB); built with the module's own block encoder around a
+        single-component frame header."""
+        import struct as st
+
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal import jpeg as J
+
+        v = 77
+        blk = np.full((8, 8), float(v))
+        luma_q, _ = J.quality_scaled_tables(90)
+        out = bytearray(b"\xff\xd8")
+        zz = np.zeros(64, dtype=np.uint8)
+        zz[:] = luma_q.reshape(-1)[J._ZZ]
+        out += b"\xff\xdb" + st.pack(">HB", 67, 0) + zz.tobytes()
+        out += b"\xff\xc0" + st.pack(">HBHHB", 11, 8, 8, 8, 1)
+        out += st.pack(">BBB", 1, 0x11, 0)
+        bits, vals = J._DC_LUMA
+        out += b"\xff\xc4" + st.pack(">HB", 19 + len(vals), 0x00)
+        out += bytes(bits) + bytes(vals)
+        bits, vals = J._AC_LUMA
+        out += b"\xff\xc4" + st.pack(">HB", 19 + len(vals), 0x10)
+        out += bytes(bits) + bytes(vals)
+        out += b"\xff\xda" + st.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+        bw = J._BitWriter()
+        J._encode_block(
+            bw, blk, luma_q,
+            J._build_encode_table(*J._DC_LUMA),
+            J._build_encode_table(*J._AC_LUMA), 0,
+        )
+        bw.flush()
+        out += bw.out + b"\xff\xd9"
+        dec = J.decode_jpeg(bytes(out))
+        assert dec.shape == (8, 8, 3)
+        assert (dec[:, :, 0] == dec[:, :, 1]).all()
+        assert abs(int(dec[0, 0, 0]) - v) <= 2
+
+    def test_unsupported_modes_raise(self):
+        import pytest
+
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            jpeg_dimensions,
+        )
+
+        img = np.full((10, 12, 3), 120, dtype=np.uint8)
+        payload = bytearray(encode_jpeg(img, quality=90))
+        # flip SOF0 -> SOF2 (progressive): decode refuses, but the
+        # metadata path still reads dimensions
+        pos = payload.index(b"\xff\xc0")
+        payload[pos + 1] = 0xC2
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(payload))
+        assert jpeg_dimensions(bytes(payload)) == (12, 10)
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(b"\xff\xd8\xff\xdb\x00\x04")  # truncated
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(b"NOTAJPEG")
+        with pytest.raises(NotImplementedError):
+            encode_jpeg(img, quality=0)
+
+    def test_dispatch_and_format_preserving_resize(self, spark):
+        """JPEG payloads flow through the shared media pipeline:
+        _parse_header metadata, decode_image dispatch, and
+        resize_real_images re-encoding as JPEG."""
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.jpeg import encode_jpeg
+        from lakehouse_to_rag_spark.multimodal.ops import (
+            MEDIA_SCHEMA,
+            _parse_header,
+            decode_image,
+            resize_real_images,
+        )
+
+        rows = []
+        for i in range(4):
+            rgb = (i * 61 % 256, i * 13 % 256, i * 101 % 256)
+            img = np.full((10 + i, 14 + i, 3), rgb, dtype=np.uint8)
+            p = encode_jpeg(img, quality=90)
+            rows.append((i, "image", p, "image/jpeg", len(p)))
+        w, h, n = _parse_header(rows[0][2])
+        assert (w, h, n) == (14, 10, 1)
+        assert decode_image(rows[0][2]).shape == (10, 14, 3)
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = resize_real_images(media, 8, 6).collect()
+        assert len(out) == 4
+        for r in out:
+            p = bytes(r["payload"])
+            assert p[:2] == b"\xff\xd8", "resize must re-emit JPEG"
+            dec = decode_image(p)
+            assert dec.shape == (6, 8, 3)
