@@ -429,29 +429,24 @@ def kmeans_centroids(
         cmat = np.array([c[1] for c in cent_rows], dtype=np.float64)
         cnorm = np.linalg.norm(cmat, axis=1)
         cnorm[cnorm == 0] = np.nan
-        merged = (
+        # ONE shuffle per iteration: reduce partials to k x dim rows,
+        # round the mean 12dp JVM-side (F.round half-away matches the
+        # oracle's ROUND — rounding must NOT move to Python, whose
+        # round() is banker's), and assemble the centroid arrays on
+        # the driver from the k x dim = bounded-model-state result.
+        # A previous form ran a second groupBy + array_sort/transform
+        # shuffle just to reassemble arrays distributedly.
+        merged_rows = (
             v.mapInPandas(_partials(cmat, cnorm, cids), schema=part_schema)
             .groupBy("cluster", "dim")
-            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
-            .groupBy("cluster")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "s", "cnt"))
-                ).alias("packed")
-            )
-            .select(
-                F.col("cluster").alias("centroid_id"),
-                # 12dp round of each mean component: partial-agg float
-                # summation order differs across engines/runs; rounding
-                # pins the refined centroids bit-identically so the
-                # next iteration sees the same quantizer everywhere
-                F.transform(
-                    F.col("packed"), lambda e: F.round(e["s"] / e["cnt"], 12)
-                ).alias("cvec"),
-            )
+            .agg(F.round(F.sum("s") / F.sum("cnt"), 12).alias("mu"))
+            .collect()
         )
+        acc: dict[int, dict[int, float]] = {}
+        for r in merged_rows:
+            acc.setdefault(int(r["cluster"]), {})[int(r["dim"])] = float(r["mu"])
         cent_rows = sorted(
-            (int(r[0]), [float(x) for x in r[1]]) for r in merged.collect()
+            (cid, [dims[d] for d in sorted(dims)]) for cid, dims in acc.items()
         )
 
     spark = corpus.sparkSession

@@ -2139,7 +2139,7 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_b"].append(dec[:, :, 2].sum() / npix)
             yield pd.DataFrame(out)
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = load_table(spark, sf_dir, "documents", parallelize=True).select("doc_id")
     return d.mapInPandas(_stats, schema=out_schema)
 
 
@@ -2243,7 +2243,7 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_b"].append(dec[:, :, 2].sum() / npix)
             yield pd.DataFrame(out)
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = load_table(spark, sf_dir, "documents", parallelize=True).select("doc_id")
     return d.mapInPandas(_stats, schema=out_schema)
 
 
@@ -2387,7 +2387,7 @@ def gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["mean_b"].append(ch[:, :, 2].sum() / npix)
             yield pd.DataFrame(out)
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = load_table(spark, sf_dir, "documents", parallelize=True).select("doc_id")
     return d.mapInPandas(_stats, schema=out_schema)
 
 
@@ -2466,7 +2466,7 @@ def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["zero_crossings"].append(int((sign[1:] != sign[:-1]).sum()))
             yield pd.DataFrame(out)
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = load_table(spark, sf_dir, "documents", parallelize=True).select("doc_id")
     return d.mapInPandas(_stats, schema=out_schema)
 
 
@@ -3117,7 +3117,8 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     merges, vocab = bpe_train(d, num_merges=200, sample_rows=500)
-    return bpe_encode(d, merges, vocab).select("doc_id", "n_tokens")
+    enc_in = load_table(spark, sf_dir, "documents", parallelize=True)
+    return bpe_encode(enc_in, merges, vocab).select("doc_id", "n_tokens")
 
 
 @_q("knn_ivfpq")  # trained coarse+residual quantizers (sample k-means):
