@@ -76,6 +76,8 @@ HEADLINE = [
     "dedup_ngram_jaccard_prefix",
     "gif_frame_stats",
     "jpeg_pixel_stats",
+    "bm25_retrieval",
+    "hybrid_retrieval_rrf",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -1,0 +1,209 @@
+"""Lexical and hybrid retrieval: BM25 ranking and reciprocal-rank
+fusion — the serving-side complement to the vector kNN family in
+``operators/similarity.py`` for a lakehouse-to-RAG read path
+(reference scope: the RAG corpus the medallion pipeline feeds;
+retrieval itself composes engine operators, cf. duckdb result fetch
+src/helpers/duckdb_queries.py and the embeddings table).
+
+Scale shape: BM25 is ONE inverted-index equi-join on `word` between
+the (small, broadcast) query-term list and the per-document term
+frequencies — the same shuffle discipline as the Jaccard/minhash
+family: nothing is ever all-pairs, corpus statistics (df, avgdl) are
+partial-aggregatable, and the final top-k is a two-phase
+ROW_NUMBER-bounded rank. At 100 TB the tf table is the posting list
+you would persist bucketed by word.
+
+Float discipline (same as tfidf_top_terms / bigram_lm_scores): idf is
+transcendental, so it is rounded to 6dp before use; per-term
+contributions round to 6dp before the sum and final scores to 4dp, so
+cross-engine libm/summation-order ulps cannot flip a rank tie-break.
+b=0.75 is exactly representable; k1 parses to the same double in
+every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _doc_terms(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """((id, word, tf), (id, dl)) from whitespace tokenization —
+    lowercased, same convention as tfidf_top_terms. dl counts ALL
+    tokens (BM25's |d|), tf counts per-term occurrences."""
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    narrow = maybe_parallelize(
+        docs.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            F.split(F.lower(F.col(text_col)), " ", -1).alias("_toks"),
+        )
+    ).localCheckpoint(eager=False)
+    dl = narrow.select("id", F.size("_toks").alias("dl"))
+    tf = (
+        narrow.select("id", F.explode("_toks").alias("word"))
+        .groupBy("id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf, dl
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+) -> DataFrame:
+    """Top-k documents per query by BM25 (Robertson/Spärck Jones;
+    the Lucene ``ln(1 + (N - df + .5)/(df + .5))`` idf variant, which
+    is always positive). Query terms are DISTINCT (duplicate query
+    words do not double-count — documented simplification; classic
+    BM25's qtf weighting is rarely material for short queries).
+
+    Returns (query_id, rank, doc_id, score): rank 1..k by score desc,
+    doc id asc on ties."""
+    tf, dl = _doc_terms(docs, id_col, text_col)
+    # corpus stats: both partial-aggregatable, both tiny results
+    n_docs_df = dl.agg(F.count(F.lit(1)).alias("n_docs"))
+    avgdl_df = dl.agg(
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl")
+    )
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                F.split(F.lower(F.col(query_text_col)), " ", -1)
+            ).alias("word"),
+        )
+        .distinct()
+    )
+    # idf quantized 6dp: ln() is transcendental (libm vs JVM last-ulp)
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    # the ONE corpus-sized join: query terms (broadcast) onto the
+    # posting list, then per-(query, doc) sum
+    hits = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(n_docs_df))
+        .crossJoin(F.broadcast(avgdl_df))
+        .join(df_, "word")
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = F.round(
+        idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6
+    )
+    scored = (
+        hits.select("query_id", "id", contrib.alias("c"))
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("c"), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("id").alias("doc_id"),
+            "score",
+        )
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): fused(d) =
+    sum over sources of 1/(c + rank_src(d)), over the union of both
+    candidate lists. Inputs need (query_id, rank, doc_id). Terms
+    1/(c+r) are exact-double quotients of small ints summed over <= 2
+    values (order-independent in IEEE), rounded 6dp.
+
+    Returns (query_id, rank, doc_id, rrf_score)."""
+    a = ranked_a.select("query_id", "doc_id", F.col("rank").alias("rank_a"))
+    b = ranked_b.select("query_id", "doc_id", F.col("rank").alias("rank_b"))
+    union = a.join(b, ["query_id", "doc_id"], "full_outer")
+    score = F.round(
+        F.when(
+            F.col("rank_a").isNotNull(), F.lit(1.0) / (F.lit(c) + F.col("rank_a"))
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("rank_b").isNotNull(), F.lit(1.0) / (F.lit(c) + F.col("rank_b"))
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        union.select("query_id", "doc_id", score.alias("rrf_score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            "rrf_score",
+        )
+    )
+
+
+def hybrid_retrieval_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    candidates: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval: for each query id (a document
+    that has both text and an embedding), fuse BM25 over the corpus
+    text with exact cosine kNN over the embeddings via RRF. The
+    query document itself is excluded from both sides (kNN already
+    excludes self; BM25 filters it)."""
+    from lakehouse_to_rag_spark.operators.similarity import knn_bruteforce
+
+    queries_txt = docs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(text_col).alias("query")
+    )
+    # candidates+1 so the list is still `candidates` deep after the
+    # self-hit (always rank 1 for a query drawn from the corpus) drops
+    lex = bm25_topk(
+        docs, queries_txt, k=candidates + 1, id_col=id_col, text_col=text_col
+    ).filter(F.col("query_id") != F.col("doc_id"))
+    # re-rank after the self-hit drop so both sides feed 1..candidates
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    lex = (
+        lex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= candidates)
+    )
+    qe = embeddings.filter(F.col("vec_id").isin(query_ids))
+    vec = knn_bruteforce(embeddings, qe, k=candidates).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").alias("doc_id"),
+    )
+    return rrf_fuse(lex, vec, k=k, c=c)

@@ -3191,6 +3191,173 @@ def rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared keyword queries for lexical retrieval (tokens guaranteed in
+# the synthetic vocabulary).
+_BM25_QUERIES = [
+    (0, "spark table join"),
+    (1, "fast vector scan"),
+    (2, "window agg stream"),
+]
+
+# BM25 float discipline mirrored exactly from operators/retrieval.py:
+# idf ROUND 6 (transcendental), per-term contribution ROUND 6, score
+# ROUND 4; b=0.75 exact, (1.2 + 1.0) written as the same float SUM the
+# Python side computes. SUM(dl)/COUNT(*) is BIGINT/BIGINT -> DOUBLE in
+# both engines (exact integer operands, identical quotient).
+_BM25_ORACLE = """
+WITH q(query_id, query) AS (
+  VALUES (0, 'spark table join'), (1, 'fast vector scan'),
+         (2, 'window agg stream')
+), toks AS (
+  SELECT doc_id AS id, string_split(LOWER(text), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+), dl AS (
+  SELECT id, len(t) AS dl FROM toks
+), words AS (
+  SELECT id, unnest(t) AS word FROM toks
+), tf AS (
+  SELECT id, word, COUNT(*) AS tf FROM words GROUP BY id, word
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM dl
+), dfx AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+), qt AS (
+  SELECT DISTINCT query_id, unnest(string_split(LOWER(query), ' ')) AS word
+  FROM q
+), hits AS (
+  SELECT qt.query_id, tf.id,
+         ROUND(
+           ROUND(LN(1 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)), 6)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+         6) AS c
+  FROM tf
+  JOIN qt USING (word)
+  JOIN dl USING (id)
+  JOIN dfx USING (word)
+  CROSS JOIN stats
+), scored AS (
+  SELECT query_id, id, ROUND(SUM(c), 4) AS score
+  FROM hits GROUP BY query_id, id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, id ASC) AS rn
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank,
+       id AS doc_id, score
+FROM ranked WHERE rn <= 5
+"""
+
+
+@_q("bm25_retrieval", _BM25_ORACLE)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval over the corpus: BM25 top-5 per keyword query
+    (Lucene always-positive idf variant). The plan is one broadcast of
+    the query-term list onto the word-partitioned posting list —
+    the 100 TB shape for lexical search — with corpus stats (df,
+    avgdl, N) as partial aggregates. Full SQL oracle replays
+    tokenize -> tf/df/dl -> idf -> score -> rank."""
+    from lakehouse_to_rag_spark.operators.retrieval import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query string"
+    )
+    return bm25_topk(d, queries, k=5)
+
+
+# Hybrid = BM25 over the query document's own text + exact cosine kNN,
+# fused by reciprocal rank (Cormack et al. 2009, c=60). Candidate
+# lists are 10 deep after self-hit removal; fused terms are exact
+# double quotients of small ints (ROUND 6 defensive).
+_HYBRID_RRF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id, string_split(LOWER(text), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+), dl AS (
+  SELECT id, len(t) AS dl FROM toks
+), words AS (
+  SELECT id, unnest(t) AS word FROM toks
+), tf AS (
+  SELECT id, word, COUNT(*) AS tf FROM words GROUP BY id, word
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM dl
+), dfx AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+), qt AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(string_split(LOWER(text), ' ')) AS word
+  FROM documents WHERE doc_id IN (0, 1, 2) AND text IS NOT NULL
+), hits AS (
+  SELECT qt.query_id, tf.id,
+         ROUND(
+           ROUND(LN(1 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)), 6)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+         6) AS c
+  FROM tf
+  JOIN qt USING (word)
+  JOIN dl USING (id)
+  JOIN dfx USING (word)
+  CROSS JOIN stats
+), lex_scored AS (
+  SELECT query_id, id, ROUND(SUM(c), 4) AS score
+  FROM hits GROUP BY query_id, id
+), lex_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, id ASC) AS rn
+  FROM lex_scored
+), lex AS (
+  -- 11-deep, drop the self hit, re-rank contiguously, keep 10
+  SELECT query_id, id AS doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rn ASC) AS rank_a
+  FROM lex_ranked WHERE rn <= 11 AND id <> query_id
+  QUALIFY rank_a <= 10
+), qv AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), vp AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(qv.qe, CAST(e.embedding AS DOUBLE[])), 4) AS cosine
+  FROM qv JOIN embeddings e ON e.vec_id <> qv.query_id
+), vec AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id ASC) AS rank_b
+  FROM vp
+  QUALIFY rank_b <= 10
+), fused AS (
+  SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+         COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / (60 + rank_a), 0)
+               + COALESCE(1.0 / (60 + rank_b), 0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN vec
+    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id ASC) AS rn
+  FROM fused
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, rrf_score
+FROM ranked WHERE rn <= 5
+"""
+
+
+@_q("hybrid_retrieval_rrf", _HYBRID_RRF_ORACLE)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RAG retrieval: BM25 (lexical) and exact-cosine kNN
+    (vector) candidate lists fused by reciprocal rank — the standard
+    production retrieval pattern, fully oracle-replayed including both
+    rankers and the full-outer fusion join."""
+    from lakehouse_to_rag_spark.operators.retrieval import (
+        hybrid_retrieval_rrf as _hybrid,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return _hybrid(d, e, query_ids=[0, 1, 2], k=5, candidates=10)
+
+
 _RANK_FNS_ORACLE = """
 SELECT event_id,
        event_type,
@@ -3881,12 +4048,10 @@ _DRIVER_WINDOW: list[str] = _CANARIES + [
     "segment_order_stats",
     "part_type_stats",
     "events_hourly",
-    "events_sessionize",
     "events_top_users",
     "events_props_rollup",
     "events_variant_props",
     "dedup_simhash",
-    "dedup_embedding_jvm",
     "doc_fingerprint",
     "events_user_lag",
     "events_rolling_1h",
@@ -3897,11 +4062,16 @@ _DRIVER_WINDOW: list[str] = _CANARIES + [
     "session_intervals",
     "events_session_range_join",
     "events_value_percentiles",
-    # round-4 addition, never driver-checked (takes the slot of
-    # events_multi_rollup, whose rollup family is already
-    # double-covered in-window by events_props_rollup+orders_rollup
-    # and which keeps its r1 driver-green row)
+    # round-4 additions, never driver-checked. They take the slots of
+    # three round-1-green entries whose families keep fresher coverage
+    # elsewhere in-window (events_multi_rollup -> events_props_rollup/
+    # orders_rollup; events_sessionize -> its native twin, r3-green;
+    # dedup_embedding_jvm -> dedup_embedding, r2-green) — nothing
+    # loses its cumulative driver row, and every registered entry has
+    # a first driver check after this round.
     "jpeg_pixel_stats",
+    "bm25_retrieval",
+    "hybrid_retrieval_rrf",
 ]
 
 

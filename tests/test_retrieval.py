@@ -1,0 +1,149 @@
+"""BM25 + reciprocal-rank-fusion retrieval: hand-computed scores on a
+tiny corpus, ranking invariants, fusion arithmetic, and the hybrid
+contract (self-exclusion, contiguous ranks, k bound). Oracle-level
+value parity for the registry entries runs in test_oracle_parity.py
+like every other operator."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from lakehouse_to_rag_spark.operators.retrieval import (
+    bm25_topk,
+    hybrid_retrieval_rrf,
+    rrf_fuse,
+)
+
+
+def _queries(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, query string")
+
+
+class TestBm25:
+    def test_hand_computed_score(self, spark):
+        """3-doc corpus, 1-term query: verify the exact Lucene-variant
+        BM25 number for the matching doc."""
+        docs = spark.createDataFrame(
+            [
+                (0, "apple banana banana"),
+                (1, "cherry banana"),
+                (2, "durian elderberry fig grape"),
+            ],
+            "doc_id long, text string",
+        )
+        out = bm25_topk(docs, _queries(spark, [(0, "apple")]), k=3).collect()
+        # df(apple)=1, N=3 -> idf = round(ln(1 + 2.5/1.5), 6)
+        idf = round(math.log(1 + (3 - 1 + 0.5) / (1 + 0.5)), 6)
+        # tf=1, dl=3, avgdl=(3+2+4)/3=3 -> denom = 1 + 1.2*(0.25+0.75*1)
+        contrib = round(idf * 1 * (1.2 + 1.0) / (1 + 1.2 * (1 - 0.75 + 0.75 * 3 / 3.0)), 6)
+        want = round(contrib, 4)
+        assert len(out) == 1
+        r = out[0]
+        assert (r["query_id"], r["rank"], r["doc_id"]) == (0, 1, 0)
+        assert r["score"] == want
+
+    def test_term_frequency_saturates_and_df_discriminates(self, spark):
+        """More matched query terms beats one repeated term (BM25 tf
+        saturation), and rare terms outweigh common ones."""
+        docs = spark.createDataFrame(
+            [
+                (0, "common common common common"),
+                (1, "common rare"),
+                (2, "common filler filler filler"),
+                (3, "filler filler filler filler"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["query_id"], r["rank"]): r["doc_id"]
+            for r in bm25_topk(
+                docs, _queries(spark, [(0, "common rare")]), k=4
+            ).collect()
+        }
+        # doc 1 matches both terms incl. the rarest -> top
+        assert out[(0, 1)] == 1
+
+    def test_rank_contract(self, spark, sf_dir):
+        from lakehouse_to_rag_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        out = bm25_topk(
+            d, _queries(spark, [(7, "spark table join")]), k=5
+        ).collect()
+        ranks = sorted(r["rank"] for r in out)
+        assert ranks == list(range(1, len(out) + 1))
+        by_rank = sorted(out, key=lambda r: r["rank"])
+        scores = [r["score"] for r in by_rank]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_query_term_dedup(self, spark):
+        """Duplicate words in the query must not double-count."""
+        docs = spark.createDataFrame(
+            [(0, "apple banana"), (1, "apple cherry")],
+            "doc_id long, text string",
+        )
+        once = {
+            r["doc_id"]: r["score"]
+            for r in bm25_topk(docs, _queries(spark, [(0, "apple")]), k=2).collect()
+        }
+        twice = {
+            r["doc_id"]: r["score"]
+            for r in bm25_topk(
+                docs, _queries(spark, [(0, "apple apple")]), k=2
+            ).collect()
+        }
+        assert once == twice
+
+
+class TestRrfFusion:
+    def test_hand_computed_fusion(self, spark):
+        a = spark.createDataFrame(
+            [(0, 1, 10), (0, 2, 20), (0, 3, 30)],
+            "query_id long, rank long, doc_id long",
+        )
+        b = spark.createDataFrame(
+            [(0, 1, 20), (0, 2, 40)],
+            "query_id long, rank long, doc_id long",
+        )
+        out = {
+            r["doc_id"]: (r["rank"], r["rrf_score"])
+            for r in rrf_fuse(a, b, k=4, c=60).collect()
+        }
+        # doc 20: 1/62 + 1/61 (both lists); doc 10: 1/61; doc 40: 1/62;
+        # doc 30: 1/63
+        assert out[20][0] == 1
+        assert out[20][1] == round(1 / 62 + 1 / 61, 6)
+        assert out[10] == (2, round(1 / 61, 6))
+        assert out[40] == (3, round(1 / 62, 6))
+        assert out[30] == (4, round(1 / 63, 6))
+
+    def test_single_source_survives_full_outer(self, spark):
+        """A doc present in only one list still fuses (full outer, not
+        inner)."""
+        a = spark.createDataFrame(
+            [(0, 1, 10)], "query_id long, rank long, doc_id long"
+        )
+        b = spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long"
+        )
+        out = rrf_fuse(a, b, k=5).collect()
+        assert len(out) == 1 and out[0]["doc_id"] == 10
+
+
+class TestHybrid:
+    def test_contract(self, spark, sf_dir):
+        from lakehouse_to_rag_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        e = load_table(spark, sf_dir, "embeddings")
+        out = hybrid_retrieval_rrf(d, e, query_ids=[0, 1, 2], k=5).collect()
+        assert len(out) == 15
+        for qid in (0, 1, 2):
+            rows = sorted(
+                (r for r in out if r["query_id"] == qid),
+                key=lambda r: r["rank"],
+            )
+            assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+            assert all(r["doc_id"] != qid for r in rows), "self excluded"
+            scores = [r["rrf_score"] for r in rows]
+            assert scores == sorted(scores, reverse=True)
