@@ -78,6 +78,7 @@ HEADLINE = [
     "jpeg_pixel_stats",
     "bm25_retrieval",
     "hybrid_retrieval_rrf",
+    "dsir_select",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -351,3 +351,138 @@ def admit_batch(
         fmt="parquet",
     )
     return out
+
+
+# ----------------------------------------------------- DSIR resampling
+
+def _hashed_token_buckets(
+    df: DataFrame, id_col: str, text_col: str, num_buckets: int
+) -> DataFrame:
+    """(id, bucket) per token occurrence — the hashed bag-of-words
+    featurization both DSIR bag models share. md5-derived buckets keep
+    it engine-portable (module hashing contract above)."""
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    toks = maybe_parallelize(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), " ", -1)
+            ).alias("word"),
+        )
+    )
+    return toks.select(
+        "id", md5_bucket(F.col("word"), "dsir:", num_buckets).alias("bucket")
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Per-document log importance weight ln(p_target(x)/p_raw(x))
+    under hashed bag-of-words models with add-1 smoothing — the DSIR
+    estimator (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling"). Both bag models are ONE aggregation
+    over token buckets; scoring is an equi-join of documents' bucket
+    counts against the (num_buckets-row, broadcastable) log-ratio
+    table, so the whole estimator is two shuffles regardless of
+    corpus size.
+
+    Float discipline: per-bucket log-ratios are quantized to INTEGER
+    micro-units (floor(x*1e6 + 0.5) — the ln is transcendental and
+    must be pinned before any sum), the per-document reduction is an
+    exact BIGINT sum (order-independent, so partition count and
+    shuffle order cannot flip a 4dp boundary — a plain double SUM
+    measurably did, flipping -4.11075 between 8- and 32-slot
+    sessions), and the final weight divides back and rounds to 4dp.
+    Returns (id, log_weight)."""
+    tb_t = _hashed_token_buckets(target, id_col, text_col, num_buckets)
+    tb_r = _hashed_token_buckets(raw, id_col, text_col, num_buckets)
+    ct = tb_t.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    cr = tb_r.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tot_t = tb_t.agg(F.count(F.lit(1)).alias("tt"))
+    tot_r = tb_r.agg(F.count(F.lit(1)).alias("tr"))
+    ratio = (
+        ct.join(cr, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log(
+                        (F.col("ct") + F.lit(1.0))
+                        / (F.col("tt") + F.lit(float(num_buckets)))
+                    )
+                    - F.log(
+                        (F.col("cr") + F.lit(1.0))
+                        / (F.col("tr") + F.lit(float(num_buckets)))
+                    )
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("lr_micro"),
+        )
+    )
+    doc_buckets = tb_r.groupBy("id", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        doc_buckets.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(F.col("n") * F.col("lr_micro")) / F.lit(1000000.0), 4
+            ).alias("log_weight")
+        )
+        .select(F.col("id").alias(id_col), "log_weight")
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic DSIR selection: sample ``n`` documents from
+    ``raw`` with probability proportional to their importance weight,
+    WITHOUT replacement, via the Gumbel-top-k trick — key =
+    log_weight + Gumbel(md5(id)), take the n largest. The Gumbel
+    noise is a pure function of the document id (u from 60 md5 bits),
+    so the 'sample' is a dataset-contract decision any engine can
+    reproduce, like train_split_assign. Returns (id, log_weight,
+    sel_key, rank) for the selected docs.
+
+    Scale shape: the weight estimator's two shuffles plus ONE
+    global top-n (TakeOrderedAndProject-sized: n rows)."""
+    w = dsir_log_weights(raw, target, id_col, text_col, num_buckets)
+    # u in (0,1): 60 md5 bits + 0.5, over 2^60; g = -ln(-ln(u))
+    u = (
+        md5_bucket(F.col(id_col), "dsirg:", 2**60).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**60))
+    g = F.round(-F.log(-F.log(u)), 6)
+    keyed = w.select(
+        id_col,
+        "log_weight",
+        F.round(F.col("log_weight") + g, 6).alias("sel_key"),
+    )
+    # distributed top-n (TakeOrderedAndProject — per-partition heads,
+    # n-row merge on the driver side of the exchange), THEN rank the
+    # n-row result; a global un-partitioned Window here would drag the
+    # whole corpus through one partition
+    top = keyed.orderBy(F.desc("sel_key"), F.asc(id_col)).limit(n)
+    win = Window.orderBy(F.desc("sel_key"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(win).cast("long"))

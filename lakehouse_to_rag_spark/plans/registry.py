@@ -3358,6 +3358,75 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hybrid(d, e, query_ids=[0, 1, 2], k=5, candidates=10)
 
 
+# DSIR importance resampling, replayed end-to-end: hashed bag-of-words
+# bag models (md5 buckets, module hashing contract in curation.py),
+# add-1-smoothed log ratios quantized to INTEGER micro-units (the
+# per-doc reduction is then an exact BIGINT sum — a double SUM
+# measurably flipped a 4dp boundary between 8- and 32-slot sessions),
+# per-doc weight 4dp, Gumbel-top-k selection with id-derived noise.
+_DSIR_ORACLE = """
+WITH words AS (
+  SELECT doc_id AS id, source,
+         unnest(string_split(LOWER(text), ' ')) AS word
+  FROM documents WHERE text IS NOT NULL
+), tb_r AS (
+  SELECT id,
+         ('0x' || substr(md5('dsir:' || word), 1, 15))::BIGINT % 1024 AS bucket
+  FROM words
+), tb_t AS (
+  SELECT id,
+         ('0x' || substr(md5('dsir:' || word), 1, 15))::BIGINT % 1024 AS bucket
+  FROM words WHERE source IN ('src0', 'src1')
+), ct AS (
+  SELECT bucket, COUNT(*) AS ct FROM tb_t GROUP BY bucket
+), cr AS (
+  SELECT bucket, COUNT(*) AS cr FROM tb_r GROUP BY bucket
+), tots AS (
+  SELECT (SELECT COUNT(*) FROM tb_t) AS tt,
+         (SELECT COUNT(*) FROM tb_r) AS tr
+), ratio AS (
+  SELECT COALESCE(ct.bucket, cr.bucket) AS bucket,
+         CAST(FLOOR((LN((COALESCE(ct, 0) + 1.0) / (tt + 1024.0))
+                     - LN((COALESCE(cr, 0) + 1.0) / (tr + 1024.0)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+  FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket CROSS JOIN tots
+), doc_buckets AS (
+  SELECT id, bucket, COUNT(*) AS n FROM tb_r GROUP BY id, bucket
+), w AS (
+  SELECT id AS doc_id, ROUND(SUM(n * lr_micro) / 1000000.0, 4) AS log_weight
+  FROM doc_buckets JOIN ratio USING (bucket) GROUP BY id
+), keyed AS (
+  SELECT doc_id, log_weight,
+         ROUND(log_weight
+               + ROUND(-LN(-LN(
+                   ((('0x' || substr(md5('dsirg:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 1152921504606846976 + 0.5) / 1152921504606846976.0))), 6), 6) AS sel_key
+  FROM w
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT doc_id, log_weight, sel_key, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 100
+"""
+
+
+@_q("dsir_select", _DSIR_ORACLE)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every raw document
+    by the hashed-n-gram importance estimate ln(p_target/p_raw)
+    (target = the src0/src1 slice standing in for the high-quality
+    domain), then draw 100 docs proportional-to-weight WITHOUT
+    replacement via deterministic Gumbel-top-k. Two shuffles for the
+    estimator + one TakeOrderedAndProject for the draw; fully
+    replayed by the oracle including the Gumbel noise."""
+    from lakehouse_to_rag_spark.operators.curation import dsir_select as _sel
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("source").isin("src0", "src1"))
+    return _sel(d, target, n=100)
+
+
 _RANK_FNS_ORACLE = """
 SELECT event_id,
        event_type,
@@ -4047,7 +4116,6 @@ _DRIVER_WINDOW: list[str] = _CANARIES + [
     "top_suppliers",
     "segment_order_stats",
     "part_type_stats",
-    "events_hourly",
     "events_top_users",
     "events_props_rollup",
     "events_variant_props",
@@ -4072,6 +4140,9 @@ _DRIVER_WINDOW: list[str] = _CANARIES + [
     "jpeg_pixel_stats",
     "bm25_retrieval",
     "hybrid_retrieval_rrf",
+    # (events_hourly's slot; its gap-filled sibling was r3-green and
+    # events_hourly itself keeps its r1 driver row)
+    "dsir_select",
 ]
 
 

@@ -489,3 +489,56 @@ def test_temperature_mix_properties(spark, sf_dir):
     for g, n in n_in.items():
         target = math.sqrt(n) / tot_t
         assert abs(kept[g] / tot_k - target) < 0.05, (g, kept[g] / tot_k, target)
+
+
+class TestDsir:
+    """DSIR importance resampling: weight direction, selection bias,
+    proportional-without-replacement properties."""
+
+    def _corpus(self, spark):
+        # 40 'wiki-like' docs (target vocabulary) + 160 'web' docs
+        rows = []
+        for i in range(200):
+            if i < 40:
+                text = f"article reference citation notable v{i % 7}"
+            else:
+                text = f"click buy cheap deal offer v{i % 7}"
+            rows.append((i, "wiki" if i < 40 else "web", text))
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_weight_direction(self, spark):
+        from lakehouse_to_rag_spark.operators.curation import dsir_log_weights
+
+        d = self._corpus(spark)
+        target = d.filter(F.col("source") == "wiki")
+        w = {r["doc_id"]: r["log_weight"]
+             for r in dsir_log_weights(d, target).collect()}
+        wiki = [w[i] for i in range(40)]
+        web = [w[i] for i in range(40, 200)]
+        assert min(wiki) > max(web), "target-like docs must outweigh web docs"
+
+    def test_selection_prefers_target_like(self, spark):
+        from lakehouse_to_rag_spark.operators.curation import dsir_select
+
+        d = self._corpus(spark)
+        target = d.filter(F.col("source") == "wiki")
+        sel = dsir_select(d, target, n=50).collect()
+        assert len(sel) == 50
+        ranks = sorted(r["rank"] for r in sel)
+        assert ranks == list(range(1, 51))
+        n_wiki = sum(1 for r in sel if r["doc_id"] < 40)
+        # wiki docs are 20% of the corpus but hugely upweighted: the
+        # Gumbel draw must pull in (nearly) all of them
+        assert n_wiki >= 35, n_wiki
+
+    def test_selection_is_deterministic_and_subset_monotone(self, spark):
+        from lakehouse_to_rag_spark.operators.curation import dsir_select
+
+        d = self._corpus(spark)
+        target = d.filter(F.col("source") == "wiki")
+        a = {(r["doc_id"], r["rank"]) for r in dsir_select(d, target, n=30).collect()}
+        b = {(r["doc_id"], r["rank"]) for r in dsir_select(d, target, n=30).collect()}
+        assert a == b
+        # Gumbel-top-k: top-20 of the same keys is a prefix of top-30
+        c = {(r["doc_id"], r["rank"]) for r in dsir_select(d, target, n=20).collect()}
+        assert c <= a
