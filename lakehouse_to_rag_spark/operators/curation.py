@@ -400,12 +400,20 @@ def dsir_log_weights(
     measurably did, flipping -4.11075 between 8- and 32-slot
     sessions), and the final weight divides back and rounds to 4dp.
     Returns (id, log_weight)."""
-    tb_t = _hashed_token_buckets(target, id_col, text_col, num_buckets)
-    tb_r = _hashed_token_buckets(raw, id_col, text_col, num_buckets)
+    # tb_r feeds cr + doc_buckets, tb_t feeds ct: checkpoint so the
+    # tokenize+hash pipeline runs once per corpus, not once per
+    # consumer; totals derive from the <=num_buckets-row count tables
+    # (same value as counting the token table, zero extra corpus scans)
+    tb_t = _hashed_token_buckets(
+        target, id_col, text_col, num_buckets
+    ).localCheckpoint(eager=False)
+    tb_r = _hashed_token_buckets(
+        raw, id_col, text_col, num_buckets
+    ).localCheckpoint(eager=False)
     ct = tb_t.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     cr = tb_r.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tot_t = tb_t.agg(F.count(F.lit(1)).alias("tt"))
-    tot_r = tb_r.agg(F.count(F.lit(1)).alias("tr"))
+    tot_t = ct.agg(F.sum("ct").alias("tt"))
+    tot_r = cr.agg(F.sum("cr").alias("tr"))
     ratio = (
         ct.join(cr, "bucket", "full_outer")
         .select(
