@@ -178,6 +178,12 @@ class _BitWriter:
             pad = 8 - self._nbits
             self.write((1 << pad) - 1, pad)  # pad with 1-bits
 
+    def restart(self, m: int) -> None:
+        """Pad to a byte boundary and emit RSTm (markers are written
+        raw — byte stuffing applies only to entropy-coded data)."""
+        self.flush()
+        self.out += bytes((0xFF, 0xD0 + (m & 7)))
+
 
 class _BitReader:
     """Entropy-segment reader: unstuffs FF00, stops at markers; RST
@@ -497,11 +503,17 @@ def _pad_to_block(p: np.ndarray, by: int, bx: int) -> np.ndarray:
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode (h, w, 3) uint8 RGB as baseline JFIF. ``subsampling`` is
     "444" (chroma full-res) or "420" (2x2 chroma decimation via
-    mean + half-up rounding)."""
+    mean + half-up rounding). ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker (with DC-prediction reset) every that
+    many MCUs — the error-resilience framing real encoders add for
+    streaming decode; pixels are bit-identical either way."""
     if subsampling not in ("444", "420"):
         raise NotImplementedError("JPEG subsampling must be 444 or 420")
     px = np.asarray(pixels, dtype=np.float64)[:, :, :3]
@@ -550,6 +562,8 @@ def encode_jpeg(
         zz = np.zeros(64, dtype=np.uint8)
         zz[:] = tab.reshape(-1)[_ZZ]
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + zz.tobytes()
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
     for i, (hs, vs) in enumerate(samp):
         out += struct.pack(">BBB", i + 1, (hs << 4) | vs, 0 if i == 0 else 1)
@@ -569,8 +583,15 @@ def encode_jpeg(
     mcus_x = ype.shape[1] // (8 * cf)
     mcus_y = ype.shape[0] // (8 * cf)
     preds = [0, 0, 0]
+    n_mcu = 0
+    n_rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.restart(n_rst)
+                n_rst += 1
+                preds = [0, 0, 0]
+            n_mcu += 1
             for v in range(cf):
                 for hh in range(cf):
                     y0, x0 = (my * cf + v) * 8, (mx * cf + hh) * 8

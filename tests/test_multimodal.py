@@ -877,3 +877,30 @@ class TestJpegCodec:
             assert p[:2] == b"\xff\xd8", "resize must re-emit JPEG"
             dec = decode_image(p)
             assert dec.shape == (6, 8, 3)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn framing: a restart interval changes the byte stream
+    (DC predictions reset at each marker) but decoded pixels must be
+    bit-identical to the unframed encode."""
+    import numpy as np
+
+    from lakehouse_to_rag_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    y, x = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [(x * 5) % 256, (y * 7) % 256, ((x + y) * 3) % 256], axis=2
+    ).astype(np.uint8)
+    plain = encode_jpeg(img, quality=90)
+    framed = encode_jpeg(img, quality=90, restart_interval=2)
+    assert b"\xff\xdd" in framed and b"\xff\xdd" not in plain
+    assert any(bytes((0xFF, 0xD0 + i)) in framed for i in range(8))
+    assert np.array_equal(decode_jpeg(plain), decode_jpeg(framed))
+    # restarts inside a 4:2:0 stream too
+    framed420 = encode_jpeg(img, quality=90, subsampling="420",
+                            restart_interval=1)
+    plain420 = encode_jpeg(img, quality=90, subsampling="420")
+    assert np.array_equal(decode_jpeg(plain420), decode_jpeg(framed420))

@@ -171,6 +171,45 @@ def main() -> None:
         f"rows={n}/{n2}"
     )
 
+    # ---- round-4 operators -------------------------------------------
+    from lakehouse_to_rag_spark.operators.curation import dsir_select
+    from lakehouse_to_rag_spark.operators.dedup import ngram_jaccard_pairs
+    from lakehouse_to_rag_spark.operators.retrieval import bm25_topk
+
+    queries_txt = spark.createDataFrame(
+        [
+            (0, "spark table join"),
+            (1, "fast vector scan"),
+            (2, "window agg stream"),
+        ],
+        "query_id long, query string",
+    )
+    t0 = time.perf_counter()
+    n = bm25_topk(docs, queries_txt, k=5).count()
+    print(f"bm25_posting_join: {time.perf_counter() - t0:.1f}s rows={n}")
+
+    t0 = time.perf_counter()
+    n = dsir_select(
+        docs, docs.filter(F.col("source").isin("src0", "src1")), n=2000
+    ).count()
+    print(f"dsir_gumbel_topk: {time.perf_counter() - t0:.1f}s rows={n}")
+
+    # skew bomb: one stop-shingle planted into 30% of the corpus would
+    # contribute C(0.3*n_docs, 2) self-join rows uncapped; the DF cap
+    # must hold wall time at the no-plant baseline
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 < 3,
+            F.concat(F.lit("common stop shingle here "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    t0 = time.perf_counter()
+    n = ngram_jaccard_pairs(
+        planted, "doc_id", "text", 3, 0.5, max_shingle_df=10_000
+    ).count()
+    print(f"ngram_jaccard_df_cap_planted: {time.perf_counter() - t0:.1f}s pairs={n}")
+
     spark.stop()
 
 
