@@ -183,3 +183,41 @@ def test_headline_plan_count_regression(spark, sf_dir):
         c = plan_counts(QUERIES[name](spark, sf_dir))
         assert c["scans"] <= max_scans, (name, c)
         assert c["exchanges"] <= max_ex, (name, c)
+
+
+def test_bm25_broadcasts_query_terms_no_cartesian(spark, sf_dir):
+    """The posting-list join must broadcast the query-term side; no
+    cartesian product or sort-merge join anywhere in lexical
+    retrieval."""
+    from lakehouse_to_rag_spark.operators.retrieval import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(0, "spark table join")], "query_id long, query string"
+    )
+    plan = _plan(bm25_topk(d, q, k=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dsir_select_uses_take_ordered(spark, sf_dir):
+    """The Gumbel draw must be a distributed top-n, never a global
+    single-partition window over the corpus."""
+    from lakehouse_to_rag_spark.operators.curation import dsir_select
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("source").isin("src0", "src1"))
+    plan = _plan(dsir_select(d, target, n=50))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dsir_weights_two_phase_aggregates(spark, sf_dir):
+    """Bucket counting must partially aggregate before its exchange
+    (map-side combine on the token table)."""
+    from lakehouse_to_rag_spark.operators.curation import dsir_log_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("source").isin("src0", "src1"))
+    plan = _plan(dsir_log_weights(d, target))
+    assert "partial_count" in plan, plan
