@@ -79,6 +79,7 @@ HEADLINE = [
     "bm25_retrieval",
     "hybrid_retrieval_rrf",
     "dsir_select",
+    "semdedup",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

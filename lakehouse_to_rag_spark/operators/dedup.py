@@ -1266,3 +1266,88 @@ def tf_cosine_pairs(
         .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(cos >= threshold)
     )
+
+
+# --------------------------------------------------- semantic dedup
+
+def semdedup(
+    embeddings: DataFrame,
+    num_clusters: int = 16,
+    threshold: float = 0.95,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-scoped semantic dedup (SemDeDup, Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means the embedding space, then look for
+    near-duplicate pairs ONLY within each cluster — the all-pairs
+    surface shrinks from O(n^2) to O(sum of cluster_size^2), which is
+    the paper's point and the 100 TB shape (raise ``num_clusters`` so
+    the largest cluster's pair block fits an executor; the per-cluster
+    work is an in-memory GEMM over one Arrow group).
+
+    Dedup rule (deterministic): a vector is dropped iff some
+    SMALLER-id vector in the same cluster has rounded cosine >=
+    threshold to it — one pass, no iteration-order ambiguity, the
+    same keep-first convention as the exact-dedup family.
+
+    Training reuses ``kmeans_centroids`` (12dp-rounded Lloyd, the
+    oracle-replayable quantizer) and assignment ``_gemm_assign``,
+    so the FULL path — training, assignment, in-cluster pair scan —
+    is reproducible by a sequential SQL oracle.
+
+    Returns (id_col, cluster, kept) for every input vector."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from lakehouse_to_rag_spark.operators.similarity import (
+        _gemm_assign,
+        kmeans_centroids,
+    )
+
+    cent_df = kmeans_centroids(
+        embeddings, num_clusters, iterations, id_col, vec_col
+    )
+    cent_rows = [
+        (int(r[0]), [float(x) for x in r[1]]) for r in cent_df.collect()
+    ]
+    assigned = _gemm_assign(embeddings, cent_rows, id_col, vec_col)
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cluster", LongType()),
+            StructField("kept", BooleanType()),
+        ]
+    )
+
+    def _dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.array(list(pdf[vec_col].iloc[order]), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = np.nan
+        sims = np.round((m @ m.T) / n[:, None] / n[None, :], 4)
+        # strictly-lower-triangular mask: does any SMALLER id match?
+        tri = np.tril(sims >= threshold, k=-1)
+        dropped = tri.any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": pdf["cluster"].iloc[0],
+                "kept": ~dropped,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        _dedup_cluster, schema=schema
+    )

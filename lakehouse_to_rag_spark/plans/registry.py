@@ -3086,6 +3086,50 @@ FROM r WHERE rank <= 5"""
 )
 
 
+# SemDeDup replay: the same unrolled-Lloyd chain as knn_ivf_kmeans,
+# then within-cluster pairs only (the paper's O(sum cluster^2) point)
+# and the keep-smallest-id rule as a NOT-IN over dropped ids.
+_SEMDEDUP_ORACLE = (
+    """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16
+)"""
+    + "".join(_KMEANS_ITER_SQL.format(i=i, prev=i - 1) for i in (1, 2, 3))
+    + """
+, asg AS (
+  SELECT vec_id, v, centroid_id AS cluster FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 12) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN c3 c
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+)
+SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
+       asg.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+FROM asg"""
+)
+
+
+@_q("semdedup", _SEMDEDUP_ORACLE)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): k-means the
+    embedding space (the oracle-replayable 12dp Lloyd quantizer),
+    then drop any vector with a smaller-id near-duplicate (rounded
+    cosine >= 0.4) in the SAME cluster — the all-pairs surface
+    shrinks to O(sum cluster_size^2), the paper's web-scale point.
+    Emits (vec_id, cluster, kept) for the whole corpus; the oracle
+    replays training, assignment, and the in-cluster pair scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return dd.semdedup(e, num_clusters=16, threshold=0.4, iterations=3)
+
+
 @_q("knn_ivf_kmeans", _KNN_IVF_KMEANS_ORACLE)
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-quantizer IVF: 3 Lloyd iterations (deterministic —
@@ -4118,7 +4162,6 @@ _DRIVER_WINDOW: list[str] = _CANARIES + [
     "part_type_stats",
     "events_top_users",
     "events_props_rollup",
-    "events_variant_props",
     "dedup_simhash",
     "doc_fingerprint",
     "events_user_lag",
@@ -4143,6 +4186,9 @@ _DRIVER_WINDOW: list[str] = _CANARIES + [
     # (events_hourly's slot; its gap-filled sibling was r3-green and
     # events_hourly itself keeps its r1 driver row)
     "dsir_select",
+    # (events_variant_props' slot; the JSON-props family keeps
+    # events_props_rollup in-window and both keep their r1 rows)
+    "semdedup",
 ]
 
 

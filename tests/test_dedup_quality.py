@@ -486,3 +486,61 @@ def test_ngram_jaccard_stop_shingle_cap_bounds_pair_volume(spark):
     assert uncapped.count() == 40 * 39 // 2
     capped = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.01, max_shingle_df=10)
     assert capped.count() == 0
+
+
+class TestSemDeDup:
+    def _clustered(self, spark):
+        """20 well-separated centers x 10 members; members of a center
+        are tiny perturbations (cosine ~1 to each other), centers are
+        near-orthogonal — every true dup pair is INTRA-cluster by
+        construction."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        centers = rng.normal(size=(20, 32))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        vid = 0
+        for c in range(20):
+            for m in range(10):
+                v = centers[c] + 0.01 * rng.normal(size=32)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_clustered_corpus_keeps_one_per_group(self, spark):
+        from lakehouse_to_rag_spark.operators.dedup import semdedup
+
+        e = self._clustered(spark)
+        out = semdedup(e, num_clusters=20, threshold=0.95, iterations=3).collect()
+        assert len(out) == 200
+        kept = sorted(r["vec_id"] for r in out if r["kept"])
+        # ~1 survivor per planted group of 10 (k-means may split a
+        # group across clusters, leaving a couple extra survivors)
+        assert 20 <= len(kept) <= 30, len(kept)
+        # keep-smallest-id rule: the first member of each group (ids
+        # 0,10,20,...) can never be dropped by a same-group sibling
+        for gid in range(0, 200, 10):
+            assert gid in kept, gid
+
+    def test_no_dups_keeps_everything(self, spark):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.operators.dedup import semdedup
+
+        rng = np.random.default_rng(3)
+        m = rng.normal(size=(100, 16))
+        e = spark.createDataFrame(
+            [(i, [float(x) for x in m[i]]) for i in range(100)],
+            "vec_id long, embedding array<double>",
+        )
+        out = semdedup(e, num_clusters=8, threshold=0.99).collect()
+        assert all(r["kept"] for r in out)
+
+    def test_output_covers_every_vector_once(self, spark, sf_dir):
+        from lakehouse_to_rag_spark.operators.dedup import semdedup
+
+        e = load_table(spark, sf_dir, "embeddings")
+        out = semdedup(e, num_clusters=16, threshold=0.4).collect()
+        ids = [r["vec_id"] for r in out]
+        assert len(ids) == len(set(ids)) == e.count()
