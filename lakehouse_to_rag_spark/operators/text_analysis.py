@@ -890,3 +890,127 @@ def trigram_backoff_scores(
             "backoff_rate",
         )
     )
+
+
+# ------------------------------------------- Naive Bayes quality filter
+
+def nb_quality_scores(
+    train: DataFrame,
+    apply: DataFrame,
+    label_col: str = "is_hq",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Multinomial Naive Bayes quality classifier over hashed
+    bag-of-words features — the fastText-style quality filter every
+    production corpus pipeline runs (CCNet / GPT-3 style: train
+    'looks like the high-quality slice' vs 'everything else', keep
+    docs the model scores positive). ``train`` needs a boolean
+    ``label_col``; ``apply`` docs get (id, logit, pred_hq).
+
+    Training is two aggregations (per-class bucket counts + class
+    priors); scoring joins each document's bucket counts against the
+    broadcastable 2 x num_buckets log-likelihood-ratio table — the
+    same two-shuffle shape as curation.dsir_log_weights, and the same
+    determinism discipline: per-bucket log-ratios quantize to integer
+    micro-units so the per-doc reduction is an exact BIGINT sum
+    (partition-order-proof), priors are added AFTER the integer sum,
+    and the logit rounds to 4dp. Hashing is md5 (module contract in
+    curation.py) so any engine reproduces the decision."""
+    from lakehouse_to_rag_spark.operators.curation import (
+        _hashed_token_buckets,
+        md5_bucket,  # noqa: F401  (re-exported convention anchor)
+    )
+
+    tb_train = _hashed_token_buckets(
+        train.select(F.col(id_col), F.col(text_col), F.col(label_col)),
+        id_col,
+        text_col,
+        num_buckets,
+    )
+    # token-label table: re-join the label by id (tb drops extra cols)
+    labels = train.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("boolean").alias("y")
+    )
+    tok = tb_train.join(labels, "id")
+    counts = (
+        tok.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("c0"),
+        )
+    )
+    tots = counts.agg(
+        F.sum("c1").alias("t1"), F.sum("c0").alias("t0")
+    )
+    prior = labels.agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("n0"),
+    )
+    # log P(b|c1) - log P(b|c0), add-1 smoothed, integer micro-units
+    ratio = (
+        counts.crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log(
+                        (F.col("c1") + F.lit(1.0))
+                        / (F.col("t1") + F.lit(float(num_buckets)))
+                    )
+                    - F.log(
+                        (F.col("c0") + F.lit(1.0))
+                        / (F.col("t0") + F.lit(float(num_buckets)))
+                    )
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("llr_micro"),
+        )
+    )
+    tb_apply = _hashed_token_buckets(apply, id_col, text_col, num_buckets)
+    doc_buckets = tb_apply.groupBy("id", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # NOTE: buckets unseen in training get llr of ln((0+1)/(t1+B)) -
+    # ln((0+1)/(t0+B)) — expressible, but such buckets are absent from
+    # `counts`; an inner join would silently drop them. Compute the
+    # unseen-bucket constant once and coalesce.
+    unseen = tots.select(
+        F.floor(
+            (
+                F.log(F.lit(1.0) / (F.col("t1") + F.lit(float(num_buckets))))
+                - F.log(F.lit(1.0) / (F.col("t0") + F.lit(float(num_buckets))))
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("unseen_micro")
+    )
+    prior_term = prior.select(
+        F.round(
+            F.log((F.col("n1") + F.lit(1.0)) / (F.col("n0") + F.lit(1.0))), 6
+        ).alias("log_prior")
+    )
+    scored = (
+        doc_buckets.join(F.broadcast(ratio), "bucket", "left")
+        .crossJoin(F.broadcast(unseen))
+        .select(
+            "id",
+            (
+                F.col("n")
+                * F.coalesce(F.col("llr_micro"), F.col("unseen_micro"))
+            ).alias("contrib"),
+        )
+        .groupBy("id")
+        .agg(F.sum("contrib").alias("sum_micro"))
+        .crossJoin(F.broadcast(prior_term))
+        .select(
+            F.col("id").alias(id_col),
+            F.round(
+                F.col("sum_micro") / F.lit(1000000.0) + F.col("log_prior"), 4
+            ).alias("logit"),
+        )
+        .withColumn("pred_hq", F.col("logit") > F.lit(0.0))
+    )
+    return scored

@@ -3086,6 +3086,86 @@ FROM r WHERE rank <= 5"""
 )
 
 
+# Naive-Bayes quality filter replay: per-class hashed-bucket counts,
+# add-1 smoothing, integer micro-unit log-likelihood ratios (exact
+# BIGINT per-doc sums — same partition-order-proof discipline as
+# dsir_select), unseen-bucket constant via LEFT JOIN + COALESCE,
+# 6dp prior, 4dp logit. Train = even doc_ids (label: src0-src2),
+# apply = odd doc_ids (held out).
+_NB_QUALITY_ORACLE = """
+WITH train AS (
+  SELECT doc_id, text, source IN ('src0', 'src1', 'src2') AS y
+  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+), tok AS (
+  SELECT doc_id AS id, y,
+         ('0x' || substr(md5('dsir:' || word), 1, 15))::BIGINT % 1024 AS bucket
+  FROM (SELECT doc_id, y, unnest(string_split(LOWER(text), ' ')) AS word
+        FROM train)
+), counts AS (
+  SELECT bucket,
+         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN y THEN 0 ELSE 1 END) AS c0
+  FROM tok GROUP BY bucket
+), tots AS (
+  SELECT SUM(c1) AS t1, SUM(c0) AS t0 FROM counts
+), prior AS (
+  SELECT ROUND(LN((SUM(CASE WHEN y THEN 1 ELSE 0 END) + 1.0)
+               / (SUM(CASE WHEN y THEN 0 ELSE 1 END) + 1.0)), 6) AS log_prior
+  FROM train
+), ratio AS (
+  SELECT bucket,
+         CAST(FLOOR((LN((c1 + 1.0) / (t1 + 1024.0))
+                     - LN((c0 + 1.0) / (t0 + 1024.0)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS llr_micro
+  FROM counts CROSS JOIN tots
+), unseen AS (
+  SELECT CAST(FLOOR((LN(1.0 / (t1 + 1024.0)) - LN(1.0 / (t0 + 1024.0)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS unseen_micro
+  FROM tots
+), atok AS (
+  SELECT doc_id AS id,
+         ('0x' || substr(md5('dsir:' || word), 1, 15))::BIGINT % 1024 AS bucket
+  FROM (SELECT doc_id, unnest(string_split(LOWER(text), ' ')) AS word
+        FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1)
+), doc_buckets AS (
+  SELECT id, bucket, COUNT(*) AS n FROM atok GROUP BY id, bucket
+), summed AS (
+  SELECT id, SUM(n * COALESCE(llr_micro, unseen_micro)) AS sum_micro
+  FROM doc_buckets
+  LEFT JOIN ratio USING (bucket)
+  CROSS JOIN unseen
+  GROUP BY id
+)
+SELECT id AS doc_id,
+       ROUND(sum_micro / 1000000.0 + log_prior, 4) AS logit,
+       ROUND(sum_micro / 1000000.0 + log_prior, 4) > 0.0 AS pred_hq
+FROM summed CROSS JOIN prior
+"""
+
+
+@_q("nb_quality_filter", _NB_QUALITY_ORACLE)
+def nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes quality filter (the fastText-style
+    'looks like the high-quality slice' classifier of CCNet/GPT-3
+    pipelines): trained on the even-id half (label: src0-src2),
+    applied to the held-out odd-id half. Two training aggregations +
+    a broadcast log-likelihood-ratio join; exact-integer per-doc
+    reduction; fully replayed by the oracle incl. the unseen-bucket
+    constant and the prior."""
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        nb_quality_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    train = d.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "is_hq", F.col("source").isin("src0", "src1", "src2")
+    )
+    apply = d.filter(F.col("doc_id") % 2 == 1)
+    return nb_quality_scores(train, apply)
+
+
 # SemDeDup replay: the same unrolled-Lloyd chain as knn_ivf_kmeans,
 # then within-cluster pairs only (the paper's O(sum cluster^2) point)
 # and the keep-smallest-id rule as a NOT-IN over dropped ids.
@@ -4165,7 +4245,6 @@ _DRIVER_WINDOW: list[str] = _CANARIES + [
     "dedup_simhash",
     "doc_fingerprint",
     "events_user_lag",
-    "events_rolling_1h",
     "first_event_per_user",
     "orders_rollup",
     "customers_without_orders",
@@ -4189,6 +4268,9 @@ _DRIVER_WINDOW: list[str] = _CANARIES + [
     # (events_variant_props' slot; the JSON-props family keeps
     # events_props_rollup in-window and both keep their r1 rows)
     "semdedup",
+    # (events_rolling_1h's slot; rolling windows stay covered by
+    # events_user_lag + the never-checked events_sliding_1h30m)
+    "nb_quality_filter",
 ]
 
 

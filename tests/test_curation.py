@@ -542,3 +542,54 @@ class TestDsir:
         # Gumbel-top-k: top-20 of the same keys is a prefix of top-30
         c = {(r["doc_id"], r["rank"]) for r in dsir_select(d, target, n=20).collect()}
         assert c <= a
+
+
+class TestNbQualityFilter:
+    def _labeled(self, spark):
+        rows = []
+        for i in range(300):
+            hq = i % 3 == 0
+            text = (f"article reference citation notable edit v{i % 11}"
+                    if hq else f"click buy cheap deal offer now v{i % 11}")
+            rows.append((i, hq, text))
+        return spark.createDataFrame(rows, "doc_id long, is_hq boolean, text string")
+
+    def test_separates_planted_classes(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            nb_quality_scores,
+        )
+
+        d = self._labeled(spark)
+        train = d.filter(F.col("doc_id") % 2 == 0)
+        heldout = d.filter(F.col("doc_id") % 2 == 1)
+        out = {r["doc_id"]: r["pred_hq"]
+               for r in nb_quality_scores(train, heldout).collect()}
+        truth = {r["doc_id"]: r["is_hq"] for r in heldout.collect()}
+        acc = sum(out[i] == truth[i] for i in out) / len(out)
+        assert acc >= 0.95, acc
+
+    def test_unseen_tokens_still_scored(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            nb_quality_scores,
+        )
+
+        train = self._labeled(spark)
+        novel = spark.createDataFrame(
+            [(9001, "zzz qqq xxx totally novel vocabulary")],
+            "doc_id long, text string",
+        )
+        out = nb_quality_scores(train, novel).collect()
+        assert len(out) == 1
+        assert out[0]["logit"] is not None
+
+    def test_deterministic(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            nb_quality_scores,
+        )
+
+        d = self._labeled(spark)
+        train = d.filter(F.col("doc_id") % 2 == 0)
+        heldout = d.filter(F.col("doc_id") % 2 == 1)
+        a = sorted(tuple(r) for r in nb_quality_scores(train, heldout).collect())
+        b = sorted(tuple(r) for r in nb_quality_scores(train, heldout).collect())
+        assert a == b
