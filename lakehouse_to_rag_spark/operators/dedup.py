@@ -1329,17 +1329,39 @@ def semdedup(
         ]
     )
 
+    max_cluster_rows = 200_000
+
     def _dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster_rows:
+            raise NotImplementedError(
+                f"semdedup cluster has {len(pdf)} rows (> {max_cluster_rows}); "
+                "raise num_clusters so per-cluster pair blocks stay "
+                "executor-sized — refusing to build a quadratic block"
+            )
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         order = np.argsort(ids)
         ids = ids[order]
         m = np.array(list(pdf[vec_col].iloc[order]), dtype=np.float64)
         n = np.linalg.norm(m, axis=1)
         n[n == 0] = np.nan
-        sims = np.round((m @ m.T) / n[:, None] / n[None, :], 4)
-        # strictly-lower-triangular mask: does any SMALLER id match?
-        tri = np.tril(sims >= threshold, k=-1)
-        dropped = tri.any(axis=1)
+        # strip-tiled GEMM: peak memory is strip x cluster, never
+        # cluster^2 (same discipline as the tf-cosine block multiply);
+        # row i is dropped iff any SMALLER id in the cluster matches.
+        # Division order (dot / |a| / |b|) kept EXACTLY as the oracle's
+        # list_cosine_similarity shape — normalize-before-matmul would
+        # reorder float ops and risk 4dp-boundary drift
+        strip = 2048
+        dropped = np.zeros(len(ids), dtype=bool)
+        for s in range(0, len(ids), strip):
+            e = min(s + strip, len(ids))
+            sims = np.round(
+                (m[s:e] @ m.T) / n[s:e, None] / n[None, :], 4
+            )
+            # mask to strictly-smaller ids: global col index < row index
+            cols = np.arange(len(ids))[None, :]
+            rows = np.arange(s, e)[:, None]
+            hit = (sims >= threshold) & (cols < rows)
+            dropped[s:e] = hit.any(axis=1)
         return pd.DataFrame(
             {
                 id_col: ids,
