@@ -4182,17 +4182,22 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     revision demoted past the window (that demotion is removed:
 #     hiding twins from the gate could mask a regression in them).
 #     Cumulative after round 3: 116 of 132.
-#   round 4 window (this one): the 10 canaries + ALL 16 entries still
-#     never driver-checked (knn_pq, knn_ivfpq, knn_ivf_kmeans,
-#     bpe_token_counts, trigram_backoff_scores, temperature_mix,
-#     png/gif/wav media stats, duplicate_ngram_spans,
-#     bigram_freq_top20, events_approx_stats, events_central_tendency,
-#     events_pipe_syntax, events_sliding_1h30m, user_value_trend) —
-#     completing cumulative coverage 132/132 — + the 24 stalest
-#     re-confirmations (entries whose only driver-green row is from
-#     round 1; the two round-1-only equivalence twins of
-#     fresher-checked primaries, events_type_pivot and
-#     knn_bruteforce_numpy, defer to round 5's round-robin).
+#   round 4 window (this one): the 10 canaries + ALL 22 entries with
+#     no driver-green row — the 16 carried over from round 3 (knn_pq,
+#     knn_ivfpq, knn_ivf_kmeans, bpe_token_counts,
+#     trigram_backoff_scores, temperature_mix, png/gif/wav media
+#     stats, duplicate_ngram_spans, bigram_freq_top20,
+#     events_approx_stats, events_central_tendency, events_pipe_syntax,
+#     events_sliding_1h30m, user_value_trend) plus the six operators
+#     BUILT this round (jpeg_pixel_stats, bm25_retrieval,
+#     hybrid_retrieval_rrf, dsir_select, semdedup, nb_quality_filter)
+#     — completing cumulative coverage over all 138 registered entries
+#     — + the 18 stalest re-confirmations (round-1-only evidence).
+#     Round-1-green entries whose slots the new operators took
+#     (events_multi_rollup, events_sessionize, dedup_embedding_jvm,
+#     events_hourly, events_variant_props, events_rolling_1h, plus the
+#     twins events_type_pivot and knn_bruteforce_numpy) keep their
+#     cumulative rows and defer to round 5's round-robin.
 #
 # Entries outside a given round's window remain fully oracle-checked
 # by the local suite every session (tests/test_oracle_parity.py runs
