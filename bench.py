@@ -81,6 +81,7 @@ HEADLINE = [
     "dsir_select",
     "semdedup",
     "nb_quality_filter",
+    "line_dedup",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -1014,3 +1014,71 @@ def nb_quality_scores(
         .withColumn("pred_hq", F.col("logit") > F.lit(0.0))
     )
     return scored
+
+
+# ------------------------------------------------ line-level dedup
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Exact line-level dedup across the corpus (the RefinedWeb /
+    CCNet pre-filter): split every document on ``sep``, keep only the
+    FIRST occurrence of each distinct line corpus-wide (first = lowest
+    (doc_id, line index) — the same keep-first convention as the
+    exact-dedup family), and reassemble documents from their surviving
+    lines in original order. Boilerplate lines (headers, nav, license
+    stubs) repeated across pages vanish from every copy but one.
+
+    Shuffle shape: one exchange on the line hash for the
+    first-occurrence window + one on id for reassembly — both keyed,
+    never all-pairs; the md5 shrinks arbitrary lines to fixed-width
+    keys pre-shuffle. Emits (id, text_clean, n_lines, n_removed);
+    docs whose every line was seen elsewhere first come back with
+    empty text_clean (kept as rows — dropping is the caller's policy
+    decision, cf. remove_duplicate_spans)."""
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    lines = maybe_parallelize(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep, -1)).alias(
+                "idx", "line"
+            ),
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("line"))).orderBy(
+        F.asc("id"), F.asc("idx")
+    )
+    kept = (
+        lines.withColumn("rn", F.row_number().over(w))
+        .withColumn("is_first", F.col("rn") == 1)
+        .drop("rn")
+    )
+    packed = (
+        kept.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("is_first"), 0).otherwise(1)).alias(
+                "n_removed"
+            ),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("is_first"), F.struct("idx", "line")
+                    )
+                )
+            ).alias("keep"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.array_join(
+                F.transform(F.col("keep"), lambda e: e["line"]), sep
+            ).alias("text_clean"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+        )
+    )
+    return packed

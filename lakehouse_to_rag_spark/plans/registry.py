@@ -3086,6 +3086,55 @@ FROM r WHERE rank <= 5"""
 )
 
 
+# Line-level dedup replay: split on newline, global first-occurrence
+# by (id, idx) within each line-hash partition, ordered string_agg
+# reassembly (string_agg skips the NULLed dropped lines exactly like
+# array_join over the kept array).
+_LINE_DEDUP_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+), lines AS (
+  SELECT doc_id AS id,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS idx,
+         unnest(string_split(text, chr(10))) AS line
+  FROM corpus WHERE text IS NOT NULL
+), kept AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY md5(line)
+                            ORDER BY id ASC, idx ASC) = 1 AS is_first
+  FROM lines
+)
+SELECT id AS doc_id,
+       COALESCE(string_agg(CASE WHEN is_first THEN line END,
+                           chr(10) ORDER BY idx), '') AS text_clean,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM kept GROUP BY id
+"""
+
+
+@_q("line_dedup", _LINE_DEDUP_ORACLE)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact line-level dedup (RefinedWeb/CCNet pre-filter): only the
+    corpus-wide FIRST occurrence of each distinct line survives, docs
+    reassemble from surviving lines in order. Input simulates a
+    re-crawl — the corpus unioned with a re-id'd copy of itself — so
+    every re-crawled doc provably comes back with empty text_clean
+    and n_removed == n_lines while the originals keep their text (the
+    keep-first rule demonstrated on both sides of the union)."""
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        line_dedup as _ld,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = d.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    return _ld(d.unionByName(recrawl))
+
+
 # Naive-Bayes quality filter replay: per-class hashed-bucket counts,
 # add-1 smoothing, integer micro-unit log-likelihood ratios (exact
 # BIGINT per-doc sums — same partition-order-proof discipline as
@@ -4250,7 +4299,6 @@ _DRIVER_WINDOW: list[str] = _CANARIES + [
     "dedup_simhash",
     "doc_fingerprint",
     "events_user_lag",
-    "first_event_per_user",
     "orders_rollup",
     "customers_without_orders",
     "medallion_stats",
@@ -4276,6 +4324,9 @@ _DRIVER_WINDOW: list[str] = _CANARIES + [
     # (events_rolling_1h's slot; rolling windows stay covered by
     # events_user_lag + the never-checked events_sliding_1h30m)
     "nb_quality_filter",
+    # (first_event_per_user's slot; keep-first window dedup stays
+    # covered by the silver_docs canary)
+    "line_dedup",
 ]
 
 

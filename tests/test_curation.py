@@ -593,3 +593,49 @@ class TestNbQualityFilter:
         a = sorted(tuple(r) for r in nb_quality_scores(train, heldout).collect())
         b = sorted(tuple(r) for r in nb_quality_scores(train, heldout).collect())
         assert a == b
+
+
+class TestLineDedup:
+    def test_boilerplate_removed_content_kept(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import line_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (0, "SITE HEADER\nunique zero content\nCOPYRIGHT FOOTER"),
+                (1, "SITE HEADER\nunique one content\nCOPYRIGHT FOOTER"),
+                (2, "SITE HEADER\nunique two content\nCOPYRIGHT FOOTER"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+        # doc 0 keeps everything (first occurrence of all three lines)
+        assert out[0]["text_clean"] == (
+            "SITE HEADER\nunique zero content\nCOPYRIGHT FOOTER"
+        )
+        assert out[0]["n_removed"] == 0
+        # later docs lose header+footer, keep their unique line
+        for i in (1, 2):
+            assert out[i]["text_clean"] == f"unique {'one' if i==1 else 'two'} content"
+            assert out[i]["n_removed"] == 2 and out[i]["n_lines"] == 3
+
+    def test_fully_duplicated_doc_comes_back_empty(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import line_dedup
+
+        docs = spark.createDataFrame(
+            [(0, "alpha\nbeta"), (1, "alpha\nbeta")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+        assert out[0]["text_clean"] == "alpha\nbeta"
+        assert out[1]["text_clean"] == "" and out[1]["n_removed"] == 2
+
+    def test_order_preserved_within_doc(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import line_dedup
+
+        docs = spark.createDataFrame(
+            [(0, "z\na\nm"), (1, "a\nq\nz")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["text_clean"] for r in line_dedup(docs).collect()}
+        assert out[0] == "z\na\nm"
+        assert out[1] == "q"  # a and z first-seen in doc 0
