@@ -413,3 +413,79 @@ def test_bpe_word_encode_reconstructs(words):
     ranks = {p: i for i, p in enumerate(dict.fromkeys(pairs))}
     for w in words:
         assert "".join(bpe_encode_word(w, ranks)) == w + _EOW
+
+
+@given(
+    st.integers(0, 255), st.integers(0, 255), st.integers(0, 255),
+    st.sampled_from([35, 50, 75, 90, 95]),
+    st.sampled_from(["444", "420"]),
+    st.integers(1, 20), st.integers(1, 20),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_flat_color_closed_form_property(r, g, b, q, sub, w, h):
+    """ANY flat color, quality, sampling, and size decodes to the
+    closed-form DC-roundtrip value on every pixel — the property the
+    jpeg_pixel_stats oracle depends on."""
+    import numpy as np
+
+    from lakehouse_to_rag_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        quality_scaled_tables,
+    )
+
+    def rhu(x):
+        return np.floor(x + 0.5)
+
+    img = np.full((h, w, 3), (r, g, b), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+    assert dec.shape == (h, w, 3)
+    assert (dec == dec[0, 0]).all()
+    rf, gf, bf = float(r), float(g), float(b)
+    y = min(255.0, max(0.0, rhu(0.299 * rf + 0.587 * gf + 0.114 * bf)))
+    cb = min(255.0, max(0.0, rhu(128 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf)))
+    cr = min(255.0, max(0.0, rhu(128 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf)))
+    lq, cq = quality_scaled_tables(q)
+
+    def rt(v, qq):
+        return rhu(8 * (v - 128) / qq) * qq / 8 + 128
+
+    y2, cb2, cr2 = rt(y, float(lq[0, 0])), rt(cb, float(cq[0, 0])), rt(cr, float(cq[0, 0]))
+    want = (
+        int(min(255, max(0, rhu(y2 + 1.402 * (cr2 - 128))))),
+        int(min(255, max(0, rhu(y2 - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128))))),
+        int(min(255, max(0, rhu(y2 + 1.772 * (cb2 - 128))))),
+    )
+    assert tuple(int(x) for x in dec[0, 0]) == want
+
+
+@given(st.lists(
+    st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=6)
+    .map(lambda ws: "\n".join("".join(w) for w in ws)),
+    min_size=1, max_size=10,
+))
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_line_dedup_properties(spark, texts):
+    """Invariants for ANY corpus: (1) every distinct line survives
+    exactly once corpus-wide; (2) surviving lines keep their original
+    within-doc order; (3) n_lines - n_removed == kept line count."""
+    from lakehouse_to_rag_spark.operators.text_analysis import line_dedup
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    seen = {}
+    for i, t in docs:
+        for idx, line in enumerate(t.split("\n")):
+            seen.setdefault(line, (i, idx))
+    all_kept = []
+    for i, t in docs:
+        r = out[i]
+        kept = r["text_clean"].split("\n") if r["text_clean"] else []
+        want = [ln for idx, ln in enumerate(t.split("\n"))
+                if seen[ln] == (i, idx)]
+        assert kept == want, (i, kept, want)
+        assert r["n_lines"] == len(t.split("\n"))
+        assert r["n_lines"] - r["n_removed"] == len(kept)
+        all_kept.extend(kept)
+    assert len(all_kept) == len(set(all_kept)), "a line survived twice"
