@@ -340,8 +340,12 @@ def kmeans_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic Lloyd's k-means for the IVF coarse quantizer:
-    init = first ``num_centroids`` vectors by id, then a few
-    assign/recompute rounds, all as DataFrame ops.
+    init = first ``num_centroids`` DISTINCT vectors (each labeled by
+    its smallest id — the same first-k-distinct discipline as the
+    numpy ``_lloyd``; raw first-k-rows init collapses on duplicated
+    corpora: k copies of one vector seed one effective centroid, and
+    the cluster structure degenerates to quadratic blocks), then a
+    few assign/recompute rounds, all as DataFrame ops.
 
     Per iteration: one broadcast crossJoin + max_by for assignment
     (no shuffle of the corpus), then one posexplode+groupBy to average
@@ -363,9 +367,11 @@ def kmeans_centroids(
 
     cent_rows = sorted(
         (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.orderBy(F.col(id_col))
+        for r in corpus.groupBy(F.col(vec_col))
+        .agg(F.min(F.col(id_col)).alias("_cid"))
+        .orderBy(F.col("_cid"))
         .limit(num_centroids)
-        .select(id_col, vec_col)
+        .select(F.col("_cid"), F.col(vec_col))
         .collect()
     )
     v = corpus.select(

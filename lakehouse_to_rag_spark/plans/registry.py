@@ -3051,7 +3051,11 @@ _KNN_IVF_KMEANS_ORACLE = (
     """WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), c0 AS (
-  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16
+  -- first 16 DISTINCT vectors, labeled by smallest id (mirrors
+  -- kmeans_centroids' duplicate-proof init)
+  SELECT centroid_id, cv FROM (
+    SELECT MIN(vec_id) AS centroid_id, v AS cv FROM e GROUP BY v
+  ) ORDER BY centroid_id LIMIT 16
 )"""
     + "".join(_KMEANS_ITER_SQL.format(i=i, prev=i - 1) for i in (1, 2, 3))
     + """
@@ -3222,7 +3226,11 @@ _SEMDEDUP_ORACLE = (
     """WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), c0 AS (
-  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16
+  -- first 16 DISTINCT vectors, labeled by smallest id (mirrors
+  -- kmeans_centroids' duplicate-proof init)
+  SELECT centroid_id, cv FROM (
+    SELECT MIN(vec_id) AS centroid_id, v AS cv FROM e GROUP BY v
+  ) ORDER BY centroid_id LIMIT 16
 )"""
     + "".join(_KMEANS_ITER_SQL.format(i=i, prev=i - 1) for i in (1, 2, 3))
     + """
