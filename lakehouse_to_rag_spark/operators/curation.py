@@ -448,8 +448,16 @@ def dsir_log_weights(
         doc_buckets.join(F.broadcast(ratio), "bucket")
         .groupBy("id")
         .agg(
-            F.round(
-                F.sum(F.col("n") * F.col("lr_micro")) / F.lit(1000000.0), 4
+            # 4dp via FLOOR((micro)/100 + 0.5)/1e4: an integer micro
+            # sum divided by 1e6 lands on exact .xxxx5 boundaries,
+            # where engine ROUND implementations disagree on the same
+            # double — the floor form is pure IEEE, identical anywhere
+            (
+                F.floor(
+                    F.sum(F.col("n") * F.col("lr_micro")) / F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
             ).alias("log_weight")
         )
         .select(F.col("id").alias(id_col), "log_weight")

@@ -107,13 +107,24 @@ def bm25_topk(
     denom = F.col("tf") + F.lit(k1) * (
         F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
     )
-    contrib = F.round(
-        idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6
-    )
+    # per-term contribution quantized to INTEGER micro-units, summed
+    # exactly, floor-rounded once to 4dp — micro-grid float sums land
+    # on exact .xxxx5 boundaries where engine ROUND implementations
+    # disagree; the all-integer + FLOOR pipeline cannot (same
+    # discipline as dsir_log_weights / nb_quality_scores)
+    contrib_micro = F.floor(
+        idf * F.col("tf") * F.lit(k1 + 1.0) / denom * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
     scored = (
-        hits.select("query_id", "id", contrib.alias("c"))
+        hits.select("query_id", "id", contrib_micro.alias("c"))
         .groupBy("query_id", "id")
-        .agg(F.round(F.sum("c"), 4).alias("score"))
+        .agg(
+            (
+                F.floor(F.sum("c") / F.lit(100.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("score")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
     return (

@@ -128,6 +128,12 @@ def ivf_assign(
     the first ``num_centroids`` vectors by id (deterministic; real
     k-means would refine them — the *plumbing* is identical). Returns
     (centroids, corpus tagged with nearest-centroid cluster id).
+
+    Caveat on duplicated corpora: raw first-k-rows seeds can repeat a
+    vector, collapsing effective cluster count (correctness holds,
+    partition balance degrades). The trained quantizer
+    (``kmeans_centroids``) seeds from the first k DISTINCT vectors
+    and is the production path for such data.
     """
     cent_src = (
         corpus.orderBy(F.col(id_col)).limit(num_centroids).select(

@@ -94,22 +94,32 @@ def quality_scores(
     punct_ratio = n_punct.cast("double") / n_chars
     stop_ratio = n_stop.cast("double") / n_tokens
     avg_word_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+
+    # 4dp rounding via FLOOR(x*1e4 + 0.5)/1e4 — pure IEEE ops, not the
+    # engine's ROUND. These outputs are RATIONAL ratios with small
+    # denominators (k/64 etc.), which land on EXACT .xxxx5 boundaries
+    # where Spark's BigDecimal HALF_UP and DuckDB's multiply-based
+    # ROUND disagree on the same double (observed at sf0.1:
+    # quality_score 0.48125 -> 0.4812 vs 0.4813). The floor form
+    # evaluates identically in both engines by construction.
+    def _r4(c):
+        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
     # composite: reward moderate length + stopword presence, punish
     # punctuation soup (weights are convention, deterministic rational)
-    score = F.round(
+    score = _r4(
         F.least(n_chars.cast("double") / 500.0, F.lit(1.0)) * 0.5
         + stop_ratio * 0.4
-        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.1,
-        4,
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.1
     )
     return df.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols or []],
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(avg_word_len, 4).alias("avg_word_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        _r4(avg_word_len).alias("avg_word_len"),
+        _r4(punct_ratio).alias("punct_ratio"),
+        _r4(stop_ratio).alias("stopword_ratio"),
         score.alias("quality_score"),
     )
 
@@ -509,7 +519,12 @@ def quality_prune(
             id_col,
             group_col,
             "quality_score",
-            F.round("pr", 4).alias("quality_pct_rank"),
+            # floor-form 4dp: percent_rank is k/(n-1), rational with a
+            # small denominator — same exact-half hazard as the score
+            (
+                F.floor(F.col("pr") * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("quality_pct_rank"),
         )
     )
 
@@ -913,11 +928,13 @@ def nb_quality_scores(
     priors); scoring joins each document's bucket counts against the
     broadcastable 2 x num_buckets log-likelihood-ratio table — the
     same two-shuffle shape as curation.dsir_log_weights, and the same
-    determinism discipline: per-bucket log-ratios quantize to integer
-    micro-units so the per-doc reduction is an exact BIGINT sum
-    (partition-order-proof), priors are added AFTER the integer sum,
-    and the logit rounds to 4dp. Hashing is md5 (module contract in
-    curation.py) so any engine reproduces the decision."""
+    determinism discipline: per-bucket log-ratios AND the prior
+    quantize to integer micro-units so the whole logit is one exact
+    BIGINT (partition-order-proof) before a single floor-form 4dp
+    rounding (FLOOR(x+0.5) — engine ROUND implementations disagree on
+    the exact .xxxx5 boundaries micro sums produce). Hashing is md5
+    (module contract in curation.py) so any engine reproduces the
+    decision."""
     from lakehouse_to_rag_spark.operators.curation import (
         _hashed_token_buckets,
         md5_bucket,  # noqa: F401  (re-exported convention anchor)
@@ -987,10 +1004,18 @@ def nb_quality_scores(
             + F.lit(0.5)
         ).cast("long").alias("unseen_micro")
     )
+    # prior in the SAME integer micro-units as the llr table, so the
+    # whole logit is one exact BIGINT before the single 4dp rounding —
+    # and that rounding is FLOOR(x*… + 0.5) (pure IEEE), not the
+    # engine's ROUND, which disagrees across engines on the exact
+    # .xxxx5 boundaries integer micro-sums produce (observed at sf0.1:
+    # -2.15615 -> -2.1562 vs -2.1561)
     prior_term = prior.select(
-        F.round(
-            F.log((F.col("n1") + F.lit(1.0)) / (F.col("n0") + F.lit(1.0))), 6
-        ).alias("log_prior")
+        F.floor(
+            F.log((F.col("n1") + F.lit(1.0)) / (F.col("n0") + F.lit(1.0)))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("prior_micro")
     )
     scored = (
         doc_buckets.join(F.broadcast(ratio), "bucket", "left")
@@ -1007,8 +1032,13 @@ def nb_quality_scores(
         .crossJoin(F.broadcast(prior_term))
         .select(
             F.col("id").alias(id_col),
-            F.round(
-                F.col("sum_micro") / F.lit(1000000.0) + F.col("log_prior"), 4
+            (
+                F.floor(
+                    (F.col("sum_micro") + F.col("prior_micro"))
+                    / F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
             ).alias("logit"),
         )
         .withColumn("pred_hq", F.col("logit") > F.lit(0.0))

@@ -760,21 +760,25 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SW = _sql_list(ENGLISH_STOPWORDS)
+# 4dp rounding spelled FLOOR(x*1e4 + 0.5)/1e4, NOT ROUND: these are
+# rational ratios that land on exact .xxxx5 boundaries where the two
+# engines' ROUND implementations disagree on the same double (observed
+# at sf0.1); the floor form is pure IEEE and evaluates identically.
 _QUALITY_ORACLE = f"""
 SELECT doc_id,
        CAST(LENGTH(text) AS BIGINT) AS n_chars,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       ROUND(CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-             / len(string_split(text, ' ')), 4) AS avg_word_len,
-       ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-             / LENGTH(text), 4) AS punct_ratio,
-       ROUND(CAST(len(list_intersect(string_split(text, ' '), {_SW})) AS DOUBLE)
-             / len(string_split(text, ' ')), 4) AS stopword_ratio,
-       ROUND(LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+       FLOOR((CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS avg_word_len,
+       FLOOR((CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             / LENGTH(text)) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+       FLOOR((CAST(len(list_intersect(string_split(text, ' '), {_SW})) AS DOUBLE)
+             / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+       FLOOR((LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.5
              + (CAST(len(list_intersect(string_split(text, ' '), {_SW})) AS DOUBLE)
                 / len(string_split(text, ' '))) * 0.4
              + (1.0 - LEAST((CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                             / LENGTH(text)) * 10.0, 1.0)) * 0.1, 4) AS quality_score
+                             / LENGTH(text)) * 10.0, 1.0)) * 0.1) * 10000.0 + 0.5) / 10000.0 AS quality_score
 FROM documents
 """
 
@@ -3162,8 +3166,9 @@ WITH train AS (
 ), tots AS (
   SELECT SUM(c1) AS t1, SUM(c0) AS t0 FROM counts
 ), prior AS (
-  SELECT ROUND(LN((SUM(CASE WHEN y THEN 1 ELSE 0 END) + 1.0)
-               / (SUM(CASE WHEN y THEN 0 ELSE 1 END) + 1.0)), 6) AS log_prior
+  SELECT CAST(FLOOR(LN((SUM(CASE WHEN y THEN 1 ELSE 0 END) + 1.0)
+                       / (SUM(CASE WHEN y THEN 0 ELSE 1 END) + 1.0))
+                    * 1000000.0 + 0.5) AS BIGINT) AS prior_micro
   FROM train
 ), ratio AS (
   SELECT bucket,
@@ -3190,8 +3195,8 @@ WITH train AS (
   GROUP BY id
 )
 SELECT id AS doc_id,
-       ROUND(sum_micro / 1000000.0 + log_prior, 4) AS logit,
-       ROUND(sum_micro / 1000000.0 + log_prior, 4) > 0.0 AS pred_hq
+       FLOOR((sum_micro + prior_micro) / 100.0 + 0.5) / 10000.0 AS logit,
+       FLOOR((sum_micro + prior_micro) / 100.0 + 0.5) / 10000.0 > 0.0 AS pred_hq
 FROM summed CROSS JOIN prior
 """
 
@@ -3407,18 +3412,18 @@ WITH q(query_id, query) AS (
   FROM q
 ), hits AS (
   SELECT qt.query_id, tf.id,
-         ROUND(
+         CAST(FLOOR(
            ROUND(LN(1 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)), 6)
            * tf.tf * (1.2 + 1.0)
-           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
-         6) AS c
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           * 1000000.0 + 0.5) AS BIGINT) AS c
   FROM tf
   JOIN qt USING (word)
   JOIN dl USING (id)
   JOIN dfx USING (word)
   CROSS JOIN stats
 ), scored AS (
-  SELECT query_id, id, ROUND(SUM(c), 4) AS score
+  SELECT query_id, id, FLOOR(SUM(c) / 100.0 + 0.5) / 10000.0 AS score
   FROM hits GROUP BY query_id, id
 ), ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -3471,18 +3476,18 @@ WITH toks AS (
   FROM documents WHERE doc_id IN (0, 1, 2) AND text IS NOT NULL
 ), hits AS (
   SELECT qt.query_id, tf.id,
-         ROUND(
+         CAST(FLOOR(
            ROUND(LN(1 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)), 6)
            * tf.tf * (1.2 + 1.0)
-           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
-         6) AS c
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           * 1000000.0 + 0.5) AS BIGINT) AS c
   FROM tf
   JOIN qt USING (word)
   JOIN dl USING (id)
   JOIN dfx USING (word)
   CROSS JOIN stats
 ), lex_scored AS (
-  SELECT query_id, id, ROUND(SUM(c), 4) AS score
+  SELECT query_id, id, FLOOR(SUM(c) / 100.0 + 0.5) / 10000.0 AS score
   FROM hits GROUP BY query_id, id
 ), lex_ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -3574,7 +3579,8 @@ WITH words AS (
 ), doc_buckets AS (
   SELECT id, bucket, COUNT(*) AS n FROM tb_r GROUP BY id, bucket
 ), w AS (
-  SELECT id AS doc_id, ROUND(SUM(n * lr_micro) / 1000000.0, 4) AS log_weight
+  SELECT id AS doc_id,
+         FLOOR(SUM(n * lr_micro) / 100.0 + 0.5) / 10000.0 AS log_weight
   FROM doc_buckets JOIN ratio USING (bucket) GROUP BY id
 ), keyed AS (
   SELECT doc_id, log_weight,
@@ -3813,11 +3819,11 @@ def sequence_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_PRUNE_ORACLE = f"""
 WITH q AS (
   SELECT doc_id, source,
-         ROUND(LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+         FLOOR((LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.5
              + (CAST(len(list_intersect(string_split(text, ' '), {_SW})) AS DOUBLE)
                 / len(string_split(text, ' '))) * 0.4
              + (1.0 - LEAST((CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                             / LENGTH(text)) * 10.0, 1.0)) * 0.1, 4) AS quality_score
+                             / LENGTH(text)) * 10.0, 1.0)) * 0.1) * 10000.0 + 0.5) / 10000.0 AS quality_score
   FROM documents
 ), r AS (
   SELECT doc_id, source, quality_score,
@@ -3825,7 +3831,7 @@ WITH q AS (
                               ORDER BY quality_score DESC, doc_id) AS pr
   FROM q
 )
-SELECT doc_id, source, quality_score, ROUND(pr, 4) AS quality_pct_rank
+SELECT doc_id, source, quality_score, FLOOR(pr * 10000.0 + 0.5) / 10000.0 AS quality_pct_rank
 FROM r
 WHERE pr < 0.5
 """
@@ -3834,11 +3840,11 @@ WHERE pr < 0.5
 _PER_GROUP_CAP_ORACLE = f"""
 WITH q AS (
   SELECT doc_id, source,
-         ROUND(LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+         FLOOR((LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.5
              + (CAST(len(list_intersect(string_split(text, ' '), {_SW})) AS DOUBLE)
                 / len(string_split(text, ' '))) * 0.4
              + (1.0 - LEAST((CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                             / LENGTH(text)) * 10.0, 1.0)) * 0.1, 4) AS quality_score
+                             / LENGTH(text)) * 10.0, 1.0)) * 0.1) * 10000.0 + 0.5) / 10000.0 AS quality_score
   FROM documents
 ), r AS (
   SELECT doc_id, source, quality_score,

@@ -35,8 +35,11 @@ class TestBm25:
         # df(apple)=1, N=3 -> idf = round(ln(1 + 2.5/1.5), 6)
         idf = round(math.log(1 + (3 - 1 + 0.5) / (1 + 0.5)), 6)
         # tf=1, dl=3, avgdl=(3+2+4)/3=3 -> denom = 1 + 1.2*(0.25+0.75*1)
-        contrib = round(idf * 1 * (1.2 + 1.0) / (1 + 1.2 * (1 - 0.75 + 0.75 * 3 / 3.0)), 6)
-        want = round(contrib, 4)
+        # micro-unit pipeline: floor-quantized contribution, exact
+        # integer sum, floor-form 4dp (the engine-portable rounding)
+        raw = idf * 1 * (1.2 + 1.0) / (1 + 1.2 * (1 - 0.75 + 0.75 * 3 / 3.0))
+        c_micro = math.floor(raw * 1000000.0 + 0.5)
+        want = math.floor(c_micro / 100.0 + 0.5) / 10000.0
         assert len(out) == 1
         r = out[0]
         assert (r["query_id"], r["rank"], r["doc_id"]) == (0, 1, 0)
