@@ -221,3 +221,47 @@ def test_dsir_weights_two_phase_aggregates(spark, sf_dir):
     target = d.filter(F.col("source").isin("src0", "src1"))
     plan = _plan(dsir_log_weights(d, target))
     assert "partial_count" in plan, plan
+
+
+def test_line_dedup_two_keyed_exchanges_no_cartesian(spark, sf_dir):
+    """Line dedup must stay keyed: a hash exchange for the line-hash
+    window and one for reassembly — no join at all, so no cartesian
+    or broadcast explosion is possible."""
+    from lakehouse_to_rag_spark.operators.text_analysis import line_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan(line_dedup(d))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+
+
+def test_nb_quality_broadcasts_model_state(spark, sf_dir):
+    """Scoring must broadcast the (2 x num_buckets) ratio table onto
+    the document bucket counts — never shuffle-join corpus-sized data
+    against model state."""
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        nb_quality_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    train = d.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "is_hq", F.col("source").isin("src0", "src1", "src2")
+    )
+    plan = _plan(nb_quality_scores(train, d.filter(F.col("doc_id") % 2 == 1)))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_single_repartition_for_cluster_groups(spark, sf_dir):
+    """The in-cluster scan is ONE grouped Arrow pass: the plan shuffles
+    the assigned corpus by cluster exactly once into FlatMapGroups —
+    no self-join of the corpus anywhere."""
+    from lakehouse_to_rag_spark.operators.dedup import semdedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(semdedup(e, num_clusters=8, threshold=0.4, iterations=1))
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroups" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
