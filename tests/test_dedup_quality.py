@@ -544,3 +544,30 @@ class TestSemDeDup:
         out = semdedup(e, num_clusters=16, threshold=0.4).collect()
         ids = [r["vec_id"] for r in out]
         assert len(ids) == len(set(ids)) == e.count()
+
+
+def test_trained_persisted_ivf_matches_in_memory(spark, sf_dir, tmp_path):
+    """write_ivf_index(trained=True) + probe must equal the in-memory
+    trained path (ivf_topk_kmeans) exactly: the persisted quantizer IS
+    the k-means centroids, and the probe path is shared."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        ivf_topk_from_index,
+        ivf_topk_kmeans,
+        write_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf_trained")
+    write_ivf_index(e, path, num_centroids=16, trained=True, iterations=3)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_topk_from_index(spark, path, q, k=5, nprobe=4).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_topk_kmeans(
+            e, q, k=5, num_centroids=16, nprobe=4, iterations=3
+        ).collect()
+    }
+    assert got == want and len(got) == 50
