@@ -339,10 +339,20 @@ def admit_batch(
         fps = spark.createDataFrame([], "content_fp string")
     admitted = incremental_dedup_fps(incoming, fps, id_col, text_col)
     # materialize BEFORE the upsert swaps the directory out from under
-    # the lazy plan reading it — on the EXECUTORS (localCheckpoint cuts
-    # the lineage back to cached blocks), never the driver: an ingest
-    # batch at 100 TB scale must not round-trip through collect().
-    out = admitted.localCheckpoint(eager=True)
+    # the lazy plan reading it — distributedly, to a STAGING layer
+    # (never collect(): an ingest batch at 100 TB must not round-trip
+    # through the driver; and not localCheckpoint: its executor-memory
+    # blocks are unrecoverable after executor loss, while a parquet
+    # staging write survives anything and its read plan has no lineage
+    # into the about-to-be-swapped fingerprint directory)
+    from lakehouse_to_rag_spark.sources.lakehouse import (
+        read_layer,
+        write_layer,
+    )
+
+    staging = f"{fp_table_path}__staging"
+    write_layer(admitted, staging)
+    out = read_layer(spark, staging)
     upsert_by_key(
         spark,
         fp_table_path,

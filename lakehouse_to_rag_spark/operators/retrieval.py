@@ -70,10 +70,11 @@ def bm25_topk(
     Returns (query_id, rank, doc_id, score): rank 1..k by score desc,
     doc id asc on ties."""
     tf, dl = _doc_terms(docs, id_col, text_col)
-    # corpus stats: both partial-aggregatable, both tiny results
-    n_docs_df = dl.agg(F.count(F.lit(1)).alias("n_docs"))
-    avgdl_df = dl.agg(
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl")
+    # corpus stats in ONE partial-aggregatable job (a previous form
+    # ran two separate aggs + two broadcasts over the same dl table)
+    stats_df = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
     df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
 
@@ -100,8 +101,7 @@ def bm25_topk(
     hits = (
         tf.join(F.broadcast(qterms), "word")
         .join(dl, "id")
-        .crossJoin(F.broadcast(n_docs_df))
-        .crossJoin(F.broadcast(avgdl_df))
+        .crossJoin(F.broadcast(stats_df))
         .join(df_, "word")
     )
     denom = F.col("tf") + F.lit(k1) * (

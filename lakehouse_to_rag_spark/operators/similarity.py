@@ -111,8 +111,13 @@ def _gemm_assign(
             # exact tie that the smallest-centroid-id rule resolves
             # identically everywhere — the oracle rounds the same way
             sims = np.round(sims, 12)
+            # zero-norm rows (or centroids) produce NaN sims; map NaN
+            # to -inf so an all-undefined row assigns deterministically
+            # to the lowest centroid id instead of nanargmax raising
+            # on the whole Arrow batch
+            sims = np.where(np.isnan(sims), -np.inf, sims)
             out = pdf[[id_col, vec_col]].copy()
-            out["cluster"] = cids[np.nanargmax(sims, axis=1)]
+            out["cluster"] = cids[np.argmax(sims, axis=1)]
             yield out
 
     return corpus.select(id_col, vec_col).mapInPandas(_assign, schema=schema)
@@ -437,10 +442,13 @@ def kmeans_centroids(
                 # the smallest-centroid-id rule resolves identically —
                 # this is what lets a SQL oracle replay the training
                 sims = np.round(sims, 12)
+                # NaN (zero-norm row/centroid) -> -inf: deterministic
+                # lowest-id assignment instead of a nanargmax crash
+                sims = np.where(np.isnan(sims), -np.inf, sims)
                 # argmax = first max → smallest centroid id on ties
                 # (cmat rows are cid-ascending), matching
                 # max_by(struct(csim, -centroid_id))
-                best = np.nanargmax(sims, axis=1)
+                best = np.argmax(sims, axis=1)
                 k, dim = cmat.shape
                 sums = np.zeros((k, dim))
                 np.add.at(sums, best, m)

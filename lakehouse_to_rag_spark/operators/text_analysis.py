@@ -946,8 +946,10 @@ def nb_quality_scores(
         text_col,
         num_buckets,
     )
-    # token-label table: re-join the label by id (tb drops extra cols)
-    labels = train.select(
+    # token-label table: re-join the label by id (tb drops extra
+    # cols). NULL labels are REJECTED, not coerced: when(y).otherwise
+    # would silently route them into the negative class counts
+    labels = train.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(label_col).cast("boolean").alias("y")
     )
     tok = tb_train.join(labels, "id")
@@ -1071,12 +1073,15 @@ def line_dedup(
     decision, cf. remove_duplicate_spans)."""
     from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
 
+    # F.split takes a Java REGEX but array_join re-joins with the
+    # LITERAL separator — \Q...\E-quote the split so metacharacter
+    # separators ("|", ".") split literally and the roundtrip holds
     lines = maybe_parallelize(
         df.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), sep, -1)).alias(
-                "idx", "line"
-            ),
+            F.posexplode(
+                F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)
+            ).alias("idx", "line"),
         )
     )
     w = Window.partitionBy(F.md5(F.col("line"))).orderBy(

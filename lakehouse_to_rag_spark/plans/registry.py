@@ -530,7 +530,13 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
 @_q("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    # the oracle models UNCAPPED jaccard, so pin max_shingle_df=None:
+    # the gate must never depend on "no shingle happens to exceed the
+    # default cap" at whatever scale it runs (the capped skew guard is
+    # library default + separately tested for equality-under-the-cap)
+    return dd.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=None
+    )
 
 
 _TF_COSINE_ORACLE = """
@@ -1553,7 +1559,10 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_to_rag_spark.operators.graph import dedup_clusters
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5)
+    # uncapped: same oracle-semantics pin as dedup_ngram_jaccard
+    pairs = dd.ngram_jaccard_pairs(
+        d, "doc_id", "text", 3, 0.5, max_shingle_df=None
+    )
     return dedup_clusters(pairs)
 
 
@@ -4245,22 +4254,26 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     revision demoted past the window (that demotion is removed:
 #     hiding twins from the gate could mask a regression in them).
 #     Cumulative after round 3: 116 of 132.
-#   round 4 window (this one): the 10 canaries + ALL 22 entries with
+#   round 4 window (this one): the 10 canaries + ALL 23 entries with
 #     no driver-green row — the 16 carried over from round 3 (knn_pq,
 #     knn_ivfpq, knn_ivf_kmeans, bpe_token_counts,
 #     trigram_backoff_scores, temperature_mix, png/gif/wav media
 #     stats, duplicate_ngram_spans, bigram_freq_top20,
 #     events_approx_stats, events_central_tendency, events_pipe_syntax,
-#     events_sliding_1h30m, user_value_trend) plus the six operators
+#     events_sliding_1h30m, user_value_trend) plus the SEVEN operators
 #     BUILT this round (jpeg_pixel_stats, bm25_retrieval,
-#     hybrid_retrieval_rrf, dsir_select, semdedup, nb_quality_filter)
-#     — completing cumulative coverage over all 138 registered entries
-#     — + the 18 stalest re-confirmations (round-1-only evidence).
-#     Round-1-green entries whose slots the new operators took
-#     (events_multi_rollup, events_sessionize, dedup_embedding_jvm,
-#     events_hourly, events_variant_props, events_rolling_1h, plus the
-#     twins events_type_pivot and knn_bruteforce_numpy) keep their
-#     cumulative rows and defer to round 5's round-robin.
+#     hybrid_retrieval_rrf, dsir_select, semdedup, nb_quality_filter,
+#     line_dedup) — completing cumulative coverage over all 139
+#     registered entries — + the 17 stalest re-confirmations
+#     (round-1-only evidence). Round-1-green entries whose slots the
+#     new operators took (events_multi_rollup, events_sessionize,
+#     dedup_embedding_jvm, events_hourly, events_variant_props,
+#     events_rolling_1h, first_event_per_user, plus the twins
+#     events_type_pivot and knn_bruteforce_numpy) keep their
+#     cumulative rows and defer to round 5's round-robin. A startup
+#     assertion below recomputes the never-checked set from the
+#     CORRECTNESS files and fails the import if any entry is missing
+#     from the window, so these prose counts can never silently rot.
 #
 # Entries outside a given round's window remain fully oracle-checked
 # by the local suite every session (tests/test_oracle_parity.py runs
@@ -4349,6 +4362,28 @@ def _reorder() -> None:
     if unknown:  # fail loudly at import: a typo here silently loses evidence
         raise AssertionError(f"registry reorder references unknown: {unknown}")
     assert len(_DRIVER_WINDOW) == len(set(_DRIVER_WINDOW)) == 50
+    # Recompute the never-driver-checked set from the recorded
+    # CORRECTNESS files: every entry without a driver-green row MUST
+    # be inside this round's window, or cumulative coverage silently
+    # stalls (this is the mechanical form of the rotation contract
+    # documented above — prose counts can rot, this cannot).
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[2]
+    checked: set[str] = set()
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        try:
+            checked |= set(json.loads(f.read_text()))
+        except (OSError, ValueError):  # unreadable round file: ignore
+            continue
+    if checked:
+        never = [n for n in QUERIES if n not in checked]
+        missing = [n for n in never if n not in _DRIVER_WINDOW]
+        if missing:
+            raise AssertionError(
+                f"never-driver-checked entries outside the window: {missing}"
+            )
     window = set(_DRIVER_WINDOW)
     # everything else keeps build order after the window — nothing is
     # demoted below its natural position

@@ -216,8 +216,14 @@ def test_prefix_filter_jaccard_equals_naive(spark, sf_dir):
     from lakehouse_to_rag_spark.sources.tables import load_table
 
     d = load_table(spark, sf_dir, "documents")
+    # uncapped form: the lossless-equality theorem is about UNCAPPED
+    # jaccard (the DF-capped default is separately proven equal to
+    # uncapped whenever no shingle exceeds the cap)
     naive = sorted(
-        tuple(r) for r in ngram_jaccard_pairs(d, "doc_id", "text").collect()
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", max_shingle_df=None
+        ).collect()
     )
     pref = sorted(
         tuple(r)
@@ -571,3 +577,20 @@ def test_trained_persisted_ivf_matches_in_memory(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 50
+
+
+def test_semdedup_survives_zero_vector(spark):
+    """A zero-norm embedding must not crash assignment (NaN sims ->
+    deterministic lowest-centroid fallback) and must always be kept
+    (undefined cosine can never witness a duplicate)."""
+    import numpy as np
+
+    from lakehouse_to_rag_spark.operators.dedup import semdedup
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    rows.append((30, [0.0] * 8))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup(e, num_clusters=4, threshold=0.9).collect()}
+    assert len(out) == 31
+    assert out[30]["kept"] is True

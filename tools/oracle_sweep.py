@@ -32,6 +32,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _norm(rows, cols):
+    # floats normalize to 4dp BY DESIGN: this mirrors the round
+    # driver's own comparison (sort columns by name, round doubles to
+    # 4dp, value-hash) — the sweep checks exactly the contract the
+    # gate checks, no more and no less
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
