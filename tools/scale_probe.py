@@ -210,6 +210,34 @@ def main() -> None:
     ).count()
     print(f"ngram_jaccard_df_cap_planted: {time.perf_counter() - t0:.1f}s pairs={n}")
 
+    from lakehouse_to_rag_spark.operators.dedup import semdedup
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        line_dedup,
+        nb_quality_scores,
+    )
+
+    t0 = time.perf_counter()
+    n = line_dedup(docs).count()
+    print(f"line_dedup: {time.perf_counter() - t0:.1f}s rows={n}")
+
+    t0 = time.perf_counter()
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "is_hq", F.col("source").isin("src0", "src1", "src2")
+    )
+    n = nb_quality_scores(train, docs.filter(F.col("doc_id") % 2 == 1)).count()
+    print(f"nb_quality_filter: {time.perf_counter() - t0:.1f}s rows={n}")
+
+    # replica cliques are the semdedup worst case: every identity
+    # group lands in one cluster; duplicate-proof init (first-k
+    # DISTINCT vectors) keeps per-cluster blocks bounded
+    t0 = time.perf_counter()
+    kept = (
+        semdedup(emb, num_clusters=64, threshold=0.95, iterations=2)
+        .filter(F.col("kept"))
+        .count()
+    )
+    print(f"semdedup(64 clusters): {time.perf_counter() - t0:.1f}s kept={kept}")
+
     spark.stop()
 
 
