@@ -370,6 +370,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def _decode_scan(d, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     h, w, comps = frame
+    if len(scan) < len(comps):
+        # A legal baseline JPEG may spread its components over several
+        # SOS scans (non-interleaved); this decoder handles only the
+        # single-interleaved-scan layout. Returning after the first
+        # partial scan would silently hand back a Y-only image as
+        # grayscale-replicated RGB — fail closed instead (module
+        # contract: decode fully or raise NotImplementedError).
+        raise NotImplementedError(
+            "multi-scan baseline JPEG (scan covers "
+            f"{len(scan)}/{len(comps)} frame components)"
+        )
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

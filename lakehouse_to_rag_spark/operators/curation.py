@@ -328,8 +328,17 @@ def admit_batch(
     Returns the admitted (id, content_fp) rows (materialized before
     the upsert mutates the table they were computed against). Delta
     MERGE when delta-spark is present, atomic parquet swap otherwise —
-    ``sources.lakehouse.upsert_by_key`` picks."""
+    ``sources.lakehouse.upsert_by_key`` picks.
+
+    Staging policy: each call writes its admissions to a UNIQUE
+    per-batch directory under ``{fp_table_path}__staging/`` (uuid
+    suffix), so a DataFrame returned by a previous call — or by a
+    concurrent call against the same table — is never overwritten
+    mid-read. Staging dirs therefore accumulate; reclaim them with
+    :func:`cleanup_staging` once every outstanding returned DataFrame
+    has been consumed (e.g. at the end of the ingest loop)."""
     import os
+    import uuid
 
     from lakehouse_to_rag_spark.sources.lakehouse import upsert_by_key
 
@@ -350,7 +359,7 @@ def admit_batch(
         write_layer,
     )
 
-    staging = f"{fp_table_path}__staging"
+    staging = os.path.join(f"{fp_table_path}__staging", uuid.uuid4().hex)
     write_layer(admitted, staging)
     out = read_layer(spark, staging)
     upsert_by_key(
@@ -361,6 +370,23 @@ def admit_batch(
         fmt="parquet",
     )
     return out
+
+
+def cleanup_staging(fp_table_path: str) -> int:
+    """Remove every per-batch staging directory ``admit_batch`` left
+    under ``{fp_table_path}__staging/``. Call once the ingest loop is
+    done and all returned DataFrames have been consumed — any
+    still-unread admit_batch result becomes invalid. Returns the
+    number of batch directories removed."""
+    import os
+    import shutil
+
+    root = f"{fp_table_path}__staging"
+    if not os.path.isdir(root):
+        return 0
+    n = len(os.listdir(root))
+    shutil.rmtree(root)
+    return n
 
 
 # ----------------------------------------------------- DSIR resampling

@@ -88,7 +88,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = 100_000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
@@ -100,12 +100,16 @@ def ngram_jaccard_pairs(
     `shingle` (one exchange, no second pass over the shingle
     pipeline — measured faster than both the agg+semi-join form and
     the uncapped form at sf0.1, since it pre-clusters the join key).
-    The capped universe is used consistently for intersections AND
-    set sizes, so jaccard stays a true Jaccard over the filtered
-    shingle space (ubiquitous shingles carry no near-dup signal; at
-    the default cap of 100k nothing is dropped below web-corpus
-    scale, and results are bit-identical to the uncapped form
-    whenever no shingle exceeds the cap). ``None`` disables the cap.
+
+    SEMANTICS WHEN CAPPED (opt-in — the default is ``None`` /
+    uncapped, so existing callers keep exact whole-corpus Jaccard):
+    the capped universe is used consistently for intersections AND
+    set sizes, so jaccard is a true Jaccard over the FILTERED shingle
+    space — pairs and denominators both change wherever a shingle's
+    document frequency exceeds the cap. Ubiquitous shingles carry no
+    near-dup signal, so at web-corpus scale pass e.g.
+    ``max_shingle_df=100_000``; results are bit-identical to the
+    uncapped form whenever no shingle exceeds the cap.
     Intersection counts and set sizes are integers, so jaccard is
     bit-deterministic.
 

@@ -72,6 +72,25 @@ def knn_bruteforce(
     return _ranked_topk(pairs, k)
 
 
+def _assert_nonzero_centroids(
+    cent_rows: list[tuple[int, list[float]]], where: str
+) -> None:
+    """Engine/oracle parity guard: ``_gemm_assign`` maps a zero-norm
+    centroid's NaN similarity to -inf (never selected), while a DuckDB
+    ``ORDER BY ROUND(sim, 12) DESC`` sorts NaN FIRST (always
+    selected). Rather than silently diverge if a centroid ever
+    degenerates to the zero vector, refuse loudly at the one place
+    both engines share — the materialized centroid list."""
+    zero = [cid for cid, vec in cent_rows if not any(x != 0.0 for x in vec)]
+    if zero:
+        raise ValueError(
+            f"{where}: centroid(s) {zero} are the zero vector; cosine "
+            "assignment is undefined for them and Spark (-inf) and SQL "
+            "oracles (NaN-first) would resolve it differently. Remove "
+            "zero-norm vectors from the corpus or lower num_centroids."
+        )
+
+
 def _gemm_assign(
     corpus: DataFrame,
     cent_rows: list[tuple[int, list[float]]],
@@ -148,6 +167,7 @@ def ivf_assign(
     cent_rows = [
         (int(r[0]), [float(x) for x in r[1]]) for r in cent_src.collect()
     ]
+    _assert_nonzero_centroids(cent_rows, "ivf_assign")
     cent = F.broadcast(cent_src)
     assigned = _gemm_assign(corpus, cent_rows, id_col, vec_col)
     return cent, assigned
@@ -406,6 +426,7 @@ def kmeans_centroids(
         .select(F.col("_cid"), F.col(vec_col))
         .collect()
     )
+    _assert_nonzero_centroids(cent_rows, "kmeans_centroids (seed)")
     v = corpus.select(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
     ).localCheckpoint(eager=False)
@@ -489,6 +510,7 @@ def kmeans_centroids(
         cent_rows = sorted(
             (cid, [dims[d] for d in sorted(dims)]) for cid, dims in acc.items()
         )
+        _assert_nonzero_centroids(cent_rows, "kmeans_centroids")
 
     spark = corpus.sparkSession
     return spark.createDataFrame(

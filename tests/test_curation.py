@@ -639,3 +639,41 @@ class TestLineDedup:
         out = {r["doc_id"]: r["text_clean"] for r in line_dedup(docs).collect()}
         assert out[0] == "z\na\nm"
         assert out[1] == "q"  # a and z first-seen in doc 0
+
+
+class TestStagingIsolation:
+    """admit_batch staging contract (ADVICE r4): each batch writes a
+    unique staging dir, so a previously returned DataFrame survives
+    later batches; cleanup_staging reclaims the accumulated dirs."""
+
+    def test_prior_result_survives_next_batch(self, spark, tmp_path):
+        fp_path = str(tmp_path / "fps")
+        b1 = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+        )
+        a1 = cu.admit_batch(spark, fp_path, b1)
+        b2 = spark.createDataFrame(
+            [(3, "epsilon zeta")], "doc_id long, text string"
+        )
+        a2 = cu.admit_batch(spark, fp_path, b2)
+        # batch-1's returned frame must still be fully readable AFTER
+        # batch 2 ran (the round-4 fixed-dir form overwrote it here)
+        assert {r["doc_id"] for r in a1.collect()} == {1, 2}
+        assert {r["doc_id"] for r in a2.collect()} == {3}
+
+    def test_cleanup_staging_removes_batch_dirs(self, spark, tmp_path):
+        import os
+
+        fp_path = str(tmp_path / "fps")
+        for i, text in enumerate(["one", "two", "three"]):
+            b = spark.createDataFrame(
+                [(i, text)], "doc_id long, text string"
+            )
+            cu.admit_batch(spark, fp_path, b).collect()
+        root = fp_path + "__staging"
+        assert len(os.listdir(root)) == 3  # one unique dir per batch
+        assert cu.cleanup_staging(fp_path) == 3
+        assert not os.path.exists(root)
+        assert cu.cleanup_staging(fp_path) == 0  # idempotent
+        # the fingerprint table itself is untouched by cleanup
+        assert spark.read.parquet(fp_path).count() == 3

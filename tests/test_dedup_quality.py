@@ -594,3 +594,60 @@ def test_semdedup_survives_zero_vector(spark):
     out = {r["vec_id"]: r for r in semdedup(e, num_clusters=4, threshold=0.9).collect()}
     assert len(out) == 31
     assert out[30]["kept"] is True
+
+
+class TestZeroNormCentroidGuard:
+    """Engine/oracle parity guard (ADVICE r4): a zero-vector centroid
+    would be never-selected by Spark's NaN->-inf argmax but
+    first-selected by a DuckDB NaN-first ORDER BY — the quantizers
+    must refuse it loudly instead of diverging silently."""
+
+    def test_ivf_assign_refuses_zero_seed(self, spark):
+        import pytest
+
+        from lakehouse_to_rag_spark.operators.similarity import ivf_assign
+
+        corpus = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="zero vector"):
+            ivf_assign(corpus, num_centroids=2)
+
+    def test_kmeans_refuses_zero_seed(self, spark):
+        import pytest
+
+        from lakehouse_to_rag_spark.operators.similarity import (
+            kmeans_centroids,
+        )
+
+        corpus = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="zero vector"):
+            kmeans_centroids(corpus, num_centroids=2, iterations=1)
+
+    def test_clean_corpus_unaffected(self, spark):
+        from lakehouse_to_rag_spark.operators.similarity import (
+            kmeans_centroids,
+        )
+
+        corpus = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0]), (3, [2.0, 0.1])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = kmeans_centroids(corpus, num_centroids=2, iterations=2)
+        assert cents.count() == 2
+
+
+class TestShingleDfCapDefault:
+    """ngram_jaccard_pairs' DF cap is opt-in (ADVICE r4): the default
+    must be uncapped so existing callers keep exact whole-corpus
+    Jaccard semantics."""
+
+    def test_default_is_uncapped(self):
+        import inspect
+
+        sig = inspect.signature(ngram_jaccard_pairs)
+        assert sig.parameters["max_shingle_df"].default is None

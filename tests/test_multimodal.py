@@ -904,3 +904,41 @@ def test_jpeg_restart_markers_roundtrip():
                             restart_interval=1)
     plain420 = encode_jpeg(img, quality=90, subsampling="420")
     assert np.array_equal(decode_jpeg(plain420), decode_jpeg(framed420))
+
+
+class TestJpegMultiScan:
+    """Fail-closed contract for multi-scan baseline JPEG (ADVICE r4):
+    a first scan covering fewer components than the frame declares
+    must raise, never silently return a partial (Y-only) image."""
+
+    def test_partial_scan_refused(self):
+        import struct as st
+
+        import pytest
+
+        from lakehouse_to_rag_spark.multimodal.jpeg import decode_jpeg
+
+        def seg(marker, payload):
+            return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+        # SOF0: 8-bit, 8x8, 3 components, 1x1 sampling, qtable 0
+        sof = bytes([8]) + st.pack(">HH", 8, 8) + bytes(
+            [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+        )
+        # SOS listing ONLY component 1 (a legal non-interleaved scan)
+        sos = bytes([1, 1, 0x00])
+        payload = b"\xff\xd8" + seg(0xC0, sof) + seg(0xDA, sos)
+        with pytest.raises(NotImplementedError, match="multi-scan"):
+            decode_jpeg(payload)
+
+    def test_full_scan_still_decodes(self):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = np.full((8, 8, 3), 120, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=90))
+        assert out.shape == (8, 8, 3)
