@@ -539,9 +539,20 @@ def embedding_lsh_pairs(
     (Charikar signatures) with exact cosine verification — the 100 TB
     path that replaces the O(n²) brute-force pair join.
 
-    Signature bit b = sign(v · r_b), r_b drawn from ONE seeded
-    Gaussian matrix regenerated identically inside every task (no
-    broadcast needed, deterministic everywhere). All num_bits dots are
+    Signature bit b = sign(v · r_b). Hyperplane component r[d, b] is
+    md5-derived — ``md5(f"lsh:{seed}:{b}:{d}")``'s top 60 bits mapped
+    to [-0.5, 0.5) — so the matrix regenerates identically inside
+    every task (no broadcast, no RNG) AND replays exactly in a SQL
+    oracle: the hash integer and the power-of-two division are both
+    bit-exact in every engine, unlike a Gaussian draw (transcendental
+    Box-Muller ulps could flip a near-zero sign bit). Uniform
+    components lose the Gaussian's exact P[bit match] = 1 - angle/π
+    law, but the hyperplanes remain mean-zero and independent, so
+    near-parallel vectors still collide with high probability — and
+    candidates are gated by EXACT cosine verification, so the output
+    contract is unchanged (recall is pinned in tests). The dot is
+    rounded to 12dp before the sign so a cross-engine summation-order
+    ulp cannot flip a boundary bit. All num_bits dots are
     one Arrow-batch float64 matmul per partition — a prior version
     built 32 per-bit F.aggregate/zip_with expression trees instead,
     which cost ~16k Py4J round-trips to construct and evaluated
@@ -571,15 +582,35 @@ def embedding_lsh_pairs(
     )
 
     def signatures(batches):
-        rng = np.random.default_rng(seed)
-        r = rng.standard_normal((dim, num_bits))
+        import hashlib
+
+        # r[d, b] = md5("lsh:{seed}:{b}:{d}")[:15 hex] / 2^60 - 0.5 —
+        # exact in both engines: a 60-bit int and a power-of-two
+        # division have one representable double each
+        r = np.array(
+            [
+                [
+                    int(
+                        hashlib.md5(
+                            f"lsh:{seed}:{b}:{d}".encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    / 1152921504606846976.0
+                    - 0.5
+                    for b in range(num_bits)
+                ]
+                for d in range(dim)
+            ],
+            dtype=np.float64,
+        )
         weights = np.uint64(1) << np.arange(num_bits, dtype=np.uint64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            bits = (m @ r) >= 0
+            bits = np.round(m @ r, 12) >= 0
             sig = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
             yield pd.DataFrame({"id": ids, "sig": sig.astype(np.int64)})
 

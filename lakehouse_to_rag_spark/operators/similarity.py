@@ -14,6 +14,22 @@ from pyspark.sql import functions as F
 from lakehouse_to_rag_spark.functions.vectors import cosine_similarity
 
 
+def _round_away(x, decimals: int):
+    """Round half AWAY from zero — the semantics of DuckDB's ROUND
+    (std::round) and Spark's F.round (HALF_UP), and therefore the one
+    rounding every oracle-parity site in this module must use.
+    np.round is half-EVEN: on decimal-aligned inputs (e.g. a mean of
+    12dp-rounded values) exact .5 boundaries are common, and the two
+    conventions then disagree by one ulp-of-decimal — a real hash
+    mismatch, observed on trained-centroid means. The multiply/floor
+    form reproduces std::round(x * 10^d) / 10^d bit-for-bit for the
+    magnitudes this module sees (|x| <= ~4, d <= 12)."""
+    import numpy as np
+
+    p = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(x) * p + 0.5), x) / p
+
+
 def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
     """Deterministic top-k per query: rank by (rounded sim desc, id asc)."""
     w = Window.partitionBy("query_id").orderBy(
@@ -129,7 +145,7 @@ def _gemm_assign(
             # summation-order gap between engines) collapses to an
             # exact tie that the smallest-centroid-id rule resolves
             # identically everywhere — the oracle rounds the same way
-            sims = np.round(sims, 12)
+            sims = _round_away(sims, 12)
             # zero-norm rows (or centroids) produce NaN sims; map NaN
             # to -inf so an all-undefined row assigns deterministically
             # to the lowest centroid id instead of nanargmax raising
@@ -363,7 +379,7 @@ def knn_bruteforce_numpy(
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = np.nan
             sims = (mat @ q_mat.T) / norms[:, None] / q_norm[None, :]
-            sims = np.round(sims, 4)
+            sims = _round_away(sims, 4)
             top = min(k + 1, len(ids))  # +1 to survive self-match removal
             for qi in range(len(q_ids)):
                 col = sims[:, qi]
@@ -462,7 +478,7 @@ def kmeans_centroids(
                 # gap between engines collapses to an exact tie that
                 # the smallest-centroid-id rule resolves identically —
                 # this is what lets a SQL oracle replay the training
-                sims = np.round(sims, 12)
+                sims = _round_away(sims, 12)
                 # NaN (zero-norm row/centroid) -> -inf: deterministic
                 # lowest-id assignment instead of a nanargmax crash
                 sims = np.where(np.isnan(sims), -np.inf, sims)
@@ -689,13 +705,26 @@ def _subspace_codebooks_from_rows(
 
 
 def _maybe_unit(mat: "np.ndarray", normalize: bool) -> "np.ndarray":
+    """Unit-normalize rows — the oracle-parity anchor for every
+    trained-quantizer path. The norm is the one summation whose order
+    differs between numpy and a SQL engine (~1-ulp gaps), so the norm
+    itself is quantized to 6dp BEFORE dividing: with a 1e-6 grid the
+    odds of an ulp-perturbed norm straddling a rounding boundary are
+    ~1e-10 (at 12dp they were ~1e-4 per component — observed flipping
+    a component on real data). After that, the division is the same
+    IEEE op on bit-identical inputs in both engines, and the final
+    12dp component round is deterministic. A 1e-6 norm quantization
+    costs nothing downstream: these vectors feed approximate
+    structures (coarse clusters, PQ codes) whose only requirement is
+    that both engines build the SAME one; exact ranking always
+    happens on raw vectors at rerank."""
     import numpy as np
 
     if not normalize:
         return mat
-    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n = _round_away(np.linalg.norm(mat, axis=1, keepdims=True), 6)
     n[n == 0] = 1.0
-    return mat / n
+    return _round_away(mat / n, 12)
 
 
 def pq_train(
@@ -730,23 +759,39 @@ def pq_train(
 
 
 def _lloyd(pts: "np.ndarray", k: int, iters: int) -> "np.ndarray":
-    """Deterministic k-means: first-k-distinct init, fixed iteration
-    count, no RNG. Returns (k', dim) with k' <= k."""
+    """Deterministic k-means: init is the first k DISTINCT rows in
+    INPUT order (not lexicographic — input order is id order, the
+    same duplicate-proof discipline as ``kmeans_centroids``, and it
+    replays in SQL as GROUP BY vector / MIN(position) without any
+    float sort), fixed iteration count, no RNG. Distances round to
+    12dp before the argmin (ties -> lowest centroid index). Means
+    recompute in EXACT INTEGER MICROS: components are 12dp-aligned
+    (callers pass ``_maybe_unit`` output or differences of it), so
+    x*1e12 rounds to an exact integer double, the per-cluster sum of
+    those integers is exact in ANY summation order (a plain float
+    mean picks up engine-order ulps — and a mean of 12dp-aligned
+    decimals lands EXACTLY on a .5e-12 boundary often, where the ulp
+    decides the rounding: observed flipping trained centroids on
+    real data), and the single IEEE division + half-away floor is
+    then bit-deterministic in every engine. Empty clusters keep
+    their previous centroid. Returns (k', dim) with k' <= k."""
     import numpy as np
 
-    uniq = np.unique(pts, axis=0)
-    cent = uniq[: min(k, len(uniq))].copy()
+    _, first = np.unique(pts, axis=0, return_index=True)
+    cent = pts[np.sort(first)[: min(k, len(first))]].copy()
+    micros = _round_away(pts * 1e12, 0)  # exact integer doubles
     for _ in range(iters):
         d2 = (
             (pts * pts).sum(1)[:, None]
             - 2.0 * (pts @ cent.T)
             + (cent * cent).sum(1)[None, :]
         )
-        asg = d2.argmin(1)
+        asg = _round_away(d2, 12).argmin(1)
         for c in range(len(cent)):
             mask = asg == c
             if mask.any():
-                cent[c] = pts[mask].mean(0)
+                q = micros[mask].sum(0) / mask.sum()
+                cent[c] = np.copysign(np.floor(np.abs(q) + 0.5), q) / 1e12
     return cent
 
 
@@ -808,7 +853,7 @@ def pq_encode(
                     - 2.0 * (sub[:, j] @ cb[j].T)
                     + cb_n2[j][None, :]
                 )
-                codes[:, j] = np.round(d2, 12).argmin(1)
+                codes[:, j] = _round_away(d2, 12).argmin(1)
             yield __import__("pandas").DataFrame(
                 {id_col: pdf[id_col], "codes": [c.tobytes() for c in codes]}
             )
@@ -883,7 +928,7 @@ def pq_topk(
                 d = lut[qi][np.arange(m)[None, :], codes].sum(1)
                 mask = nids != qids[qi]
                 nloc = nids[mask]
-                dloc = np.round(d[mask], 4)
+                dloc = _round_away(d[mask], 4)
                 take = min(k, len(nloc))
                 if take == 0:
                     continue
@@ -1028,7 +1073,10 @@ def ivfpq_train(
         - 2.0 * (arr @ coarse.T)
         + (coarse * coarse).sum(1)[None, :]
     )
-    resid = arr - coarse[d2.argmin(1)]
+    # 12dp before argmin (SQL-replay discipline, cf. _lloyd); the
+    # residual subtraction itself is elementwise IEEE on 12dp-rounded
+    # inputs, so it stays bit-identical across engines unrounded
+    resid = arr - coarse[_round_away(d2, 12).argmin(1)]
     return coarse, _train_subspace_books(resid, m, k, iters)
 
 
@@ -1073,7 +1121,8 @@ def ivfpq_encode(
             )
             n = len(mat)
             d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ co.T) + co_n2[None, :]
-            cl = d2.argmin(1)
+            # 12dp before argmin: coarse assignment must replay in SQL
+            cl = _round_away(d2, 12).argmin(1)
             resid = (mat - co[cl]).reshape(n, m, d_sub)
             codes = np.empty((n, m), dtype=np.uint8)
             for j in range(m):
@@ -1082,7 +1131,7 @@ def ivfpq_encode(
                     - 2.0 * (resid[:, j] @ cb[j].T)
                     + cb_n2[j][None, :]
                 )
-                codes[:, j] = np.round(dj, 12).argmin(1)
+                codes[:, j] = _round_away(dj, 12).argmin(1)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -1135,7 +1184,7 @@ def ivfpq_topk(
         - 2.0 * (qmat @ co.T)
         + (co * co).sum(1)[None, :]
     )
-    probe_clusters = np.argsort(np.round(qd2, 12), axis=1, kind="stable")[
+    probe_clusters = np.argsort(_round_away(qd2, 12), axis=1, kind="stable")[
         :, :nprobe
     ]
     probes = [
@@ -1181,7 +1230,7 @@ def ivfpq_topk(
                 nids = grp[id_col].to_numpy(dtype=np.int64)
                 d = lut[np.arange(m)[None, :], codes].sum(1)
                 mask = nids != key[0]
-                nloc, dloc = nids[mask], np.round(d[mask], 4)
+                nloc, dloc = nids[mask], _round_away(d[mask], 4)
                 take = min(k, len(nloc))
                 if take == 0:
                     continue
@@ -1221,6 +1270,7 @@ def knn_ivfpq_rerank(
     pq_k: int = 64,
     rerank: int = 50,
     sample_rows: int = 16384,
+    iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1228,9 +1278,13 @@ def knn_ivfpq_rerank(
     sample, encode the corpus to (cluster, 8-byte residual code),
     ADC-shortlist ``rerank`` candidates from ``nprobe`` probed
     clusters, then exact rounded-cosine rank of the shortlist. Same
-    output contract as ``knn_bruteforce``."""
+    output contract as ``knn_bruteforce``. The whole pipeline —
+    sample training included — replays in a SQL oracle via the 12dp
+    rounding discipline (``_maybe_unit``/``_lloyd``); ``iters`` is
+    exposed so a contract run can pin a small unrollable iteration
+    count."""
     coarse, books = ivfpq_train(
-        corpus, num_centroids, m, pq_k, sample_rows,
+        corpus, num_centroids, m, pq_k, sample_rows, iters,
         id_col=id_col, vec_col=vec_col,
     )
     codes = ivfpq_encode(corpus, coarse, books, id_col, vec_col)
