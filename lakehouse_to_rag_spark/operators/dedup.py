@@ -1312,27 +1312,48 @@ def semdedup(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_rows: int = 200_000,
+    max_split_depth: int = 4,
 ) -> DataFrame:
     """Cluster-scoped semantic dedup (SemDeDup, Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication"): k-means the embedding space, then look for
     near-duplicate pairs ONLY within each cluster — the all-pairs
     surface shrinks from O(n^2) to O(sum of cluster_size^2), which is
-    the paper's point and the 100 TB shape (raise ``num_clusters`` so
-    the largest cluster's pair block fits an executor; the per-cluster
-    work is an in-memory GEMM over one Arrow group).
+    the paper's point and the 100 TB shape (the per-cluster work is an
+    in-memory GEMM over one Arrow group).
 
     Dedup rule (deterministic): a vector is dropped iff some
-    SMALLER-id vector in the same cluster has rounded cosine >=
-    threshold to it — one pass, no iteration-order ambiguity, the
-    same keep-first convention as the exact-dedup family.
+    SMALLER-id vector in the same (refined) cluster has rounded
+    cosine >= threshold to it — one pass, no iteration-order
+    ambiguity, the same keep-first convention as the exact-dedup
+    family.
+
+    Oversized clusters (skewed embedding spaces — near-duplicate-heavy
+    crawl data, precisely semdedup's target — can drop most of the
+    corpus into one cluster no matter how large ``num_clusters`` is)
+    are NOT a hard error: any cluster above ``max_cluster_rows`` is
+    recursively re-clustered with the same deterministic Lloyd
+    quantizer (the paper's own hierarchy) until every leaf fits an
+    executor, up to ``max_split_depth`` levels. Below the cap the
+    split never activates and the output is bit-identical to the flat
+    form. Splitting scopes the pair scan to the sub-cluster, so a
+    cross-sub-cluster near-duplicate pair is no longer compared —
+    the standard hierarchy approximation; the kept set can only grow.
+    A cluster that cannot be split (e.g. > cap byte-identical vectors
+    collapsing to one distinct seed) still raises rather than building
+    a quadratic block.
 
     Training reuses ``kmeans_centroids`` (12dp-rounded Lloyd, the
     oracle-replayable quantizer) and assignment ``_gemm_assign``,
     so the FULL path — training, assignment, in-cluster pair scan —
-    is reproducible by a sequential SQL oracle.
+    is reproducible by a sequential SQL oracle (split inactive on the
+    oracle-gated corpus; it only engages above the cap).
 
-    Returns (id_col, cluster, kept) for every input vector."""
+    Returns (id_col, cluster, kept) for every input vector; ``cluster``
+    is the TOP-LEVEL cluster id regardless of refinement depth."""
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -1356,6 +1377,84 @@ def semdedup(
     ]
     assigned = _gemm_assign(embeddings, cent_rows, id_col, vec_col)
 
+    # Hierarchical refinement: "grp" is the path key ("3", "3/17", ...)
+    # whose leading component is the top-level cluster. Each depth is
+    # one size scan (k rows collected) + one distributed re-cluster per
+    # oversized group; the corpus itself is never collected. The
+    # localCheckpoint truncates lineage so the size scan and the final
+    # group dedup reuse one materialized assignment instead of
+    # replaying the Arrow GEMM pass per consumer.
+    assigned = assigned.withColumn(
+        "grp", F.col("cluster").cast("string")
+    ).localCheckpoint(eager=False)
+    for _depth in range(max_split_depth):
+        oversized = sorted(
+            (r["grp"], int(r["n"]))
+            for r in assigned.groupBy("grp")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_cluster_rows)
+            .collect()
+        )
+        if not oversized:
+            break
+        refined = [
+            assigned.filter(~F.col("grp").isin([g for g, _ in oversized]))
+        ]
+        for grp, n in oversized:
+            sub = assigned.filter(F.col("grp") == grp)
+            # target half-full leaves so one split round usually ends
+            # the recursion even under moderately uneven sub-clusters
+            k = max(2, math.ceil(n / max(1, max_cluster_rows // 2)))
+            sub_cent = kmeans_centroids(sub, k, iterations, id_col, vec_col)
+            sub_rows = [
+                (int(r[0]), [float(x) for x in r[1]])
+                for r in sub_cent.collect()
+            ]
+            if len(sub_rows) < 2:
+                raise NotImplementedError(
+                    f"semdedup cluster '{grp}' has {n} rows "
+                    f"(> {max_cluster_rows}) but fewer than 2 distinct "
+                    "vectors — irreducible by re-clustering; refusing to "
+                    "build a quadratic block. Pre-dedup exact duplicates "
+                    "(dedup_exact / embedding_dedup_pairs) first."
+                )
+            refined.append(
+                _gemm_assign(sub, sub_rows, id_col, vec_col)
+                .withColumnRenamed("cluster", "_sub")
+                .withColumn(
+                    "grp", F.concat_ws("/", F.lit(grp), F.col("_sub"))
+                )
+                .withColumn(
+                    "cluster", F.split(F.col("grp"), "/")[0].cast("long")
+                )
+                .select(id_col, vec_col, "cluster", "grp")
+            )
+        prev_sizes = dict(oversized)
+        assigned = refined[0]
+        for df in refined[1:]:
+            assigned = assigned.unionByName(df)
+        assigned = assigned.localCheckpoint(eager=False)
+        # no-progress guard: a split that leaves some leaf at the
+        # parent's full size (all mass on one distinct vector's
+        # centroid) would loop to max depth and then die in the group
+        # scan — fail loudly here with the actionable message instead
+        still = {
+            r["grp"]: int(r["n"])
+            for r in assigned.groupBy("grp")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_cluster_rows)
+            .collect()
+        }
+        for g, n in still.items():
+            parent = g.rsplit("/", 1)[0]
+            if prev_sizes.get(parent) == n:
+                raise NotImplementedError(
+                    f"semdedup re-clustering made no progress on cluster "
+                    f"'{parent}' ({n} rows > {max_cluster_rows}): the "
+                    "sub-space is dominated by one distinct vector. "
+                    "Pre-dedup exact duplicates first."
+                )
+
     schema = StructType(
         [
             StructField(id_col, LongType()),
@@ -1364,14 +1463,13 @@ def semdedup(
         ]
     )
 
-    max_cluster_rows = 200_000
-
     def _dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > max_cluster_rows:
             raise NotImplementedError(
-                f"semdedup cluster has {len(pdf)} rows (> {max_cluster_rows}); "
-                "raise num_clusters so per-cluster pair blocks stay "
-                "executor-sized — refusing to build a quadratic block"
+                f"semdedup leaf cluster has {len(pdf)} rows "
+                f"(> {max_cluster_rows}) after {max_split_depth} split "
+                "levels; raise max_split_depth or num_clusters — "
+                "refusing to build a quadratic block"
             )
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         order = np.argsort(ids)
@@ -1405,6 +1503,6 @@ def semdedup(
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(
+    return assigned.groupBy("grp").applyInPandas(
         _dedup_cluster, schema=schema
     )

@@ -50,35 +50,13 @@ def _doc_terms(
     return tf, dl
 
 
-def bm25_topk(
-    docs: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    k1: float = 1.2,
-    b: float = 0.75,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    query_id_col: str = "query_id",
-    query_text_col: str = "query",
+def _query_terms(
+    queries: DataFrame, query_id_col: str, query_text_col: str
 ) -> DataFrame:
-    """Top-k documents per query by BM25 (Robertson/Spärck Jones;
-    the Lucene ``ln(1 + (N - df + .5)/(df + .5))`` idf variant, which
-    is always positive). Query terms are DISTINCT (duplicate query
-    words do not double-count — documented simplification; classic
-    BM25's qtf weighting is rarely material for short queries).
-
-    Returns (query_id, rank, doc_id, score): rank 1..k by score desc,
-    doc id asc on ties."""
-    tf, dl = _doc_terms(docs, id_col, text_col)
-    # corpus stats in ONE partial-aggregatable job (a previous form
-    # ran two separate aggs + two broadcasts over the same dl table)
-    stats_df = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-
-    qterms = (
+    """DISTINCT (query_id, word) — duplicate query words do not
+    double-count (documented simplification; classic BM25's qtf
+    weighting is rarely material for short queries)."""
+    return (
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.explode(
@@ -87,7 +65,20 @@ def bm25_topk(
         )
         .distinct()
     )
-    # idf quantized 6dp: ln() is transcendental (libm vs JVM last-ulp)
+
+
+def _score_hits(hits: DataFrame, k: int, k1: float, b: float) -> DataFrame:
+    """Shared BM25 scoring tail for the in-memory and persisted-index
+    paths — ONE implementation so the two can never drift. ``hits``
+    carries (query_id, id, tf, dl, df, n_docs, avgdl): one posting
+    row per matched (query term, doc).
+
+    Float discipline: idf quantized 6dp (ln() is transcendental —
+    libm vs JVM last-ulp); per-term contribution quantized to INTEGER
+    micro-units, summed exactly, floor-rounded once to 4dp — micro-grid
+    float sums land on exact .xxxx5 boundaries where engine ROUND
+    implementations disagree; the all-integer + FLOOR pipeline cannot
+    (same discipline as dsir_log_weights / nb_quality_scores)."""
     idf = F.round(
         F.log(
             F.lit(1.0)
@@ -96,22 +87,9 @@ def bm25_topk(
         ),
         6,
     )
-    # the ONE corpus-sized join: query terms (broadcast) onto the
-    # posting list, then per-(query, doc) sum
-    hits = (
-        tf.join(F.broadcast(qterms), "word")
-        .join(dl, "id")
-        .crossJoin(F.broadcast(stats_df))
-        .join(df_, "word")
-    )
     denom = F.col("tf") + F.lit(k1) * (
         F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
     )
-    # per-term contribution quantized to INTEGER micro-units, summed
-    # exactly, floor-rounded once to 4dp — micro-grid float sums land
-    # on exact .xxxx5 boundaries where engine ROUND implementations
-    # disagree; the all-integer + FLOOR pipeline cannot (same
-    # discipline as dsir_log_weights / nb_quality_scores)
     contrib_micro = F.floor(
         idf * F.col("tf") * F.lit(k1 + 1.0) / denom * F.lit(1000000.0)
         + F.lit(0.5)
@@ -137,6 +115,125 @@ def bm25_topk(
             "score",
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+) -> DataFrame:
+    """Top-k documents per query by BM25 (Robertson/Spärck Jones;
+    the Lucene ``ln(1 + (N - df + .5)/(df + .5))`` idf variant, which
+    is always positive).
+
+    Returns (query_id, rank, doc_id, score): rank 1..k by score desc,
+    doc id asc on ties."""
+    tf, dl = _doc_terms(docs, id_col, text_col)
+    # corpus stats in ONE partial-aggregatable job (a previous form
+    # ran two separate aggs + two broadcasts over the same dl table)
+    stats_df = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    qterms = _query_terms(queries, query_id_col, query_text_col)
+    # the ONE corpus-sized join: query terms (broadcast) onto the
+    # posting list, then per-(query, doc) sum
+    hits = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats_df))
+        .join(df_, "word")
+    )
+    return _score_hits(hits, k, k1, b)
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Persist the BM25 posting list as a bucket-partitioned lakehouse
+    layer — the serving-side artifact a real RAG deployment reads,
+    mirroring ``similarity.write_ivf_index``'s layout discipline:
+    ``{path}/bucket=N/`` holds the postings whose word hashes to
+    bucket N (``pmod(xxhash64(word), n_buckets)``) and
+    ``{path}/_stats`` the one-row corpus statistics
+    (n_docs, avgdl, n_buckets). Directory-level partition pruning
+    means a query LISTS only the buckets its terms hash to, so scan
+    cost scales with query-term count, not corpus size (a metastore
+    ``bucketBy`` would pin the same shape but not survive a fresh
+    session on a bare path).
+
+    Postings are denormalized — (word, id, tf, dl, df) — the classic
+    search-engine layout (Lucene stores per-doc norms alongside
+    postings): scoring then needs NO corpus-sized join at query time,
+    only the pruned scan + a broadcast of the query terms. The dl/df
+    joins are paid ONCE at build time. Returns the format written."""
+    from lakehouse_to_rag_spark.sources.lakehouse import write_layer
+
+    tf, dl = _doc_terms(docs, id_col, text_col)
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    stats_df = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        F.lit(n_buckets).cast("long").alias("n_buckets"),
+    )
+    postings = (
+        tf.join(dl, "id")
+        .join(df_, "word")
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col("word")), F.lit(n_buckets))
+        )
+        .select("bucket", "word", "id", "tf", "dl", "df")
+    )
+    fmt = write_layer(postings, path, partition_by=["bucket"])
+    write_layer(stats_df, f"{path}/_stats")
+    return fmt
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+) -> DataFrame:
+    """Serve BM25 top-k from a ``write_bm25_index`` layout. The query
+    terms' bucket ids (a driver-side list bounded by the query-term
+    count — the same legitimately tiny collect as the IVF probe list)
+    become a LITERAL ``isin`` partition filter, so Catalyst prunes
+    non-matching ``bucket=N`` directories at file-listing time; the
+    scoring tail is byte-identical to ``bm25_topk`` (shared
+    ``_score_hits``), so persisted == in-memory exactly."""
+    from lakehouse_to_rag_spark.sources.lakehouse import read_layer
+
+    stats = read_layer(spark, f"{path}/_stats")
+    srow = stats.collect()[0]
+    n_buckets = int(srow["n_buckets"])
+    qterms = _query_terms(queries, query_id_col, query_text_col).withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("word")), F.lit(n_buckets))
+    )
+    buckets = sorted(
+        r["bucket"] for r in qterms.select("bucket").distinct().collect()
+    )
+    postings = read_layer(spark, path).filter(F.col("bucket").isin(buckets))
+    hits = (
+        postings.join(F.broadcast(qterms.drop("bucket")), "word")
+        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
+    )
+    return _score_hits(hits, k, k1, b)
 
 
 def rrf_fuse(
@@ -189,13 +286,29 @@ def hybrid_retrieval_rrf(
     c: int = 60,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vector_topk=None,
 ) -> DataFrame:
     """Hybrid lexical+vector retrieval: for each query id (a document
     that has both text and an embedding), fuse BM25 over the corpus
-    text with exact cosine kNN over the embeddings via RRF. The
-    query document itself is excluded from both sides (kNN already
-    excludes self; BM25 filters it)."""
+    text with cosine kNN over the embeddings via RRF. The query
+    document itself is excluded from both sides (kNN already excludes
+    self; BM25 filters it).
+
+    ``vector_topk`` selects the vector backend: a callable
+    ``(embeddings, query_embeddings, k) -> DataFrame`` returning
+    (query_id, rank, neighbor_id) — the shared contract of the whole
+    kNN family in ``operators/similarity.py``, so any of
+    ``knn_bruteforce`` (default: exact linear scan), ``ivf_topk`` /
+    ``ivf_topk_kmeans`` (cluster-pruned), ``knn_pq`` / ``knn_ivfpq``
+    (quantized) plugs in directly, e.g.
+    ``vector_topk=lambda e, q, k: ivf_topk(e, q, k, num_centroids=64,
+    nprobe=8)``. At full nprobe IVF degenerates to the exact scan and
+    the fused output is identical to the default (equivalence test in
+    tests/test_retrieval.py)."""
     from lakehouse_to_rag_spark.operators.similarity import knn_bruteforce
+
+    if vector_topk is None:
+        vector_topk = knn_bruteforce
 
     queries_txt = docs.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(text_col).alias("query")
@@ -212,7 +325,7 @@ def hybrid_retrieval_rrf(
         .filter(F.col("rank") <= candidates)
     )
     qe = embeddings.filter(F.col("vec_id").isin(query_ids))
-    vec = knn_bruteforce(embeddings, qe, k=candidates).select(
+    vec = vector_topk(embeddings, qe, candidates).select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
         F.col("neighbor_id").alias("doc_id"),

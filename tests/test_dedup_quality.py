@@ -552,6 +552,100 @@ class TestSemDeDup:
         assert len(ids) == len(set(ids)) == e.count()
 
 
+class TestSemdedupAutoSplit:
+    """Oversized-cluster hierarchy (VERDICT r4 #2): clusters above
+    max_cluster_rows are recursively re-clustered instead of raising;
+    below the cap the split never activates and output is identical to
+    the flat form."""
+
+    def _corpus(self, spark, groups=20, per_group=10, dim=32, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(groups, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        vid = 0
+        for c in range(groups):
+            for _ in range(per_group):
+                v = centers[c] + 0.01 * rng.normal(size=dim)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_inactive_split_is_identical_to_flat(self, spark):
+        from lakehouse_to_rag_spark.operators.dedup import semdedup
+
+        e = self._corpus(spark)
+        flat = sorted(
+            map(tuple, semdedup(e, num_clusters=8, threshold=0.95).collect())
+        )
+        capped = sorted(
+            map(
+                tuple,
+                semdedup(
+                    e, num_clusters=8, threshold=0.95, max_cluster_rows=10**9
+                ).collect(),
+            )
+        )
+        assert flat == capped
+
+    def test_forced_split_completes_and_keeps_labels(self, spark):
+        """num_clusters=2 over 200 rows with a 40-row cap forces the
+        recursion. Invariants vs the flat form: every id exactly once,
+        top-level cluster labels unchanged, kept set a superset (a
+        split can only MISS pairs, never invent drops), smallest id of
+        every planted group always kept, and the whole thing is
+        deterministic."""
+        from lakehouse_to_rag_spark.operators.dedup import semdedup
+
+        e = self._corpus(spark)
+        flat = {
+            r["vec_id"]: r
+            for r in semdedup(e, num_clusters=2, threshold=0.95).collect()
+        }
+        out = {
+            r["vec_id"]: r
+            for r in semdedup(
+                e, num_clusters=2, threshold=0.95, max_cluster_rows=40
+            ).collect()
+        }
+        assert sorted(out) == sorted(flat) and len(out) == 200
+        for vid, r in out.items():
+            assert r["cluster"] == flat[vid]["cluster"]
+            if flat[vid]["kept"]:
+                assert r["kept"], vid
+        for gid in range(0, 200, 10):
+            assert out[gid]["kept"], gid
+        rerun = {
+            r["vec_id"]: (r["cluster"], r["kept"])
+            for r in semdedup(
+                e, num_clusters=2, threshold=0.95, max_cluster_rows=40
+            ).collect()
+        }
+        assert rerun == {
+            v: (r["cluster"], r["kept"]) for v, r in out.items()
+        }
+
+    def test_irreducible_identical_cluster_raises(self, spark):
+        """> cap byte-identical vectors collapse to ONE distinct
+        k-means seed — re-clustering cannot make progress, so the
+        refusal stays loud with the pre-dedup remedy named."""
+        import pytest
+
+        from lakehouse_to_rag_spark.operators.dedup import semdedup
+
+        rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(40)]
+        rows += [(100 + i, [float(i + 1), 0.0, 0.0, 1.0]) for i in range(5)]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        with pytest.raises(NotImplementedError, match="Pre-dedup exact"):
+            semdedup(
+                e, num_clusters=2, threshold=0.95, max_cluster_rows=10
+            )
+
+
 def test_trained_persisted_ivf_matches_in_memory(spark, sf_dir, tmp_path):
     """write_ivf_index(trained=True) + probe must equal the in-memory
     trained path (ivf_topk_kmeans) exactly: the persisted quantizer IS

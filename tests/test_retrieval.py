@@ -10,8 +10,10 @@ from pyspark.sql import functions as F
 
 from lakehouse_to_rag_spark.operators.retrieval import (
     bm25_topk,
+    bm25_topk_from_index,
     hybrid_retrieval_rrf,
     rrf_fuse,
+    write_bm25_index,
 )
 
 
@@ -150,3 +152,91 @@ class TestHybrid:
             assert all(r["doc_id"] != qid for r in rows), "self excluded"
             scores = [r["rrf_score"] for r in rows]
             assert scores == sorted(scores, reverse=True)
+
+    def test_pluggable_vector_backend_ivf_full_nprobe_equals_bruteforce(
+        self, spark, sf_dir
+    ):
+        """ADVICE/VERDICT r4: the vector side is a backend parameter.
+        IVF probing ALL centroids scores every corpus vector, so the
+        fused output must be identical to the default brute-force
+        backend — same rows, same scores."""
+        from lakehouse_to_rag_spark.operators.similarity import ivf_topk
+        from lakehouse_to_rag_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        e = load_table(spark, sf_dir, "embeddings")
+        base = sorted(
+            map(
+                tuple,
+                hybrid_retrieval_rrf(d, e, query_ids=[0, 1, 2], k=5).collect(),
+            )
+        )
+        ivf = sorted(
+            map(
+                tuple,
+                hybrid_retrieval_rrf(
+                    d,
+                    e,
+                    query_ids=[0, 1, 2],
+                    k=5,
+                    vector_topk=lambda emb, q, k: ivf_topk(
+                        emb, q, k, num_centroids=8, nprobe=8
+                    ),
+                ).collect(),
+            )
+        )
+        assert base == ivf and len(base) == 15
+
+
+class TestPersistedBm25Index:
+    def test_persisted_equals_in_memory(self, spark, sf_dir, tmp_path):
+        """write_bm25_index + bm25_topk_from_index must reproduce
+        bm25_topk EXACTLY (ranks and 4dp scores) — the scoring tail is
+        shared code, so any gap would mean the persisted layout lost
+        information."""
+        from lakehouse_to_rag_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        queries = d.filter(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("query_id"), F.col("text").alias("query")
+        )
+        path = str(tmp_path / "bm25_index")
+        write_bm25_index(d, path, n_buckets=32)
+        got = sorted(
+            map(
+                tuple,
+                bm25_topk_from_index(spark, path, queries, k=5).collect(),
+            )
+        )
+        want = sorted(map(tuple, bm25_topk(d, queries, k=5).collect()))
+        assert got == want and len(got) == 15
+
+    def test_bucket_pruning_on_query_terms(self, spark, sf_dir, tmp_path):
+        """A short query touches few word-hash buckets: the executed
+        postings scan must report numPartitions == the query's distinct
+        bucket count, not the full bucket fan-out (same directory-level
+        pruning contract as the IVF index)."""
+        import pathlib
+
+        from test_sources import _scan_metrics
+
+        from lakehouse_to_rag_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        path = str(tmp_path / "bm25_index")
+        write_bm25_index(d, path, n_buckets=64)
+        bucket_dirs = {
+            p.name
+            for p in pathlib.Path(path).iterdir()
+            if p.name.startswith("bucket=")
+        }
+        assert len(bucket_dirs) >= 16  # real corpus fans out widely
+
+        queries = _queries(spark, [(0, "the data pipeline")])
+        res = bm25_topk_from_index(spark, path, queries, k=5)
+        assert res.collect()
+        scans = _scan_metrics(res, {"numPartitions"})
+        parts = [m["numPartitions"] for m in scans if "numPartitions" in m]
+        assert parts, "no partitioned scan found in executed plan"
+        # <= 3 distinct words -> <= 3 buckets listed
+        assert max(parts) <= 3 < len(bucket_dirs)

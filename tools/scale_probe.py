@@ -238,6 +238,24 @@ def main() -> None:
     )
     print(f"semdedup(64 clusters): {time.perf_counter() - t0:.1f}s kept={kept}")
 
+    # oversized-cluster hierarchy: a deliberately tiny num_clusters
+    # drops ~n/4 rows into each top-level cluster, far over the cap —
+    # the recursive re-cluster must fan them out to executor-sized
+    # leaves instead of raising (r5; flat form would refuse here)
+    t0 = time.perf_counter()
+    kept = (
+        semdedup(
+            emb,
+            num_clusters=4,
+            threshold=0.95,
+            iterations=2,
+            max_cluster_rows=20_000,
+        )
+        .filter(F.col("kept"))
+        .count()
+    )
+    print(f"semdedup_autosplit(4 clusters, cap 20k): {time.perf_counter() - t0:.1f}s kept={kept}")
+
     spark.stop()
 
 
