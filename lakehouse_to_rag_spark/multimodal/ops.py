@@ -7,14 +7,15 @@ calls that need PIL/ffmpeg/librosa are STUBBED because the harness
 container ships no media libraries: each stub raises
 ``NotImplementedError`` when a real decode is requested, and provides
 a deterministic fake (parsing our synthetic header format) so the
-distributed pipeline around it is exercised end-to-end. Three codecs
+distributed pipeline around it is exercised end-to-end. Six codecs
 ARE real: 24-bit BMP (pure numpy), non-interlaced 8-bit RGB/RGBA PNG
-(stdlib zlib, all five scanline filters on decode), and 16-bit PCM
-WAV — all at the bottom of this file — so the image path (metadata,
-stats, resize, features) runs with real pixels in two formats and the
-audio path (stats, spectral features) runs with real samples.
-JPEG/compressed-audio/video remain stubbed (they genuinely need
-libjpeg/ffmpeg).
+(stdlib zlib, all five scanline filters on decode), animated GIF
+(full LZW), 16-bit PCM WAV, baseline JPEG (``jpeg.py``), and FLAC
+(``flac.py``) — so the image path (metadata, stats, resize,
+features) runs with real pixels in four formats and the audio path
+(stats, spectral features, resample) runs with real samples in both
+an uncompressed and a losslessly-compressed container. MP3/MP4/etc.
+remain stubbed (they genuinely need libmpg123/ffmpeg).
 
 Scale notes: media rows are large and skewed — batch size is governed
 by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (bytes, not rows,
@@ -118,6 +119,13 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
 
             w, h = jpeg_dimensions(payload)
             return w, h, 1
+        if payload is not None and payload[:4] == b"fLaC":
+            from lakehouse_to_rag_spark.multimodal.flac import decode_flac
+
+            # same audio mapping as WAV: width=sample_rate,
+            # height=n_channels, n_frames=n_samples
+            rate, frames = decode_flac(payload)
+            return rate, frames.shape[1], frames.shape[0]
     except (struct.error, IndexError, ValueError) as exc:
         raise NotImplementedError(
             f"corrupt/truncated media payload (magic matched but header "
@@ -125,7 +133,7 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
         ) from exc
     raise NotImplementedError(
         "real media decode requires PIL/ffmpeg (not in this container); "
-        "only SYNM/BMP/PNG/GIF/JPEG/WAV payloads are decodable here"
+        "only SYNM/BMP/PNG/GIF/JPEG/WAV/FLAC payloads are decodable here"
     )
 
 
@@ -769,6 +777,19 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return sample_rate, frames.reshape(-1, ch)
 
 
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Magic-dispatched audio decode: RIFF/WAVE -> ``decode_wav``
+    (int16 PCM), fLaC -> ``flac.decode_flac`` (lossless, int32) —
+    one entry point so every audio operator (stats, features,
+    resample) accepts either container unchanged. Anything else keeps
+    the family's fail-closed contract."""
+    if payload is not None and payload[:4] == b"fLaC":
+        from lakehouse_to_rag_spark.multimodal.flac import decode_flac
+
+        return decode_flac(payload)
+    return decode_wav(payload)
+
+
 _AUDIO_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -803,7 +824,7 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 "duration_sec", "rms", "peak", "zero_crossings",
             )}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, frames = decode_wav(payload)
+                rate, frames = decode_audio(payload)
                 mono = frames[:, 0].astype(np.int64)
                 n = len(mono)
                 out["media_id"].append(mid)
@@ -834,7 +855,7 @@ def audio_features(media: DataFrame, n_bands: int = 16) -> DataFrame:
     @F.pandas_udf(ArrayType(FloatType()))
     def _embed(payload: pd.Series) -> pd.Series:
         def _one(p: bytes) -> list[float]:
-            _, frames = decode_wav(p)
+            _, frames = decode_audio(p)
             mono = frames.mean(axis=1).astype(np.float64)
             if len(mono) == 0:
                 return [0.0] * n_bands
@@ -869,6 +890,29 @@ def synth_wav_table(spark: SparkSession, n: int = 50) -> DataFrame:
                    if i % 3 == 0 else mono)
         p = encode_wav(samples, sample_rate=8000)
         rows.append((i, "audio", p, "audio/wav", len(p)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_flac_table(spark: SparkSession, n: int = 50) -> DataFrame:
+    """The ``synth_wav_table`` corpus re-containered as FLAC: the SAME
+    deterministic sawtooth samples, losslessly compressed (block size
+    256 so every clip spans several frames and the subframe-type
+    rotation in ``flac.encode_flac`` gets exercised; every third clip
+    stereo to force the mid/side decorrelation path). Because FLAC is
+    lossless, any statistic over the decoded samples has the identical
+    closed-form oracle as the WAV corpus."""
+    from lakehouse_to_rag_spark.multimodal.flac import encode_flac
+
+    rows = []
+    for i in range(n):
+        length = 800 + (i % 7) * 100
+        k = 3 + i % 5
+        idx = np.arange(length, dtype=np.int64)
+        mono = (((idx * k + i) % 65536) - 32768).astype(np.int16)
+        samples = (np.stack([mono, np.roll(mono, 7)], axis=1)
+                   if i % 3 == 0 else mono)
+        p = encode_flac(samples, sample_rate=8000, block_size=256)
+        rows.append((i, "audio", p, "audio/flac", len(p)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -1136,7 +1180,7 @@ def resample_audio(
     def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def _one(p: bytes) -> bytes:
-                rate, frames = decode_wav(p)
+                rate, frames = decode_audio(p)
                 if rate == target_rate:
                     return p
                 n = frames.shape[0]

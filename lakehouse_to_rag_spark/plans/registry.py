@@ -2529,6 +2529,68 @@ def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_stats, schema=out_schema)
 
 
+@_q("flac_audio_stats", _WAV_STATS_ORACLE)
+def flac_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stdlib FLAC codec oracle-gated end-to-end: the SAME
+    sawtooth recipe as ``wav_audio_stats``, but the samples round-trip
+    through FLAC compression — frame CRCs, Rice residuals, fixed/LPC
+    predictors, and (every third clip, via a stereo payload) mid/side
+    decorrelation all sit between the recipe and the statistics.
+    Because FLAC is lossless, the DuckDB oracle is IDENTICAL to the
+    WAV one: any arithmetic slip anywhere in the codec shifts a sample
+    and fails the value hash. Stats are over channel 0 (the reference
+    channel), which the stereo synthesis leaves equal to the mono
+    recipe."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_to_rag_spark.multimodal.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("duration_sec", DoubleType()),
+            StructField("rms", DoubleType()),
+            StructField("peak", LongType()),
+            StructField("zero_crossings", LongType()),
+        ]
+    )
+
+    def _stats(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "n_samples", "duration_sec", "rms",
+                    "peak", "zero_crossings")}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n, k = 800 + (i % 7) * 100, 3 + i % 5
+                idx = np.arange(n, dtype=np.int64)
+                mono = (((idx * k + i) % 65536) - 32768).astype(np.int16)
+                samples = (
+                    np.stack([mono, np.roll(mono, 7)], axis=1)
+                    if i % 3 == 0 else mono
+                )
+                rate, frames = decode_flac(
+                    encode_flac(samples, sample_rate=8000, block_size=256)
+                )
+                v = frames[:, 0].astype(np.int64)
+                sign = v >= 0
+                out["doc_id"].append(i)
+                out["n_samples"].append(len(v))
+                out["duration_sec"].append(len(v) / rate)
+                out["rms"].append(float(np.sqrt((v * v).sum() / len(v))))
+                out["peak"].append(int(np.abs(v).max()))
+                out["zero_crossings"].append(int((sign[1:] != sign[:-1]).sum()))
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents", parallelize=True).select("doc_id")
+    return d.mapInPandas(_stats, schema=out_schema)
+
+
 _Q20_ORACLE = """
 SELECT s_suppkey AS suppkey, s_name AS supplier_name, n_name AS nation
 FROM supplier JOIN nation ON s_nationkey = n_nationkey

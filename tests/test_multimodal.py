@@ -392,6 +392,92 @@ class TestWavCodec:
             assert np.allclose(emb[k], emb2[k])
 
 
+class TestFlacCodec:
+    """Stdlib FLAC codec: lossless roundtrip across subframe types and
+    channel layouts, CRC/MD5 fail-closed contracts, and container
+    equivalence with the WAV audio operators."""
+
+    def test_roundtrip_mono_stereo(self):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        rng = np.random.default_rng(3)
+        # small block size -> many frames -> the CONSTANT/VERBATIM/
+        # LPC/FIXED rotation in the encoder all get hit
+        mono = rng.integers(-32768, 32768, size=3001, dtype=np.int16)
+        rate, back = decode_flac(encode_flac(mono, 16000, block_size=256))
+        assert rate == 16000 and back.shape == (3001, 1)
+        assert (back[:, 0] == mono.astype(np.int32)).all()
+
+        stereo = rng.integers(-32768, 32768, size=(1777, 2), dtype=np.int16)
+        rate, back = decode_flac(encode_flac(stereo, 44100, block_size=192))
+        assert rate == 44100 and (back == stereo.astype(np.int32)).all()
+
+        flat = np.full(700, -123, dtype=np.int16)  # all-CONSTANT clip
+        _, back = decode_flac(encode_flac(flat, 8000, block_size=256))
+        assert (back[:, 0] == -123).all()
+
+    def test_corruption_fails_closed(self):
+        import numpy as np
+        import pytest
+
+        from lakehouse_to_rag_spark.multimodal.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        mono = (np.arange(1000) % 2000 - 1000).astype(np.int16)
+        good = encode_flac(mono, 8000, block_size=256)
+        with pytest.raises(NotImplementedError):
+            decode_flac(b"NOPE" + good[4:])
+        with pytest.raises(NotImplementedError):
+            decode_flac(good[: len(good) // 2])  # truncated
+        bad = bytearray(good)
+        bad[len(bad) - 40] ^= 0x10  # flip a residual bit in a frame
+        with pytest.raises(NotImplementedError, match="CRC|MD5|sync"):
+            decode_flac(bytes(bad))
+        with pytest.raises(NotImplementedError):
+            encode_flac(np.zeros(4, dtype=np.float32))
+
+    def test_audio_stats_match_wav_container(self, spark):
+        """The FLAC synth corpus carries the SAME samples as the WAV
+        one, so every audio_stats row must be identical — the
+        dispatcher + codec are invisible to downstream operators."""
+        from lakehouse_to_rag_spark.multimodal.ops import (
+            audio_stats,
+            synth_flac_table,
+            synth_wav_table,
+        )
+
+        w = {r["media_id"]: tuple(r)[1:]
+             for r in audio_stats(synth_wav_table(spark, n=15)).collect()}
+        f = {r["media_id"]: tuple(r)[1:]
+             for r in audio_stats(synth_flac_table(spark, n=15)).collect()}
+        assert w == f and len(w) == 15
+
+    def test_metadata_and_resample_accept_flac(self, spark):
+        from lakehouse_to_rag_spark.multimodal.ops import (
+            decode_audio,
+            decode_metadata,
+            resample_audio,
+            synth_flac_table,
+        )
+
+        media = synth_flac_table(spark, n=6)
+        meta = {r["media_id"]: r for r in decode_metadata(media).collect()}
+        assert meta[0]["width"] == 8000  # sample rate mapping
+        assert meta[0]["height"] == 2 and meta[1]["height"] == 1
+        assert meta[1]["n_frames"] == 900  # 800 + (1 % 7) * 100
+        out = resample_audio(media, target_rate=4000).collect()
+        for r in out:
+            rate, frames = decode_audio(bytes(r["payload"]))
+            assert rate == 4000 and frames.shape[0] > 0
+
+
 class TestGifCodec:
     """Stdlib animated-GIF codec (full LZW): roundtrip, structure
     scan, and the real video -> frames -> image pipeline chain."""
