@@ -1117,3 +1117,143 @@ def line_dedup(
         )
     )
     return packed
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_words: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training
+    Gopher", Appendix A1.1) as one JVM-side projection: word-count
+    bounds, mean word length window, symbol-to-word ratio (# and
+    ellipsis), bullet-line and ellipsis-line ratios, the
+    ≥80%-words-contain-a-letter rule, and the ≥2-of-8 stop-word
+    presence test. Emits every signal plus the composite ``keep`` so
+    callers can audit WHICH rule fired instead of getting a bare
+    boolean — the filter itself is ``.filter("keep")``.
+
+    Scale shape: pure per-row expressions (split/filter/aggregate
+    lambdas on the word and line arrays) — no shuffle, no UDF, whole
+    row-batch stays in codegen; ratios are exact integer quotients so
+    a SQL oracle replays them bit-identically."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, " ", -1), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    nw = F.nullif(n_words.cast("double"), F.lit(0.0))
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ellipsis_sym = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / F.lit(3)
+    lines = F.split(t, "\n", -1)
+    n_lines = F.nullif(F.size(lines).cast("double"), F.lit(0.0))
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.ltrim(ln).rlike(r"^[-*•]"))
+    )
+    n_ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"),
+        )
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    lw = F.transform(words, F.lower)
+    n_stop = sum(
+        (F.array_contains(lw, s).cast("int") for s in GOPHER_STOPWORDS),
+        start=F.lit(0),
+    )
+
+    mean_word_len = total_chars.cast("double") / nw
+    symbol_ratio = (n_hash + n_ellipsis_sym).cast("double") / nw
+    bullet_ratio = n_bullet.cast("double") / n_lines
+    ellipsis_ratio = n_ell_lines.cast("double") / n_lines
+    alpha_ratio = n_alpha.cast("double") / nw
+
+    def _r4(c):
+        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_ratio <= max_bullet_ratio)
+        & (ellipsis_ratio <= max_ellipsis_ratio)
+        & (alpha_ratio >= min_alpha_word_ratio)
+        & (n_stop >= min_stop_words)
+    )
+    return df.filter(t.isNotNull()).select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        _r4(mean_word_len).alias("mean_word_len"),
+        _r4(symbol_ratio).alias("symbol_ratio"),
+        _r4(bullet_ratio).alias("bullet_ratio"),
+        _r4(ellipsis_ratio).alias("ellipsis_ratio"),
+        _r4(alpha_ratio).alias("alpha_word_ratio"),
+        n_stop.cast("long").alias("n_stop_present"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", §2.2) as one JVM-side projection: keep only lines
+    that end in terminal punctuation AND carry at least
+    ``min_words_per_line`` words; drop whole documents that contain
+    "lorem ipsum" or a curly brace, or retain fewer than
+    ``min_kept_lines`` lines. Emits (id, n_lines, n_kept, dropped,
+    text_clean) with text_clean NULL for dropped docs — row-preserving
+    like ``line_dedup``; the hard filter is ``.filter("NOT
+    dropped")``.
+
+    Scale shape: per-row array lambdas only — no shuffle, no UDF;
+    the one subtlety is that ``F.split`` takes a regex, so the
+    separator is \\Q-quoted (same contract as line_dedup)."""
+    t = F.col(text_col)
+    lines = F.split(t, "\\Q" + sep + "\\E", -1)
+    kept = F.filter(
+        lines,
+        lambda ln: F.rtrim(ln).rlike(r"[.!?]$")
+        & (
+            F.size(F.filter(F.split(ln, " ", -1), lambda w: w != F.lit("")))
+            >= F.lit(min_words_per_line)
+        ),
+    )
+    n_kept = F.size(kept)
+    dropped = (
+        F.lower(t).contains("lorem ipsum")
+        | t.contains("{")
+        | (n_kept < min_kept_lines)
+    )
+    return df.filter(t.isNotNull()).select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        dropped.alias("dropped"),
+        F.when(~dropped, F.array_join(kept, sep)).alias("text_clean"),
+    )

@@ -3260,6 +3260,135 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ld(d.unionByName(recrawl))
 
 
+_GOPHER_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), w -> w <> '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    NULLIF(CAST(len(words) AS DOUBLE), 0.0) AS nw,
+    CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+      AS total_chars,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell_sym,
+    NULLIF(CAST(len(lines) AS DOUBLE), 0.0) AS nl,
+    len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
+      AS n_bullet,
+    len(list_filter(lines,
+        l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS n_ell_lines,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+    (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'the')
+          THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'be')
+          THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'to')
+          THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'of')
+          THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'and')
+          THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'that')
+          THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'have')
+          THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'with')
+          THEN 1 ELSE 0 END) AS n_stop
+  FROM base
+), r AS (
+  SELECT doc_id, n_words, n_stop,
+    total_chars / nw AS mean_word_len,
+    (n_hash + n_ell_sym) / nw AS symbol_ratio,
+    n_bullet / nl AS bullet_ratio,
+    n_ell_lines / nl AS ellipsis_ratio,
+    n_alpha / nw AS alpha_ratio
+  FROM m
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  FLOOR(mean_word_len * 10000 + 0.5) / 10000 AS mean_word_len,
+  FLOOR(symbol_ratio * 10000 + 0.5) / 10000 AS symbol_ratio,
+  FLOOR(bullet_ratio * 10000 + 0.5) / 10000 AS bullet_ratio,
+  FLOOR(ellipsis_ratio * 10000 + 0.5) / 10000 AS ellipsis_ratio,
+  FLOOR(alpha_ratio * 10000 + 0.5) / 10000 AS alpha_word_ratio,
+  CAST(n_stop AS BIGINT) AS n_stop_present,
+  COALESCE(n_words >= 50 AND n_words <= 100000
+           AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+           AND symbol_ratio <= 0.1
+           AND bullet_ratio <= 0.9
+           AND ellipsis_ratio <= 0.3
+           AND alpha_ratio >= 0.8
+           AND n_stop >= 1, FALSE) AS keep
+FROM r
+"""
+
+
+@_q("gopher_quality", _GOPHER_ORACLE)
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, App. A1.1) replayed
+    rule-by-rule in SQL: every per-doc signal (word count, mean word
+    length, symbol/bullet/ellipsis ratios, alpha-word ratio, stop-word
+    presence) plus the composite keep flag. min_words=50 and
+    min_stop_words=1 sit inside the synthetic corpus's distribution
+    (10..99 words, 76% contain 'the') so BOTH keep outcomes are
+    exercised; thresholds compare the UNROUNDED ratios on both
+    engines."""
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        gopher_quality_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_quality_scores(d, min_words=50, min_stop_words=1)
+
+
+_C4_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         regexp_replace(text, ' table ', '.' || chr(10), 'g') AS t
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id, t,
+    string_split(t, chr(10)) AS lines,
+    list_filter(string_split(t, chr(10)),
+      l -> regexp_matches(rtrim(l), '[.!?]$')
+           AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+    ) AS kept
+  FROM b
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  (contains(lower(t), 'lorem ipsum') OR contains(t, '{')
+   OR len(kept) < 2) AS dropped,
+  CASE WHEN NOT (contains(lower(t), 'lorem ipsum') OR contains(t, '{')
+                 OR len(kept) < 2)
+       THEN list_aggregate(kept, 'string_agg', chr(10)) END AS text_clean
+FROM s
+"""
+
+
+@_q("c4_line_filter", _C4_ORACLE)
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) on a line-structured
+    view of the corpus: the single-line synthetic docs gain line
+    boundaries by rewriting every ' table ' into '.<newline>' (the
+    SAME global left-to-right regexp_replace on both engines), then
+    the operator keeps terminal-punctuation lines of >= 5 words and
+    drops docs retaining < 2 lines — 197/500 survive at sf0.01, so
+    both outcomes and the NULL-text_clean convention face the hash."""
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        c4_line_filter as _c4,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " table ", ".\n").alias("text"),
+    )
+    return _c4(d, min_words_per_line=5, min_kept_lines=2)
+
+
 # Naive-Bayes quality filter replay: per-class hashed-bucket counts,
 # add-1 smoothing, integer micro-unit log-likelihood ratios (exact
 # BIGINT per-doc sums — same partition-order-proof discipline as

@@ -677,3 +677,107 @@ class TestStagingIsolation:
         assert cu.cleanup_staging(fp_path) == 0  # idempotent
         # the fingerprint table itself is untouched by cleanup
         assert spark.read.parquet(fp_path).count() == 3
+
+
+class TestGopherQuality:
+    def test_hand_computed_signals(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            gopher_quality_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                # 6 words (18 chars), all alphabetic, has 'the' and 'of'
+                (0, "the cat sat of the mats"),
+                # bullet lines + ellipsis line
+                (1, "- item one here\n- item two here\nend of list..."),
+                # symbol soup: 3 hashes in 4 words
+                (2, "too ### many hashes"),
+                # numeric words fail the alpha rule
+                (3, "1 2 3 4 5 6 7 8 9 10"),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in gopher_quality_scores(
+                docs, min_words=3, min_stop_words=2
+            ).collect()
+        }
+        assert sorted(out) == [0, 1, 2, 3]  # null text filtered
+        r0 = out[0]
+        assert r0["n_words"] == 6
+        assert r0["mean_word_len"] == round(18 / 6, 4)
+        assert r0["n_stop_present"] == 2 and r0["keep"]
+        r1 = out[1]
+        assert r1["bullet_ratio"] == round(2 / 3, 4)
+        assert r1["ellipsis_ratio"] == round(1 / 3, 4)
+        assert not r1["keep"]  # ellipsis ratio 0.33 > 0.3
+        r2 = out[2]
+        assert r2["symbol_ratio"] == 0.75 and not r2["keep"]
+        r3 = out[3]
+        assert r3["alpha_word_ratio"] == 0.0 and not r3["keep"]
+
+    def test_word_count_bounds(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            gopher_quality_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "the of " + "word " * 10), (1, "the of short")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["keep"]
+            for r in gopher_quality_scores(docs, min_words=5).collect()
+        }
+        assert out[0] and not out[1]
+
+
+class TestC4LineFilter:
+    def test_hand_computed(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            c4_line_filter,
+        )
+
+        good = "this line has five words.\nanother full line right here!\nshort one."
+        docs = spark.createDataFrame(
+            [
+                (0, good),                      # 2 of 3 lines kept
+                (1, "code { return 1; }\nthis line has five words.\nanother full line right here!"),
+                (2, "Lorem Ipsum dolor sit amet.\nthis line has five words.\nanother full line right here!"),
+                (3, "no punctuation here at all\nalso none here my friend"),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in c4_line_filter(docs, min_kept_lines=2).collect()
+        }
+        assert sorted(out) == [0, 1, 2, 3]
+        r0 = out[0]
+        assert (r0["n_lines"], r0["n_kept"]) == (3, 2)  # 'short one.' < 5 words
+        assert not r0["dropped"]
+        assert r0["text_clean"] == (
+            "this line has five words.\nanother full line right here!"
+        )
+        assert out[1]["dropped"]  # curly brace doc
+        assert out[2]["dropped"]  # lorem ipsum doc
+        assert out[3]["dropped"] and out[3]["n_kept"] == 0
+        assert out[1]["text_clean"] is None
+
+    def test_min_words_parameter(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            c4_line_filter,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "one two three.\nfour five six seven eight nine.")],
+            "doc_id long, text string",
+        )
+        strict = c4_line_filter(docs, min_words_per_line=5, min_kept_lines=1)
+        loose = c4_line_filter(docs, min_words_per_line=3, min_kept_lines=1)
+        assert strict.collect()[0]["n_kept"] == 1
+        assert loose.collect()[0]["n_kept"] == 2
