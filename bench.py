@@ -82,6 +82,12 @@ HEADLINE = [
     "semdedup",
     "nb_quality_filter",
     "line_dedup",
+    # round-5 additions: the FLAC leg of the media set (pure-Python
+    # bit-level codec like GIF's LZW — compare round-over-round) and
+    # the two named web-corpus filters (JVM-side array lambdas)
+    "flac_audio_stats",
+    "gopher_quality",
+    "c4_line_filter",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

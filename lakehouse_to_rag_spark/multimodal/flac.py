@@ -329,6 +329,23 @@ def _encode_subframe(w: _BitWriter, s, bps: int, frame_no: int) -> None:
 # ------------------------------------------------------------- decoder
 
 
+def flac_streaminfo(payload: bytes) -> tuple[int, int, int]:
+    """(sample_rate, n_channels, total_samples) from the fixed 34-byte
+    STREAMINFO block alone — the header-only metadata path
+    (``ops._parse_header`` contract: no sample decode). Raises the
+    family's NotImplementedError on anything that is not a FLAC
+    stream with a leading STREAMINFO."""
+    if payload is None or payload[:4] != b"fLaC":
+        raise NotImplementedError("not a FLAC payload")
+    if len(payload) < 4 + 4 + 34 or (payload[4] & 0x7F) != 0:
+        raise NotImplementedError("FLAC stream missing leading STREAMINFO")
+    b = payload[8:42]
+    rate = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+    ch = ((b[12] >> 1) & 0x7) + 1
+    total = ((b[13] & 0x0F) << 32) | int.from_bytes(b[14:18], "big")
+    return rate, ch, total
+
+
 def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
     """Decode a FLAC stream into (sample_rate, (n, ch) int32 array).
     Verifies every frame's CRC-8/CRC-16 and, when the STREAMINFO
@@ -485,6 +502,13 @@ def _decode_subframe(r: _BitReader, nb: int, bps: int) -> list[int]:
     wasted = 0
     if r.read(1):
         wasted = r.read_unary() + 1
+        if wasted >= bps:
+            # corrupt stream: would leave <=0 sample bits; fail closed
+            # HERE (the frame CRC only runs after subframe decode)
+            raise NotImplementedError(
+                f"corrupt FLAC subframe: {wasted} wasted bits on a "
+                f"{bps}-bit channel"
+            )
         bps -= wasted
     if stype == 0:  # CONSTANT
         out = [r.read_signed(bps)] * nb

@@ -120,12 +120,17 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
             w, h = jpeg_dimensions(payload)
             return w, h, 1
         if payload is not None and payload[:4] == b"fLaC":
-            from lakehouse_to_rag_spark.multimodal.flac import decode_flac
+            from lakehouse_to_rag_spark.multimodal.flac import (
+                flac_streaminfo,
+            )
 
             # same audio mapping as WAV: width=sample_rate,
-            # height=n_channels, n_frames=n_samples
-            rate, frames = decode_flac(payload)
-            return rate, frames.shape[1], frames.shape[0]
+            # height=n_channels, n_frames=n_samples — from the 34-byte
+            # STREAMINFO alone, honoring this function's header-only
+            # contract (a full decode here would Rice-decode every
+            # sample just to report three fields)
+            rate, ch, total = flac_streaminfo(payload)
+            return rate, ch, total
     except (struct.error, IndexError, ValueError) as exc:
         raise NotImplementedError(
             f"corrupt/truncated media payload (magic matched but header "
@@ -1171,18 +1176,28 @@ def _bilinear_resize(px: np.ndarray, width: int, height: int) -> np.ndarray:
 def resample_audio(
     media: DataFrame, target_rate: int = 16000
 ) -> DataFrame:
-    """Linear-interpolation resample of real WAV payloads to
+    """Linear-interpolation resample of real WAV/FLAC payloads to
     ``target_rate`` (np.interp per channel — deterministic, no
     windowed sinc needed for pipeline plumbing); output schema = input
     schema with re-encoded payloads, so it composes like the image
-    resize."""
+    resize. Output is always 16-bit PCM WAV with the mime rewritten to
+    match (a FLAC input whose rate already matches passes through
+    untouched, mime intact); audio deeper than 16 bits refuses rather
+    than silently clipping (fail-closed, like the image family)."""
 
     def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            def _one(p: bytes) -> bytes:
+            def _one(p: bytes) -> tuple[bytes, str | None]:
                 rate, frames = decode_audio(p)
                 if rate == target_rate:
-                    return p
+                    return p, None  # pass-through, mime unchanged
+                if frames.size and (
+                    frames.max() > 32767 or frames.min() < -32768
+                ):
+                    raise NotImplementedError(
+                        "resample_audio supports 16-bit audio only; "
+                        "deeper FLAC streams would be silently clipped"
+                    )
                 n = frames.shape[0]
                 m = max(1, int(round(n * target_rate / rate)))
                 src_t = np.arange(n, dtype=np.float64) / rate
@@ -1195,10 +1210,15 @@ def resample_audio(
                 out = np.clip(np.floor(out + 0.5), -32768, 32767).astype(
                     np.int16
                 )
-                return encode_wav(out, sample_rate=target_rate)
+                return encode_wav(out, sample_rate=target_rate), "audio/wav"
 
             out = pdf.copy()
-            out["payload"] = out["payload"].map(_one)
+            res = out["payload"].map(_one)
+            out["payload"] = res.map(lambda t: t[0])
+            out["mime"] = [
+                m if new is None else new
+                for m, new in zip(out["mime"], res.map(lambda t: t[1]))
+            ]
             out["n_bytes"] = out["payload"].map(len)
             yield out
 

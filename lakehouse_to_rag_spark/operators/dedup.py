@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lakehouse_to_rag_spark.operators.similarity import _round_away
+
 
 # ---------------------------------------------------------------- exact
 
@@ -610,7 +612,9 @@ def embedding_lsh_pairs(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            bits = np.round(m @ r, 12) >= 0
+            # half-AWAY 12dp like the oracle's ROUND — np.round's
+            # half-even would flip a sign bit on an exact boundary
+            bits = _round_away(m @ r, 12) >= 0
             sig = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
             yield pd.DataFrame({"id": ids, "sig": sig.astype(np.int64)})
 
@@ -687,7 +691,7 @@ def embedding_lsh_pairs(
                 {
                     "id_a": pdf["id_a"].to_numpy(dtype=np.int64)[keep],
                     "id_b": pdf["id_b"].to_numpy(dtype=np.int64)[keep],
-                    "cosine": np.round(cos[keep], 4),
+                    "cosine": _round_away(cos[keep], 4),
                 }
             )
 
@@ -927,7 +931,7 @@ def embedding_dup_pairs_numpy(
                 {
                     "id_a": ids[ai],
                     "id_b": b_ids[bj],
-                    "cosine": np.round(sims[ai, bj], 4),
+                    "cosine": _round_away(sims[ai, bj], 4),
                 }
             )
 
@@ -1387,6 +1391,7 @@ def semdedup(
     assigned = assigned.withColumn(
         "grp", F.col("cluster").cast("string")
     ).localCheckpoint(eager=False)
+    prev_sizes: dict[str, int] = {}
     for _depth in range(max_split_depth):
         oversized = sorted(
             (r["grp"], int(r["n"]))
@@ -1397,6 +1402,19 @@ def semdedup(
         )
         if not oversized:
             break
+        # no-progress guard (ONE size scan per depth — this check
+        # rides the scan above instead of a second bottom-of-loop
+        # scan): a child leaf at its parent's full size means the
+        # sub-space is dominated by one distinct vector and further
+        # splitting would loop to max depth then die in the pair scan
+        for grp, n in oversized:
+            if prev_sizes.get(grp.rsplit("/", 1)[0]) == n:
+                raise NotImplementedError(
+                    f"semdedup re-clustering made no progress on "
+                    f"cluster '{grp}' ({n} rows > {max_cluster_rows}): "
+                    "the sub-space is dominated by one distinct vector. "
+                    "Pre-dedup exact duplicates first."
+                )
         refined = [
             assigned.filter(~F.col("grp").isin([g for g, _ in oversized]))
         ]
@@ -1434,26 +1452,6 @@ def semdedup(
         for df in refined[1:]:
             assigned = assigned.unionByName(df)
         assigned = assigned.localCheckpoint(eager=False)
-        # no-progress guard: a split that leaves some leaf at the
-        # parent's full size (all mass on one distinct vector's
-        # centroid) would loop to max depth and then die in the group
-        # scan — fail loudly here with the actionable message instead
-        still = {
-            r["grp"]: int(r["n"])
-            for r in assigned.groupBy("grp")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > max_cluster_rows)
-            .collect()
-        }
-        for g, n in still.items():
-            parent = g.rsplit("/", 1)[0]
-            if prev_sizes.get(parent) == n:
-                raise NotImplementedError(
-                    f"semdedup re-clustering made no progress on cluster "
-                    f"'{parent}' ({n} rows > {max_cluster_rows}): the "
-                    "sub-space is dominated by one distinct vector. "
-                    "Pre-dedup exact duplicates first."
-                )
 
     schema = StructType(
         [
@@ -1487,7 +1485,7 @@ def semdedup(
         dropped = np.zeros(len(ids), dtype=bool)
         for s in range(0, len(ids), strip):
             e = min(s + strip, len(ids))
-            sims = np.round(
+            sims = _round_away(
                 (m[s:e] @ m.T) / n[s:e, None] / n[None, :], 4
             )
             # mask to strictly-smaller ids: global col index < row index

@@ -779,7 +779,12 @@ def _lloyd(pts: "np.ndarray", k: int, iters: int) -> "np.ndarray":
 
     _, first = np.unique(pts, axis=0, return_index=True)
     cent = pts[np.sort(first)[: min(k, len(first))]].copy()
-    micros = _round_away(pts * 1e12, 0)  # exact integer doubles
+    # exact int64 micros: summing as float64 stops being exact past
+    # 2^53, which a 16k-row cluster of ±2e12 components can exceed —
+    # int64 sums stay exact to ±9.2e18, and the final int->double
+    # conversion before the division rounds nearest-even on both
+    # engines (DuckDB SUMs BIGINTs exactly too), so parity holds
+    micros = _round_away(pts * 1e12, 0).astype(np.int64)
     for _ in range(iters):
         d2 = (
             (pts * pts).sum(1)[:, None]
@@ -790,7 +795,7 @@ def _lloyd(pts: "np.ndarray", k: int, iters: int) -> "np.ndarray":
         for c in range(len(cent)):
             mask = asg == c
             if mask.any():
-                q = micros[mask].sum(0) / mask.sum()
+                q = micros[mask].sum(0, dtype=np.int64) / mask.sum()
                 cent[c] = np.copysign(np.floor(np.abs(q) + 0.5), q) / 1e12
     return cent
 

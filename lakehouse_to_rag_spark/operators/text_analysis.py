@@ -1149,9 +1149,15 @@ def gopher_quality_scores(
     Scale shape: pure per-row expressions (split/filter/aggregate
     lambdas on the word and line arrays) — no shuffle, no UDF, whole
     row-batch stays in codegen; ratios are exact integer quotients so
-    a SQL oracle replays them bit-identically."""
+    a SQL oracle replays them bit-identically.
+
+    Words split on RUNS OF WHITESPACE (``\\s+``), not single spaces —
+    Rae et al.'s rules are whitespace-word rules, and a single-space
+    split would glue newline-adjacent words together on exactly the
+    multi-line documents the bullet/ellipsis rules target (inflating
+    mean_word_len and deflating n_words)."""
     t = F.col(text_col)
-    words = F.filter(F.split(t, " ", -1), lambda w: w != F.lit(""))
+    words = F.filter(F.split(t, r"\s+", -1), lambda w: w != F.lit(""))
     n_words = F.size(words)
     nw = F.nullif(n_words.cast("double"), F.lit(0.0))
     total_chars = F.aggregate(

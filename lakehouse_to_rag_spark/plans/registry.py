@@ -3263,7 +3263,8 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_ORACLE = """
 WITH base AS (
   SELECT doc_id, text,
-         list_filter(string_split(text, ' '), w -> w <> '') AS words,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')
+           AS words,
          string_split(text, chr(10)) AS lines
   FROM documents WHERE text IS NOT NULL
 ), m AS (
@@ -4771,10 +4772,13 @@ _PINS: list[str] = [
 
 
 def _evidence_rounds() -> dict[str, int]:
-    """Latest round in which each entry produced driver evidence (the
-    query ran: hash row or rows-only `no_oracle` row — a real error
-    row does not count). Entries absent from every CORRECTNESS file
-    map to 0."""
+    """Latest round in which each entry produced PASSING driver
+    evidence: a hash-green row, or a rows-only row for the
+    structurally no-oracle entries. A real `err` row — or a row whose
+    value hash DIVERGED (`hash_match` false) — is NOT evidence, so a
+    failing or regressed entry sorts as maximally stale and rotates
+    back into the window immediately. Entries absent from every
+    CORRECTNESS file map to 0."""
     import json
     from pathlib import Path
 
@@ -4787,11 +4791,12 @@ def _evidence_rounds() -> dict[str, int]:
         except (OSError, ValueError, IndexError):  # unreadable: ignore
             continue
         for name, row in rows.items():
-            ran = isinstance(row, dict) and (
-                row.get("err") in (None, "no_oracle")
-                or row.get("spark_rows") is not None
+            if not isinstance(row, dict):
+                continue
+            green = row.get("err") == "no_oracle" or (
+                row.get("err") is None and row.get("hash_match") is True
             )
-            if ran:
+            if green:
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
 

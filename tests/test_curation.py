@@ -719,6 +719,24 @@ class TestGopherQuality:
         r3 = out[3]
         assert r3["alpha_word_ratio"] == 0.0 and not r3["keep"]
 
+    def test_multiline_words_split_on_any_whitespace(self, spark):
+        """Words split on \\s+ — newline- and tab-adjacent words must
+        count separately (a single-space split glued them, inflating
+        mean_word_len on exactly the multi-line docs the bullet rules
+        target)."""
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            gopher_quality_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "one two\nthree\tfour\nfive")],
+            "doc_id long, text string",
+        )
+        r = gopher_quality_scores(docs, min_words=1).collect()[0]
+        assert r["n_words"] == 5
+        assert r["mean_word_len"] == round(19 / 5, 4)
+        assert r["alpha_word_ratio"] == 1.0
+
     def test_word_count_bounds(self, spark):
         from lakehouse_to_rag_spark.operators.text_analysis import (
             gopher_quality_scores,

@@ -443,6 +443,42 @@ class TestFlacCodec:
         with pytest.raises(NotImplementedError):
             encode_flac(np.zeros(4, dtype=np.float32))
 
+    def test_corrupt_wasted_bits_fail_closed(self):
+        """A wasted-bits run >= bps would drive the sample width to
+        zero or negative — must raise the documented
+        NotImplementedError BEFORE any shift, not a raw ValueError
+        through the Arrow batch (frame CRC runs only after subframe
+        decode, so it cannot intercept this)."""
+        import pytest
+
+        from lakehouse_to_rag_spark.multimodal.flac import (
+            _BitReader,
+            _BitWriter,
+            _decode_subframe,
+        )
+
+        w = _BitWriter()
+        w.write(0, 1)          # subframe padding bit
+        w.write(0b000000, 6)   # CONSTANT
+        w.write(1, 1)          # wasted-bits flag
+        w.write(1, 17)         # unary: 16 zeros + 1 -> wasted = 17
+        w.write(0, 16)         # would-be constant value
+        w.align()
+        with pytest.raises(NotImplementedError, match="wasted bits"):
+            _decode_subframe(_BitReader(w.getvalue()), nb=4, bps=16)
+
+    def test_streaminfo_header_only_parse(self):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.flac import (
+            encode_flac,
+            flac_streaminfo,
+        )
+
+        st = np.stack([np.arange(1234, dtype=np.int16)] * 2, axis=1)
+        rate, ch, total = flac_streaminfo(encode_flac(st, 22050))
+        assert (rate, ch, total) == (22050, 2, 1234)
+
     def test_audio_stats_match_wav_container(self, spark):
         """The FLAC synth corpus carries the SAME samples as the WAV
         one, so every audio_stats row must be identical — the
@@ -476,6 +512,14 @@ class TestFlacCodec:
         for r in out:
             rate, frames = decode_audio(bytes(r["payload"]))
             assert rate == 4000 and frames.shape[0] > 0
+            # re-encoded payloads are WAV and the mime says so
+            assert bytes(r["payload"])[:4] == b"RIFF"
+            assert r["mime"] == "audio/wav"
+        # rate-matching FLAC rows pass through with payload AND mime
+        same = resample_audio(media, target_rate=8000).collect()
+        for r in same:
+            assert bytes(r["payload"])[:4] == b"fLaC"
+            assert r["mime"] == "audio/flac"
 
 
 class TestGifCodec:

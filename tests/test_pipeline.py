@@ -129,3 +129,41 @@ def test_observed_medallion_metrics_match_direct_aggregates(spark, sf_dir):
         assert m["rows"] == row["rows"], name
         assert m["avg_content_length"] == row["avg_content_length"], name
     assert m_bronze["empty_rows"] == 0  # bronze filters empties
+
+
+def test_evidence_rounds_ignores_failing_rows(tmp_path, monkeypatch):
+    """The driver-window staleness metric must count only PASSING
+    evidence: a real `err` row or a hash-diverged row (`hash_match`
+    false, err null) rotates the entry back in as maximally stale
+    instead of parking it out of the window for a full cycle."""
+    import json
+
+    from lakehouse_to_rag_spark.plans import registry
+
+    rows = {
+        "green": {"hash_match": True, "err": None, "spark_rows": 5},
+        "rows_only": {"hash_match": None, "err": "no_oracle",
+                      "spark_rows": 5},
+        "hash_diverged": {"hash_match": False, "err": None,
+                          "spark_rows": 5},
+        "hard_error": {"hash_match": None, "err": "boom",
+                       "spark_rows": 5},
+    }
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps(rows))
+
+    # point the scanner at the fixture dir
+    import pathlib
+
+    orig = pathlib.Path.glob
+
+    def fake_glob(self, pattern):
+        if pattern == "CORRECTNESS_r*.json":
+            return orig(tmp_path, pattern)
+        return orig(self, pattern)
+
+    monkeypatch.setattr(pathlib.Path, "glob", fake_glob)
+    ev = registry._evidence_rounds()
+    assert ev.get("green") == 7
+    assert ev.get("rows_only") == 7
+    assert "hash_diverged" not in ev
+    assert "hard_error" not in ev
