@@ -538,3 +538,190 @@ def dsir_select(
     top = keyed.orderBy(F.desc("sel_key"), F.asc(id_col)).limit(n)
     win = Window.orderBy(F.desc("sel_key"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(win).cast("long"))
+
+
+# ------------------------------------------------- diversity selection
+
+
+def prototype_scores(
+    embeddings: DataFrame,
+    num_clusters: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector PROTOTYPICALITY (D4, Tirumala et al. 2023,
+    "D4: Improving LLM Pretraining via Document De-Duplication and
+    Diversification"): train the deterministic Lloyd quantizer, assign
+    each vector to its nearest centroid, and emit the cosine to that
+    centroid. D4's diversification step DROPS the most prototypical
+    tail of each cluster (vectors nearest the centroid are the most
+    redundant) after semantic dedup removed the near-duplicates —
+    this operator supplies the score; the drop policy (a per-cluster
+    rank filter) stays with the caller.
+
+    Training reuses ``kmeans_centroids`` (12dp-rounded Lloyd, the
+    SQL-replayable quantizer), so the FULL path is oracle-checkable.
+    Assignment argmax uses 12dp-rounded sims with smallest-centroid-id
+    ties; the emitted score is the RAW cosine rounded half-away to
+    4dp. Returns (id_col, cluster, proto_sim).
+
+    Scale shape: training is the shared distributed Lloyd (one
+    partial-agg shuffle per iteration); scoring is ONE Arrow GEMM pass
+    against the broadcast (k × dim) centroid matrix — no join, no
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from lakehouse_to_rag_spark.operators.similarity import (
+        _round_away,
+        kmeans_centroids,
+    )
+
+    cent_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in kmeans_centroids(
+            embeddings, num_clusters, iterations, id_col, vec_col
+        ).collect()
+    )
+    cids = np.array([c[0] for c in cent_rows], dtype=np.int64)
+    cmat = np.array([c[1] for c in cent_rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = np.nan
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cluster", LongType()),
+            StructField("proto_sim", DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = np.nan
+            raw = (m @ cmat.T) / n[:, None] / cnorm[None, :]
+            sel = _round_away(raw, 12)
+            sel = np.where(np.isnan(sel), -np.inf, sel)
+            best = np.argmax(sel, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "cluster": cids[best],
+                    "proto_sim": _round_away(
+                        raw[np.arange(len(best)), best], 4
+                    ),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        _score, schema=schema
+    )
+
+
+def kcenter_select(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) selection over cosine
+    distance — the classic 2-approximation coreset/diversity picker
+    (Gonzalez 1985; used for training-data selection and as the
+    k-means++ -style spread seed). Deterministic: the first center is
+    the smallest id; each next center is the point FARTHEST from its
+    nearest already-selected center (12dp-rounded distance,
+    smallest-id ties). Zero-norm vectors (undefined cosine) are
+    excluded.
+
+    Returns (rank, id_col, radius): selection order 1..k and the
+    point's min-distance-to-prior-centers at selection time — a
+    decreasing sequence whose last value is the covering radius of
+    the selected set.
+
+    Scale shape: k iterations, each ONE Arrow pass updating the
+    running min-distance column against the single newest center
+    (O(n) per round, O(nk) total — the algorithm's own bound) plus
+    one TakeOrderedAndProject top-1; the state frame (id, vec, dmin)
+    is localCheckpointed per round so lineage stays flat. The corpus
+    is never collected; only the k selected centers are."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_to_rag_spark.operators.similarity import _round_away
+
+    pts = (
+        embeddings.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
+        .filter(
+            F.aggregate(
+                F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+            > 0
+        )
+    )
+
+    first = pts.orderBy(F.asc(id_col)).limit(1).collect()
+    if not first:
+        raise ValueError("kcenter_select: no nonzero vectors")
+    centers = [(1, int(first[0][0]), 0.0, [float(x) for x in first[0][1]])]
+
+    state = pts.withColumn("dmin", F.lit(float("inf"))).localCheckpoint(
+        eager=False
+    )
+    schema = state.schema
+
+    for rank in range(2, k + 1):
+        cvec = np.array(centers[-1][3], dtype=np.float64)
+        cn = float(np.linalg.norm(cvec))
+
+        def _update(batches, cvec=cvec, cn=cn):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.array(list(pdf["v"]), dtype=np.float64)
+                n = np.linalg.norm(m, axis=1)
+                n[n == 0] = np.nan
+                d = _round_away(1.0 - (m @ cvec) / n / cn, 12)
+                out = pdf.copy()
+                out["dmin"] = np.minimum(
+                    pdf["dmin"].to_numpy(dtype=np.float64), d
+                )
+                yield out
+
+        state = state.mapInPandas(_update, schema=schema).localCheckpoint(
+            eager=False
+        )
+        far = (
+            state.orderBy(F.desc("dmin"), F.asc(id_col)).limit(1).collect()
+        )
+        if not far or float(far[0]["dmin"]) == 0.0:
+            # max min-distance 0 means every point coincides with a
+            # selected center — the set is fully covered; further
+            # "centers" would repeat existing points (also the k > n
+            # case). Return the genuinely distinct selection.
+            break
+        r = far[0]
+        centers.append(
+            (rank, int(r[id_col]), float(r["dmin"]), [float(x) for x in r["v"]])
+        )
+
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(c[0], c[1], c[2]) for c in centers],
+        f"rank long, {id_col} long, radius double",
+    )

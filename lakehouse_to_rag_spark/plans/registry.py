@@ -3519,6 +3519,101 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.semdedup(e, num_clusters=16, threshold=0.4, iterations=3)
 
 
+_PROTO_ORACLE = (
+    """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT centroid_id, cv FROM (
+    SELECT MIN(vec_id) AS centroid_id, v AS cv FROM e GROUP BY v
+  ) ORDER BY centroid_id LIMIT 16
+)"""
+    + "".join(_KMEANS_ITER_SQL.format(i=i, prev=i - 1) for i in (1, 2, 3))
+    + """
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS cluster,
+       ROUND(sim, 4) AS proto_sim
+FROM (
+  SELECT e.vec_id, c.centroid_id,
+         list_cosine_similarity(e.v, c.cv) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 12) DESC,
+                    c.centroid_id ASC) AS rn
+  FROM e CROSS JOIN c3 c
+) WHERE rn = 1"""
+)
+
+
+@_q("prototype_scores", _PROTO_ORACLE)
+def prototype_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 prototypicality (Tirumala et al. 2023): cosine of every
+    vector to its trained k-means centroid — the diversification
+    score whose per-cluster most-prototypical tail D4 drops after
+    semantic dedup. Full replay: the unrolled 3-iteration Lloyd
+    (shared with knn_ivf_kmeans/semdedup), 12dp argmax assignment,
+    4dp half-away score."""
+    from lakehouse_to_rag_spark.operators.curation import (
+        prototype_scores as _proto,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return _proto(e, num_clusters=16, iterations=3)
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Greedy k-center unrolled: sN picks the farthest point from
+    centers 1..N-1 (12dp-rounded cosine distance, smallest-id ties),
+    dN folds the new center into the running min-distance. Mirrors
+    curation.kcenter_select step for step."""
+    parts = [
+        """WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT * FROM e0 WHERE list_inner_product(v, v) > 0
+), s1 AS (
+  SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1
+), d1 AS (
+  SELECT e.vec_id, e.v,
+         ROUND(1 - list_cosine_similarity(e.v, s1.v), 12) AS dmin
+  FROM e, s1
+)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""", s{i} AS (
+  SELECT vec_id, v, dmin FROM d{i - 1}
+  ORDER BY dmin DESC, vec_id ASC LIMIT 1
+), d{i} AS (
+  SELECT d.vec_id, d.v,
+         LEAST(d.dmin,
+               ROUND(1 - list_cosine_similarity(d.v, s{i}.v), 12)) AS dmin
+  FROM d{i - 1} d, s{i}
+)"""
+        )
+    selects = ["SELECT 1 AS rank, vec_id, 0.0 AS radius FROM s1"]
+    for i in range(2, k + 1):
+        selects.append(f"SELECT {i} AS rank, vec_id, dmin AS radius FROM s{i}")
+    return (
+        "".join(parts)
+        + "\nSELECT CAST(rank AS BIGINT) AS rank, vec_id, radius FROM ("
+        + " UNION ALL ".join(selects)
+        + ")"
+    )
+
+
+@_q("kcenter_select", _kcenter_oracle())
+def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity selection (Gonzalez 1985 farthest-
+    point): 8 centers over cosine distance, deterministic smallest-id
+    seed and tie-breaks. The oracle unrolls all 8 greedy steps; the
+    engine runs them as k Arrow passes + TakeOrderedAndProject
+    top-1s."""
+    from lakehouse_to_rag_spark.operators.curation import (
+        kcenter_select as _kc,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return _kc(e, k=8)
+
+
 @_q("knn_ivf_kmeans", _KNN_IVF_KMEANS_ORACLE)
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-quantizer IVF: 3 Lloyd iterations (deterministic —

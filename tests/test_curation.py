@@ -799,3 +799,93 @@ class TestC4LineFilter:
         loose = c4_line_filter(docs, min_words_per_line=3, min_kept_lines=1)
         assert strict.collect()[0]["n_kept"] == 1
         assert loose.collect()[0]["n_kept"] == 2
+
+
+class TestPrototypeScores:
+    def test_clustered_corpus_geometry(self, spark):
+        """Planted groups: every vector lands in a cluster with its
+        group (smallest-id label) and the group's least-perturbed
+        member scores proto_sim near 1."""
+        import numpy as np
+
+        from lakehouse_to_rag_spark.operators.curation import (
+            prototype_scores,
+        )
+
+        rng = np.random.default_rng(5)
+        centers = rng.normal(size=(8, 16))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        # id layout m*8 + g: the first 8 DISTINCT vectors (the Lloyd
+        # seed) are then exactly one per planted group, so clusters
+        # align with groups after training
+        for g in range(8):
+            for m in range(6):
+                v = centers[g] + (0.001 if m == 0 else 0.05) * rng.normal(
+                    size=16
+                )
+                rows.append((m * 8 + g, [float(x) for x in v]))
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r for r in prototype_scores(e, num_clusters=8).collect()}
+        assert len(out) == 48
+        for g in range(8):
+            members = [out[m * 8 + g] for m in range(6)]
+            # whole group shares one cluster label
+            assert len({m["cluster"] for m in members}) == 1
+            # the barely-perturbed member is the most prototypical
+            assert max(members, key=lambda m: m["proto_sim"])["vec_id"] == g
+            # sim is to the cluster MEAN (perturbed members pull it
+            # slightly off the clean center), so near-1, not 1
+            assert members[0]["proto_sim"] > 0.995
+
+    def test_deterministic(self, spark, sf_dir):
+        from lakehouse_to_rag_spark.operators.curation import (
+            prototype_scores,
+        )
+        from lakehouse_to_rag_spark.sources.tables import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        a = sorted(map(tuple, prototype_scores(e).collect()))
+        b = sorted(map(tuple, prototype_scores(e).collect()))
+        assert a == b and len(a) == e.count()
+
+
+class TestKcenterSelect:
+    def test_separated_groups_one_center_each(self, spark):
+        """4 orthogonal direction groups, k=4: greedy farthest-point
+        must pick exactly one center per group, first center = min
+        id, radii non-increasing."""
+        import numpy as np
+
+        rows = []
+        vid = 0
+        for axis in range(4):
+            base = np.zeros(8)
+            base[axis] = 1.0
+            for m in range(5):
+                v = base + 0.01 * np.cos(vid) * np.ones(8) * 0.1
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        from lakehouse_to_rag_spark.operators.curation import kcenter_select
+
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = sorted(
+            kcenter_select(e, k=4).collect(), key=lambda r: r["rank"]
+        )
+        assert [r["rank"] for r in out] == [1, 2, 3, 4]
+        assert out[0]["vec_id"] == 0 and out[0]["radius"] == 0.0
+        groups = {r["vec_id"] // 5 for r in out}
+        assert len(groups) == 4  # one per planted direction
+        radii = [r["radius"] for r in out[1:]]
+        assert radii == sorted(radii, reverse=True)
+
+    def test_k_exceeding_corpus_truncates(self, spark):
+        from lakehouse_to_rag_spark.operators.curation import kcenter_select
+
+        e = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = kcenter_select(e, k=10).collect()
+        # zero vector excluded; only 2 selectable points
+        assert sorted(r["vec_id"] for r in out) == [0, 1]
