@@ -88,6 +88,9 @@ HEADLINE = [
     "flac_audio_stats",
     "gopher_quality",
     "c4_line_filter",
+    "prototype_scores",
+    "kcenter_select",
+    "pretrain_pipeline",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -3519,6 +3519,138 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.semdedup(e, num_clusters=16, threshold=0.4, iterations=3)
 
 
+_STOPCASE = "\n     + ".join(
+    "CASE WHEN list_contains(list_transform(words, w -> lower(w)), "
+    f"'{s}') THEN 1 ELSE 0 END"
+    for s in ["the", "be", "to", "of", "and", "that", "have", "with"]
+)
+
+_PRETRAIN_PIPELINE_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+), lns AS (
+  SELECT doc_id AS id,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS idx,
+         unnest(string_split(text, chr(10))) AS line
+  FROM corpus WHERE text IS NOT NULL
+), kept AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY md5(line)
+                            ORDER BY id ASC, idx ASC) = 1 AS is_first
+  FROM lns
+), ld AS (
+  SELECT id AS doc_id,
+         COALESCE(string_agg(CASE WHEN is_first THEN line END,
+                             chr(10) ORDER BY idx), '') AS text
+  FROM kept GROUP BY id
+), base AS (
+  SELECT doc_id, text FROM ld WHERE text <> ''
+), gb AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')
+           AS words,
+         string_split(text, chr(10)) AS lines
+  FROM base
+), gm AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    NULLIF(CAST(len(words) AS DOUBLE), 0.0) AS nw,
+    CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+      AS total_chars,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell_sym,
+    NULLIF(CAST(len(lines) AS DOUBLE), 0.0) AS nl,
+    len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
+      AS n_bullet,
+    len(list_filter(lines,
+        l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS n_ell_lines,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+    ({_STOPCASE}) AS n_stop
+  FROM gb
+), gk AS (
+  SELECT b.doc_id, b.text, m.n_words
+  FROM base b JOIN gm m USING (doc_id)
+  WHERE COALESCE(m.n_words >= 50 AND m.n_words <= 100000
+    AND m.total_chars / m.nw >= 3.0 AND m.total_chars / m.nw <= 10.0
+    AND (m.n_hash + m.n_ell_sym) / m.nw <= 0.1
+    AND m.n_bullet / m.nl <= 0.9
+    AND m.n_ell_lines / m.nl <= 0.3
+    AND m.n_alpha / m.nw >= 0.8
+    AND m.n_stop >= 1, FALSE)
+), w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM gk
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, GREATEST(len(words) - 1, 1)),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+           AS shingle
+  FROM w
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dropped AS (
+  SELECT DISTINCT id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+)
+SELECT g.doc_id, CAST(g.n_words AS BIGINT) AS n_words
+FROM gk g LEFT JOIN dropped d ON g.doc_id = d.id_b
+WHERE d.id_b IS NULL
+"""
+
+
+@_q("pretrain_pipeline", _PRETRAIN_PIPELINE_ORACLE)
+def pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining-corpus assembly — the §2.13 operators
+    CHAINED, with one oracle replaying the whole pipe: (1) the corpus
+    plus a re-id'd re-crawl goes through exact line-level dedup (every
+    re-crawled copy collapses to empty and is dropped), (2) survivors
+    pass the Gopher quality rules (word-count/mean-length/symbol/
+    alpha/stop-word), (3) near-duplicates among the keepers are
+    removed by exact 3-gram Jaccard >= 0.5 with the greedy pairwise
+    keep-first rule (a doc is dropped iff a SMALLER-id doc is similar
+    to it — the same local rule as semdedup, no transitive closure).
+    Output: (doc_id, n_words) of the final training set.
+
+    Every stage keeps its standalone operator's exact conventions
+    (line split, \\s+ words, space-split shingles), so the composed
+    oracle is the three standalone oracles' CTEs fused — a regression
+    anywhere in the chain moves the final survivor set and fails the
+    hash."""
+    from lakehouse_to_rag_spark.operators.dedup import ngram_jaccard_pairs
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        gopher_quality_scores,
+        line_dedup,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = d.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    ld = (
+        line_dedup(d.unionByName(recrawl))
+        .filter(F.col("text_clean") != "")
+        .select("doc_id", F.col("text_clean").alias("text"))
+    )
+    g = gopher_quality_scores(ld, min_words=50, min_stop_words=1)
+    keepers = ld.join(
+        g.filter("keep").select("doc_id", "n_words"), "doc_id"
+    )
+    pairs = ngram_jaccard_pairs(
+        keepers, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=None
+    )
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return keepers.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "n_words"
+    )
+
+
 _PROTO_ORACLE = (
     """WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
