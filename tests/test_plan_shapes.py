@@ -265,3 +265,27 @@ def test_semdedup_single_repartition_for_cluster_groups(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroups" in plan, plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prototype_scores_single_arrow_pass_no_shuffle(spark, sf_dir):
+    """Scoring is ONE mapInPandas over the scan against the broadcast
+    centroid matrix riding the closure — no join, no exchange in the
+    returned plan (training ran eagerly before)."""
+    from lakehouse_to_rag_spark.operators.curation import prototype_scores
+
+    e = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(prototype_scores(e, num_clusters=8, iterations=1))
+    assert "MapInPandas" in plan or "mapInPandas" in plan, plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pretrain_pipeline_no_cartesian_anti_join_final(spark, sf_dir):
+    """The composed pipeline stays keyed end-to-end: the near-dup drop
+    is a left-anti equi-join, and nothing anywhere degenerates to a
+    cartesian product."""
+    from lakehouse_to_rag_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["pretrain_pipeline"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan, plan
