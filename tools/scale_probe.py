@@ -256,6 +256,42 @@ def main() -> None:
     )
     print(f"semdedup_autosplit(4 clusters, cap 20k): {time.perf_counter() - t0:.1f}s kept={kept}")
 
+    # r5: named quality filters are pure per-row projections — wall
+    # must track corpus size linearly with zero shuffle
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        c4_line_filter,
+        gopher_quality_scores,
+    )
+
+    t0 = time.perf_counter()
+    n = (
+        gopher_quality_scores(docs, min_stop_words=1)
+        .filter("keep")
+        .count()
+    )
+    print(f"gopher_quality: {time.perf_counter() - t0:.1f}s kept={n}")
+    # line-structure injection (registry convention) so the filter
+    # exercises both keep and drop paths on the synthetic corpus
+    structured = docs.withColumn(
+        "text", F.regexp_replace(F.col("text"), " table ", ".\n")
+    )
+    t0 = time.perf_counter()
+    n = (
+        c4_line_filter(structured, min_kept_lines=2)
+        .filter("NOT dropped")
+        .count()
+    )
+    print(f"c4_line_filter: {time.perf_counter() - t0:.1f}s kept={n}")
+
+    # r5: greedy k-center is k Arrow passes over the corpus — linear
+    # in n per pass by construction; the replica cliques collapse to
+    # the base corpus's diversity structure
+    from lakehouse_to_rag_spark.operators.curation import kcenter_select
+
+    t0 = time.perf_counter()
+    n = kcenter_select(emb, k=8).count()
+    print(f"kcenter_select(k=8): {time.perf_counter() - t0:.1f}s centers={n}")
+
     spark.stop()
 
 
