@@ -392,6 +392,81 @@ def test_wav_roundtrip_property(n, ch, seed, rate):
     assert got_rate == rate and (back == samples).all()
 
 
+@given(
+    st.integers(1, 2000),
+    st.integers(1, 2),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([16, 192, 256, 1000, 4096]),
+)
+@settings(max_examples=30, deadline=None)
+def test_flac_roundtrip_property(n, ch, seed, block):
+    """FLAC is lossless by spec: ANY int16 signal — any length
+    (partial last blocks), mono or stereo (mid/side decorrelation),
+    any block size incl. the 16-sample minimum — must decode
+    bit-identically through every subframe type the encoder
+    rotates."""
+    import numpy as np
+
+    from lakehouse_to_rag_spark.multimodal.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    rate, back = decode_flac(encode_flac(samples, 8000, block_size=block))
+    assert rate == 8000 and (back == samples.astype(np.int32)).all()
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc .\n{", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 4),
+    st.integers(1, 3),
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+def test_c4_line_filter_invariants(spark, texts, min_words, min_lines):
+    """For ANY input: kept-line count <= line count; a non-dropped
+    doc's text_clean is a subsequence of its original lines, each
+    ending in terminal punctuation with >= min_words words; any doc
+    containing '{' or fewer than min_lines kept lines is dropped."""
+    import re
+
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        c4_line_filter,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in c4_line_filter(
+            docs, min_words_per_line=min_words, min_kept_lines=min_lines
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        r = out[i]
+        lines = t.split("\n")
+        assert r["n_lines"] == len(lines)
+        assert 0 <= r["n_kept"] <= r["n_lines"]
+        if "{" in t or "lorem ipsum" in t.lower():
+            assert r["dropped"]
+        if not r["dropped"]:
+            kept = r["text_clean"].split("\n") if r["text_clean"] else []
+            assert len(kept) == r["n_kept"] >= min_lines
+            it = iter(lines)
+            for k in kept:  # subsequence, original order
+                assert any(k == x for x in it)
+                assert re.search(r"[.!?]$", k.rstrip())
+                assert len([w for w in k.split(" ") if w]) >= min_words
+        else:
+            assert r["text_clean"] is None
+
+
 @given(st.lists(st.text(alphabet=st.characters(
     min_codepoint=33, max_codepoint=126), min_size=1, max_size=12),
     min_size=1, max_size=60))
