@@ -15,6 +15,14 @@ from pyspark.sql import functions as F
 # Java regex and DuckDB RE2 both treat \w as ASCII by default
 # (SURVEY.md §2.2 P5) so the expression is dialect-portable.
 _STRIP_RE = r"[^\w\d\s\.,!?;:\-\(\)]"
+# KNOWN LATENT EDGE: Java's \s matches \x0B (vertical tab), RE2's (the
+# DuckDB oracle engine's) does not — a \x0B between words collapses
+# differently in the two engines. Latent on every corpus this engine is
+# gated against (ASCII space/newline text); the split-based operators
+# (token_counts, sequence_pack, gopher) use an explicit char class
+# instead. Unifying THIS collapse would touch the silver/fingerprint/
+# incremental-dedup oracle family wholesale, so it stays documented
+# rather than churned.
 _WS_RE = r"\s+"
 
 # The single-regex _STRIP_RE form is a scalability trap on the JVM:

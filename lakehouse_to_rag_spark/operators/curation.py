@@ -580,6 +580,7 @@ def prototype_scores(
     )
 
     from lakehouse_to_rag_spark.operators.similarity import (
+        _batch_cosines,
         _round_away,
         kmeans_centroids,
     )
@@ -608,9 +609,7 @@ def prototype_scores(
             if len(pdf) == 0:
                 continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            n = np.linalg.norm(m, axis=1)
-            n[n == 0] = np.nan
-            raw = (m @ cmat.T) / n[:, None] / cnorm[None, :]
+            raw = _batch_cosines(m, cmat, cnorm)
             sel = _round_away(raw, 12)
             sel = np.where(np.isnan(sel), -np.inf, sel)
             best = np.argmax(sel, axis=1)
@@ -634,6 +633,7 @@ def kcenter_select(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stop_on_covered: bool = True,
 ) -> DataFrame:
     """Greedy k-center (farthest-point) selection over cosine
     distance — the classic 2-approximation coreset/diversity picker
@@ -649,6 +649,12 @@ def kcenter_select(
     decreasing sequence whose last value is the covering radius of
     the selected set.
 
+    ``stop_on_covered`` (default) ends selection early when the
+    covering radius hits zero (every point coincides with a selected
+    center — also the k > n case); ``False`` keeps emitting the
+    textbook k rows even when they repeat covered points, which is
+    the fixed-k unrolled-SQL semantics the registry oracle replays.
+
     Scale shape: k iterations, each ONE Arrow pass updating the
     running min-distance column against the single newest center
     (O(n) per round, O(nk) total — the algorithm's own bound) plus
@@ -658,7 +664,10 @@ def kcenter_select(
     import numpy as np
     import pandas as pd
 
-    from lakehouse_to_rag_spark.operators.similarity import _round_away
+    from lakehouse_to_rag_spark.operators.similarity import (
+        _batch_cosines,
+        _round_away,
+    )
 
     pts = (
         embeddings.select(
@@ -689,27 +698,39 @@ def kcenter_select(
         cvec = np.array(centers[-1][3], dtype=np.float64)
         cn = float(np.linalg.norm(cvec))
 
-        def _update(batches, cvec=cvec, cn=cn):
+        cmat = cvec[None, :]
+        cns = np.array([cn])
+        cns[cns == 0] = np.nan
+
+        def _update(batches, cmat=cmat, cns=cns):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 m = np.array(list(pdf["v"]), dtype=np.float64)
-                n = np.linalg.norm(m, axis=1)
-                n[n == 0] = np.nan
-                d = _round_away(1.0 - (m @ cvec) / n / cn, 12)
+                d = _round_away(
+                    1.0 - _batch_cosines(m, cmat, cns)[:, 0], 12
+                )
                 out = pdf.copy()
                 out["dmin"] = np.minimum(
                     pdf["dmin"].to_numpy(dtype=np.float64), d
                 )
                 yield out
 
+        prev = state
         state = state.mapInPandas(_update, schema=schema).localCheckpoint(
             eager=False
         )
         far = (
             state.orderBy(F.desc("dmin"), F.asc(id_col)).limit(1).collect()
         )
-        if not far or float(far[0]["dmin"]) == 0.0:
+        # the collect materialized the new checkpoint; the superseded
+        # round's storage can go (localCheckpoint is already
+        # non-fault-tolerant, so dropping lineage ancestors loses no
+        # guarantee) — without this, k rounds pin k full-corpus copies
+        prev.unpersist()
+        if not far:
+            break
+        if stop_on_covered and float(far[0]["dmin"]) == 0.0:
             # max min-distance 0 means every point coincides with a
             # selected center — the set is fully covered; further
             # "centers" would repeat existing points (also the k > n

@@ -30,6 +30,21 @@ def _round_away(x, decimals: int):
     return np.copysign(np.floor(np.abs(x) * p + 0.5), x) / p
 
 
+def _batch_cosines(m, cmat, cnorm):
+    """Raw cosine matrix of an Arrow batch (rows) against a
+    centroid/center matrix — the ONE canonical op order every
+    oracle-parity GEMM site shares: dot / |row| / |center| (matching
+    DuckDB's list_cosine_similarity evaluation shape; normalizing
+    before the matmul would reorder float ops and risk 12dp-boundary
+    drift), zero row-norms mapped to NaN. Callers apply their own
+    rounding/argmax discipline on the returned raw matrix."""
+    import numpy as np
+
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = np.nan
+    return (m @ cmat.T) / n[:, None] / cnorm[None, :]
+
+
 def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
     """Deterministic top-k per query: rank by (rounded sim desc, id asc)."""
     w = Window.partitionBy("query_id").orderBy(
@@ -138,9 +153,7 @@ def _gemm_assign(
             if len(pdf) == 0:
                 continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            n = np.linalg.norm(m, axis=1)
-            n[n == 0] = np.nan
-            sims = (m @ cmat.T) / n[:, None] / cnorm[None, :]
+            sims = _batch_cosines(m, cmat, cnorm)
             # round to 12dp before the argmax so a near-tie (last-ulp
             # summation-order gap between engines) collapses to an
             # exact tie that the smallest-centroid-id rule resolves
@@ -471,9 +484,7 @@ def kmeans_centroids(
                 if len(pdf) == 0:
                     continue
                 m = np.array(list(pdf["v"]), dtype=np.float64)
-                n = np.linalg.norm(m, axis=1)
-                n[n == 0] = np.nan
-                sims = (m @ cmat.T) / n[:, None] / cnorm[None, :]
+                sims = _batch_cosines(m, cmat, cnorm)
                 # 12dp round before argmax: a last-ulp summation-order
                 # gap between engines collapses to an exact tie that
                 # the smallest-centroid-id rule resolves identically —

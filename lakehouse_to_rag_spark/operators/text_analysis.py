@@ -130,7 +130,7 @@ def token_counts(
     """Token counting: whitespace tokens, BPE-ish regex tokens, and the
     chars/4 heuristic — the three standard LLM budget estimators."""
     t = F.col(text_col)
-    ws = F.size(F.split(t, r"\s+", -1))
+    ws = F.size(F.split(t, "[ \\t\\n\\x0B\\f\\r]+", -1))
     bpe = F.regexp_count(t, F.lit(BPE_TOKEN_RE))
     est = F.ceil(F.length(t) / 4.0)
     return df.select(
@@ -465,7 +465,7 @@ def sequence_pack(
     from pyspark.sql import Window
 
     t = F.col(text_col)
-    toks = F.size(F.split(t, r"\s+", -1)).cast("long")
+    toks = F.size(F.split(t, "[ \\t\\n\\x0B\\f\\r]+", -1)).cast("long")
     w = (
         Window.partitionBy(group_col)
         .orderBy(F.col(id_col))
@@ -1157,7 +1157,13 @@ def gopher_quality_scores(
     multi-line documents the bullet/ellipsis rules target (inflating
     mean_word_len and deflating n_words)."""
     t = F.col(text_col)
-    words = F.filter(F.split(t, r"\s+", -1), lambda w: w != F.lit(""))
+    # explicit class, not \s: Java's \s+ includes \x0B (vertical
+    # tab) while RE2's (the oracle engine's) does not — the explicit
+    # list is identical in both
+    words = F.filter(
+        F.split(t, "[ \\t\\n\\x0B\\f\\r]+", -1),
+        lambda w: w != F.lit(""),
+    )
     n_words = F.size(words)
     nw = F.nullif(n_words.cast("double"), F.lit(0.0))
     total_chars = F.aggregate(
@@ -1262,4 +1268,57 @@ def c4_line_filter(
         n_kept.cast("long").alias("n_kept"),
         dropped.alias("dropped"),
         F.when(~dropped, F.array_join(kept, sep)).alias("text_clean"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib-compressibility quality signal (the CCNet/RedPajama-family
+    heuristic): boilerplate and template text DEFLATEs far below
+    natural prose, so ratio = compressed_bytes / raw_bytes separates
+    repetitive machine-generated pages from real documents (low ratio
+    = repetitive; typical prose lands ~0.4-0.7; filters usually drop
+    both extremes). Emits (id, n_bytes, ratio) with ratio 4dp.
+
+    Arrow-batched pandas_udf over stdlib zlib — DEFLATE is a
+    stateful LZ77+Huffman coder, NOT expressible in SQL, so this is a
+    documented rows-only registry entry (same structural class as the
+    BPE merge loop); determinism is pinned by golden tests instead
+    (CPython's zlib is madler zlib with stable output for a fixed
+    level). Python-side cost is ~linear in bytes and embarrassingly
+    parallel; no shuffle anywhere."""
+    import pandas as pd
+
+    def _ratio_fn(s):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            # floor-form 4dp like every rational score in this module
+            return (
+                int(len(zlib.compress(b, level)) / len(b) * 10000 + 0.5)
+                / 10000.0
+            )
+
+        return s.map(one)
+
+    # type hints resolve against the function's globals, where the
+    # lazy function-local `import pandas as pd` is invisible — attach
+    # the already-resolved objects directly instead of string hints
+    _ratio_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _ratio = F.pandas_udf(_ratio_fn, "double")
+
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.octet_length(t).cast("long").alias("n_bytes"),
+        _ratio(t).alias("ratio"),
     )

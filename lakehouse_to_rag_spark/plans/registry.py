@@ -797,7 +797,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_ORACLE = r"""
 SELECT doc_id,
-       CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
        CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS est_tokens_chars4
 FROM documents
@@ -3263,7 +3263,7 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_ORACLE = """
 WITH base AS (
   SELECT doc_id, text,
-         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')
+         list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')
            AS words,
          string_split(text, chr(10)) AS lines
   FROM documents WHERE text IS NOT NULL
@@ -3549,7 +3549,7 @@ WITH corpus AS (
   SELECT doc_id, text FROM ld WHERE text <> ''
 ), gb AS (
   SELECT doc_id, text,
-         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')
+         list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')
            AS words,
          string_split(text, chr(10)) AS lines
   FROM base
@@ -3633,15 +3633,21 @@ def pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     recrawl = d.select(
         (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
     )
+    # ld feeds two consumers (gopher scoring + the join-back) and
+    # keepers feeds three (shingles, the anti-join left side, output);
+    # checkpointing materializes each chain once instead of replaying
+    # the union+line-dedup shuffles per consumer (same discipline as
+    # ngram_jaccard_pairs' shingle table)
     ld = (
         line_dedup(d.unionByName(recrawl))
         .filter(F.col("text_clean") != "")
         .select("doc_id", F.col("text_clean").alias("text"))
+        .localCheckpoint(eager=False)
     )
     g = gopher_quality_scores(ld, min_words=50, min_stop_words=1)
     keepers = ld.join(
         g.filter("keep").select("doc_id", "n_words"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     pairs = ngram_jaccard_pairs(
         keepers, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=None
     )
@@ -3649,6 +3655,21 @@ def pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keepers.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "n_words"
     )
+
+
+@_q("compression_ratio")  # structurally no-oracle: DEFLATE (stateful
+# LZ77+Huffman) is not expressible in SQL and DuckDB ships no zlib
+# scalar — same class as bpe_token_counts; golden/monotonicity tests
+# in tests/test_curation.py pin the semantics instead
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility signal over the documents corpus —
+    rows-only driver check (row count + schema)."""
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        compression_ratio as _cr,
+    )
+
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    return _cr(d)
 
 
 _PROTO_ORACLE = (
@@ -3743,7 +3764,11 @@ def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    return _kc(e, k=8)
+    # fixed-k semantics: the unrolled oracle always emits 8 rows, so
+    # the gate must not depend on the early-stop never firing at
+    # whatever scale it runs (early-stop is library default +
+    # separately tested)
+    return _kc(e, k=8, stop_on_covered=False)
 
 
 @_q("knn_ivf_kmeans", _KNN_IVF_KMEANS_ORACLE)
@@ -4500,7 +4525,7 @@ def orders_monthly_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFram
 _SEQUENCE_PACK_ORACLE = """
 WITH toks AS (
   SELECT doc_id, source,
-         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens
   FROM documents
   WHERE text IS NOT NULL
 ), cums AS (

@@ -889,3 +889,49 @@ class TestKcenterSelect:
         out = kcenter_select(e, k=10).collect()
         # zero vector excluded; only 2 selectable points
         assert sorted(r["vec_id"] for r in out) == [0, 1]
+
+
+class TestCompressionRatio:
+    def test_repetitive_vs_prose_separation(self, spark):
+        """The signal's whole point: template soup compresses far
+        below varied text; ratios are in (0, ~1.1] and 4dp-stable."""
+        import zlib
+
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            compression_ratio,
+        )
+
+        rep = "spam ham " * 200
+        prose = " ".join(f"w{i}x{i * 7 % 97}" for i in range(400))
+        docs = spark.createDataFrame(
+            [(0, rep), (1, prose), (2, None), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+        assert out[0]["ratio"] < 0.1 < out[1]["ratio"]
+        assert out[2]["ratio"] is None and out[3]["ratio"] is None
+        # golden: exactly stdlib zlib at level 6, floor-4dp
+        b = rep.encode()
+        want = int(len(zlib.compress(b, 6)) / len(b) * 10000 + 0.5) / 10000.0
+        assert out[0]["ratio"] == want
+        assert out[0]["n_bytes"] == len(b)
+
+    def test_level_monotone_and_deterministic(self, spark, sf_dir):
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            compression_ratio,
+        )
+        from lakehouse_to_rag_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        a = {r["doc_id"]: r["ratio"]
+             for r in compression_ratio(d, level=1).collect()}
+        b = {r["doc_id"]: r["ratio"]
+             for r in compression_ratio(d, level=9).collect()}
+        b2 = {r["doc_id"]: r["ratio"]
+              for r in compression_ratio(d, level=9).collect()}
+        assert b == b2
+        # zlib gives no PER-INPUT guarantee across levels (lazy-match
+        # heuristics can flip short texts), but corpus-wide level 9
+        # must not compress worse than level 1
+        vals = [(a[k], b[k]) for k in a if a[k] is not None]
+        assert sum(y for _, y in vals) <= sum(x for x, _ in vals)
