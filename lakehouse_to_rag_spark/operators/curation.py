@@ -746,3 +746,34 @@ def kcenter_select(
         [(c[0], c[1], c[2]) for c in centers],
         f"rank long, {id_col} long, radius double",
     )
+
+
+def write_pretrain_corpus(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Materialize a curated corpus as the TRAINING-SHARD layout — the
+    artifact a data loader actually consumes: ``{path}/shard=N/``
+    directories, rows inside each shard file sorted by the
+    deterministic ``training_shuffle`` key. Readers stream shards
+    independently (sequential I/O, no global order needed); a new
+    ``seed`` is a fresh epoch permutation of the same corpus.
+
+    Scale shape: ONE hash exchange on shard + per-partition sort —
+    identical to ``training_shuffle`` (a true global ORDER BY would
+    range-exchange and totally sort the corpus for no training
+    benefit). Returns the format written."""
+    from lakehouse_to_rag_spark.sources.lakehouse import write_layer
+
+    keyed = docs.join(
+        training_shuffle(docs.select(id_col), n_shards, id_col, seed),
+        id_col,
+    )
+    sharded = keyed.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", "shuffle_key"
+    )
+    return write_layer(sharded, path, partition_by=["shard"])

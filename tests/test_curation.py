@@ -935,3 +935,53 @@ class TestCompressionRatio:
         # must not compress worse than level 1
         vals = [(a[k], b[k]) for k in a if a[k] is not None]
         assert sum(y for _, y in vals) <= sum(x for x, _ in vals)
+
+
+class TestWritePretrainCorpus:
+    def test_shard_layout_order_and_determinism(self, spark, sf_dir, tmp_path):
+        """The materialized corpus is shard=N/ directories whose files
+        hold rows ascending by shuffle_key; two writes with the same
+        seed are row-identical, a different seed permutes."""
+        import pathlib
+
+        import pyarrow.parquet as pq
+
+        from lakehouse_to_rag_spark.operators.curation import (
+            write_pretrain_corpus,
+        )
+        from lakehouse_to_rag_spark.sources.lakehouse import read_layer
+
+        d = _docs(spark, sf_dir)
+        p1 = str(tmp_path / "corpus_a")
+        write_pretrain_corpus(d, p1, n_shards=8, seed="e0")
+        shard_dirs = sorted(
+            x.name for x in pathlib.Path(p1).iterdir()
+            if x.name.startswith("shard=")
+        )
+        assert len(shard_dirs) == 8
+
+        back = read_layer(spark, p1)
+        assert back.count() == d.count()
+        assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+            r["doc_id"] for r in d.select("doc_id").collect()
+        }
+        # within-file order: every parquet file ascends by shuffle_key
+        for f in pathlib.Path(p1).rglob("*.parquet"):
+            keys = pq.read_table(f, columns=["shuffle_key"])[
+                "shuffle_key"
+            ].to_pylist()
+            assert keys == sorted(keys), f
+
+        p2 = str(tmp_path / "corpus_b")
+        write_pretrain_corpus(d, p2, n_shards=8, seed="e0")
+        a = sorted(map(tuple, read_layer(spark, p1).collect()))
+        b = sorted(map(tuple, read_layer(spark, p2).collect()))
+        assert a == b
+
+        p3 = str(tmp_path / "corpus_c")
+        write_pretrain_corpus(d, p3, n_shards=8, seed="e1")
+        c = {r["doc_id"]: r["shuffle_key"]
+             for r in read_layer(spark, p3).collect()}
+        a_keys = {r["doc_id"]: r["shuffle_key"]
+                  for r in read_layer(spark, p1).collect()}
+        assert c != a_keys  # new epoch permutation
