@@ -25,6 +25,13 @@ _STRIP_RE = r"[^\w\d\s\.,!?;:\-\(\)]"
 # rather than churned.
 _WS_RE = r"\s+"
 
+# Cross-engine-safe whitespace class for word SPLITTING: exactly
+# Java's \s set, spelled explicitly so RE2 (the DuckDB oracle engine,
+# whose \s lacks \x0B) tokenizes identically. Use this — not \s+ —
+# at every split-tokenizer site, Spark AND oracle SQL (both regex
+# dialects read the \t/\n/\x0B escapes the same way).
+WS_CLASS = r"[ \t\n\x0B\f\r]+"
+
 # The single-regex _STRIP_RE form is a scalability trap on the JVM:
 # java.util.regex compiles a character class mixing named classes and
 # literals into a chain of BmpCharPredicate.union lambdas, and with

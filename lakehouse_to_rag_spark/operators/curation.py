@@ -104,6 +104,23 @@ def bloom_decontaminate(
     )
 
 
+def _shuffle_key_col(id_col: str, seed: str):
+    """The deterministic epoch-permutation sort key (md5 of seed+id) —
+    shared by training_shuffle and write_pretrain_corpus so the two
+    can never disagree on an epoch's order."""
+    return F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    ).alias("shuffle_key")
+
+
+def _shard_col(id_col: str, seed: str, n_shards: int):
+    return (
+        md5_bucket(F.col(id_col), f"{seed}/shard:", n_shards)
+        .cast("int")
+        .alias("shard")
+    )
+
+
 def training_shuffle(
     df: DataFrame,
     n_shards: int = 64,
@@ -123,12 +140,10 @@ def training_shuffle(
     sequential I/O. Changing ``seed`` is a fresh epoch permutation;
     no RNG state, any engine recomputes the same order from the ids.
     """
-    skey = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
-    shard = md5_bucket(F.col(id_col), f"{seed}/shard:", n_shards)
     keyed = df.select(
         F.col(id_col),
-        shard.cast("int").alias("shard"),
-        skey.alias("shuffle_key"),
+        _shard_col(id_col, seed, n_shards),
+        _shuffle_key_col(id_col, seed),
     )
     return keyed.repartition(n_shards, "shard").sortWithinPartitions(
         "shard", "shuffle_key"
@@ -655,14 +670,20 @@ def kcenter_select(
     textbook k rows even when they repeat covered points, which is
     the fixed-k unrolled-SQL semantics the registry oracle replays.
 
-    Scale shape: k iterations, each ONE Arrow pass updating the
-    running min-distance column against the single newest center
-    (O(n) per round, O(nk) total — the algorithm's own bound) plus
-    one TakeOrderedAndProject top-1; the state frame (id, vec, dmin)
-    is localCheckpointed per round so lineage stays flat. The corpus
-    is never collected; only the k selected centers are."""
+    Scale shape: STATELESS rounds — each of the k-1 rounds is one
+    Arrow pass computing every point's min distance to ALL centers
+    selected so far (one GEMM against the (r × dim) center matrix
+    riding the closure) plus one TakeOrderedAndProject top-1, always
+    reading the SAME once-checkpointed corpus. Total GEMM work is
+    O(n·k²·dim) instead of the stateful form's O(n·k·dim), but a
+    stateful running-dmin column would need a NEW full-corpus
+    checkpoint per round — and a localCheckpoint's storage blocks
+    cannot be freed through DataFrame.unpersist (the SQL CacheManager
+    never tracks them), so k rounds would pin k corpus copies in
+    executor memory until driver GC. For the k this selector targets
+    (≲64), k extra GEMM columns are far cheaper than k pinned corpus
+    copies. The corpus is never collected; only the k centers are."""
     import numpy as np
-    import pandas as pd
 
     from lakehouse_to_rag_spark.operators.similarity import (
         _batch_cosines,
@@ -684,50 +705,45 @@ def kcenter_select(
         )
     )
 
+    pts = pts.localCheckpoint(eager=False)  # the ONE materialization
     first = pts.orderBy(F.asc(id_col)).limit(1).collect()
     if not first:
         raise ValueError("kcenter_select: no nonzero vectors")
     centers = [(1, int(first[0][0]), 0.0, [float(x) for x in first[0][1]])]
 
-    state = pts.withColumn("dmin", F.lit(float("inf"))).localCheckpoint(
-        eager=False
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # fresh StructType: .add() MUTATES the receiver, which is pts's
+    # cached schema object — pts would then claim a dmin column its
+    # plan does not have
+    schema = StructType(
+        list(pts.schema.fields) + [StructField("dmin", DoubleType())]
     )
-    schema = state.schema
 
     for rank in range(2, k + 1):
-        cvec = np.array(centers[-1][3], dtype=np.float64)
-        cn = float(np.linalg.norm(cvec))
-
-        cmat = cvec[None, :]
-        cns = np.array([cn])
+        cmat = np.array([c[3] for c in centers], dtype=np.float64)
+        cns = np.linalg.norm(cmat, axis=1)
         cns[cns == 0] = np.nan
 
-        def _update(batches, cmat=cmat, cns=cns):
+        def _dmin(batches, cmat=cmat, cns=cns):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 m = np.array(list(pdf["v"]), dtype=np.float64)
-                d = _round_away(
-                    1.0 - _batch_cosines(m, cmat, cns)[:, 0], 12
-                )
+                # per-center 12dp-rounded distances, then min — the
+                # same values the running-min form produces, so the
+                # unrolled LEAST(...) oracle replays unchanged
+                d = _round_away(1.0 - _batch_cosines(m, cmat, cns), 12)
                 out = pdf.copy()
-                out["dmin"] = np.minimum(
-                    pdf["dmin"].to_numpy(dtype=np.float64), d
+                out["dmin"] = np.nanmin(
+                    np.where(np.isnan(d), np.inf, d), axis=1
                 )
                 yield out
 
-        prev = state
-        state = state.mapInPandas(_update, schema=schema).localCheckpoint(
-            eager=False
-        )
+        state = pts.mapInPandas(_dmin, schema=schema)
         far = (
             state.orderBy(F.desc("dmin"), F.asc(id_col)).limit(1).collect()
         )
-        # the collect materialized the new checkpoint; the superseded
-        # round's storage can go (localCheckpoint is already
-        # non-fault-tolerant, so dropping lineage ancestors loses no
-        # guarantee) — without this, k rounds pin k full-corpus copies
-        prev.unpersist()
         if not far:
             break
         if stop_on_covered and float(far[0]["dmin"]) == 0.0:
@@ -754,7 +770,6 @@ def write_pretrain_corpus(
     n_shards: int = 64,
     seed: str = "epoch0",
     id_col: str = "doc_id",
-    text_col: str = "text",
 ) -> str:
     """Materialize a curated corpus as the TRAINING-SHARD layout — the
     artifact a data loader actually consumes: ``{path}/shard=N/``
@@ -764,14 +779,18 @@ def write_pretrain_corpus(
     ``seed`` is a fresh epoch permutation of the same corpus.
 
     Scale shape: ONE hash exchange on shard + per-partition sort —
-    identical to ``training_shuffle`` (a true global ORDER BY would
-    range-exchange and totally sort the corpus for no training
-    benefit). Returns the format written."""
+    identical to ``training_shuffle``, whose key/shard EXPRESSIONS are
+    computed inline on the corpus (they are pure md5 functions of the
+    id, so joining against a separately-shuffled key table would add
+    two full-corpus exchanges for columns a projection provides).
+    All input columns pass through unchanged. Returns the format
+    written."""
     from lakehouse_to_rag_spark.sources.lakehouse import write_layer
 
-    keyed = docs.join(
-        training_shuffle(docs.select(id_col), n_shards, id_col, seed),
-        id_col,
+    keyed = docs.select(
+        "*",
+        _shard_col(id_col, seed, n_shards),
+        _shuffle_key_col(id_col, seed),
     )
     sharded = keyed.repartition(n_shards, "shard").sortWithinPartitions(
         "shard", "shuffle_key"

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from lakehouse_to_rag_spark.functions.text import (
     ENGLISH_STOPWORDS,
     STOPWORDS,
+    WS_CLASS,
     normalize_text,
 )
 
@@ -130,7 +131,7 @@ def token_counts(
     """Token counting: whitespace tokens, BPE-ish regex tokens, and the
     chars/4 heuristic — the three standard LLM budget estimators."""
     t = F.col(text_col)
-    ws = F.size(F.split(t, "[ \\t\\n\\x0B\\f\\r]+", -1))
+    ws = F.size(F.split(t, WS_CLASS, -1))
     bpe = F.regexp_count(t, F.lit(BPE_TOKEN_RE))
     est = F.ceil(F.length(t) / 4.0)
     return df.select(
@@ -465,7 +466,7 @@ def sequence_pack(
     from pyspark.sql import Window
 
     t = F.col(text_col)
-    toks = F.size(F.split(t, "[ \\t\\n\\x0B\\f\\r]+", -1)).cast("long")
+    toks = F.size(F.split(t, WS_CLASS, -1)).cast("long")
     w = (
         Window.partitionBy(group_col)
         .orderBy(F.col(id_col))
@@ -1161,7 +1162,7 @@ def gopher_quality_scores(
     # tab) while RE2's (the oracle engine's) does not — the explicit
     # list is identical in both
     words = F.filter(
-        F.split(t, "[ \\t\\n\\x0B\\f\\r]+", -1),
+        F.split(t, WS_CLASS, -1),
         lambda w: w != F.lit(""),
     )
     n_words = F.size(words)

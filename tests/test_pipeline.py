@@ -167,3 +167,35 @@ def test_evidence_rounds_ignores_failing_rows(tmp_path, monkeypatch):
     assert ev.get("rows_only") == 7
     assert "hash_diverged" not in ev
     assert "hard_error" not in ev
+
+
+def test_no_bare_whitespace_regex_in_split_oracles():
+    """Java's \\s includes \\x0B; RE2's (DuckDB's) does not. Every
+    word-split site in the oracle SQL must therefore use the explicit
+    WS_CLASS character class (or the documented single-space /
+    chr(10) conventions) — a bare '\\s+' split silently diverges on
+    vertical-tab text. Mechanical guard: scan every registered
+    oracle."""
+    import re
+
+    from lakehouse_to_rag_spark.functions.text import WS_CLASS
+    from lakehouse_to_rag_spark.plans.registry import ORACLES
+
+    bad = []
+    for name, sql in ORACLES.items():
+        if sql is None:
+            continue
+        for m in re.finditer(
+            r"regexp_split_to_array\(\s*\w+\s*,\s*'([^']*)'", sql
+        ):
+            pat = m.group(1)
+            if pat == "\\s+" or pat == r"\s+":
+                bad.append((name, pat))
+            # any OTHER class containing \s is suspect too
+            elif "\\s" in pat:
+                bad.append((name, pat))
+    assert not bad, f"oracles splitting on RE2 \\s (diverges from Java): {bad}"
+    # and the canonical class is what the split sites actually use
+    users = [n for n, sql in ORACLES.items()
+             if sql and WS_CLASS in sql]
+    assert len(users) >= 3, users  # gopher, pipeline, sequence_pack
