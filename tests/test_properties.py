@@ -564,3 +564,29 @@ def test_line_dedup_properties(spark, texts):
         assert r["n_lines"] - r["n_removed"] == len(kept)
         all_kept.extend(kept)
     assert len(all_kept) == len(set(all_kept)), "a line survived twice"
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 500))
+@settings(max_examples=60, deadline=None)
+def test_flac_byte_flip_fail_closed(seed, nflips):
+    """Corruption contract under fuzz: flipping arbitrary bytes of a
+    valid stream must either still decode (flips in fields that don't
+    affect sample reconstruction, e.g. the declared sample rate) or
+    raise exactly NotImplementedError — never ValueError/IndexError/
+    struct.error leaking through an Arrow batch, never a hang."""
+    import numpy as np
+
+    from lakehouse_to_rag_spark.multimodal.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(seed)
+    mono = rng.integers(-32768, 32768, size=600, dtype=np.int16)
+    good = bytearray(encode_flac(mono, 8000, block_size=192))
+    for pos in rng.integers(0, len(good), size=min(nflips, 8)):
+        good[pos] ^= int(rng.integers(1, 256))
+    try:
+        decode_flac(bytes(good))
+    except NotImplementedError:
+        pass  # the documented fail-closed path
