@@ -92,6 +92,7 @@ HEADLINE = [
     "kcenter_select",
     "pretrain_pipeline",
     "compression_ratio",
+    "blocklist_filter",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

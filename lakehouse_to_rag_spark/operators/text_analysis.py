@@ -1323,3 +1323,42 @@ def compression_ratio(
         F.octet_length(t).cast("long").alias("n_bytes"),
         _ratio(t).alias("ratio"),
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Word-blocklist filtering (the C4 §2.2 "bad words" step — C4
+    drops any page containing a word from a public blocklist; Dolma
+    and FineWeb carry the same stage with tuned lists): count
+    blocklist occurrences as WHOLE whitespace words (case-insensitive;
+    substring matches do NOT count — 'grass' never hits 'ass') and
+    flag documents exceeding ``max_hits`` (default 0 = C4's
+    any-occurrence drop). The list itself is a parameter: the operator
+    ships no embedded vocabulary.
+
+    Returns (id, n_blocked_words, flagged) for every doc — row-
+    preserving like the other quality signals; the hard filter is
+    ``.filter("NOT flagged")``.
+
+    Scale shape: pure per-row array expressions — the blocklist rides
+    the plan as an array literal (bounded by contract: blocklists are
+    thousands of words, far under broadcast scale), words split on the
+    cross-engine WS_CLASS; no shuffle, no UDF."""
+    bl = F.array(*[F.lit(w.lower()) for w in blocklist])
+    words = F.filter(
+        F.transform(F.split(F.col(text_col), WS_CLASS, -1), F.lower),
+        lambda w: w != F.lit(""),
+    )
+    n_blocked = F.size(
+        F.filter(words, lambda w: F.array_contains(bl, w))
+    )
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        n_blocked.cast("long").alias("n_blocked_words"),
+        (n_blocked > max_hits).alias("flagged"),
+    )

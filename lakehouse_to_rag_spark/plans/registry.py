@@ -3672,6 +3672,42 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cr(d)
 
 
+_BLOCKLIST_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(
+        regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+        w -> lower(w)),
+      w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT doc_id,
+    len(list_filter(words,
+        w -> list_contains(['spark', 'vector', 'stream'], w))) AS nb
+  FROM base
+)
+SELECT doc_id, CAST(nb AS BIGINT) AS n_blocked_words,
+       nb > 0 AS flagged
+FROM m
+"""
+
+
+@_q("blocklist_filter", _BLOCKLIST_ORACLE)
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style word-blocklist filter (any whole-word occurrence
+    flags the doc). The demo list is three corpus-vocabulary words so
+    BOTH outcomes face the hash; whole-word semantics (substrings
+    never count) replayed via the same WS_CLASS split + lowercase +
+    list_contains in SQL."""
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        blocklist_filter as _bl,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return _bl(d, ["spark", "vector", "stream"])
+
+
 _PROTO_ORACLE = (
     """WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -985,3 +985,45 @@ class TestWritePretrainCorpus:
         a_keys = {r["doc_id"]: r["shuffle_key"]
                   for r in read_layer(spark, p1).collect()}
         assert c != a_keys  # new epoch permutation
+
+
+class TestBlocklistFilter:
+    def test_whole_word_and_case_semantics(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            blocklist_filter,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the Grass is green"),     # substring must NOT hit
+                (1, "bad BAD bad words"),      # case-insensitive, 3 hits
+                (2, "clean text here"),
+                (3, "bad\nwrapped"),           # newline-split word hits
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in blocklist_filter(docs, ["ass", "bad"]).collect()
+        }
+        assert sorted(out) == [0, 1, 2, 3]
+        assert out[0]["n_blocked_words"] == 0 and not out[0]["flagged"]
+        assert out[1]["n_blocked_words"] == 3 and out[1]["flagged"]
+        assert not out[2]["flagged"]
+        assert out[3]["n_blocked_words"] == 1 and out[3]["flagged"]
+
+    def test_max_hits_threshold(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            blocklist_filter,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "bad once"), (1, "bad and bad twice")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["flagged"]
+            for r in blocklist_filter(docs, ["bad"], max_hits=1).collect()
+        }
+        assert not out[0] and out[1]
