@@ -128,8 +128,87 @@ def gold_chunks_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("gold_chunks_recursive")  # recursive splitter: non-SQL, rows-only check
+# The recursive splitter's merge loop is a sequential fold with a
+# LIST-valued accumulator — replayable by a RECURSIVE CTE stepping one
+# piece per iteration. The separator CASCADE never engages here by
+# CONSTRUCTION: silver normalization collapses every whitespace run to
+# a single space, so chunking input contains no '\n\n'/'\n' and the
+# splitter reduces to split-on-space + ONE greedy merge (overlap
+# carry = the longest suffix with joined length <= chunk_overlap that
+# still fits). The one residual precondition — no single word >=
+# chunk_size, which WOULD recurse to character level — is guarded by a
+# poison row: if it ever breaks, the gate fails loudly instead of
+# silently comparing wrong semantics.
+_GOLD_RECURSIVE_ORACLE = r"""
+WITH RECURSIVE cleaned AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, doc_id,
+         TRIM(REGEXP_REPLACE(LOWER(REGEXP_REPLACE(TRIM(text), '[^\w\d\s\.,!?;:\-\(\)]', ' ', 'g')), '\s+', ' ', 'g')) AS content
+  FROM documents
+  WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+), silver AS (
+  SELECT doc_id, content FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY doc_id) AS rn
+    FROM cleaned
+  ) WHERE rn = 1 AND LENGTH(content) > 50
+), pieces AS (
+  SELECT doc_id, string_split(content, ' ') AS ps FROM silver
+), walk AS (
+  SELECT doc_id, ps, 0 AS i,
+         CAST([] AS VARCHAR[]) AS cur,
+         CAST([] AS VARCHAR[]) AS chunks
+  FROM pieces
+  UNION ALL
+  SELECT doc_id, ps, i + 1,
+         list_append(list_slice(cur, k + 1, len(cur)), p) AS cur,
+         CASE WHEN emit THEN list_append(chunks, array_to_string(cur, ' '))
+              ELSE chunks END AS chunks
+  FROM (
+    SELECT doc_id, ps, i, cur, chunks, p, pl,
+      (len(cur) > 0 AND tot + 1 + pl > 200) AS emit,
+      CASE WHEN (len(cur) > 0 AND tot + 1 + pl > 200) THEN
+        list_min(list_filter(range(0, len(cur) + 1),
+          k -> (CASE WHEN k = len(cur) THEN 0
+                ELSE length(array_to_string(list_slice(cur, k + 1, len(cur)), ' ')) END) <= 10
+           AND ((CASE WHEN k = len(cur) THEN 0
+                 ELSE length(array_to_string(list_slice(cur, k + 1, len(cur)), ' ')) END) = 0
+             OR (CASE WHEN k = len(cur) THEN 0
+                 ELSE length(array_to_string(list_slice(cur, k + 1, len(cur)), ' ')) END) + 1 + pl <= 200)))
+      ELSE 0 END AS k
+    FROM (
+      SELECT doc_id, ps, i, cur, chunks,
+             ps[i + 1] AS p, length(ps[i + 1]) AS pl,
+             CASE WHEN len(cur) = 0 THEN 0
+                  ELSE length(array_to_string(cur, ' ')) END AS tot
+      FROM walk WHERE i < len(ps)
+    )
+  )
+), done AS (
+  SELECT doc_id,
+         CASE WHEN len(cur) > 0 AND TRIM(array_to_string(cur, ' ')) <> ''
+              THEN list_append(chunks, TRIM(array_to_string(cur, ' ')))
+              ELSE chunks END AS chunks
+  FROM walk WHERE i = len(ps)
+)
+SELECT doc_id,
+       CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_index,
+       unnest(chunks) AS chunk
+FROM done
+UNION ALL
+SELECT doc_id, CAST(-1 AS BIGINT) AS chunk_index,
+       'ORACLE-PRECONDITION-VIOLATED: word >= chunk_size' AS chunk
+FROM pieces WHERE len(list_filter(ps, w -> length(w) >= 200)) > 0
+"""
+
+
+@_q("gold_chunks_recursive", _GOLD_RECURSIVE_ORACLE)
 def gold_chunks_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The medallion gold layer's RECURSIVE chunker, upgraded from
+    rows-only to a full value hash: the greedy merge-with-overlap fold
+    replays as a DuckDB recursive CTE (one piece per step, list-state
+    accumulator), fused onto the silver-normalization oracle. Silver's
+    whitespace collapse guarantees the splitter's single-separator
+    path; the only other escape (a word >= chunk_size) emits a poison
+    row so a precondition break fails the gate loudly."""
     g = run_medallion(spark, sf_dir)["gold"]
     return g.select(
         "doc_id",
