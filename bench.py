@@ -93,6 +93,9 @@ HEADLINE = [
     "pretrain_pipeline",
     "compression_ratio",
     "blocklist_filter",
+    # spectral model training: one-pass exact-int64 covariance +
+    # driver-side sharpened power iteration + map-only projection
+    "embedding_pca",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -11,6 +11,7 @@ deterministic tie-breaks.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -5078,6 +5079,131 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = d.filter(F.col("doc_id") % 2 == 1)
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     return cu.incremental_dedup(incoming, corpus)
+
+
+# =====================================================================
+# Spectral (distributed PCA — operators/spectral.py)
+# =====================================================================
+
+
+def _pca_oracle(d: int = 64, k: int = 4, iters: int = 20, sq: int = 5) -> str:
+    """Full training replay of ``spectral.pca_project`` as sequential
+    SQL: exact int64 covariance moments over 1e6-quantized values,
+    ``sq`` spectral-sharpening matrix squarings (ROUND-14 collapse),
+    then k power-iteration chains (ROUND-10 matvec collapse, the same
+    unrolled-trained-model trick as the Lloyd chain above), deflation
+    between components, and a final 6dp projection. Every float op
+    mirrors the numpy expression tree in spectral.py left-assoc for
+    left-assoc."""
+    v0 = repr(1.0 / math.sqrt(d))
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), x AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(v, 1) AS dim,
+         CAST(ROUND(unnest(v) * 1000000.0, 0) AS BIGINT) AS q
+  FROM e
+), nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM e
+), mu AS MATERIALIZED (
+  SELECT dim, CAST(SUM(q) AS DOUBLE) / n AS mu FROM x CROSS JOIN nn
+  GROUP BY dim, n
+), sp AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j, SUM(a.q * b.q) AS s
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2
+), spf AS MATERIALIZED (
+  SELECT i, j, s FROM sp
+  UNION ALL SELECT j AS i, i AS j, s FROM sp WHERE i <> j
+), c0r AS MATERIALIZED (
+  SELECT f.i, f.j, CAST(f.s AS DOUBLE) / n - mi.mu * mj.mu AS cv
+  FROM spf f CROSS JOIN nn
+  JOIN mu mi ON mi.dim = f.i JOIN mu mj ON mj.dim = f.j
+), mm AS MATERIALIZED (SELECT MAX(ABS(cv)) * {float(d)!r} AS m FROM c0r
+), cs0 AS MATERIALIZED (SELECT i, j, cv / m AS cv FROM c0r CROSS JOIN mm)"""
+    ]
+    for s in range(1, sq + 1):
+        parts.append(
+            f""", r{s} AS MATERIALIZED (
+  SELECT a.i AS i, b.j AS j, ROUND(SUM(a.cv * b.cv), 14) AS cv
+  FROM cs{s - 1} a JOIN cs{s - 1} b ON a.j = b.i GROUP BY a.i, b.j
+), rm{s} AS MATERIALIZED (SELECT MAX(ABS(cv)) * {float(d)!r} AS m FROM r{s}
+), cs{s} AS MATERIALIZED (SELECT i, j, cv / m AS cv FROM r{s} CROSS JOIN rm{s})"""
+        )
+    parts.append(f""", c0 AS MATERIALIZED (SELECT i, j, cv FROM cs{sq})""")
+    for c in range(1, k + 1):
+        parts.append(
+            f""", v{c}_0 AS MATERIALIZED (SELECT UNNEST(range(1, {d + 1})) AS dim, {v0} AS val)"""
+        )
+        for t in range(1, iters + 1):
+            parts.append(
+                f""", w{c}_{t} AS MATERIALIZED (
+  SELECT m.i AS dim, ROUND(SUM(m.cv * v.val), 10) AS w
+  FROM c{c - 1} m JOIN v{c}_{t - 1} v ON v.dim = m.j GROUP BY m.i
+), v{c}_{t} AS MATERIALIZED (
+  SELECT dim, ROUND(w / sqrt((SELECT ROUND(SUM(w * w), 10)
+                              FROM w{c}_{t})), 12) AS val
+  FROM w{c}_{t}
+)"""
+            )
+        parts.append(
+            f""", sg{c} AS MATERIALIZED (
+  SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS sg
+  FROM v{c}_{iters} ORDER BY ROUND(ABS(val), 12) DESC, dim ASC LIMIT 1
+), p{c} AS MATERIALIZED (SELECT dim, val * sg AS val FROM v{c}_{iters} CROSS JOIN sg{c})"""
+        )
+        if c < k:
+            parts.append(
+                f""", u{c} AS MATERIALIZED (
+  SELECT m.i AS dim, ROUND(SUM(m.cv * p.val), 10) AS u
+  FROM c{c - 1} m JOIN p{c} p ON p.dim = m.j GROUP BY m.i
+), l{c} AS MATERIALIZED (
+  SELECT ROUND(SUM(p.val * u.u), 10) AS lam
+  FROM p{c} p JOIN u{c} u ON u.dim = p.dim
+), c{c} AS MATERIALIZED (
+  SELECT m.i, m.j, m.cv - l.lam * a.val * b.val AS cv
+  FROM c{c - 1} m JOIN p{c} a ON a.dim = m.i
+  JOIN p{c} b ON b.dim = m.j CROSS JOIN l{c} l
+)"""
+            )
+    allv = "\n  UNION ALL ".join(
+        f"SELECT {c} AS comp, dim, val FROM p{c}" for c in range(1, k + 1)
+    )
+    pcs = ",\n       ".join(
+        f"MAX(CASE WHEN comp = {c} THEN pc END) AS pc{c}"
+        for c in range(1, k + 1)
+    )
+    parts.append(
+        f""", allv AS MATERIALIZED (
+  {allv}
+), pr AS MATERIALIZED (
+  SELECT x.vec_id, a.comp,
+         ROUND(SUM((CAST(x.q AS DOUBLE) - mu.mu) * a.val) / 1000000.0, 6)
+           AS pc
+  FROM x JOIN mu ON mu.dim = x.dim JOIN allv a ON a.dim = x.dim
+  GROUP BY x.vec_id, a.comp
+)
+SELECT vec_id,
+       {pcs}
+FROM pr GROUP BY vec_id"""
+    )
+    return "".join(parts)
+
+
+_PCA_ORACLE = _pca_oracle(d=64, k=4, iters=20, sq=5)
+
+
+@_q("embedding_pca", _PCA_ORACLE)
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 principal-component scores for every embedding. Training
+    is one Arrow pass reducing to exact int64 d x d moments (model
+    state O(d^2), corpus never collected); projection is a second
+    batch-GEMM pass. The oracle replays the ENTIRE training — moments,
+    5 sharpening squarings, 20 power iterations x 4 components with
+    deflation — in SQL."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from lakehouse_to_rag_spark.operators import spectral
+
+    return spectral.pca_project(e, k=4, iterations=20)
 
 
 # =====================================================================
