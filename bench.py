@@ -96,6 +96,8 @@ HEADLINE = [
     # spectral model training: one-pass exact-int64 covariance +
     # driver-side sharpened power iteration + map-only projection
     "embedding_pca",
+    # diversity-aware retrieval tail: kNN candidates + greedy MMR
+    "mmr_rerank",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -331,3 +331,106 @@ def hybrid_retrieval_rrf(
         F.col("neighbor_id").alias("doc_id"),
     )
     return rrf_fuse(lex, vec, k=k, c=c)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): fetch ``k_candidates`` exact-cosine candidates per query,
+    then greedily select ``k`` of them maximizing
+    ``lam * rel(q, d) - (1 - lam) * max_sim(d, selected)`` — the
+    standard diversity-aware final stage of a RAG read path (top-k by
+    raw similarity returns near-duplicate passages; MMR trades
+    relevance against redundancy).
+
+    Scale shape: the candidate fetch is the two-phase broadcast kNN
+    (no all-pairs, no corpus shuffle); candidate vectors ride a
+    broadcast hash join back onto the corpus scan; the greedy stage
+    shuffles only queries x k_candidates rows and runs per-query on
+    <= k_candidates vectors (Arrow-grouped, O(k * k_candidates) per
+    query). Nothing downstream of the kNN touches corpus-sized data.
+
+    Determinism/oracle parity: relevance is the kNN's 4dp cosine;
+    candidate-pair similarities round to 4dp (canonical dot/|a|/|b|
+    op order); the greedy argmax breaks score ties on smallest
+    neighbor_id. ``1 - lam`` is computed ONCE here and its exact
+    double is embedded in the oracle literal (1 - 0.7 in binary is
+    0.30000000000000004, not the SQL literal 0.3). Returns
+    (query_id, neighbor_id, mmr_score 4dp, mmr_rank 1..k).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from lakehouse_to_rag_spark.operators.similarity import (
+        _batch_cosines,
+        _round_away,
+        knn_bruteforce,
+    )
+
+    if not 1 <= k <= k_candidates:
+        raise ValueError(f"mmr_rerank: need 1 <= k={k} <= k_candidates={k_candidates}")
+    onemlam = 1.0 - lam
+
+    cand = knn_bruteforce(
+        corpus, queries, k=k_candidates, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", F.col("cosine").alias("rel"))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nv"),
+    ).join(F.broadcast(cand), "neighbor_id")
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("mmr_score", DoubleType()),
+            StructField("mmr_rank", LongType()),
+        ]
+    )
+
+    def greedy(_key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        m = np.array(list(pdf["nv"]), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = np.nan
+        psim = _round_away(_batch_cosines(m, m, norms), 4)
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        sel: list[int] = []
+        ids, scores_out, ranks = [], [], []
+        for step in range(1, min(k, n) + 1):
+            if sel:
+                pen = psim[:, sel].max(axis=1)
+                scores = lam * rel - onemlam * pen
+            else:
+                scores = lam * rel
+            scores = scores.copy()
+            scores[sel] = -np.inf
+            best = int(np.argmax(scores))  # first max = smallest id on ties
+            sel.append(best)
+            ids.append(int(pdf["neighbor_id"].iloc[best]))
+            scores_out.append(float(_round_away(scores[best], 4)))
+            ranks.append(step)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(ids), _key[0], dtype=np.int64),
+                "neighbor_id": ids,
+                "mmr_score": scores_out,
+                "mmr_rank": ranks,
+            }
+        )
+
+    return cv.groupBy("query_id").applyInPandas(greedy, out_schema)

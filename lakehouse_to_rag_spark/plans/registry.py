@@ -5207,6 +5207,105 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# MMR re-ranking (operators/retrieval.py:mmr_rerank)
+# =====================================================================
+
+
+def _mmr_oracle(kc: int = 20, k: int = 5, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR: candidate fetch (the shared kNN shape),
+    4dp pairwise candidate similarities, then k selection steps as
+    chained CTEs — step t scores every unselected candidate as
+    lam*rel - (1-lam)*max(psim to selected) and picks the window-rank-1
+    row (score DESC, neighbor_id ASC). The lam literals are repr()'d
+    Python doubles so both engines multiply by bit-identical
+    constants."""
+    l_ = repr(float(lam))
+    om = repr(1.0 - float(lam))
+    parts = [
+        f"""WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 10
+), allp AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 4)
+           AS rel
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rel DESC, neighbor_id ASC) AS rnk
+    FROM allp
+  ) WHERE rnk <= {kc}
+), cv AS MATERIALIZED (
+  SELECT c.query_id, c.neighbor_id, c.rel,
+         CAST(e.embedding AS DOUBLE[]) AS v
+  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+), pair AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+         ROUND(list_cosine_similarity(a.v, b.v), 4) AS psim
+  FROM cv a JOIN cv b
+    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+), s1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, ROUND({l_} * rel, 4) AS mmr_score,
+         CAST(1 AS BIGINT) AS mmr_rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {l_} * rel DESC, neighbor_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+), sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM s1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f""", s{t} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, ROUND(score, 4) AS mmr_score,
+         CAST({t} AS BIGINT) AS mmr_rank
+  FROM (
+    SELECT g.query_id, g.neighbor_id, g.score,
+           ROW_NUMBER() OVER (PARTITION BY g.query_id
+             ORDER BY g.score DESC, g.neighbor_id ASC) AS rn
+    FROM (
+      SELECT c.query_id, c.neighbor_id,
+             {l_} * c.rel - {om} * MAX(p.psim) AS score
+      FROM cand c
+      JOIN pair p ON p.query_id = c.query_id AND p.a_id = c.neighbor_id
+      JOIN sel{t - 1} s ON s.query_id = p.query_id
+                       AND s.neighbor_id = p.b_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sel{t - 1} x
+        WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+      GROUP BY c.query_id, c.neighbor_id, c.rel
+    ) g
+  ) WHERE rn = 1
+), sel{t} AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM sel{t - 1}
+  UNION ALL SELECT query_id, neighbor_id FROM s{t}
+)"""
+        )
+    final = "\nUNION ALL ".join(
+        f"SELECT query_id, neighbor_id, mmr_score, mmr_rank FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    parts.append("\n" + final)
+    return "".join(parts)
+
+
+_MMR_ORACLE = _mmr_oracle(kc=20, k=5, lam=0.7)
+
+
+@_q("mmr_rerank", _MMR_ORACLE)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval re-ranking: 20 exact-cosine
+    candidates per query, greedy MMR selection of 5 at lambda=0.7.
+    The oracle unrolls all five greedy steps."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    from lakehouse_to_rag_spark.operators.retrieval import mmr_rerank as op
+
+    return op(e, queries, k_candidates=20, k=5, lam=0.7)
+
+
+# =====================================================================
 # Driver evidence-window ROTATION
 # =====================================================================
 # The round driver's correctness gate walks queries() in dict order

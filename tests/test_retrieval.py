@@ -240,3 +240,91 @@ class TestPersistedBm25Index:
         assert parts, "no partitioned scan found in executed plan"
         # <= 3 distinct words -> <= 3 buckets listed
         assert max(parts) <= 3 < len(bucket_dirs)
+
+
+class TestMMRRerank:
+    """mmr_rerank: greedy diversity re-ranking over kNN candidates."""
+
+    def _mk(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_lambda_one_is_pure_relevance(self, spark, sf_dir):
+        """At lam=1 the penalty term vanishes: MMR order == kNN order."""
+        from lakehouse_to_rag_spark.operators.retrieval import mmr_rerank
+        from lakehouse_to_rag_spark.operators.similarity import knn_bruteforce
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") < 3)
+        got = {
+            (r["query_id"], r["mmr_rank"]): r["neighbor_id"]
+            for r in mmr_rerank(e, q, k_candidates=10, k=5, lam=1.0).collect()
+        }
+        want = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in knn_bruteforce(e, q, k=5).collect()
+        }
+        assert got == want
+
+    def test_redundant_candidate_demoted(self, spark):
+        """Corpus: query q=e1; a=e1-ish, a2=duplicate of a, b=diagonal.
+        Raw kNN ranks (a, a2, b); MMR at lam=0.5 must pick a then skip
+        the duplicate a2 in favor of the diverse b."""
+        from lakehouse_to_rag_spark.operators.retrieval import mmr_rerank
+
+        vecs = [
+            [1.0, 0.0, 0.0],        # 0: the query
+            [0.99, 0.14, 0.0],      # 1: best hit (rel .9901)
+            [0.99, 0.141, 0.0],     # 2: near-duplicate of 1 (psim 1.0)
+            [0.7, -0.7, 0.0],       # 3: diverse (psim .5657, rel .7071)
+        ]
+        c = self._mk(spark, vecs)
+        q = c.filter(F.col("vec_id") == 0)
+        rows = {
+            r["mmr_rank"]: r["neighbor_id"]
+            for r in mmr_rerank(c, q, k_candidates=3, k=2, lam=0.5).collect()
+        }
+        assert rows == {1: 1, 2: 3}
+
+    def test_selection_is_subset_of_candidates_no_repeats(self, spark, sf_dir):
+        from lakehouse_to_rag_spark.operators.retrieval import mmr_rerank
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") < 5)
+        out = mmr_rerank(e, q, k_candidates=8, k=8, lam=0.3).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        for qid, ids in per_q.items():
+            assert len(ids) == len(set(ids)) == 8
+            assert qid not in ids
+
+    def test_k_exceeds_candidates_raises(self, spark, sf_dir):
+        import pytest
+
+        from lakehouse_to_rag_spark.operators.retrieval import mmr_rerank
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        with pytest.raises(ValueError, match="k_candidates"):
+            mmr_rerank(e, e.limit(1), k_candidates=3, k=5)
+
+    def test_plan_no_cartesian_broadcast_candidates(self, spark, sf_dir):
+        """The candidate-vector fetch must be a broadcast hash join
+        (cand is queries x k_candidates rows); the only shuffle after
+        the kNN is the per-query Arrow group — never an all-pairs
+        corpus product."""
+        from lakehouse_to_rag_spark.operators.retrieval import mmr_rerank
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") < 3)
+        plan = (
+            mmr_rerank(e, q, k_candidates=10, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
