@@ -292,6 +292,26 @@ def main() -> None:
     n = kcenter_select(emb, k=8).count()
     print(f"kcenter_select(k=8): {time.perf_counter() - t0:.1f}s centers={n}")
 
+    # r5: PCA is one moment pass (O(d^2) state) + one projection pass —
+    # wall must track corpus size linearly; the replica cliques leave
+    # the covariance (hence the trained components) EXACTLY that of the
+    # base corpus, a free invariant check on the training math
+    from lakehouse_to_rag_spark.operators.spectral import pca_project
+
+    t0 = time.perf_counter()
+    n = pca_project(emb, k=4, iterations=20).count()
+    print(f"pca_project(k=4): {time.perf_counter() - t0:.1f}s rows={n}")
+
+    # r5: MMR cost is kNN + (queries x k_candidates) greedy — corpus
+    # growth only affects the candidate fetch, never the greedy stage
+    from lakehouse_to_rag_spark.operators.retrieval import mmr_rerank
+
+    t0 = time.perf_counter()
+    n = mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 10), k_candidates=20, k=5
+    ).count()
+    print(f"mmr_rerank(10q,kc=20): {time.perf_counter() - t0:.1f}s rows={n}")
+
     spark.stop()
 
 
