@@ -1407,3 +1407,34 @@ def ivfpq_topk_from_index(
     return ivfpq_topk(
         codes, queries, coarse, books, k, nprobe, id_col, vec_col
     )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the standard ANN quality gauge you run before trading the linear
+    scan for an index (IVF/PQ nprobe tuning at scale is exactly this
+    measurement on a held-out query sample).
+
+    Both inputs follow the family contract (query_id, neighbor_id,
+    ... rank<=k); output is one row per exact-side query:
+    (query_id, n_hits BIGINT, recall DOUBLE 4dp). Queries missing from
+    the approximate side (e.g. empty probe sets) score 0, not NULL —
+    a left join from the exact side, so the gauge cannot silently
+    drop bad queries. Inputs are queries x k rows, so the join and
+    the per-query count are trivially small at any corpus scale."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select(
+        F.col("query_id").alias("a_qid"),
+        F.col("neighbor_id").alias("a_id"),
+    )
+    hits = e.join(
+        a,
+        (e["query_id"] == a["a_qid"]) & (e["neighbor_id"] == a["a_id"]),
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("a_id").alias("n_hits"),
+        F.round(F.count("a_id") / F.lit(float(k)), 4).alias("recall"),
+    ).select(
+        "query_id", F.col("n_hits").cast("long").alias("n_hits"), "recall"
+    )

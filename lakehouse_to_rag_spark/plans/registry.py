@@ -5207,6 +5207,37 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# ANN quality gauge: recall@k of the IVF probe vs the exact scan.
+# The oracle simply composes the two already-proven replay chains
+# (brute-force + untrained-IVF) as subqueries and left-joins them —
+# queries with empty hit overlap score 0, never drop.
+# =====================================================================
+
+_ANN_RECALL_ORACLE = f"""
+WITH bf AS MATERIALIZED (SELECT * FROM ({_KNN_ORACLE})),
+ivf AS MATERIALIZED (SELECT * FROM ({_KNN_IVF_ORACLE}))
+SELECT bf.query_id,
+       CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS n_hits,
+       ROUND(COUNT(ivf.neighbor_id) / 5.0, 4) AS recall
+FROM bf LEFT JOIN ivf
+  ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
+@_q("ann_recall_ivf", _ANN_RECALL_ORACLE)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the nprobe=4 untrained IVF against the exact scan,
+    per query — the measurement that justifies (or vetoes) swapping
+    the linear scan for the index at scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = simi.knn_bruteforce(e, queries, k=5)
+    approx = simi.ivf_topk(e, queries, k=5, num_centroids=16, nprobe=4)
+    return simi.ann_recall(exact, approx, k=5)
+
+
+# =====================================================================
 # MMR re-ranking (operators/retrieval.py:mmr_rerank)
 # =====================================================================
 

@@ -745,3 +745,46 @@ class TestShingleDfCapDefault:
 
         sig = inspect.signature(ngram_jaccard_pairs)
         assert sig.parameters["max_shingle_df"].default is None
+
+
+class TestAnnRecall:
+    """ann_recall: the ANN-vs-exact quality gauge."""
+
+    def test_self_recall_is_one(self, spark, sf_dir):
+        from lakehouse_to_rag_spark.operators.similarity import ann_recall
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter("vec_id < 5")
+        exact = knn_bruteforce(e, q, k=5)
+        rows = ann_recall(exact, exact, k=5).collect()
+        assert len(rows) == 5
+        assert all(r["n_hits"] == 5 and r["recall"] == 1.0 for r in rows)
+
+    def test_missing_query_scores_zero_not_dropped(self, spark, sf_dir):
+        """A query the approximate side never answered must appear
+        with recall 0 — the gauge cannot hide broken probe sets."""
+        from pyspark.sql import functions as F
+
+        from lakehouse_to_rag_spark.operators.similarity import ann_recall
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter("vec_id < 5")
+        exact = knn_bruteforce(e, q, k=5)
+        approx = exact.filter(F.col("query_id") != 0)
+        rows = {r["query_id"]: r for r in ann_recall(exact, approx, k=5).collect()}
+        assert rows[0]["n_hits"] == 0 and rows[0]["recall"] == 0.0
+        assert rows[1]["recall"] == 1.0
+
+    def test_partial_overlap_counts_hits(self, spark):
+        from lakehouse_to_rag_spark.operators.similarity import ann_recall
+
+        exact = spark.createDataFrame(
+            [(1, n) for n in (10, 11, 12, 13, 14)],
+            "query_id long, neighbor_id long",
+        )
+        approx = spark.createDataFrame(
+            [(1, n) for n in (10, 11, 99, 98, 97)],
+            "query_id long, neighbor_id long",
+        )
+        [r] = ann_recall(exact, approx, k=5).collect()
+        assert r["n_hits"] == 2 and r["recall"] == 0.4
