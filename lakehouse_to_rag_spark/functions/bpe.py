@@ -19,10 +19,23 @@ order), so two runs — or two engines — produce identical ids.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _EOW = "</w>"
+
+# The package-wide cross-engine whitespace contract (functions.text.
+# WS_CLASS): bare str.split() would also split on unicode whitespace
+# (\x85,  , ...) that no SQL engine's \s or split includes — the
+# same divergence class the round-5 self-review fixed at every JVM
+# split site. Identical to str.split() on ASCII corpora.
+_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _split_ws(text: str) -> list[str]:
+    return [w for w in _WS_RE.split(text) if w]
 
 
 def bpe_train(
@@ -53,7 +66,7 @@ def bpe_train(
     word_freq: dict[tuple[str, ...], int] = {}
     base: set[str] = {_EOW}
     for r in rows:
-        for w in r[0].split():
+        for w in _split_ws(r[0]):
             key = tuple(w) + (_EOW,)
             word_freq[key] = word_freq.get(key, 0) + 1
             base.update(w)
@@ -186,7 +199,7 @@ def bpe_encode(
             out_ids, out_n = [], []
             for t in pdf[text_col]:
                 ids: list[int] = []
-                for w in (t or "").split():
+                for w in _split_ws(t or ""):
                     ids.extend(ids_for(w))
                 out_ids.append(ids)
                 out_n.append(len(ids))

@@ -3739,8 +3739,8 @@ def pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("compression_ratio")  # structurally no-oracle: DEFLATE (stateful
 # LZ77+Huffman) is not expressible in SQL and DuckDB ships no zlib
-# scalar — same class as bpe_token_counts; golden/monotonicity tests
-# in tests/test_curation.py pin the semantics instead
+# scalar — same class as the HLL-sketch entries; golden/monotonicity
+# tests in tests/test_curation.py pin the semantics instead
 def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility signal over the documents corpus —
     rows-only driver check (row count + schema)."""
@@ -3905,10 +3905,137 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("bpe_token_counts")  # sample-trained merge table (driver BPE
-# training, like every production tokenizer): rows-only by nature;
-# merge order, distributed==local encode, roundtrip, and compression
-# monotonicity are pinned in tests/test_curation.py::TestBpeTokenizer
+def _bpe_oracle(num_merges: int = 200, sample_rows: int = 500) -> str:
+    """Full BPE replay in SQL — TRAINING and ENCODING (upgraded from
+    rows-only in round 5; the last tokenizer stage with no oracle).
+
+    Training: ``num_merges`` unrolled greedy steps over the
+    word-frequency table (string-form symbol sequences delimited by
+    chr(31), a separator no corpus word contains). Each step rescans
+    pair counts fresh — bit-identical to the engine's incremental
+    form (functions/bpe.py docstring) — picks argmax by
+    (count DESC, a DESC, b DESC) mirroring Python ``max`` over the
+    (count, a, b) tuple, requires count >= 2, and rewrites all
+    occurrences left-to-right via delimiter-preserving REPLACE
+    (exactly the non-overlapping consume-both scan). Steps after
+    exhaustion are empty-best no-ops, the unrolled image of the
+    engine's ``break``.
+
+    Encoding: a RECURSIVE CTE over DISTINCT corpus words; each
+    recursion step merges the FIRST occurrence of the LOWEST-ranked
+    applicable pair (key = rank * 100000 + position, list_min over a
+    per-position transform against the ordered merge list;
+    list_position is 1-based and 0 when absent -> NULLIF). Words drop
+    out of the recursion when no pair applies; the final state is the
+    max-step row per word. Token counts then join back onto the
+    per-doc word multiset; docs whose text is whitespace-only keep a
+    row with n_tokens = 0, matching the engine's not-null filter.
+
+    Whitespace: both engines split on the package WS_CLASS
+    ([ \\t\\n\\x0B\\f\\r]+), the cross-engine contract every split
+    site shares."""
+    sep = "chr(31)"
+    ws = r"[ \t\n\x0B\f\r]+"
+    sym0 = (
+        f"{sep} || array_to_string(regexp_extract_all(word, '.'), {sep})"
+        f" || {sep} || '</w>' || {sep}"
+    )
+    parts = [
+        f"""WITH RECURSIVE sample AS MATERIALIZED (
+  SELECT text FROM documents WHERE text IS NOT NULL
+  ORDER BY doc_id LIMIT {sample_rows}
+), sw AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(text, '{ws}')) AS word FROM sample
+  ) WHERE word <> '' GROUP BY word
+), wf0 AS MATERIALIZED (
+  SELECT word, {sym0} AS s, freq FROM sw
+)"""
+    ]
+    for t in range(1, num_merges + 1):
+        parts.append(
+            f""", pr{t} AS (
+  SELECT a, b, SUM(freq) AS cnt FROM (
+    SELECT syms[i] AS a, syms[i + 1] AS b, freq FROM (
+      SELECT string_split(trim(s, {sep}), {sep}) AS syms, freq
+      FROM wf{t - 1}
+    ), UNNEST(range(1, len(syms))) AS u(i)
+  ) GROUP BY a, b
+), best{t} AS MATERIALIZED (
+  SELECT a, b FROM pr{t} WHERE cnt >= 2
+  ORDER BY cnt DESC, a DESC, b DESC LIMIT 1
+), wf{t} AS MATERIALIZED (
+  SELECT word,
+         COALESCE((SELECT REPLACE(w.s, {sep} || b.a || {sep} || b.b || {sep},
+                                       {sep} || b.a || b.b || {sep})
+                   FROM best{t} b), w.s) AS s,
+         freq
+  FROM wf{t - 1} w
+)"""
+        )
+    merge_union = "\n    UNION ALL ".join(
+        f"SELECT a, b, {t} AS rnk FROM best{t}"
+        for t in range(1, num_merges + 1)
+    )
+    parts.append(
+        f""", mg AS MATERIALIZED (
+  {merge_union}
+), ml AS MATERIALIZED (
+  SELECT list(a || {sep} || b ORDER BY rnk) AS pairs FROM mg
+), dw AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '{ws}')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE word <> ''
+), enc0 AS MATERIALIZED (
+  SELECT word, {sym0} AS s FROM (SELECT DISTINCT word FROM dw)
+), enc AS (
+  SELECT word, s, 0 AS step FROM enc0
+  UNION ALL
+  SELECT word,
+         {sep} || array_to_string(
+           list_concat(
+             list_concat(list_slice(syms, 1, p - 1),
+                         [syms[p] || syms[p + 1]]),
+             list_slice(syms, p + 2, len(syms))), {sep}) || {sep} AS s,
+         step + 1
+  FROM (
+    SELECT word, step, syms, CAST(kmin % 100000 AS INT) AS p FROM (
+      SELECT word, step, syms,
+             list_min(list_transform(range(1, len(syms)), i ->
+               CASE WHEN NULLIF(list_position(ml.pairs,
+                        syms[i] || {sep} || syms[i + 1]), 0) IS NULL
+                    THEN NULL
+                    ELSE list_position(ml.pairs,
+                        syms[i] || {sep} || syms[i + 1]) * 100000 + i
+               END)) AS kmin
+      FROM (SELECT word, step,
+                   string_split(trim(s, {sep}), {sep}) AS syms
+            FROM enc) e CROSS JOIN ml
+    ) WHERE kmin IS NOT NULL
+  )
+), encf AS MATERIALIZED (
+  SELECT word, s FROM (
+    SELECT word, s,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY step DESC) AS rn
+    FROM enc
+  ) WHERE rn = 1
+), wtok AS MATERIALIZED (
+  SELECT word, len(string_split(trim(s, {sep}), {sep})) AS n FROM encf
+)
+SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN (
+  SELECT doc_id, SUM(n) AS n FROM dw JOIN wtok USING (word) GROUP BY doc_id
+) s USING (doc_id)"""
+    )
+    return "".join(parts)
+
+
+_BPE_ORACLE = _bpe_oracle(num_merges=200, sample_rows=500)
+
+
+@_q("bpe_token_counts", _BPE_ORACLE)
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real subword tokenization for the corpus: BPE merges trained on
     a bounded sample (Sennrich-style, RNG-free), corpus encoded
@@ -5391,6 +5518,7 @@ _CANARIES: list[str] = [
 _PINS: list[str] = [
     "knn_ivfpq",           # r5: rows-only -> full oracle (frozen codebooks)
     "dedup_embedding_lsh",  # r5: md5-derived hyperplanes -> full oracle
+    "bpe_token_counts",    # r5: rows-only -> full training+encode replay
 ]
 
 
