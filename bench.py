@@ -98,6 +98,10 @@ HEADLINE = [
     "embedding_pca",
     # diversity-aware retrieval tail: kNN candidates + greedy MMR
     "mmr_rerank",
+    # video leg: JPEG encode -> AVI mux -> demux -> JPEG decode per
+    # doc (pure-Python entropy coding like GIF/FLAC — compare
+    # round-over-round)
+    "avi_frame_stats",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -7,15 +7,18 @@ calls that need PIL/ffmpeg/librosa are STUBBED because the harness
 container ships no media libraries: each stub raises
 ``NotImplementedError`` when a real decode is requested, and provides
 a deterministic fake (parsing our synthetic header format) so the
-distributed pipeline around it is exercised end-to-end. Six codecs
-ARE real: 24-bit BMP (pure numpy), non-interlaced 8-bit RGB/RGBA PNG
-(stdlib zlib, all five scanline filters on decode), animated GIF
-(full LZW), 16-bit PCM WAV, baseline JPEG (``jpeg.py``), and FLAC
-(``flac.py``) — so the image path (metadata, stats, resize,
-features) runs with real pixels in four formats and the audio path
-(stats, spectral features, resample) runs with real samples in both
-an uncompressed and a losslessly-compressed container. MP3/MP4/etc.
-remain stubbed (they genuinely need libmpg123/ffmpeg).
+distributed pipeline around it is exercised end-to-end. Seven
+codecs/containers ARE real: 24-bit BMP (pure numpy), non-interlaced
+8-bit RGB/RGBA PNG (stdlib zlib, all five scanline filters on
+decode), animated GIF (full LZW), 16-bit PCM WAV, baseline JPEG
+(``jpeg.py``), FLAC (``flac.py``), and MJPEG-in-AVI (``avi.py``) —
+so the image path (metadata, stats, resize, features) runs with real
+pixels in four formats, the audio path (stats, spectral features,
+resample) runs with real samples in both an uncompressed and a
+losslessly-compressed container, and the video path (frame sampling
+-> per-frame image ops) runs on a real RIFF container of real JPEG
+frames. MP3/MP4/etc. remain stubbed (they genuinely need
+libmpg123/ffmpeg).
 
 Scale notes: media rows are large and skewed — batch size is governed
 by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (bytes, not rows,
@@ -80,9 +83,10 @@ def synth_media_table(spark: SparkSession, n: int = 100) -> DataFrame:
 def _parse_header(payload: bytes) -> tuple[int, int, int]:
     """(width, height, n_frames) from a payload HEADER alone — no
     pixel decode (except WAV, which reads its fmt/data chunks).
-    Understands the SYNM synthetic format plus every real codec at the
-    bottom of this file (BMP, PNG, GIF — and WAV, mapped as
-    width=sample_rate, height=n_channels, n_frames=n_samples), so
+    Understands the SYNM synthetic format plus every real codec in
+    this package (BMP, PNG, GIF, JPEG, MJPEG-AVI — and WAV/FLAC,
+    mapped as width=sample_rate, height=n_channels,
+    n_frames=n_samples), so
     ``decode_metadata`` is format-aware wherever a real decoder
     exists; everything else needs PIL/ffmpeg and raises.
 
@@ -119,6 +123,15 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
 
             w, h = jpeg_dimensions(payload)
             return w, h, 1
+        if (
+            payload is not None
+            and payload[:4] == b"RIFF"
+            and payload[8:12] == b"AVI "
+        ):
+            from lakehouse_to_rag_spark.multimodal.avi import avi_info
+
+            w, h, n, _fps = avi_info(payload)
+            return w, h, n
         if payload is not None and payload[:4] == b"fLaC":
             from lakehouse_to_rag_spark.multimodal.flac import (
                 flac_streaminfo,
@@ -138,7 +151,7 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
         ) from exc
     raise NotImplementedError(
         "real media decode requires PIL/ffmpeg (not in this container); "
-        "only SYNM/BMP/PNG/GIF/JPEG/WAV/FLAC payloads are decodable here"
+        "only SYNM/BMP/PNG/GIF/JPEG/WAV/FLAC/AVI payloads are decodable here"
     )
 
 
@@ -269,6 +282,23 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                         ids.append(row["media_id"])
                         idxs.append(fi)
                         payloads.append(encode_png(all_frames[fi]))
+                    continue
+                if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                    # REAL path #2: demux MJPEG AVI, decode sampled
+                    # JPEG frames, re-emit as lossless PNG so the
+                    # downstream image ops see exact pixels
+                    from lakehouse_to_rag_spark.multimodal.avi import (
+                        decode_avi_mjpeg,
+                    )
+                    from lakehouse_to_rag_spark.multimodal.jpeg import (
+                        decode_jpeg,
+                    )
+
+                    jpegs = decode_avi_mjpeg(p)
+                    for fi in range(0, len(jpegs), every_n):
+                        ids.append(row["media_id"])
+                        idxs.append(fi)
+                        payloads.append(encode_png(decode_jpeg(jpegs[fi])))
                     continue
                 _, _, frames = _parse_header(row["payload"])
                 for fi in range(0, frames, every_n):
@@ -1151,6 +1181,38 @@ def synth_gif_table(spark: SparkSession, n: int = 20) -> DataFrame:
             frames.append(fr)
         p = encode_gif(frames, palette)
         rows.append((i, "video", p, "image/gif", len(p)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# =====================================================================
+# Real container #6: MJPEG-in-AVI video (avi.py) — synth corpus
+# =====================================================================
+
+
+def synth_avi_table(spark: SparkSession, n: int = 20) -> DataFrame:
+    """Deterministic real-AVI corpus: per id, (2 + id % 4) FLAT-color
+    JPEG frames muxed into one MJPEG AVI. Flat color keeps the lossy
+    JPEG arithmetic closed-form (the ``jpeg_pixel_stats`` discipline),
+    and (id + frame) parity alternates quality 75 / 4:4:4 with
+    quality 90 / 4:2:0 so both subsampling paths ride inside every
+    container. The recipe is mirrored verbatim by the
+    ``avi_frame_stats`` oracle in plans/registry.py."""
+    from lakehouse_to_rag_spark.multimodal.avi import encode_avi_mjpeg
+    from lakehouse_to_rag_spark.multimodal.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        w, h, nf = 9 + i % 17, 6 + i % 13, 2 + i % 4
+        frames = []
+        for f in range(nf):
+            rgb = ((i * 37 + f * 41) % 256,
+                   (i * 91 + f * 67) % 256,
+                   (i * 53 + f * 29) % 256)
+            px = np.full((h, w, 3), rgb, dtype=np.uint8)
+            quality, sub = (75, "444") if (i + f) % 2 == 0 else (90, "420")
+            frames.append(encode_jpeg(px, quality=quality, subsampling=sub))
+        p = encode_avi_mjpeg(frames, fps=5 + i % 10)
+        rows.append((i, "video", p, "video/x-msvideo", len(p)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

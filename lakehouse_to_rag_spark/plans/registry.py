@@ -2530,6 +2530,132 @@ def gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_stats, schema=out_schema)
 
 
+# Closed-form replay of the MJPEG-AVI pipeline: the GIF entry's
+# per-frame fan-out composed with the JPEG entry's flat-color
+# closed form. Frame f of doc i is a flat (i*37+f*41, i*91+f*67,
+# i*53+f*29) % 256 color; (i+f) parity picks quality 75 / 4:4:4
+# (luma 8 / chroma 9 DC quant by the IJG formula) vs 90 / 4:2:0
+# (3 / 3) — so every container holds BOTH subsampling paths. The
+# arithmetic below is decode_jpeg's exact order of operations (see
+# _JPEG_STATS_ORACLE); the AVI layer adds mux -> idx1 verify ->
+# demux under the same hash: a single corrupt container byte kills
+# a frame (or its count) and the value hash.
+_AVI_STATS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(9 + doc_id % 17 AS BIGINT) AS w,
+         CAST(6 + doc_id % 13 AS BIGINT) AS h,
+         CAST(2 + doc_id % 4 AS BIGINT) AS nf
+  FROM documents
+), fr AS (
+  SELECT d.doc_id, d.w, d.h, f.range AS frame_index,
+         CAST((d.doc_id * 37 + f.range * 41) % 256 AS DOUBLE) AS r,
+         CAST((d.doc_id * 91 + f.range * 67) % 256 AS DOUBLE) AS g,
+         CAST((d.doc_id * 53 + f.range * 29) % 256 AS DOUBLE) AS b,
+         CAST(CASE WHEN (d.doc_id + f.range) % 2 = 0
+                   THEN 8 ELSE 3 END AS DOUBLE) AS ql,
+         CAST(CASE WHEN (d.doc_id + f.range) % 2 = 0
+                   THEN 9 ELSE 3 END AS DOUBLE) AS qc
+  FROM d, range(6) f WHERE f.range < d.nf
+), ycc AS (
+  SELECT *,
+    LEAST(255, GREATEST(0, FLOOR(0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS y,
+    LEAST(255, GREATEST(0, FLOOR(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5))) AS cb,
+    LEAST(255, GREATEST(0, FLOOR(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5))) AS cr
+  FROM fr
+), rec AS (
+  SELECT *,
+    FLOOR(8 * (y - 128) / ql + 0.5) * ql / 8 + 128 AS y2,
+    FLOOR(8 * (cb - 128) / qc + 0.5) * qc / 8 + 128 AS cb2,
+    FLOOR(8 * (cr - 128) / qc + 0.5) * qc / 8 + 128 AS cr2
+  FROM ycc
+)
+SELECT doc_id, frame_index, w AS width, h AS height,
+  CAST(LEAST(255, GREATEST(0, FLOOR(y2 + 1.402 * (cr2 - 128) + 0.5))) AS DOUBLE) AS mean_r,
+  CAST(LEAST(255, GREATEST(0, FLOOR(y2 - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128) + 0.5))) AS DOUBLE) AS mean_g,
+  CAST(LEAST(255, GREATEST(0, FLOOR(y2 + 1.772 * (cb2 - 128) + 0.5))) AS DOUBLE) AS mean_b
+FROM rec
+"""
+
+
+@_q("avi_frame_stats", _AVI_STATS_ORACLE)
+def avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MJPEG-in-AVI container (multimodal/avi.py) oracle-gated
+    end-to-end, completing the video leg on real bytes: per doc_id,
+    (2 + id % 4) flat-color frames are JPEG-ENCODED (alternating
+    4:4:4 q75 / 4:2:0 q90 by (id+frame) parity), MUXED into a real
+    RIFF AVI ('00dc' chunks + idx1 index), DEMUXED back (idx1
+    verified against the movi walk), JPEG-DECODED, and per-frame
+    pixel means emitted. Flat color makes the lossy JPEG arithmetic
+    exactly predictable, so DuckDB replays the whole
+    encode->mux->demux->decode chain closed-form — corruption in
+    RIFF layout, chunk sizing, the index, or any JPEG stage changes
+    a mean (or the frame count) and fails the hash. Non-flat frames
+    and foreign-writer quirks are covered by roundtrip/fuzz tests in
+    tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_to_rag_spark.multimodal.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from lakehouse_to_rag_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_index", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("mean_r", DoubleType()),
+            StructField("mean_g", DoubleType()),
+            StructField("mean_b", DoubleType()),
+        ]
+    )
+
+    def _stats(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "frame_index", "width", "height",
+                    "mean_r", "mean_g", "mean_b")}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, nf = 9 + i % 17, 6 + i % 13, 2 + i % 4
+                frames = []
+                for f in range(nf):
+                    rgb = ((i * 37 + f * 41) % 256,
+                           (i * 91 + f * 67) % 256,
+                           (i * 53 + f * 29) % 256)
+                    px = np.full((h, w, 3), rgb, dtype=np.uint8)
+                    quality, sub = (
+                        (75, "444") if (i + f) % 2 == 0 else (90, "420")
+                    )
+                    frames.append(
+                        encode_jpeg(px, quality=quality, subsampling=sub)
+                    )
+                jpegs = decode_avi_mjpeg(
+                    encode_avi_mjpeg(frames, fps=5 + i % 10)
+                )
+                for f, jp in enumerate(jpegs):
+                    dec = decode_jpeg(jp).astype(np.int64)
+                    npix = dec.shape[0] * dec.shape[1]
+                    out["doc_id"].append(i)
+                    out["frame_index"].append(f)
+                    out["height"].append(dec.shape[0])
+                    out["width"].append(dec.shape[1])
+                    out["mean_r"].append(dec[:, :, 0].sum() / npix)
+                    out["mean_g"].append(dec[:, :, 1].sum() / npix)
+                    out["mean_b"].append(dec[:, :, 2].sum() / npix)
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents", parallelize=True).select("doc_id")
+    return d.mapInPandas(_stats, schema=out_schema)
+
+
 _WAV_STATS_ORACLE = """
 WITH d AS (
   SELECT doc_id,

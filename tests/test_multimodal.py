@@ -1072,3 +1072,150 @@ class TestJpegMultiScan:
         img = np.full((8, 8, 3), 120, dtype=np.uint8)
         out = decode_jpeg(encode_jpeg(img, quality=90))
         assert out.shape == (8, 8, 3)
+
+
+class TestAviContainer:
+    """MJPEG-in-AVI (multimodal/avi.py): real RIFF mux/demux around
+    the real JPEG codec — the video leg on real bytes."""
+
+    @staticmethod
+    def _frames(n=4, w=24, h=16):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.jpeg import encode_jpeg
+
+        out = []
+        for f in range(n):
+            y, x = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [
+                    ((x * 9 + f * 31) % 256).astype(np.uint8),
+                    ((y * 7 + f * 17) % 256).astype(np.uint8),
+                    ((x + y + f) % 256).astype(np.uint8),
+                ],
+                axis=2,
+            )
+            out.append(encode_jpeg(px, quality=85))
+        return out
+
+    def test_mux_demux_byte_exact(self):
+        from lakehouse_to_rag_spark.multimodal.avi import (
+            avi_info,
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        frames = self._frames(5)
+        avi = encode_avi_mjpeg(frames, fps=12)
+        assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+        back = decode_avi_mjpeg(avi)
+        assert back == frames  # muxer never touches frame bytes
+        assert avi_info(avi) == (24, 16, 5, 12.0)
+
+    def test_idx1_absolute_offset_convention(self):
+        """Several mainstream writers store ABSOLUTE file offsets in
+        idx1 instead of movi-relative ones; the demuxer must accept
+        both (and still verify the index against the chunk walk)."""
+        import struct as st
+
+        from lakehouse_to_rag_spark.multimodal.avi import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        frames = self._frames(3)
+        avi = bytearray(encode_avi_mjpeg(frames, fps=10))
+        movi_pos = bytes(avi).index(b"movi")
+        idx_body = bytes(avi).index(b"idx1") + 8
+        for i in range(3):
+            (off,) = st.unpack_from("<I", avi, idx_body + i * 16 + 8)
+            st.pack_into("<I", avi, idx_body + i * 16 + 8, off + movi_pos)
+        assert decode_avi_mjpeg(bytes(avi)) == frames
+        # a WRONG offset under both conventions must be rejected
+        st.pack_into("<I", avi, idx_body + 8, 2)
+        with pytest.raises(NotImplementedError, match="idx1 disagrees"):
+            decode_avi_mjpeg(bytes(avi))
+
+    def test_scope_violations_raise(self):
+        import struct as st
+
+        from lakehouse_to_rag_spark.multimodal.avi import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+        from lakehouse_to_rag_spark.multimodal.jpeg import encode_jpeg
+        import numpy as np
+
+        with pytest.raises(NotImplementedError, match="empty"):
+            encode_avi_mjpeg([], fps=10)
+        mixed = [
+            encode_jpeg(np.zeros((8, 8, 3), np.uint8)),
+            encode_jpeg(np.zeros((8, 16, 3), np.uint8)),
+        ]
+        with pytest.raises(NotImplementedError, match="constant frame"):
+            encode_avi_mjpeg(mixed, fps=10)
+
+        avi = bytearray(encode_avi_mjpeg(self._frames(2), fps=10))
+        # declare a second stream in avih (audio would live there)
+        avih_body = bytes(avi).index(b"avih") + 8
+        st.pack_into("<I", avi, avih_body + 24, 2)
+        with pytest.raises(NotImplementedError, match="streams"):
+            decode_avi_mjpeg(bytes(avi))
+
+        avi = bytearray(encode_avi_mjpeg(self._frames(2), fps=10))
+        # rewrite the stream handler to a codec we cannot decode
+        h_at = bytes(avi).index(b"MJPG")
+        avi[h_at:h_at + 4] = b"H264"
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            decode_avi_mjpeg(bytes(avi))
+
+    def test_corruption_fuzz_fails_closed(self):
+        """Every single-byte flip either still decodes or raises the
+        documented NotImplementedError — never struct.error/IndexError
+        (the contract every codec in this package honors)."""
+        import random
+
+        from lakehouse_to_rag_spark.multimodal.avi import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        avi = encode_avi_mjpeg(self._frames(3), fps=10)
+        rng = random.Random(7)
+        for _ in range(400):
+            b = bytearray(avi)
+            b[rng.randrange(len(b))] ^= 0xFF
+            try:
+                decode_avi_mjpeg(bytes(b))
+            except NotImplementedError:
+                pass
+
+    def test_video_pipeline_avi(self, spark):
+        """synth -> metadata -> sample_frames on the AVI corpus: the
+        sampled PNG frames must pixel-match decode_jpeg of the demuxed
+        frames, and header-only metadata must match the mux inputs."""
+        from lakehouse_to_rag_spark.multimodal.avi import decode_avi_mjpeg
+        from lakehouse_to_rag_spark.multimodal.jpeg import decode_jpeg
+        from lakehouse_to_rag_spark.multimodal.ops import (
+            decode_metadata,
+            decode_png,
+            sample_frames,
+            synth_avi_table,
+        )
+
+        media = synth_avi_table(spark, n=6)
+        meta = {r["media_id"]: r for r in decode_metadata(media).collect()}
+        for i in range(6):
+            assert (meta[i]["width"], meta[i]["height"], meta[i]["n_frames"]) \
+                == (9 + i % 17, 6 + i % 13, 2 + i % 4)
+
+        payloads = {r["media_id"]: bytes(r["payload"])
+                    for r in media.collect()}
+        sampled = sample_frames(media, every_n=2).collect()
+        assert sampled
+        for r in sampled:
+            truth = decode_avi_mjpeg(payloads[r["media_id"]])
+            px = decode_png(bytes(r["frame_payload"]))
+            assert (px == decode_jpeg(truth[r["frame_index"]])).all()
+        n_expected = sum(len(range(0, 2 + i % 4, 2)) for i in range(6))
+        assert len(sampled) == n_expected
