@@ -102,6 +102,8 @@ HEADLINE = [
     # doc (pure-Python entropy coding like GIF/FLAC — compare
     # round-over-round)
     "avi_frame_stats",
+    # the ISO-BMFF twin (sample tables instead of RIFF chunks)
+    "mp4_frame_stats",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

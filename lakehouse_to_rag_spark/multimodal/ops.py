@@ -132,6 +132,11 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
 
             w, h, n, _fps = avi_info(payload)
             return w, h, n
+        if payload is not None and payload[4:8] == b"ftyp":
+            from lakehouse_to_rag_spark.multimodal.mp4 import mp4_info
+
+            w, h, n, _fps = mp4_info(payload)
+            return w, h, n
         if payload is not None and payload[:4] == b"fLaC":
             from lakehouse_to_rag_spark.multimodal.flac import (
                 flac_streaminfo,
@@ -151,7 +156,8 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
         ) from exc
     raise NotImplementedError(
         "real media decode requires PIL/ffmpeg (not in this container); "
-        "only SYNM/BMP/PNG/GIF/JPEG/WAV/FLAC/AVI payloads are decodable here"
+        "only SYNM/BMP/PNG/GIF/JPEG/WAV/FLAC/AVI/MP4 payloads are "
+        "decodable here"
     )
 
 
@@ -295,6 +301,23 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                     )
 
                     jpegs = decode_avi_mjpeg(p)
+                    for fi in range(0, len(jpegs), every_n):
+                        ids.append(row["media_id"])
+                        idxs.append(fi)
+                        payloads.append(encode_png(decode_jpeg(jpegs[fi])))
+                    continue
+                if p[4:8] == b"ftyp":
+                    # REAL path #3: demux MJPEG MP4 (ISO BMFF), decode
+                    # sampled JPEG frames, re-emit as lossless PNG —
+                    # same contract as the AVI path above
+                    from lakehouse_to_rag_spark.multimodal.jpeg import (
+                        decode_jpeg,
+                    )
+                    from lakehouse_to_rag_spark.multimodal.mp4 import (
+                        decode_mp4_mjpeg,
+                    )
+
+                    jpegs = decode_mp4_mjpeg(p)
                     for fi in range(0, len(jpegs), every_n):
                         ids.append(row["media_id"])
                         idxs.append(fi)
@@ -1213,6 +1236,42 @@ def synth_avi_table(spark: SparkSession, n: int = 20) -> DataFrame:
             frames.append(encode_jpeg(px, quality=quality, subsampling=sub))
         p = encode_avi_mjpeg(frames, fps=5 + i % 10)
         rows.append((i, "video", p, "video/x-msvideo", len(p)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# =====================================================================
+# Real container #7: MJPEG-in-MP4 (ISO BMFF) video (mp4.py) — synth
+# corpus
+# =====================================================================
+
+
+def synth_mp4_table(spark: SparkSession, n: int = 20) -> DataFrame:
+    """Deterministic real-MP4 corpus: per id, (3 + id % 3) FLAT-color
+    JPEG frames muxed into one MJPEG MP4 (ftyp+mdat+moov, 'mp4v'
+    sample entry with JPEG OTI). Flat color keeps the lossy JPEG
+    arithmetic closed-form (the ``jpeg_pixel_stats`` discipline), and
+    (id + frame) parity alternates quality 80 / 4:4:4 with quality
+    60 / 4:2:0 so both subsampling paths ride inside every container
+    — deliberately DIFFERENT quality points from ``synth_avi_table``
+    so the two containers' oracles pin different quant tables. The
+    recipe is mirrored verbatim by the ``mp4_frame_stats`` oracle in
+    plans/registry.py."""
+    from lakehouse_to_rag_spark.multimodal.jpeg import encode_jpeg
+    from lakehouse_to_rag_spark.multimodal.mp4 import encode_mp4_mjpeg
+
+    rows = []
+    for i in range(n):
+        w, h, nf = 8 + i % 19, 8 + i % 11, 3 + i % 3
+        frames = []
+        for f in range(nf):
+            rgb = ((i * 59 + f * 43) % 256,
+                   (i * 83 + f * 23) % 256,
+                   (i * 47 + f * 71) % 256)
+            px = np.full((h, w, 3), rgb, dtype=np.uint8)
+            quality, sub = (80, "444") if (i + f) % 2 == 0 else (60, "420")
+            frames.append(encode_jpeg(px, quality=quality, subsampling=sub))
+        p = encode_mp4_mjpeg(frames, fps=4 + i % 12)
+        rows.append((i, "video", p, "video/mp4", len(p)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

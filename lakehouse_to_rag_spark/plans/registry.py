@@ -2656,6 +2656,134 @@ def avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_stats, schema=out_schema)
 
 
+# Closed-form replay of the MJPEG-MP4 pipeline — the AVI entry's
+# structure at DIFFERENT quality points so the two container oracles
+# pin different quant tables: frame f of doc i is a flat
+# (i*59+f*43, i*83+f*23, i*47+f*71) % 256 color; (i+f) parity picks
+# quality 80 / 4:4:4 (luma 6 / chroma 7 DC quant by the IJG formula)
+# vs 60 / 4:2:0 (13 / 14). The mux layer here is ISO BMFF
+# (ftyp+mdat+moov, stsz/stsc/stco sample tables, esds JPEG OTI): a
+# single corrupt table or box length kills a frame (or its count)
+# and the value hash.
+_MP4_STATS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 19 AS BIGINT) AS w,
+         CAST(8 + doc_id % 11 AS BIGINT) AS h,
+         CAST(3 + doc_id % 3 AS BIGINT) AS nf
+  FROM documents
+), fr AS (
+  SELECT d.doc_id, d.w, d.h, f.range AS frame_index,
+         CAST((d.doc_id * 59 + f.range * 43) % 256 AS DOUBLE) AS r,
+         CAST((d.doc_id * 83 + f.range * 23) % 256 AS DOUBLE) AS g,
+         CAST((d.doc_id * 47 + f.range * 71) % 256 AS DOUBLE) AS b,
+         CAST(CASE WHEN (d.doc_id + f.range) % 2 = 0
+                   THEN 6 ELSE 13 END AS DOUBLE) AS ql,
+         CAST(CASE WHEN (d.doc_id + f.range) % 2 = 0
+                   THEN 7 ELSE 14 END AS DOUBLE) AS qc
+  FROM d, range(5) f WHERE f.range < d.nf
+), ycc AS (
+  SELECT *,
+    LEAST(255, GREATEST(0, FLOOR(0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS y,
+    LEAST(255, GREATEST(0, FLOOR(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5))) AS cb,
+    LEAST(255, GREATEST(0, FLOOR(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5))) AS cr
+  FROM fr
+), rec AS (
+  SELECT *,
+    FLOOR(8 * (y - 128) / ql + 0.5) * ql / 8 + 128 AS y2,
+    FLOOR(8 * (cb - 128) / qc + 0.5) * qc / 8 + 128 AS cb2,
+    FLOOR(8 * (cr - 128) / qc + 0.5) * qc / 8 + 128 AS cr2
+  FROM ycc
+)
+SELECT doc_id, frame_index, w AS width, h AS height,
+  CAST(LEAST(255, GREATEST(0, FLOOR(y2 + 1.402 * (cr2 - 128) + 0.5))) AS DOUBLE) AS mean_r,
+  CAST(LEAST(255, GREATEST(0, FLOOR(y2 - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128) + 0.5))) AS DOUBLE) AS mean_g,
+  CAST(LEAST(255, GREATEST(0, FLOOR(y2 + 1.772 * (cb2 - 128) + 0.5))) AS DOUBLE) AS mean_b
+FROM rec
+"""
+
+
+@_q("mp4_frame_stats", _MP4_STATS_ORACLE)
+def mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MJPEG-in-MP4 container (multimodal/mp4.py) oracle-gated
+    end-to-end — the ISO-BMFF twin of ``avi_frame_stats``, closing
+    the 'MP4 needs ffmpeg' stub: per doc_id, (3 + id % 3) flat-color
+    frames are JPEG-ENCODED (alternating 4:4:4 q80 / 4:2:0 q60 by
+    (id+frame) parity — different quality points from the AVI entry
+    so the two oracles pin different quant tables), MUXED into a real
+    MP4 (ftyp+mdat+moov, 'mp4v' sample entry with JPEG OTI 0x6C,
+    stsz/stsc/stco sample tables), DEMUXED back (sample ranges
+    bounds-checked against mdat), JPEG-DECODED, and per-frame pixel
+    means emitted. Flat color makes the lossy JPEG arithmetic exactly
+    predictable, so DuckDB replays the whole encode->mux->demux->
+    decode chain closed-form — corruption in box layout, the sample
+    tables, the esds, or any JPEG stage changes a mean (or the frame
+    count) and fails the hash. Non-flat frames, foreign chunk
+    layouts (multi-sample stsc, co64), and scope violations are
+    covered by roundtrip/fuzz tests in tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_to_rag_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from lakehouse_to_rag_spark.multimodal.mp4 import (
+        decode_mp4_mjpeg,
+        encode_mp4_mjpeg,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_index", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("mean_r", DoubleType()),
+            StructField("mean_g", DoubleType()),
+            StructField("mean_b", DoubleType()),
+        ]
+    )
+
+    def _stats(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "frame_index", "width", "height",
+                    "mean_r", "mean_g", "mean_b")}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, nf = 8 + i % 19, 8 + i % 11, 3 + i % 3
+                frames = []
+                for f in range(nf):
+                    rgb = ((i * 59 + f * 43) % 256,
+                           (i * 83 + f * 23) % 256,
+                           (i * 47 + f * 71) % 256)
+                    px = np.full((h, w, 3), rgb, dtype=np.uint8)
+                    quality, sub = (
+                        (80, "444") if (i + f) % 2 == 0 else (60, "420")
+                    )
+                    frames.append(
+                        encode_jpeg(px, quality=quality, subsampling=sub)
+                    )
+                jpegs = decode_mp4_mjpeg(
+                    encode_mp4_mjpeg(frames, fps=4 + i % 12)
+                )
+                for f, jp in enumerate(jpegs):
+                    dec = decode_jpeg(jp).astype(np.int64)
+                    npix = dec.shape[0] * dec.shape[1]
+                    out["doc_id"].append(i)
+                    out["frame_index"].append(f)
+                    out["height"].append(dec.shape[0])
+                    out["width"].append(dec.shape[1])
+                    out["mean_r"].append(dec[:, :, 0].sum() / npix)
+                    out["mean_g"].append(dec[:, :, 1].sum() / npix)
+                    out["mean_b"].append(dec[:, :, 2].sum() / npix)
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents", parallelize=True).select("doc_id")
+    return d.mapInPandas(_stats, schema=out_schema)
+
+
 _WAV_STATS_ORACLE = """
 WITH d AS (
   SELECT doc_id,

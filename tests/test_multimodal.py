@@ -1219,3 +1219,222 @@ class TestAviContainer:
             assert (px == decode_jpeg(truth[r["frame_index"]])).all()
         n_expected = sum(len(range(0, 2 + i % 4, 2)) for i in range(6))
         assert len(sampled) == n_expected
+
+
+class TestMp4Container:
+    """MJPEG-in-MP4 (multimodal/mp4.py): ISO BMFF mux/demux around
+    the real JPEG codec — the second real video container."""
+
+    @staticmethod
+    def _frames(n=4, w=24, h=16):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.jpeg import encode_jpeg
+
+        out = []
+        for f in range(n):
+            y, x = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [
+                    ((x * 11 + f * 29) % 256).astype(np.uint8),
+                    ((y * 5 + f * 19) % 256).astype(np.uint8),
+                    ((x + 2 * y + f) % 256).astype(np.uint8),
+                ],
+                axis=2,
+            )
+            out.append(encode_jpeg(px, quality=85))
+        return out
+
+    def test_mux_demux_byte_exact(self):
+        from lakehouse_to_rag_spark.multimodal.mp4 import (
+            decode_mp4_mjpeg,
+            encode_mp4_mjpeg,
+            mp4_info,
+        )
+
+        frames = self._frames(5)
+        mp4 = encode_mp4_mjpeg(frames, fps=12)
+        assert mp4[4:8] == b"ftyp"
+        back = decode_mp4_mjpeg(mp4)
+        assert back == frames  # muxer never touches frame bytes
+        assert mp4_info(mp4) == (24, 16, 5, 12.0)
+
+    def test_foreign_chunk_layouts(self):
+        """Foreign writers pack several samples per chunk (stsc runs)
+        and may use 64-bit co64 offsets; the demuxer must map samples
+        through the general sample-table path, not assume the
+        writer's one-sample-per-chunk layout."""
+        import struct as st
+
+        from lakehouse_to_rag_spark.multimodal.mp4 import (
+            decode_mp4_mjpeg,
+            encode_mp4_mjpeg,
+        )
+
+        frames = self._frames(4)
+        mp4 = bytearray(encode_mp4_mjpeg(frames, fps=10))
+        # rewrite stsc to two runs: chunks 1..1 hold 3 samples, chunk
+        # 2 holds 1 — then shrink stco to the 2 matching chunk starts.
+        # stsc body: ver/flags(4) count(4) then 12-byte runs.
+        raw = bytes(mp4)
+        stsc_at = raw.index(b"stsc") + 4
+        stco_at = raw.index(b"stco") + 4
+        sizes = [len(f) for f in frames]
+        # chunk starts under the new grouping: first chunk at the old
+        # first sample offset; second at first + sum(sizes[:3])
+        # stco body = ver/flags(4) count(4) offsets...; stco_at is the
+        # body start (index() found the fourcc, +4 skipped it)
+        (old_first,) = st.unpack_from(">I", raw, stco_at + 8)
+        new_stsc = (
+            st.pack(">I", 0) + st.pack(">I", 2)
+            + st.pack(">III", 1, 3, 1) + st.pack(">III", 2, 1, 1)
+        )
+        new_stco = st.pack(">II", 0, 2) + st.pack(
+            ">II", old_first, old_first + sum(sizes[:3])
+        )
+        # splice: both boxes shrink; rebuild the whole file from box
+        # bodies rather than patching lengths in place
+        def replace_box(buf, fourcc, new_body):
+            at = buf.index(fourcc)
+            (ln,) = st.unpack_from(">I", buf, at - 4)
+            old = buf[at - 4:at - 4 + ln]
+            new = st.pack(">I", 8 + len(new_body)) + fourcc + new_body
+            return buf.replace(old, new), ln - len(new)
+
+        buf, _ = replace_box(raw, b"stsc", new_stsc)
+        buf, _ = replace_box(buf, b"stco", new_stco)
+        # fix enclosing box sizes (stbl/minf/mdia/trak/moov each
+        # shrank by the two deltas)
+        shrink = (len(raw) - len(buf))
+        for fourcc in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+            at = buf.index(fourcc)
+            (ln,) = st.unpack_from(">I", buf, at - 4)
+            buf = buf[:at - 4] + st.pack(">I", ln - shrink) + buf[at:]
+        assert decode_mp4_mjpeg(bytes(buf)) == frames
+
+        # co64: widen stco to 64-bit offsets under the same layout
+        raw2 = bytes(mp4)
+        offs = st.unpack_from(">4I", raw2, stco_at + 8)
+        co64_body = st.pack(">II", 0, 4) + b"".join(
+            st.pack(">Q", o) for o in offs
+        )
+        buf2, delta = replace_box(raw2, b"stco", co64_body)
+        at = buf2.index(b"stco")
+        buf2 = buf2[:at] + b"co64" + buf2[at + 4:]
+        grow = len(buf2) - len(raw2)
+        for fourcc in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+            at = buf2.index(fourcc)
+            (ln,) = st.unpack_from(">I", buf2, at - 4)
+            buf2 = buf2[:at - 4] + st.pack(">I", ln + grow) + buf2[at:]
+        assert decode_mp4_mjpeg(bytes(buf2)) == frames
+
+    def test_stale_sample_table_rejected(self):
+        """A stco pointing outside mdat (stale faststart relocation)
+        is corruption, not garbage pixels."""
+        import struct as st
+
+        from lakehouse_to_rag_spark.multimodal.mp4 import (
+            decode_mp4_mjpeg,
+            encode_mp4_mjpeg,
+        )
+
+        mp4 = bytearray(encode_mp4_mjpeg(self._frames(3), fps=10))
+        stco_at = bytes(mp4).index(b"stco") + 4
+        st.pack_into(">I", mp4, stco_at + 8, len(mp4) - 4)
+        with pytest.raises(NotImplementedError,
+                           match="outside every mdat"):
+            decode_mp4_mjpeg(bytes(mp4))
+
+    def test_scope_violations_raise(self):
+        import struct as st
+
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.jpeg import encode_jpeg
+        from lakehouse_to_rag_spark.multimodal.mp4 import (
+            decode_mp4_mjpeg,
+            encode_mp4_mjpeg,
+        )
+
+        with pytest.raises(NotImplementedError, match="empty"):
+            encode_mp4_mjpeg([], fps=10)
+        mixed = [
+            encode_jpeg(np.zeros((8, 8, 3), np.uint8)),
+            encode_jpeg(np.zeros((8, 16, 3), np.uint8)),
+        ]
+        with pytest.raises(NotImplementedError, match="constant frame"):
+            encode_mp4_mjpeg(mixed, fps=10)
+
+        # foreign codec: rewrite the sample-entry fourcc to avc1
+        mp4 = bytearray(encode_mp4_mjpeg(self._frames(2), fps=10))
+        at = bytes(mp4).index(b"mp4v")
+        mp4[at:at + 4] = b"avc1"
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            decode_mp4_mjpeg(bytes(mp4))
+
+        # non-JPEG OTI inside mp4v (e.g. 0x20 = MPEG-4 Visual)
+        mp4 = bytearray(encode_mp4_mjpeg(self._frames(2), fps=10))
+        esds_at = bytes(mp4).index(b"esds")
+        # DecoderConfigDescriptor tag 0x04: OTI is the byte after its
+        # tag+length pair
+        dcd_at = bytes(mp4).index(b"\x04", esds_at)
+        mp4[dcd_at + 2] = 0x20
+        with pytest.raises(NotImplementedError, match="0x20"):
+            decode_mp4_mjpeg(bytes(mp4))
+
+        # fragmented MP4: a top-level moof box
+        mp4 = bytes(encode_mp4_mjpeg(self._frames(2), fps=10))
+        frag = mp4 + st.pack(">I", 8) + b"moof"
+        with pytest.raises(NotImplementedError, match="fragmented"):
+            decode_mp4_mjpeg(frag)
+
+    def test_corruption_fuzz_fails_closed(self):
+        """Every single-byte flip either still decodes or raises the
+        documented NotImplementedError — never struct.error/IndexError
+        (the contract every codec in this package honors)."""
+        import random
+
+        from lakehouse_to_rag_spark.multimodal.mp4 import (
+            decode_mp4_mjpeg,
+            encode_mp4_mjpeg,
+        )
+
+        mp4 = encode_mp4_mjpeg(self._frames(3), fps=10)
+        rng = random.Random(11)
+        for _ in range(400):
+            b = bytearray(mp4)
+            b[rng.randrange(len(b))] ^= 0xFF
+            try:
+                decode_mp4_mjpeg(bytes(b))
+            except NotImplementedError:
+                pass
+
+    def test_video_pipeline_mp4(self, spark):
+        """synth -> metadata -> sample_frames on the MP4 corpus: the
+        sampled PNG frames must pixel-match decode_jpeg of the demuxed
+        frames, and header-only metadata must match the mux inputs."""
+        from lakehouse_to_rag_spark.multimodal.jpeg import decode_jpeg
+        from lakehouse_to_rag_spark.multimodal.mp4 import decode_mp4_mjpeg
+        from lakehouse_to_rag_spark.multimodal.ops import (
+            decode_metadata,
+            decode_png,
+            sample_frames,
+            synth_mp4_table,
+        )
+
+        media = synth_mp4_table(spark, n=6)
+        meta = {r["media_id"]: r for r in decode_metadata(media).collect()}
+        for i in range(6):
+            assert (meta[i]["width"], meta[i]["height"], meta[i]["n_frames"]) \
+                == (8 + i % 19, 8 + i % 11, 3 + i % 3)
+
+        payloads = {r["media_id"]: bytes(r["payload"])
+                    for r in media.collect()}
+        sampled = sample_frames(media, every_n=2).collect()
+        assert sampled
+        for r in sampled:
+            truth = decode_mp4_mjpeg(payloads[r["media_id"]])
+            px = decode_png(bytes(r["frame_payload"]))
+            assert (px == decode_jpeg(truth[r["frame_index"]])).all()
+        n_expected = sum(len(range(0, 3 + i % 3, 2)) for i in range(6))
+        assert len(sampled) == n_expected
