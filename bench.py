@@ -96,6 +96,9 @@ HEADLINE = [
     # spectral model training: one-pass exact-int64 covariance +
     # driver-side sharpened power iteration + map-only projection
     "embedding_pca",
+    # train-free JL projection: the map-only floor any reducer
+    # should beat before earning its training pass
+    "embedding_rp",
     # diversity-aware retrieval tail: kNN candidates + greedy MMR
     "mmr_rerank",
     # video leg: JPEG encode -> AVI mux -> demux -> JPEG decode per

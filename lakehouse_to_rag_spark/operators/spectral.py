@@ -264,3 +264,94 @@ def pca_project(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col),
     )
     return v.mapInPandas(project, out_schema)
+
+
+# =====================================================================
+# Johnson-Lindenstrauss random projection (Achlioptas 2003 signs)
+# =====================================================================
+
+
+def jl_sign_matrix(k: int, d: int, seed: int = 0):
+    """Deterministic ±1 projection matrix (k x d), entry (j, i) =
+    +1 iff the first hex digit of md5("seed:j:i") is below 8 —
+    Achlioptas (2003) showed iid signs satisfy the JL lemma with the
+    same distortion bound as Gaussian entries. md5-derived (not a
+    JVM/numpy RNG) so the SAME matrix is constructible in any engine:
+    the ``embedding_rp`` oracle rebuilds it in DuckDB SQL from the
+    identical string recipe. Rows index output dims, 1-based i/j in
+    the hash input to match SQL's generate_subscripts convention."""
+    import hashlib
+
+    import numpy as np
+
+    m = np.empty((k, d), dtype=np.float64)
+    for j in range(1, k + 1):
+        for i in range(1, d + 1):
+            h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+            m[j - 1, i - 1] = 1.0 if int(h[0], 16) < 8 else -1.0
+    return m
+
+
+def jl_project(
+    embeddings: DataFrame,
+    k: int = 16,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss projection of every embedding to k dims:
+    ``(id, rp1..rpk)``, values in original units rounded to 6dp.
+
+    100 TB shape: ONE map-only Arrow pass — the k x d sign matrix
+    rides the closure (k*d doubles, e.g. 16 x 64 = 8 KB), there is no
+    training pass, no shuffle, no collect; this is the cheap
+    front-end that shrinks vectors before the ANN / dedup machinery
+    (``similarity.py``/``dedup.py``) whose costs scale with dim.
+
+    Oracle-parity discipline (shared with ``pca_project``): inputs
+    are 1e6-quantized to int64, and the signs are ±1, so the dot
+    product is an EXACT int64 sum — Spark's partial-sum tree and
+    DuckDB's sequential SUM agree bit-for-bit; the single division by
+    ``scale * sqrt(k)`` and the 6dp half-away round are then
+    deterministic in both engines. Same overflow contract as the
+    moment pass: d * scale * max|x| < 2^62 per output coordinate —
+    far looser than PCA's quadratic one, no guard needed at any
+    plausible embedding magnitude."""
+    import numpy as np
+    import pandas as pd
+
+    signs = jl_sign_matrix(k, embeddings_dim(embeddings, vec_col), seed)
+    div = scale * math.sqrt(k)
+
+    out_schema = StructType(
+        [StructField(id_col, LongType())]
+        + [StructField(f"rp{c + 1}", DoubleType()) for c in range(k)]
+    )
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q = _round_away(m * scale, 0)
+            p = _round_away((q @ signs.T) / div, 6)
+            out = {id_col: pdf[id_col].values}
+            for c in range(k):
+                out[f"rp{c + 1}"] = p[:, c]
+            yield pd.DataFrame(out)
+
+    v = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col),
+    )
+    return v.mapInPandas(project, out_schema)
+
+
+def embeddings_dim(embeddings: DataFrame, vec_col: str = "embedding") -> int:
+    """Embedding dimensionality from ONE row (the schema carries no
+    array length). A single-row collect, not a corpus scan."""
+    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).head(1)
+    if not row:
+        raise ValueError("cannot infer embedding dim from an empty corpus")
+    return int(row[0]["d"])

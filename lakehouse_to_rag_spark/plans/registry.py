@@ -5570,6 +5570,57 @@ FROM pr GROUP BY vec_id"""
     return "".join(parts)
 
 
+def _jl_oracle(d: int = 64, k: int = 16, seed: int = 0) -> str:
+    """Full replay of ``spectral.jl_project``: the md5-derived ±1
+    matrix is REBUILT in SQL from the identical string recipe
+    (md5("seed:j:i") first hex digit < 8), the dot products are
+    EXACT int64 sums over 1e6-quantized values (signs are ±1, so no
+    float reduction at all), and the single division + 6dp half-away
+    round are deterministic in both engines."""
+    pcs = ",\n       ".join(
+        f"MAX(CASE WHEN j = {c} THEN rp END) AS rp{c}"
+        for c in range(1, k + 1)
+    )
+    return f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), x AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(v, 1) AS dim,
+         CAST(ROUND(unnest(v) * 1000000.0, 0) AS BIGINT) AS q
+  FROM e
+), mat AS MATERIALIZED (
+  SELECT j.range + 1 AS j, i.range + 1 AS i,
+         CASE WHEN substr(md5(concat('{seed}:', j.range + 1, ':',
+                                      i.range + 1)), 1, 1)
+                   BETWEEN '0' AND '7'
+              THEN 1 ELSE -1 END AS s
+  FROM range({k}) j, range({d}) i
+), pr AS MATERIALIZED (
+  SELECT x.vec_id, m.j,
+         ROUND(CAST(SUM(x.q * m.s) AS DOUBLE)
+               / (1000000.0 * SQRT({float(k)!r})), 6) AS rp
+  FROM x JOIN mat m ON m.i = x.dim
+  GROUP BY x.vec_id, m.j
+)
+SELECT vec_id,
+       {pcs}
+FROM pr GROUP BY vec_id"""
+
+
+@_q("embedding_rp", _jl_oracle(d=64, k=16, seed=0))
+def embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of every embedding to
+    16 dims (Achlioptas-sign matrix derived from md5, no RNG): the
+    train-free, shuffle-free dimensionality reducer that shrinks
+    vectors before the ANN / dedup machinery. ONE map-only Arrow
+    pass; the 16 x 64 sign matrix rides the closure. The oracle
+    rebuilds the identical matrix in SQL and replays the exact-int64
+    dot products."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from lakehouse_to_rag_spark.operators import spectral
+
+    return spectral.jl_project(e, k=16, seed=0)
+
+
 _PCA_ORACLE = _pca_oracle(d=64, k=4, iters=20, sq=5)
 
 

@@ -105,3 +105,81 @@ def test_projection_plan_is_pure_map(emb):
     )
     assert "Exchange" not in plan
     assert "MapInPandas" in plan or "ArrowEval" in plan
+
+
+# ------------------------------------------------- JL random projection
+
+
+def test_jl_distance_preservation(emb):
+    """The JL lemma's whole point: pairwise distances survive the
+    16-dim projection within bounded distortion. With k=16 the bound
+    is loose (eps ~ sqrt(ln n / k) ~ 0.5 at n=40) — assert the
+    projected/original squared-distance ratio stays within a wide
+    [0.1, 4] band for every sampled pair and its MEDIAN is near 1
+    (unbiasedness of the sign estimator)."""
+    from lakehouse_to_rag_spark.operators.spectral import jl_project
+
+    rows = emb.orderBy("vec_id").limit(40).collect()
+    ids = [r["vec_id"] for r in rows]
+    orig = {r["vec_id"]: np.array(list(r["embedding"]), float) for r in rows}
+    proj = {
+        r["vec_id"]: np.array([r[f"rp{c}"] for c in range(1, 17)])
+        for r in jl_project(emb.limit(40), k=16).collect()
+    }
+    ratios = []
+    for a in ids[:20]:
+        for b in ids[20:]:
+            d0 = float(((orig[a] - orig[b]) ** 2).sum())
+            d1 = float(((proj[a] - proj[b]) ** 2).sum())
+            if d0 > 1e-9:
+                ratios.append(d1 / d0)
+    assert ratios
+    assert all(0.1 < r < 4.0 for r in ratios), (min(ratios), max(ratios))
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 0.75 < med < 1.3, med
+
+
+def test_jl_deterministic_and_seeded(emb):
+    from lakehouse_to_rag_spark.operators.spectral import jl_project
+
+    a = sorted(map(tuple, jl_project(emb, k=4, seed=0).collect()))
+    b = sorted(map(tuple, jl_project(emb, k=4, seed=0).collect()))
+    c = sorted(map(tuple, jl_project(emb, k=4, seed=1).collect()))
+    assert a == b
+    assert a != c  # a different seed is a different matrix
+
+
+def test_jl_semantics_vs_numpy(emb):
+    """Engine output == the quantize -> exact-int dot -> divide ->
+    round pipeline computed directly in numpy."""
+    from lakehouse_to_rag_spark.operators.spectral import (
+        jl_project,
+        jl_sign_matrix,
+    )
+
+    rows = emb.orderBy("vec_id").limit(10).collect()
+    m = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    q = np.floor(np.abs(m * 1e6) + 0.5) * np.sign(m * 1e6)
+    s = jl_sign_matrix(8, m.shape[1], seed=3)
+    want = (q @ s.T) / (1e6 * np.sqrt(8))
+    want = np.floor(np.abs(want * 1e6) + 0.5) * np.sign(want) / 1e6
+    got = {r["vec_id"]: [r[f"rp{c}"] for c in range(1, 9)]
+           for r in jl_project(emb.limit(10), k=8, seed=3).collect()}
+    for i, r in enumerate(rows):
+        assert np.allclose(got[r["vec_id"]], want[i], atol=1e-12)
+
+
+def test_jl_plan_is_pure_map(emb):
+    """No training pass at all: the whole operator is scan -> Arrow
+    eval, zero Exchange (at 100 TB this is the cheapest possible
+    per-row op)."""
+    from lakehouse_to_rag_spark.operators.spectral import jl_project
+
+    plan = (
+        jl_project(emb, k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "ArrowEval" in plan
