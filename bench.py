@@ -63,6 +63,9 @@ HEADLINE = [
     "wav_audio_stats",
     "temperature_mix",
     "trigram_backoff_scores",
+    # CCNet head/middle/tail cut over the trigram scores (adds the
+    # distributed two-phase global rank on top)
+    "perplexity_buckets",
     # round-4 additions: every remaining operator family gets a perf
     # row — trained ANN (coarse k-means + PQ residuals), the replayable
     # Lloyd-trained IVF, subword tokenization, the prefix-filtered

@@ -1362,3 +1362,115 @@ def blocklist_filter(
         n_blocked.cast("long").alias("n_blocked_words"),
         (n_blocked > max_hits).alias("flagged"),
     )
+
+
+# =====================================================================
+# CCNet-style perplexity bucketing (Wenzek et al. 2020, CCNet §3)
+# =====================================================================
+
+
+def global_rank(
+    df: DataFrame, order_cols: list, rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global rank under a TOTAL order, distributed:
+    range-repartition on the order columns, count rows per partition
+    (one tiny collect, bounded by the partition count), then
+    row_number WITHIN each partition plus the partition's prefix
+    offset. No single-partition Window anywhere — the classic
+    scalable substitute for ``row_number() OVER (ORDER BY ...)``,
+    which at 100 TB would funnel the corpus through one task.
+
+    ``order_cols`` must define a total order (add a unique id as the
+    last key); pass Column expressions (e.g. ``F.desc("score")``).
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"
+        )
+        num_partitions = int(num_partitions)
+    ranged = df.repartitionByRange(num_partitions, *order_cols)
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=False)  # one exchange, two uses
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn(
+            rank_col,
+            (F.row_number().over(w) + off[F.col("_pid")]).cast("long"),
+        )
+        .drop("_pid")
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    model_df: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's corpus partitioning (Wenzek et al. 2020 §3): score
+    every document with a language model trained on a reference
+    corpus, order by score, and cut into equal thirds — ``head``
+    (closest to the reference distribution), ``middle``, ``tail``.
+    Downstream pretraining recipes then sample the buckets at
+    different rates (or drop the tail outright).
+
+    The scorer is the package's held-out Stupid-Backoff trigram LM
+    (``trigram_backoff_scores``; CCNet itself uses a KenLM 5-gram —
+    same shape, exact integer counts here so the whole chain replays
+    in SQL). Higher ``avg_logscore`` = lower perplexity = head.
+
+    Bucket boundaries follow NTILE semantics exactly (bucket sizes
+    differ by at most one, larger buckets first), computed from the
+    distributed ``global_rank`` — NOT a single-partition NTILE
+    window; the oracle's ``NTILE(3) OVER (ORDER BY ...)`` replays it
+    bit-for-bit because both sides implement the same standard
+    definition over the same total order (score desc, id asc).
+
+    Output: (id, n_trigrams, avg_logscore, lm_rank, bucket) where
+    bucket is 'head' / 'middle' / 'tail' for n_buckets=3, else
+    'b1'..'bN'. Documents with no scorable trigram are absent (same
+    contract as the underlying scorer).
+    """
+    s = trigram_backoff_scores(df, model_df, id_col=id_col,
+                               text_col=text_col)
+    ranked = global_rank(
+        s, [F.desc("avg_logscore"), F.asc(id_col)], rank_col="lm_rank"
+    )
+    n = ranked.count()
+    q, r = divmod(n, n_buckets)
+    # NTILE(B): the first r buckets hold q+1 rows, the rest q
+    bounds = []
+    acc = 0
+    for b in range(1, n_buckets + 1):
+        acc += q + (1 if b <= r else 0)
+        bounds.append(acc)
+    bucket_idx = F.lit(n_buckets)
+    for b in range(n_buckets - 1, 0, -1):
+        bucket_idx = F.when(
+            F.col("lm_rank") <= bounds[b - 1], F.lit(b)
+        ).otherwise(bucket_idx)
+    names = (
+        {1: "head", 2: "middle", 3: "tail"}
+        if n_buckets == 3
+        else {b: f"b{b}" for b in range(1, n_buckets + 1)}
+    )
+    name_expr = F.lit(names[n_buckets])
+    for b in range(n_buckets - 1, 0, -1):
+        name_expr = F.when(
+            bucket_idx == F.lit(b), F.lit(names[b])
+        ).otherwise(name_expr)
+    return ranked.withColumn("bucket", name_expr)

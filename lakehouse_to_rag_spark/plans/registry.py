@@ -5282,6 +5282,38 @@ FROM s GROUP BY doc_id
 """
 
 
+_PPL_BUCKETS_ORACLE = f"""
+WITH base AS ({_TRIGRAM_BACKOFF_ORACLE}), nt AS (
+  SELECT doc_id, n_trigrams, avg_logscore, backoff_rate,
+         CAST(ROW_NUMBER() OVER (ORDER BY avg_logscore DESC, doc_id)
+              AS BIGINT) AS lm_rank,
+         NTILE(3) OVER (ORDER BY avg_logscore DESC, doc_id) AS b
+  FROM base
+)
+SELECT doc_id, n_trigrams, avg_logscore, backoff_rate, lm_rank,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+FROM nt
+"""
+
+
+@_q("perplexity_buckets", _PPL_BUCKETS_ORACLE)
+def perplexity_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning (Wenzek et
+    al. 2020 §3) over the held-out trigram LM scores: odd-id docs
+    scored under even-id-trained n-gram tables, ordered by
+    avg_logscore, cut into NTILE thirds. The rank is computed by the
+    DISTRIBUTED two-phase global_rank (range repartition + per-
+    partition offsets), never a single-partition window — the oracle
+    replays it with a plain NTILE because both implement the same
+    standard definition over the same total order."""
+    d = load_table(spark, sf_dir, "documents")
+    return ta.perplexity_buckets(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
 @_q("trigram_backoff_scores", _TRIGRAM_BACKOFF_ORACLE)
 def trigram_backoff_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-Backoff trigram scoring of the odd-id half under n-gram

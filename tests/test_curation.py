@@ -1027,3 +1027,96 @@ class TestBlocklistFilter:
             for r in blocklist_filter(docs, ["bad"], max_hits=1).collect()
         }
         assert not out[0] and out[1]
+
+
+class TestPerplexityBuckets:
+    """CCNet head/middle/tail partitioning (text_analysis.py:
+    perplexity_buckets) and the distributed global_rank under it."""
+
+    def _docs(self, spark, n=30):
+        rows = [
+            (i, " ".join(
+                ["the quick brown fox jumps over the lazy dog"] * (1 + i % 3)
+                + ([f"zz{i}q xx{i}w"] if i % 4 == 0 else [])
+            ))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_global_rank_matches_collect_sort(self, spark):
+        from pyspark.sql import functions as F
+
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            global_rank,
+        )
+
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 13) for i in range(50)], "id long, v long"
+        )
+        got = {
+            r["id"]: r["rank"]
+            for r in global_rank(
+                df, [F.desc("v"), F.asc("id")], num_partitions=7
+            ).collect()
+        }
+        # reference rank: sort by (-v, id)
+        want = {}
+        for r, (_negv, i) in enumerate(
+            sorted((-((i * 7) % 13), i) for i in range(50))
+        ):
+            want[i] = r + 1
+        assert got == want
+
+    def test_bucket_sizes_ntile(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            perplexity_buckets,
+        )
+
+        d = self._docs(spark, 31)
+        out = perplexity_buckets(
+            d.filter("doc_id % 2 = 1"), d.filter("doc_id % 2 = 0")
+        ).collect()
+        from collections import Counter
+
+        c = Counter(r["bucket"] for r in out)
+        n = len(out)
+        q, rem = divmod(n, 3)
+        assert c["head"] == q + (1 if rem >= 1 else 0)
+        assert c["middle"] == q + (1 if rem >= 2 else 0)
+        assert c["tail"] == q
+        # ranks are a permutation of 1..n and ordered by score desc
+        ranks = sorted(r["lm_rank"] for r in out)
+        assert ranks == list(range(1, n + 1))
+        by_rank = sorted(out, key=lambda r: r["lm_rank"])
+        scores = [r["avg_logscore"] for r in by_rank]
+        assert scores == sorted(scores, reverse=True)
+        # head scores >= tail scores
+        assert min(r["avg_logscore"] for r in by_rank if r["bucket"] == "head") >= \
+            max(r["avg_logscore"] for r in by_rank if r["bucket"] == "tail")
+
+    def test_custom_bucket_count_names(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            perplexity_buckets,
+        )
+
+        d = self._docs(spark, 21)
+        out = perplexity_buckets(
+            d.filter("doc_id % 2 = 1"), d.filter("doc_id % 2 = 0"),
+            n_buckets=4,
+        ).collect()
+        assert {r["bucket"] for r in out} <= {"b1", "b2", "b3", "b4"}
+
+    def test_no_single_partition_window(self, spark):
+        """The rank must come from the range-partitioned two-phase
+        form: the executed plan's Window runs partitioned (by _pid),
+        never over SinglePartition — the 100 TB constraint."""
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            perplexity_buckets,
+        )
+
+        d = self._docs(spark, 20)
+        out = perplexity_buckets(
+            d.filter("doc_id % 2 = 1"), d.filter("doc_id % 2 = 0")
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
