@@ -312,6 +312,42 @@ def main() -> None:
     ).count()
     print(f"mmr_rerank(10q,kc=20): {time.perf_counter() - t0:.1f}s rows={n}")
 
+    # r5b: JL projection is ONE map-only Arrow pass (no training, no
+    # shuffle) — the cheapest per-row op in the package; wall must
+    # track corpus size linearly with near-zero constant
+    from lakehouse_to_rag_spark.operators.spectral import jl_project
+
+    t0 = time.perf_counter()
+    n = jl_project(emb, k=16).count()
+    print(f"jl_project(k=16): {time.perf_counter() - t0:.1f}s rows={n}")
+
+    # r5b: perplexity bucketing = trigram scoring (probed above via
+    # trigram_backoff_scores) + the distributed two-phase global rank;
+    # the rank's own cost is one range exchange over the REDUCED
+    # per-doc score rows + a bounded partition-count collect
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        perplexity_buckets,
+    )
+
+    t0 = time.perf_counter()
+    n = perplexity_buckets(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    ).count()
+    print(f"perplexity_buckets: {time.perf_counter() - t0:.1f}s rows={n}")
+
+    # r5b: the two video containers are per-row mapInPandas codec
+    # work (encode->mux->demux->decode per doc) — embarrassingly
+    # parallel, wall tracks row count; probe with the registry
+    # recipes over the replicated doc_id space
+    from lakehouse_to_rag_spark.plans import registry as _reg
+
+    for name in ("avi_frame_stats", "mp4_frame_stats"):
+        fn = _reg.QUERIES[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        print(f"{name}@sf: {time.perf_counter() - t0:.1f}s rows={n}")
+
     spark.stop()
 
 
