@@ -118,15 +118,50 @@ HEADLINE = [
 ]
 
 
+def _calibrate_py() -> float:
+    """Fixed-work single-core Python figure (min of 3): cross-round
+    comparisons of the recorded BENCH_rN.json files divide by this to
+    remove host-speed drift — VERDICT r5 found a ~1.25x UNIFORM
+    inflation across untouched queries that only a same-machine A/B
+    could attribute to the host; this bakes that control into every
+    artifact. The loop is deterministic (checksum asserted) so the
+    work is identical in every round."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(10_000_000):
+            acc = (acc + i * 2654435761) & 0xFFFFFFFF
+        best = min(best, time.perf_counter() - t0)
+        assert acc == 122804416, "calibration checksum drift"
+    return round(best, 3)
+
+
+def _calibrate_jvm(spark) -> float:
+    """Fixed-work JVM-side figure (min of 3, after warmup): a
+    constant-size range aggregate that never touches the SF tables,
+    so it measures the same work every round regardless of data."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 2 + 1) AS s"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    calib_py = _calibrate_py()
     spark = get_spark("lakehouse-to-rag-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen warmup on a trivial action so the first timed query
     # doesn't pay session startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    calib_jvm = _calibrate_jvm(spark)
 
     # One UNTIMED warm-up pass over the whole list before the timed
     # passes: profiling shows the first execution of the pandas-UDF
@@ -184,6 +219,13 @@ def main() -> None:
                 "queries_p50": medians,
                 "value_p50": round(sum(medians.values()), 3),
                 "sf": sf,
+                # host-speed normalizers: divide cross-round totals by
+                # the ratio of these figures before comparing rounds
+                # (BASELINE.md "Bench calibration")
+                "calib": {
+                    "py_spin_sec": calib_py,
+                    "jvm_fixed_sec": calib_jvm,
+                },
             }
         )
     )

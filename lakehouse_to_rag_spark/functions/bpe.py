@@ -35,7 +35,12 @@ _WS_RE = re.compile("[ \t\n\x0b\f\r]+")
 
 
 def _split_ws(text: str) -> list[str]:
-    return [w for w in _WS_RE.split(text) if w]
+    # U+001F is the cross-engine symbol delimiter in the DuckDB
+    # training/encode oracle (plans/registry.py _bpe_oracle); both
+    # sides strip it from text before word splitting so the delimiter
+    # assumption is enforced rather than assumed (a corpus containing
+    # chr(31) would otherwise silently diverge — round-6 ADVICE fix).
+    return [w for w in _WS_RE.split(text.replace("\x1f", "")) if w]
 
 
 def bpe_train(

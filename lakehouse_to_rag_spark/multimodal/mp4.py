@@ -117,9 +117,15 @@ def encode_mp4_mjpeg(frames: list[bytes], fps: int = 10) -> bytes:
         + struct.pack(">6I", 0, 0, 0, 0, 0, 0)              # predefined
         + struct.pack(">I", 2),                             # next track
     )
+    # ISO 14496-12 8.3.2 v0 body (80 bytes): creation, modification,
+    # track_ID, reserved(4), duration, reserved(8), layer,
+    # alternate_group, volume (0 for video), reserved(2), matrix,
+    # 16.16 width/height.  (Round-6 ADVICE fix: the prior pack put
+    # duration in the reserved slot and dropped the volume pair,
+    # misaligning matrix/width/height for conforming parsers.)
     tkhd = _full(
         b"tkhd", 0, 3,  # flags: enabled | in-movie
-        struct.pack(">IIII4xII2x2x", 0, 0, 1, n, 0, 0)
+        struct.pack(">III4xI8xHHH2x", 0, 0, 1, n, 0, 0, 0)
         + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
                       0x40000000)
         + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
@@ -165,10 +171,13 @@ def encode_mp4_mjpeg(frames: list[bytes], fps: int = 10) -> bytes:
     return ftyp + mdat + moov
 
 
-def _walk(d: bytes, pos: int, end: int):
+def _walk(d: bytes, pos: int, end: int, top_level: bool = False):
     """Yield (fourcc, body_start, body_end) for one box level.
     Accepts 64-bit largesize boxes; size 0 (box extends to EOF) is
-    honored only at top level via the caller's ``end``. A declared
+    honored ONLY when ``top_level`` — ISO 14496-12 permits it solely
+    for the final top-level box, so a zero-size box at any nested
+    level is corruption and fails closed instead of silently
+    swallowing its sibling boxes (round-6 ADVICE fix). A declared
     size that overruns the level is corruption and raises."""
     while pos + 8 <= end:
         (size,) = struct.unpack_from(">I", d, pos)
@@ -181,6 +190,11 @@ def _walk(d: bytes, pos: int, end: int):
             body += 8
             size -= 8
         elif size == 0:  # to end of enclosing scope
+            if not top_level:
+                raise NotImplementedError(
+                    f"zero-size MP4 box {fourcc!r} below top level "
+                    "(spec allows it only for the final top-level box)"
+                )
             size = end - pos
         if size < body - pos or pos + size > end:
             raise NotImplementedError(
@@ -348,7 +362,7 @@ def _parse(payload: bytes, want_frames: bool):
     end = len(payload)
     moov = None
     mdats: list[tuple[int, int]] = []
-    for fourcc, body, bend in _walk(payload, 0, end):
+    for fourcc, body, bend in _walk(payload, 0, end, top_level=True):
         if fourcc == b"moov":
             moov = (body, bend)
         elif fourcc == b"mdat":

@@ -4170,10 +4170,18 @@ def _bpe_oracle(num_merges: int = 200, sample_rows: int = 500) -> str:
     form (functions/bpe.py docstring) — picks argmax by
     (count DESC, a DESC, b DESC) mirroring Python ``max`` over the
     (count, a, b) tuple, requires count >= 2, and rewrites all
-    occurrences left-to-right via delimiter-preserving REPLACE
-    (exactly the non-overlapping consume-both scan). Steps after
-    exhaustion are empty-best no-ops, the unrolled image of the
-    engine's ``break``.
+    occurrences left-to-right via REPLACE over a DOUBLE-delimited
+    symbol string (``sep sym sep sep sym sep ...``): with two
+    delimiters between adjacent symbols, the pattern
+    ``sep a sep sep b sep`` spans exactly two complete wrapped
+    symbols and consecutive occurrences never share characters, so
+    DuckDB's non-overlapping left-to-right REPLACE is EXACTLY the
+    engine's consume-both scan. (The round-5 single-delimiter form
+    diverged on delimiter-sharing repeats — 'haha', '2020',
+    odd runs like 'aaaaa' — because the first replacement consumed
+    the shared separator and hid the next occurrence; round-6
+    ADVICE.md high-severity fix.) Steps after exhaustion are
+    empty-best no-ops, the unrolled image of the engine's ``break``.
 
     Encoding: a RECURSIVE CTE over DISTINCT corpus words; each
     recursion step merges the FIRST occurrence of the LOWEST-ranked
@@ -4187,16 +4195,23 @@ def _bpe_oracle(num_merges: int = 200, sample_rows: int = 500) -> str:
 
     Whitespace: both engines split on the package WS_CLASS
     ([ \\t\\n\\x0B\\f\\r]+), the cross-engine contract every split
-    site shares."""
+    site shares. The chr(31) delimiter assumption is ENFORCED, not
+    assumed: both sides strip U+001F from the text before word
+    splitting (engine: functions/bpe.py _split_ws; oracle: the
+    replace() below), so a corpus containing the separator cannot
+    silently corrupt the delimited symbol strings (round-6 ADVICE.md
+    low-severity fix)."""
     sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
     ws = r"[ \t\n\x0B\f\r]+"
     sym0 = (
-        f"{sep} || array_to_string(regexp_extract_all(word, '.'), {sep})"
-        f" || {sep} || '</w>' || {sep}"
+        f"{sep} || array_to_string(regexp_extract_all(word, '.'), {sep2})"
+        f" || {sep2} || '</w>' || {sep}"
     )
     parts = [
         f"""WITH RECURSIVE sample AS MATERIALIZED (
-  SELECT text FROM documents WHERE text IS NOT NULL
+  SELECT replace(text, chr(31), '') AS text
+  FROM documents WHERE text IS NOT NULL
   ORDER BY doc_id LIMIT {sample_rows}
 ), sw AS MATERIALIZED (
   SELECT word, COUNT(*) AS freq FROM (
@@ -4211,7 +4226,7 @@ def _bpe_oracle(num_merges: int = 200, sample_rows: int = 500) -> str:
             f""", pr{t} AS (
   SELECT a, b, SUM(freq) AS cnt FROM (
     SELECT syms[i] AS a, syms[i + 1] AS b, freq FROM (
-      SELECT string_split(trim(s, {sep}), {sep}) AS syms, freq
+      SELECT string_split(trim(s, {sep}), {sep2}) AS syms, freq
       FROM wf{t - 1}
     ), UNNEST(range(1, len(syms))) AS u(i)
   ) GROUP BY a, b
@@ -4220,8 +4235,9 @@ def _bpe_oracle(num_merges: int = 200, sample_rows: int = 500) -> str:
   ORDER BY cnt DESC, a DESC, b DESC LIMIT 1
 ), wf{t} AS MATERIALIZED (
   SELECT word,
-         COALESCE((SELECT REPLACE(w.s, {sep} || b.a || {sep} || b.b || {sep},
-                                       {sep} || b.a || b.b || {sep})
+         COALESCE((SELECT REPLACE(w.s,
+                     {sep} || b.a || {sep2} || b.b || {sep},
+                     {sep} || b.a || b.b || {sep})
                    FROM best{t} b), w.s) AS s,
          freq
   FROM wf{t - 1} w
@@ -4238,7 +4254,9 @@ def _bpe_oracle(num_merges: int = 200, sample_rows: int = 500) -> str:
   SELECT list(a || {sep} || b ORDER BY rnk) AS pairs FROM mg
 ), dw AS MATERIALIZED (
   SELECT doc_id, word FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(text, '{ws}')) AS word
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+             replace(text, chr(31), ''), '{ws}')) AS word
     FROM documents WHERE text IS NOT NULL
   ) WHERE word <> ''
 ), enc0 AS MATERIALIZED (
@@ -4251,7 +4269,7 @@ def _bpe_oracle(num_merges: int = 200, sample_rows: int = 500) -> str:
            list_concat(
              list_concat(list_slice(syms, 1, p - 1),
                          [syms[p] || syms[p + 1]]),
-             list_slice(syms, p + 2, len(syms))), {sep}) || {sep} AS s,
+             list_slice(syms, p + 2, len(syms))), {sep2}) || {sep} AS s,
          step + 1
   FROM (
     SELECT word, step, syms, CAST(kmin % 100000 AS INT) AS p FROM (
@@ -4264,7 +4282,7 @@ def _bpe_oracle(num_merges: int = 200, sample_rows: int = 500) -> str:
                         syms[i] || {sep} || syms[i + 1]) * 100000 + i
                END)) AS kmin
       FROM (SELECT word, step,
-                   string_split(trim(s, {sep}), {sep}) AS syms
+                   string_split(trim(s, {sep}), {sep2}) AS syms
             FROM enc) e CROSS JOIN ml
     ) WHERE kmin IS NOT NULL
   )
@@ -4275,7 +4293,7 @@ def _bpe_oracle(num_merges: int = 200, sample_rows: int = 500) -> str:
     FROM enc
   ) WHERE rn = 1
 ), wtok AS MATERIALIZED (
-  SELECT word, len(string_split(trim(s, {sep}), {sep})) AS n FROM encf
+  SELECT word, len(string_split(trim(s, {sep}), {sep2})) AS n FROM encf
 )
 SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens
 FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d

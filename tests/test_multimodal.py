@@ -1259,6 +1259,52 @@ class TestMp4Container:
         assert back == frames  # muxer never touches frame bytes
         assert mp4_info(mp4) == (24, 16, 5, 12.0)
 
+    def test_tkhd_is_spec_conformant(self):
+        """ISO 14496-12 8.3.2: tkhd v0 body is exactly 80 bytes laid
+        out creation/modification/track_ID/reserved/duration,
+        reserved(8), layer/alt_group/volume/reserved(2), matrix,
+        16.16 width/height — an external conforming parser must read
+        the real duration and width/height at the spec offsets
+        (round-6 ADVICE fix: duration used to sit in the reserved
+        slot and matrix/width/height were misaligned)."""
+        import struct as st
+
+        from lakehouse_to_rag_spark.multimodal.mp4 import encode_mp4_mjpeg
+
+        n, w, h = 5, 24, 16
+        raw = encode_mp4_mjpeg(self._frames(n, w, h), fps=12)
+        at = raw.index(b"tkhd")
+        (size,) = st.unpack_from(">I", raw, at - 4)
+        assert size == 8 + 4 + 80  # header + FullBox version/flags + v0 body
+        body = raw[at + 8:at - 4 + size]  # after version/flags
+        creation, modification, track_id = st.unpack_from(">III", body, 0)
+        (duration,) = st.unpack_from(">I", body, 16)  # after reserved(4)
+        layer, alt_group, volume = st.unpack_from(">HHH", body, 28)
+        matrix = st.unpack_from(">9i", body, 36)
+        width, height = st.unpack_from(">II", body, 72)
+        assert (track_id, duration) == (1, n)
+        assert (layer, alt_group, volume) == (0, 0, 0)  # video: volume 0
+        assert matrix == (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        assert (width >> 16, height >> 16) == (w, h)
+
+    def test_nested_zero_size_box_fails_closed(self):
+        """A zero-size box is legal only as the FINAL TOP-LEVEL box;
+        nested (e.g. inside moov) it must raise, not swallow sibling
+        boxes (round-6 ADVICE fix)."""
+        import struct as st
+
+        from lakehouse_to_rag_spark.multimodal.mp4 import (
+            decode_mp4_mjpeg,
+            encode_mp4_mjpeg,
+        )
+
+        mp4 = bytearray(encode_mp4_mjpeg(self._frames(2), fps=10))
+        # zero out the size of the first box nested in moov (mvhd)
+        moov_at = bytes(mp4).index(b"moov")
+        st.pack_into(">I", mp4, moov_at + 4, 0)  # mvhd size := 0
+        with pytest.raises(NotImplementedError, match="zero-size"):
+            decode_mp4_mjpeg(bytes(mp4))
+
     def test_foreign_chunk_layouts(self):
         """Foreign writers pack several samples per chunk (stsc runs)
         and may use 64-bit co64 offsets; the demuxer must map samples

@@ -169,6 +169,31 @@ def test_evidence_rounds_ignores_failing_rows(tmp_path, monkeypatch):
     assert "hard_error" not in ev
 
 
+def test_driver_window_bounds_staleness_to_three_rounds():
+    """The mechanical rotation must actually retire staleness: with
+    the REAL CORRECTNESS files on disk, every entry whose newest
+    driver evidence is >= 3 rounds old must be inside the upcoming
+    50-entry window (VERDICT r5 'freshness follow-through'). If the
+    stale backlog ever exceeds the window's free slots this fails
+    loudly instead of letting entries silently age out."""
+    from lakehouse_to_rag_spark.plans import registry
+
+    ev = registry._evidence_rounds()
+    if not ev:  # fresh clone without CORRECTNESS files
+        return
+    newest = max(ev.values())
+    window = set(registry._driver_window())
+    stale = [
+        n for n in registry.QUERIES
+        if ev.get(n, 0) <= newest - 3
+    ]
+    left_out = [n for n in stale if n not in window]
+    assert not left_out, (
+        f"{len(left_out)} entries with evidence older than 3 rounds "
+        f"did not rotate into the window: {left_out[:10]}"
+    )
+
+
 def test_no_bare_whitespace_regex_in_split_oracles():
     """Java's \\s includes \\x0B; RE2's (DuckDB's) does not. Every
     word-split site in the oracle SQL must therefore use the explicit
