@@ -104,6 +104,10 @@ HEADLINE = [
     "embedding_rp",
     # diversity-aware retrieval tail: kNN candidates + greedy MMR
     "mmr_rerank",
+    # round-6 additions: the full production curation chain (8 fused
+    # stages) and the ANN-backed hybrid retrieval path
+    "pretrain_corpus_full",
+    "hybrid_retrieval_ivf",
     # video leg: JPEG encode -> AVI mux -> demux -> JPEG decode per
     # doc (pure-Python entropy coding like GIF/FLAC — compare
     # round-over-round)

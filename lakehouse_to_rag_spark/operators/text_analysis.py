@@ -445,6 +445,7 @@ def sequence_pack(
     id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str = "source",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing — the step between curated
     documents and fixed-length training batches: documents concatenate
@@ -462,6 +463,11 @@ def sequence_pack(
     arbitrarily many independent packing streams. Token counts are the
     whitespace estimator from ``token_counts`` (same expression, so
     budgets agree across the two operators).
+
+    ``order_col`` overrides the within-group packing order (default:
+    the id) — the pretraining capstone packs each shard in its
+    deterministic ``training_shuffle`` key order so the packed
+    sequences ARE the epoch's training order.
     """
     from pyspark.sql import Window
 
@@ -469,20 +475,26 @@ def sequence_pack(
     toks = F.size(F.split(t, WS_CLASS, -1)).cast("long")
     w = (
         Window.partitionBy(group_col)
-        .orderBy(F.col(id_col))
+        .orderBy(F.col(order_col or id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
     start = cum - F.col("n_tokens")  # first-token offset in the stream
     end = cum - F.lit(1)  # last-token offset
-    return (
-        df.select(F.col(id_col), F.col(group_col), toks.alias("n_tokens"))
+    keep = [F.col(id_col), F.col(group_col)]
+    if order_col and order_col != id_col:
+        keep.append(F.col(order_col))  # window sort key must survive
+    out = (
+        df.select(*keep, toks.alias("n_tokens"))
         .withColumn("seq_id", (start / seq_tokens).cast("long"))
         .withColumn(
             "straddles_boundary",
             ((end / seq_tokens).cast("long") > (start / seq_tokens).cast("long")),
         )
     )
+    if order_col and order_col != id_col:
+        out = out.drop(order_col)
+    return out
 
 
 def quality_prune(

@@ -987,6 +987,49 @@ class TestWritePretrainCorpus:
         assert c != a_keys  # new epoch permutation
 
 
+class TestPretrainCorpusFull:
+    def test_pretrain_corpus_full_sink(self, spark, sf_dir, tmp_path):
+        """The capstone's non-relational tail: the packed selection
+        written through write_pretrain_corpus must land as shard=N/
+        directories whose parquet footers show (a) rows ascending by
+        shuffle_key within every file and (b) EXACTLY the capstone's
+        doc->shard assignment (same 'epoch0' md5 expressions), so the
+        sink is the packed plan made durable, not a re-derivation."""
+        import pathlib
+
+        import pyarrow.parquet as pq
+
+        from lakehouse_to_rag_spark.operators.curation import (
+            write_pretrain_corpus,
+        )
+        from lakehouse_to_rag_spark.plans.registry import QUERIES
+        from lakehouse_to_rag_spark.sources.tables import load_table
+
+        packed = QUERIES["pretrain_corpus_full"](spark, sf_dir).collect()
+        want = {r["doc_id"]: r["shard"] for r in packed}
+        assert want, "capstone selected an empty corpus"
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id").isin(list(want)))
+            .select("doc_id", "text", "source")
+        )
+        path = str(tmp_path / "corpus")
+        write_pretrain_corpus(docs, path, n_shards=4, seed="epoch0")
+
+        got: dict[int, int] = {}
+        files = list(pathlib.Path(path).rglob("*.parquet"))
+        assert files
+        for f in files:
+            shard = int(str(f).split("shard=")[1].split("/")[0])
+            t = pq.read_table(f, columns=["doc_id", "shuffle_key"])
+            keys = t["shuffle_key"].to_pylist()
+            assert keys == sorted(keys), f  # epoch order inside the file
+            for d in t["doc_id"].to_pylist():
+                got[d] = shard
+        assert got == want
+
+
 class TestBlocklistFilter:
     def test_whole_word_and_case_semantics(self, spark):
         from lakehouse_to_rag_spark.operators.text_analysis import (

@@ -289,3 +289,24 @@ def test_pretrain_pipeline_no_cartesian_anti_join_final(spark, sf_dir):
     plan = _plan(QUERIES["pretrain_pipeline"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan, plan
+
+
+def test_pretrain_corpus_full_materializes_each_stage_once(spark, sf_dir):
+    """The capstone chain's multi-consumer intermediates (line-dedup
+    output, Gopher keepers, survivor set, NB-selected set) are lazily
+    checkpointed, so every downstream consumer SCANS the materialized
+    RDD instead of replaying the producing chain: the final plan shows
+    checkpoint-boundary scans and contains NONE of the expensive
+    upstream shapes (the corpus+recrawl Union, the shingle explode,
+    the Jaccard self-join) — each stage runs once per pipeline, not
+    once per consumer."""
+    from lakehouse_to_rag_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["pretrain_corpus_full"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # `selected` feeds both the mix-rate computation and the join-back
+    # (plus sel_in upstream): at least 2 checkpoint scans must appear
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    # upstream chains stay behind their checkpoints
+    assert "Union" not in plan, plan
+    assert "Generate" not in plan, plan  # no shingle explode replay
