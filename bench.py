@@ -105,9 +105,11 @@ HEADLINE = [
     # diversity-aware retrieval tail: kNN candidates + greedy MMR
     "mmr_rerank",
     # round-6 additions: the full production curation chain (8 fused
-    # stages) and the ANN-backed hybrid retrieval path
+    # stages), the ANN-backed hybrid retrieval path, and perceptual
+    # image dedup (PNG round-trip + pHash + banded Hamming join)
     "pretrain_corpus_full",
     "hybrid_retrieval_ivf",
+    "image_phash_dedup",
     # video leg: JPEG encode -> AVI mux -> demux -> JPEG decode per
     # doc (pure-Python entropy coding like GIF/FLAC — compare
     # round-over-round)

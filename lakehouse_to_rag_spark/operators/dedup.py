@@ -482,6 +482,73 @@ def simhash_pairs_md5(
     return _banded_hamming_pairs(sh, 60, num_bands, max_hamming)
 
 
+# -------------------------------------------- perceptual image dedup
+
+def image_hash_pairs(
+    images: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "phash",
+    max_hamming: int = 6,
+    num_bands: int = 16,
+) -> DataFrame:
+    """Perceptual IMAGE near-dup pairs — content dedup for the
+    multimodal column (crawl corpora are full of re-encoded/
+    brightness-shifted copies exact byte-dedup misses): decode each
+    PNG payload, hash it with dHash or pHash
+    (multimodal/phash.py), then find pairs within ``max_hamming``
+    bits via the SAME pigeonhole-banded equi-join as SimHash text
+    dedup — no all-pairs product, candidates only where >= 1 of the
+    ``num_bands`` blocks agrees (guaranteed complete for hamming <=
+    num_bands - 1).
+
+    Scale shape: decode+hash is one Arrow-batched ``mapInPandas``
+    pass (embarrassingly parallel, the codec is the per-core cost);
+    the signature table is docs x 1 long, checkpointed so the
+    self-join can't re-decode; the banded join shuffles 64-bit
+    signatures, not images. A decode failure fails CLOSED (the codec
+    raises its documented NotImplementedError) — corrupt payloads
+    must be quarantined upstream, not silently skipped into a
+    missed-duplicate.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lakehouse_to_rag_spark.multimodal.ops import decode_png
+    from lakehouse_to_rag_spark.multimodal.phash import dhash64, phash63
+
+    if method not in ("phash", "dhash"):
+        raise NotImplementedError(
+            f"unknown image hash method {method!r}: phash | dhash"
+        )
+    hash_fn = phash63 if method == "phash" else dhash64
+    schema = StructType(
+        [StructField("id", LongType()), StructField("simhash", LongType())]
+    )
+
+    def _hash(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "simhash": [
+                        hash_fn(decode_png(bytes(p)))
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    sh = (
+        maybe_parallelize(images.select(F.col(id_col), F.col(payload_col)))
+        .mapInPandas(_hash, schema=schema)
+        .localCheckpoint(eager=False)
+    )
+    return _banded_hamming_pairs(sh, 64, num_bands, max_hamming)
+
+
 # ------------------------------------------------- embedding near-dup
 
 def embedding_dup_pairs(

@@ -1484,3 +1484,144 @@ class TestMp4Container:
             assert (px == decode_jpeg(truth[r["frame_index"]])).all()
         n_expected = sum(len(range(0, 3 + i % 3, 2)) for i in range(6))
         assert len(sampled) == n_expected
+
+
+class TestPerceptualImageDedup:
+    """dHash/pHash + banded-Hamming image dedup (multimodal/phash.py,
+    operators/dedup.py::image_hash_pairs) — the multimodal CONTENT
+    dedup capability (byte dedup misses re-encoded/brightness-shifted
+    copies)."""
+
+    @staticmethod
+    def _synth(doc_id):
+        import numpy as np
+
+        base, pert = doc_id // 2, doc_id % 2
+        w, h = 33 + base % 31, 33 + base % 29
+        y, x = np.mgrid[0:h, 0:w]
+        r = (x * (7 + base % 13) + y * (5 + base % 11) + base * 11) % 256
+        if pert:
+            r = np.minimum(255, r + 3)
+        g = (x * (3 + base % 7) + y * (2 + base % 5) + base * 7) % 256
+        b = (x * 2 + y * 3 + base) % 256
+        return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+    def test_phash_brightness_invariance_and_discrimination(self):
+        """A mild brightness shift (the planted perturbation) moves
+        pHash by <= 2 bits; unrelated images differ by >= 10 — the
+        margins the max_hamming=6 threshold sits between."""
+        from lakehouse_to_rag_spark.multimodal.phash import (
+            hamming64,
+            phash63,
+        )
+
+        hs = {i: phash63(self._synth(i)) for i in range(60)}
+        for k in range(30):
+            assert hamming64(hs[2 * k], hs[2 * k + 1]) <= 2, k
+        cross = [
+            hamming64(hs[a], hs[b])
+            for a in range(60)
+            for b in range(a + 1, 60)
+            if not (b == a + 1 and a % 2 == 0)
+        ]
+        assert min(cross) >= 10
+
+    def test_dhash_exactness_and_margins(self):
+        """dHash is pure integer arithmetic: recompute its bits from
+        the 9x8 NN-grayscale directly and compare; planted pairs land
+        at hamming 0, unrelated >= 11."""
+        from lakehouse_to_rag_spark.multimodal.phash import (
+            dhash64,
+            grayscale_bt601,
+            hamming64,
+            nn_resize,
+        )
+
+        px = self._synth(6)
+        g = nn_resize(grayscale_bt601(px), 8, 9)
+        want = 0
+        for i in range(8):
+            for j in range(8):
+                if g[i, j + 1] > g[i, j]:
+                    want |= 1 << (i * 8 + j)
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert dhash64(px) == want
+
+        hs = {i: dhash64(self._synth(i)) for i in range(60)}
+        for k in range(30):
+            assert hamming64(hs[2 * k], hs[2 * k + 1]) == 0
+        cross = [
+            hamming64(hs[a], hs[b])
+            for a in range(60)
+            for b in range(a + 1, 60)
+            if not (b == a + 1 and a % 2 == 0)
+        ]
+        assert min(cross) >= 11
+
+    def test_planted_near_duplicate_recall(self, spark, sf_dir):
+        """End to end through the registry entry (PNG encode ->
+        decode -> pHash -> banded join): EVERY planted pair (2k,
+        2k+1) is recovered and NOTHING else — recall 1.0, precision
+        1.0 at hamming <= 6."""
+        from lakehouse_to_rag_spark.plans.registry import QUERIES
+        from lakehouse_to_rag_spark.sources.tables import load_table
+
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in QUERIES["image_phash_dedup"](spark, sf_dir).collect()
+        }
+        want = {
+            (2 * k, 2 * k + 1) for k in range(n_docs // 2)
+        }
+        assert set(got) == want
+        assert max(got.values()) <= 2
+
+    def test_dhash_pairs_backend(self, spark):
+        """The dhash method through image_hash_pairs finds the same
+        planted pairs (hamming 0) with zero false positives."""
+        import pandas as pd
+
+        from lakehouse_to_rag_spark.multimodal.ops import encode_png
+        from lakehouse_to_rag_spark.operators.dedup import image_hash_pairs
+
+        rows = [(i, encode_png(self._synth(i))) for i in range(20)]
+        images = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "payload"])
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in image_hash_pairs(
+                images, method="dhash", max_hamming=3, num_bands=8
+            ).collect()
+        }
+        assert got == {(2 * k, 2 * k + 1) for k in range(10)}
+
+    def test_fail_closed_on_corrupt_payload_and_bad_method(self, spark):
+        import pandas as pd
+        import pytest
+
+        from lakehouse_to_rag_spark.multimodal.ops import encode_png
+        from lakehouse_to_rag_spark.operators.dedup import image_hash_pairs
+
+        with pytest.raises(NotImplementedError, match="phash | dhash"):
+            image_hash_pairs(
+                spark.createDataFrame(
+                    pd.DataFrame([(0, b"x")], columns=["doc_id", "payload"])
+                ),
+                method="ahash",
+            )
+
+        good = encode_png(self._synth(0))
+        images = spark.createDataFrame(
+            pd.DataFrame(
+                [(0, good), (1, good[:20] + b"\x00" * 10)],
+                columns=["doc_id", "payload"],
+            )
+        )
+        with pytest.raises(Exception) as ei:
+            image_hash_pairs(images, method="phash").collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
