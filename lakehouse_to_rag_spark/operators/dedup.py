@@ -1385,6 +1385,7 @@ def semdedup(
     vec_col: str = "embedding",
     max_cluster_rows: int = 200_000,
     max_split_depth: int = 4,
+    split_train_rows: int = 16_384,
 ) -> DataFrame:
     """Cluster-scoped semantic dedup (SemDeDup, Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1413,7 +1414,14 @@ def semdedup(
     the standard hierarchy approximation; the kept set can only grow.
     A cluster that cannot be split (e.g. > cap byte-identical vectors
     collapsing to one distinct seed) still raises rather than building
-    a quadratic block.
+    a quadratic block. Sub-quantizers train on a bounded
+    ``split_train_rows`` sample (smallest ids — same first-k-distinct
+    seeds as full training) while ASSIGNMENT stays full-cluster, so
+    per-level retraining is O(sample) instead of O(cluster) — the
+    term that matters when an oversized cluster is millions of rows.
+    (Round-6 finding: at the 50x probe the retraining term was NOT
+    the dominant cost — the leaf pair scans were, cut ~40% by the
+    candidate pre-filter in ``_dedup_cluster``; numbers in SCALE.md.)
 
     Training reuses ``kmeans_centroids`` (12dp-rounded Lloyd, the
     oracle-replayable quantizer) and assignment ``_gemm_assign``,
@@ -1490,7 +1498,25 @@ def semdedup(
             # target half-full leaves so one split round usually ends
             # the recursion even under moderately uneven sub-clusters
             k = max(2, math.ceil(n / max(1, max_cluster_rows // 2)))
-            sub_cent = kmeans_centroids(sub, k, iterations, id_col, vec_col)
+            # SAMPLED sub-quantizer training (round-6: the 3x
+            # pathological-k penalty was per-level retraining over the
+            # FULL oversized cluster): train Lloyd on the smallest
+            # `split_train_rows` ids — a deterministic top-k, so the
+            # first-k-distinct seeds are identical to full-corpus
+            # training — then assign the WHOLE cluster against those
+            # centroids. The tokenizer-family discipline (BPE trains
+            # on a bounded sample, the encoder scales).
+            train = (
+                sub if n <= split_train_rows
+                # checkpoint: every Lloyd pass reads the sample, and
+                # without it each pass replays the filter+top-k
+                else sub.orderBy(F.col(id_col))
+                .limit(split_train_rows)
+                .localCheckpoint(eager=False)
+            )
+            sub_cent = kmeans_centroids(
+                train, k, iterations, id_col, vec_col
+            )
             sub_rows = [
                 (int(r[0]), [float(x) for x in r[1]])
                 for r in sub_cent.collect()
@@ -1550,16 +1576,24 @@ def semdedup(
         # reorder float ops and risk 4dp-boundary drift
         strip = 2048
         dropped = np.zeros(len(ids), dtype=bool)
+        # candidate pre-filter (round-6): _round_away over the FULL
+        # strip was ~45% of the leaf scan; rounded >= threshold
+        # implies raw >= threshold - 0.5e-4, so filtering at a safely
+        # wider threshold - 1e-4 and rounding ONLY the surviving
+        # entries is decision-identical (the exact 4dp compare still
+        # runs on every candidate) at a fraction of the cost
+        pre = threshold - 1e-4
+        cols = np.arange(len(ids))[None, :]
         for s in range(0, len(ids), strip):
             e = min(s + strip, len(ids))
-            sims = _round_away(
-                (m[s:e] @ m.T) / n[s:e, None] / n[None, :], 4
-            )
+            sims = (m[s:e] @ m.T) / n[s:e, None] / n[None, :]
             # mask to strictly-smaller ids: global col index < row index
-            cols = np.arange(len(ids))[None, :]
             rows = np.arange(s, e)[:, None]
-            hit = (sims >= threshold) & (cols < rows)
-            dropped[s:e] = hit.any(axis=1)
+            cand = (sims >= pre) & (cols < rows)
+            ii, jj = np.nonzero(cand)
+            if len(ii):
+                hit = _round_away(sims[ii, jj], 4) >= threshold
+                dropped[s + np.unique(ii[hit])] = True
         return pd.DataFrame(
             {
                 id_col: ids,
