@@ -110,6 +110,9 @@ HEADLINE = [
     "pretrain_corpus_full",
     "hybrid_retrieval_ivf",
     "image_phash_dedup",
+    # unigram-LM (SentencePiece-style) tokenizer: sample-trained
+    # hard-EM, distributed Viterbi encode
+    "unigram_token_counts",
     # video leg: JPEG encode -> AVI mux -> demux -> JPEG decode per
     # doc (pure-Python entropy coding like GIF/FLAC — compare
     # round-over-round)

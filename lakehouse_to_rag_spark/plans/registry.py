@@ -4650,6 +4650,178 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(enc_in, merges, vocab).select("doc_id", "n_tokens")
 
 
+def _unigram_oracle(
+    max_word_len: int = 20,
+    max_piece_len: int = 4,
+    max_multi: int = 200,
+    sample_rows: int = 500,
+    em_iters: int = 2,
+    unk_micro: int = -30_000_000,
+) -> str:
+    """Unigram-LM tokenizer replay (functions/unigram.py) — BPE's
+    SentencePiece-style twin, TRAINING and ENCODING fully in SQL.
+
+    Three Viterbi DP passes (hard-EM step 1, hard-EM step 2, corpus
+    encode), each unrolled to ``max_word_len`` position layers: layer
+    j keeps the single best state per word for prefix word[:j] over
+    up to ``max_piece_len`` vocab transitions plus the UNK
+    single-char fallback, winner by the TOTAL order (score DESC,
+    n_tokens ASC, path ASC) — identical to the engine's per-cell
+    comparison, so ties cannot diverge. Scores are exact BIGINT sums
+    of integer-micro log-probs (floor(ln(cnt/total)*1e6 + 0.5) over
+    exact integer counts); words chunk to ``max_word_len`` chars on
+    both sides (the static unroll bound); chr(31) is the path
+    separator and is stripped from text on both sides (the BPE
+    module's enforced-delimiter contract). Every DP layer is
+    MATERIALIZED — layer j references layers j-1..j-4, and inlining
+    would expand the plan exponentially."""
+    L, PL = max_word_len, max_piece_len
+    ws = r"[ \t\n\x0B\f\r]+"
+
+    def dp_pass(tag: str, base_words: str, lp: str) -> str:
+        parts = [
+            f""", d{tag}_0 AS MATERIALIZED (
+  SELECT word, CAST(0 AS BIGINT) AS score, 0 AS ntok, '' AS path
+  FROM {base_words}
+)"""
+        ]
+        for j in range(1, L + 1):
+            cands = []
+            for k in range(1, min(PL, j) + 1):
+                cands.append(
+                    f"""      SELECT d.word, d.score + v.lp AS score, d.ntok + 1 AS ntok,
+             CASE WHEN d.path = '' THEN v.piece
+                  ELSE d.path || chr(31) || v.piece END AS path
+      FROM d{tag}_{j - k} d JOIN lp{lp} v
+        ON v.piece = substr(d.word, {j - k + 1}, {k})
+      WHERE len(d.word) >= {j}"""
+                )
+            cands.append(
+                f"""      SELECT d.word, d.score + ({unk_micro}) AS score, d.ntok + 1 AS ntok,
+             CASE WHEN d.path = '' THEN substr(d.word, {j}, 1)
+                  ELSE d.path || chr(31) || substr(d.word, {j}, 1) END AS path
+      FROM d{tag}_{j - 1} d
+      WHERE len(d.word) >= {j}
+        AND NOT EXISTS (SELECT 1 FROM lp{lp} v
+                        WHERE v.piece = substr(d.word, {j}, 1))"""
+            )
+            union = "\n      UNION ALL\n".join(cands)
+            parts.append(
+                f""", d{tag}_{j} AS MATERIALIZED (
+  SELECT word, score, ntok, path FROM (
+    SELECT word, score, ntok, path,
+           ROW_NUMBER() OVER (PARTITION BY word
+             ORDER BY score DESC, ntok ASC, path ASC) AS rn
+    FROM (
+{union}
+    )
+  ) WHERE rn = 1
+)"""
+            )
+        fins = "\n  UNION ALL ".join(
+            f"SELECT word, score, ntok, path FROM d{tag}_{j} WHERE len(word) = {j}"
+            for j in range(1, L + 1)
+        )
+        parts.append(f""", fin{tag} AS MATERIALIZED (\n  {fins}\n)""")
+        return "".join(parts)
+
+    head = f"""WITH sample AS MATERIALIZED (
+  SELECT replace(text, chr(31), '') AS text
+  FROM documents WHERE text IS NOT NULL
+  ORDER BY doc_id LIMIT {sample_rows}
+), sw AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(text, '{ws}')) AS word FROM sample
+  ) WHERE word <> '' GROUP BY word
+), wf AS MATERIALIZED (
+  SELECT cw AS word, SUM(freq) AS freq FROM (
+    SELECT substr(word, p * {L} + 1, {L}) AS cw, freq
+    FROM sw, UNNEST(range(0, CAST(CEIL(len(word) / {L}.0) AS BIGINT))) AS u(p)
+  ) GROUP BY cw
+), subs AS MATERIALIZED (
+  SELECT substr(word, i + 1, ln) AS piece, SUM(freq) AS cnt
+  FROM wf,
+       UNNEST(range(1, {PL} + 1)) AS l(ln),
+       UNNEST(range(0, len(word))) AS s(i)
+  WHERE i + ln <= len(word)
+  GROUP BY piece
+), vocab AS MATERIALIZED (
+  SELECT piece, cnt FROM subs WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+    FROM subs WHERE len(piece) >= 2 AND cnt >= 2
+  ) WHERE rn <= {max_multi}
+), lp0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(FLOOR(LN(CAST(cnt AS DOUBLE) / t.tot) * 1000000.0 + 0.5)
+              AS BIGINT) AS lp
+  FROM vocab, (SELECT SUM(cnt) AS tot FROM vocab) t
+), wfw AS MATERIALIZED (SELECT word FROM wf)"""
+    recount = """, pc{X} AS MATERIALIZED (
+  SELECT piece, SUM(freq) AS f FROM (
+    SELECT unnest(string_split(path, chr(31))) AS piece, freq
+    FROM fin{T} JOIN wf USING (word)
+  ) GROUP BY piece
+), cnt{X} AS MATERIALIZED (
+  SELECT v.piece, 1 + COALESCE(pc{X}.f, 0) AS cnt
+  FROM vocab v LEFT JOIN pc{X} ON v.piece = pc{X}.piece
+), lp{X} AS MATERIALIZED (
+  SELECT piece,
+         CAST(FLOOR(LN(CAST(cnt AS DOUBLE) / t.tot) * 1000000.0 + 0.5)
+              AS BIGINT) AS lp
+  FROM cnt{X}, (SELECT SUM(cnt) AS tot FROM cnt{X}) t
+)"""
+    assert em_iters == 2, "the unrolled oracle is built for em_iters=2"
+    body = (
+        dp_pass("a", "wfw", "0")
+        + recount.format(X="1", T="a")
+        + dp_pass("b", "wfw", "1")
+        + recount.format(X="2", T="b")
+    )
+    enc_head = f""", dw AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+             replace(text, chr(31), ''), '{ws}')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE word <> ''
+), dwc AS MATERIALIZED (
+  SELECT doc_id, substr(word, p * {L} + 1, {L}) AS word
+  FROM dw, UNNEST(range(0, CAST(CEIL(len(word) / {L}.0) AS BIGINT))) AS u(p)
+), encw AS MATERIALIZED (SELECT DISTINCT word FROM dwc)"""
+    tail = """
+SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN (
+  SELECT doc_id, SUM(ntok) AS n
+  FROM dwc JOIN fine USING (word) GROUP BY doc_id
+) s USING (doc_id)"""
+    return head + body + enc_head + dp_pass("e", "encw", "2") + tail
+
+
+_UNIGRAM_ORACLE = _unigram_oracle()
+
+
+@_q("unigram_token_counts", _UNIGRAM_ORACLE)
+def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) subword tokenization — the
+    tokenizer twin modern pipelines train alongside BPE: seeded
+    substring vocabulary, two hard-EM (Viterbi) re-estimation rounds
+    on a bounded sample, distributed Viterbi encode with per-word
+    memoization; emits (doc_id, n_tokens)."""
+    from lakehouse_to_rag_spark.functions.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    logp = unigram_train(d, sample_rows=500, max_multi=200, em_iters=2)
+    enc_in = load_table(spark, sf_dir, "documents", parallelize=True)
+    return unigram_encode(enc_in, logp)
+
+
 # IVF-PQ full-training replay (upgraded from rows-only in round 5):
 # the oracle re-runs the ENTIRE pipeline in SQL — sample k-means for
 # the coarse quantizer, a fresh final assignment, residual subspace

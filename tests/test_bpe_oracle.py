@@ -92,3 +92,93 @@ def test_chr31_stripped_before_word_split():
     from lakehouse_to_rag_spark.functions.bpe import _split_ws
 
     assert _split_ws("ha\x1fha boo\x1f\x1fboo") == ["haha", "booboo"]
+
+
+# ---------------------------------------------- unigram-LM tokenizer
+
+_UNI_TEXTS = [
+    "supercalifragilisticexpialidocious antidisestablishmentarianism",
+    "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",  # 44 chars: 3 chunks
+    "haha hahaha 2020 20202 the cat sat on the mat",
+    "na\x1five uni\x1f\x1fcode mixed123 !!!",  # chr(31) stripped both sides
+    "the the the the cat cat dog dog dog banana",
+    "",
+    None,
+    "x",
+    "zzzz qqqq xxxx unseen-chars: ---",
+]
+
+
+@pytest.fixture(scope="module")
+def uni_toy_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("unigram_toy")
+    pd.DataFrame(
+        {
+            "doc_id": list(range(len(_UNI_TEXTS))),
+            "text": _UNI_TEXTS,
+            "lang": ["en"] * len(_UNI_TEXTS),
+            "source": ["toy"] * len(_UNI_TEXTS),
+            "n_chars": [len(t) if t else 0 for t in _UNI_TEXTS],
+        }
+    ).to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def test_unigram_token_counts_matches_oracle_on_adversarial_corpus(
+    spark, uni_toy_dir
+):
+    """Engine vs the unrolled 3-pass Viterbi oracle on the shapes that
+    stress the contract: words longer than the 20-char chunk bound,
+    chr(31) in text, repeats, single chars, chars unseen at encode
+    time (UNK fallback)."""
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.queries()["unigram_token_counts"](spark, uni_toy_dir)
+    got = {r["doc_id"]: r["n_tokens"] for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{uni_toy_dir}/documents.parquet'"
+    )
+    want = dict(
+        con.execute(entrymod.oracle_sql()["unigram_token_counts"]).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert 6 not in got      # null text dropped
+    assert got[5] == 0       # empty text -> 0 tokens
+    assert got[7] >= 1       # single char segmentable
+
+
+def test_unigram_viterbi_total_order_and_chunking():
+    from lakehouse_to_rag_spark.functions.unigram import (
+        UNK_MICRO,
+        _chunks,
+        _viterbi,
+    )
+
+    # deterministic winner under exact score ties: two vocabularies
+    # where 'ab'+'cd' and 'abc'+'d' tie on score -> fewer-tokens is
+    # not a tiebreak here (both 2) -> lexicographic path wins
+    logp = {"ab": -10, "cd": -10, "abc": -10, "d": -10, "a": -50,
+            "b": -50, "c": -50}
+    score, ntok, path = _viterbi("abcd", logp, 4)
+    assert (score, ntok) == (-20, 2)
+    assert path == "ab\x1fcd"  # 'ab…' < 'abc…' lexicographically
+
+    # UNK fallback: unseen chars advance one position at the penalty
+    score, ntok, _ = _viterbi("xy", {"x": -5}, 4)
+    assert ntok == 2 and score == -5 + UNK_MICRO
+
+    assert _chunks("a" * 44, 20) == ["a" * 20, "a" * 20, "a" * 4]
+
+
+def test_unigram_train_is_deterministic(spark, uni_toy_dir):
+    from lakehouse_to_rag_spark.functions.unigram import unigram_train
+    from lakehouse_to_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, uni_toy_dir, "documents")
+    a = unigram_train(d, em_iters=2)
+    b = unigram_train(d, em_iters=2)
+    assert a == b and len(a) > 10
