@@ -110,6 +110,7 @@ HEADLINE = [
     "pretrain_corpus_full",
     "hybrid_retrieval_ivf",
     "image_phash_dedup",
+    "audio_fingerprint_dedup",
     # unigram-LM (SentencePiece-style) tokenizer: sample-trained
     # hard-EM, distributed Viterbi encode
     "unigram_token_counts",

@@ -111,3 +111,26 @@ def phash63(px: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def audio_envelope_fp63(samples: np.ndarray, n_frames: int = 64) -> int:
+    """Perceptual AUDIO fingerprint: the energy-envelope difference
+    signature (the simplified Shazam/Chromaprint shape — the temporal
+    loudness contour survives re-encoding and mild level shifts that
+    break byte dedup). The signal is cut into ``n_frames`` equal
+    frames (tail truncated); bit f = 1 iff frame f+1 has strictly
+    more energy (exact integer sum of squares) than frame f — 63
+    bits for the default 64 frames, purely integer arithmetic, so
+    any engine reproduces every bit. Non-negative int64."""
+    s = np.asarray(samples, dtype=np.int64).reshape(-1)
+    if len(s) < n_frames:
+        raise NotImplementedError(
+            f"audio fingerprint needs >= {n_frames} samples, got {len(s)}"
+        )
+    per = len(s) // n_frames
+    e = (s[: per * n_frames] ** 2).reshape(n_frames, per).sum(axis=1)
+    out = 0
+    for f in range(n_frames - 1):
+        if e[f + 1] > e[f]:
+            out |= 1 << f
+    return out

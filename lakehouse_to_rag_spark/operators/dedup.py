@@ -549,6 +549,51 @@ def image_hash_pairs(
     return _banded_hamming_pairs(sh, 64, num_bands, max_hamming)
 
 
+def audio_fingerprint_pairs(
+    audio: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 8,
+    num_bands: int = 16,
+    n_frames: int = 64,
+) -> DataFrame:
+    """Perceptual AUDIO near-dup pairs — the audio leg of multimodal
+    content dedup (level-shifted / re-encoded copies byte dedup
+    misses): decode each WAV payload, fingerprint its energy
+    envelope (multimodal/phash.py::audio_envelope_fp63 — pure
+    integer, 63 bits), and pair within ``max_hamming`` via the same
+    pigeonhole-banded join as SimHash/pHash. Multi-channel audio
+    fingerprints channel 0. Same scale shape as image_hash_pairs:
+    one Arrow decode+hash pass, the join moves 8-byte signatures,
+    never samples; decode failures fail closed."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lakehouse_to_rag_spark.multimodal.ops import decode_wav
+    from lakehouse_to_rag_spark.multimodal.phash import audio_envelope_fp63
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("simhash", LongType())]
+    )
+
+    def _hash(batches):
+        for pdf in batches:
+            sigs = []
+            for p in pdf[payload_col]:
+                _, s = decode_wav(bytes(p))
+                sigs.append(audio_envelope_fp63(s[:, 0], n_frames))
+            yield pd.DataFrame({"id": pdf[id_col], "simhash": sigs})
+
+    sh = (
+        maybe_parallelize(audio.select(F.col(id_col), F.col(payload_col)))
+        .mapInPandas(_hash, schema=schema)
+        .localCheckpoint(eager=False)
+    )
+    return _banded_hamming_pairs(sh, 64, num_bands, max_hamming)
+
+
 # ------------------------------------------------- embedding near-dup
 
 def embedding_dup_pairs(

@@ -2460,6 +2460,146 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
 """
 
 
+# Perceptual AUDIO dedup, oracle-gated end-to-end (the audio twin of
+# image_phash_dedup — together they close multimodal CONTENT dedup):
+# per doc a deterministic amplitude-modulated waveform is synthesized
+# with planted near-duplicates (docs 2k/2k+1 share a base signal; the
+# odd one gets a +3 amplitude shift — the level-change perturbation
+# byte dedup misses), round-tripped through the REAL 16-bit PCM WAV
+# codec, fingerprinted by the integer energy-envelope signature, and
+# paired by the banded Hamming join (16 bands x 4 bits, threshold 8).
+# The per-frame envelope multiplier is md5-derived (the package's
+# established replayable-randomness device: JL signs, LSH
+# hyperplanes) — a linear-congruential envelope was tried first and
+# REJECTED because an affine-in-frame hash makes every base a
+# rotation of one orbit (measured cross-base hamming collapsed to
+# 0); md5 breaks the affinity. WAV is lossless, so DuckDB replays the
+# sample recipe closed-form and the whole chain is exact integer
+# arithmetic — no rounding discipline needed anywhere. Empirical
+# margins: planted pairs hamming <= 4, closest cross-pair 15.
+_AUDIO_FP_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id // 2 AS base, doc_id % 2 AS pert FROM documents
+), s AS (
+  SELECT doc_id, base, pert, x.range AS t, x.range // 32 AS f,
+         (x.range * (3 + base % 17)
+          + (x.range * x.range) // (2 + base % 5)
+          + base * 7) % 256 - 128 AS amp0
+  FROM d, range(2048) x
+), sa AS (
+  SELECT doc_id, base, f,
+         CASE WHEN pert = 1 THEN LEAST(127, amp0 + 3) ELSE amp0 END AS amp,
+         1 + ('0x' || substr(md5(CAST(base AS VARCHAR) || ':'
+                                 || CAST(f AS VARCHAR)), 1, 15))::BIGINT
+             % 13 AS ev
+  FROM s
+), en AS (
+  SELECT doc_id, f,
+         SUM(CAST(amp * ev * 9 AS BIGINT) * CAST(amp * ev * 9 AS BIGINT))
+           AS e
+  FROM sa GROUP BY doc_id, f
+), bits AS (
+  SELECT doc_id, f,
+         CASE WHEN LEAD(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+              THEN 1 ELSE 0 END AS b
+  FROM en
+  QUALIFY f < 63
+), sig AS (
+  SELECT doc_id AS id,
+         SUM(b * (CAST(1 AS BIGINT) << f)) AS simhash
+  FROM bits GROUP BY doc_id
+), banded AS (
+  SELECT id, simhash, bb.range AS blk,
+         (simhash >> (bb.range * 4)) & 15 AS bval
+  FROM sig, range(16) bb
+)
+SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+FROM banded x JOIN banded y
+  ON x.blk = y.blk AND x.bval = y.bval AND x.id < y.id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+"""
+
+
+@_q("audio_fingerprint_dedup", _AUDIO_FP_ORACLE)
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup through the full decode path: synthetic
+    amplitude-modulated waveforms with planted level-shifted
+    near-duplicates are encoded as REAL PCM WAV, decoded back,
+    energy-envelope fingerprinted, and paired by the banded Hamming
+    join — (id_a, id_b, hamming <= 8). See the oracle comment for the
+    exact replay contract."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType
+
+    from lakehouse_to_rag_spark.multimodal.ops import encode_wav
+    from lakehouse_to_rag_spark.operators.dedup import (
+        audio_fingerprint_pairs,
+    )
+
+    payload_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def _synth(batches):
+        env_cache: dict[int, np.ndarray] = {}
+
+        def env_for(base: int) -> np.ndarray:
+            got = env_cache.get(base)
+            if got is None:
+                got = np.array(
+                    [
+                        1
+                        + int(
+                            hashlib.md5(f"{base}:{f}".encode()).hexdigest()[
+                                :15
+                            ],
+                            16,
+                        )
+                        % 13
+                        for f in range(64)
+                    ],
+                    dtype=np.int64,
+                )
+                env_cache[base] = got
+            return got
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                base, pert = i // 2, i % 2
+                t = np.arange(2048, dtype=np.int64)
+                amp = (
+                    t * (3 + base % 17)
+                    + (t * t) // (2 + base % 5)
+                    + base * 7
+                ) % 256 - 128
+                if pert:
+                    amp = np.minimum(127, amp + 3)
+                env = env_for(base)[t // 32]
+                ids.append(i)
+                payloads.append(
+                    encode_wav((amp * env * 9).astype(np.int16))
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id"
+    )
+    audio = d.mapInPandas(_synth, schema=payload_schema)
+    return audio_fingerprint_pairs(
+        audio, "doc_id", "payload", max_hamming=8, num_bands=16
+    )
+
+
 @_q("image_phash_dedup", _IMAGE_PHASH_ORACLE)
 def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup through the full decode path: synthetic

@@ -1625,3 +1625,101 @@ class TestPerceptualImageDedup:
         assert "NotImplementedError" in str(ei.value) or isinstance(
             ei.value, NotImplementedError
         )
+
+
+class TestPerceptualAudioDedup:
+    """Energy-envelope audio fingerprint + banded Hamming pairing
+    (multimodal/phash.py::audio_envelope_fp63,
+    dedup.py::audio_fingerprint_pairs) — the audio leg of multimodal
+    content dedup."""
+
+    @staticmethod
+    def _synth(doc_id):
+        import hashlib
+
+        import numpy as np
+
+        base, pert = doc_id // 2, doc_id % 2
+        t = np.arange(2048, dtype=np.int64)
+        amp = (t * (3 + base % 17) + (t * t) // (2 + base % 5)
+               + base * 7) % 256 - 128
+        if pert:
+            amp = np.minimum(127, amp + 3)
+        env = np.array(
+            [1 + int(hashlib.md5(f"{base}:{f}".encode()).hexdigest()[:15],
+                     16) % 13 for f in range(64)],
+            dtype=np.int64,
+        )[t // 32]
+        return (amp * env * 9).astype(np.int16)
+
+    def test_fingerprint_margins_and_exactness(self):
+        """Planted level shifts move the fingerprint <= 4 bits;
+        unrelated signals differ >= 15 — the max_hamming=8 threshold
+        sits between. Recompute bits from frame energies directly."""
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.phash import (
+            audio_envelope_fp63,
+            hamming64,
+        )
+
+        s = self._synth(4)
+        e = (s.astype(np.int64) ** 2).reshape(64, 32).sum(axis=1)
+        want = sum(
+            1 << f for f in range(63) if e[f + 1] > e[f]
+        )
+        assert audio_envelope_fp63(s) == want
+
+        hs = {i: audio_envelope_fp63(self._synth(i)) for i in range(60)}
+        for k in range(30):
+            assert hamming64(hs[2 * k], hs[2 * k + 1]) <= 4, k
+        cross = [
+            hamming64(hs[a], hs[b])
+            for a in range(60)
+            for b in range(a + 1, 60)
+            if not (b == a + 1 and a % 2 == 0)
+        ]
+        assert min(cross) >= 15
+
+    def test_planted_near_duplicate_recall(self, spark, sf_dir):
+        """End to end through the registry entry (WAV encode ->
+        decode -> fingerprint -> banded join): every planted pair and
+        nothing else."""
+        from lakehouse_to_rag_spark.plans.registry import QUERIES
+        from lakehouse_to_rag_spark.sources.tables import load_table
+
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in QUERIES["audio_fingerprint_dedup"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(got) == {(2 * k, 2 * k + 1) for k in range(n_docs // 2)}
+        assert max(got.values()) <= 4
+
+    def test_fail_closed(self, spark):
+        import pandas as pd
+        import pytest
+
+        from lakehouse_to_rag_spark.multimodal.phash import (
+            audio_envelope_fp63,
+        )
+        from lakehouse_to_rag_spark.operators.dedup import (
+            audio_fingerprint_pairs,
+        )
+
+        with pytest.raises(NotImplementedError, match=">= 64 samples"):
+            audio_envelope_fp63([1, 2, 3])
+
+        bad = spark.createDataFrame(
+            pd.DataFrame(
+                [(0, b"not a wav payload at all")],
+                columns=["doc_id", "payload"],
+            )
+        )
+        with pytest.raises(Exception) as ei:
+            audio_fingerprint_pairs(bad).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
