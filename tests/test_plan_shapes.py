@@ -310,3 +310,19 @@ def test_pretrain_corpus_full_materializes_each_stage_once(spark, sf_dir):
     # upstream chains stay behind their checkpoints
     assert "Union" not in plan, plan
     assert "Generate" not in plan, plan  # no shingle explode replay
+
+
+def test_perceptual_dedup_joins_signatures_not_media(spark, sf_dir):
+    """Image/audio perceptual dedup: the decode+hash Arrow pass runs
+    ONCE into a checkpoint, and the banded self-join reads that
+    8-byte-signature table from both sides — the final plan must show
+    two checkpoint scans and ZERO MapInPandas (a plan that re-decodes
+    media per join side would shuffle pixels/samples and double the
+    codec cost), an equi-join (never a cartesian)."""
+    from lakehouse_to_rag_spark.plans.registry import QUERIES
+
+    for name in ("image_phash_dedup", "audio_fingerprint_dedup"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert plan.count("MapInPandas") == 0, (name, plan)
+        assert plan.count("Scan ExistingRDD") == 2, (name, plan)
+        assert "CartesianProduct" not in plan, name
