@@ -348,6 +348,108 @@ def main() -> None:
         n = fn(spark, sf_dir).count()
         print(f"{name}@sf: {time.perf_counter() - t0:.1f}s rows={n}")
 
+    # r6: perceptual dedup — decode+hash is one Arrow pass (linear),
+    # the banded join moves 8-byte signatures only; replica cliques
+    # make every identity a FACTOR-clique of exact hash matches, so
+    # the PAIR OUTPUT grows quadratically while candidate generation
+    # must stay banded (wall ~linear + output cost)
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_to_rag_spark.multimodal.ops import encode_png, encode_wav
+    from lakehouse_to_rag_spark.operators.dedup import (
+        audio_fingerprint_pairs,
+        image_hash_pairs,
+    )
+
+    pay_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def _img(batches):
+        for pdf in batches:
+            ids, ps = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                base, pert = i // 2, i % 2
+                w, h = 33 + base % 31, 33 + base % 29
+                yy, xx = np.mgrid[0:h, 0:w]
+                r = (xx * (7 + base % 13) + yy * (5 + base % 11) + base * 11) % 256
+                if pert:
+                    r = np.minimum(255, r + 3)
+                g = (xx * (3 + base % 7) + yy * (2 + base % 5) + base * 7) % 256
+                b = (xx * 2 + yy * 3 + base) % 256
+                ids.append(i)
+                ps.append(encode_png(np.stack([r, g, b], axis=2).astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": ids, "payload": ps})
+
+    n_media = 500 * factor
+    imgs = spark.range(n_media).repartition(32).mapInPandas(_img, schema=pay_schema)
+    t0 = time.perf_counter()
+    n = image_hash_pairs(imgs, method="phash", max_hamming=6, num_bands=16).count()
+    print(f"image_hash_pairs({n_media}): {time.perf_counter() - t0:.1f}s pairs={n}")
+
+    def _aud(batches):
+        env_cache = {}
+
+        def env_for(base):
+            got = env_cache.get(base)
+            if got is None:
+                got = np.array(
+                    [1 + int(hashlib.md5(f"{base}:{f}".encode()).hexdigest()[:15], 16) % 13
+                     for f in range(64)], dtype=np.int64)
+                env_cache[base] = got
+            return got
+
+        for pdf in batches:
+            ids, ps = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                base, pert = i // 2, i % 2
+                t = np.arange(2048, dtype=np.int64)
+                amp = (t * (3 + base % 17) + (t * t) // (2 + base % 5) + base * 7) % 256 - 128
+                if pert:
+                    amp = np.minimum(127, amp + 3)
+                env = env_for(base)[t // 32]
+                ids.append(i)
+                ps.append(encode_wav((amp * env * 9).astype(np.int16)))
+            yield pd.DataFrame({"doc_id": ids, "payload": ps})
+
+    auds = spark.range(n_media).repartition(32).mapInPandas(_aud, schema=pay_schema)
+    t0 = time.perf_counter()
+    n = audio_fingerprint_pairs(auds, max_hamming=8, num_bands=16).count()
+    print(f"audio_fingerprint_pairs({n_media}): {time.perf_counter() - t0:.1f}s pairs={n}")
+
+    # r6: unigram-LM — trainer is sample-bounded (invariant to corpus
+    # size); the Viterbi encoder is the scaling path (memoized Arrow)
+    from lakehouse_to_rag_spark.functions.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    logp = unigram_train(docs, sample_rows=500, max_multi=200, em_iters=2)
+    t0 = time.perf_counter()
+    n = unigram_encode(docs, logp).count()
+    print(f"unigram_encode: {time.perf_counter() - t0:.1f}s rows={n}")
+
+    # r6: the 8-stage curation capstone at the probe's sf dir — its
+    # replicated-corpus story is its parts (line_dedup / gopher /
+    # jaccard each probed above; stage 1 collapses replica cliques,
+    # so downstream stages see ~base cardinality regardless of
+    # duplication structure)
+    t0 = time.perf_counter()
+    n = _reg.QUERIES["pretrain_corpus_full"](spark, sf_dir).count()
+    print(f"pretrain_corpus_full@sf: {time.perf_counter() - t0:.1f}s rows={n}")
+
     spark.stop()
 
 
