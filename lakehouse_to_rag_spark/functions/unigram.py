@@ -35,18 +35,18 @@ Exactness anchors (why two engines agree bit-for-bit):
 from __future__ import annotations
 
 import math
-import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
+# ONE copy of the WS_CLASS split + chr(31)-strip delimiter contract:
+# bpe.py owns it, both tokenizers share it, and both SQL oracles
+# replay it — a second hand-synced copy here would be exactly the
+# silent-divergence class the round-6 BPE fix closed.
+from lakehouse_to_rag_spark.functions.bpe import _split_ws
+
 UNK_MICRO = -30_000_000
 SEP = "\x1f"
-
-
-def _split_ws(text: str) -> list[str]:
-    return [w for w in _WS_RE.split(text.replace(SEP, "")) if w]
 
 
 def _chunks(word: str, max_word_len: int) -> list[str]:

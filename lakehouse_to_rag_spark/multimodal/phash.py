@@ -113,6 +113,58 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+def synth_gradient_image(doc_id: int) -> np.ndarray:
+    """THE planted-near-duplicate image recipe — the single source of
+    truth shared by the oracle-gated ``image_phash_dedup`` registry
+    entry, the scale probe, and the margin tests (three hand-synced
+    copies would let a tweak silently desynchronize the probe/test
+    numbers from the gated entry; any change here must be mirrored in
+    the `_IMAGE_PHASH_ORACLE` SQL). Docs 2k and 2k+1 share a base
+    gradient; the odd one gets a +3 red-channel brightness shift.
+    Empirical pHash margins: planted pairs <= 2 bits, closest
+    cross-pair 10."""
+    base, pert = doc_id // 2, doc_id % 2
+    w, h = 33 + base % 31, 33 + base % 29
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * (7 + base % 13) + yy * (5 + base % 11) + base * 11) % 256
+    if pert:
+        r = np.minimum(255, r + 3)
+    g = (xx * (3 + base % 7) + yy * (2 + base % 5) + base * 7) % 256
+    b = (xx * 2 + yy * 3 + base) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def synth_am_waveform(doc_id: int) -> np.ndarray:
+    """THE planted-near-duplicate audio recipe (single source of
+    truth for the ``audio_fingerprint_dedup`` entry, probe, and
+    tests; mirror any change into `_AUDIO_FP_ORACLE`). 2048 int16
+    samples: a pseudo-random base signal amplitude-modulated by an
+    md5-derived per-frame envelope (md5, NOT an LCG: an affine-in-
+    frame hash makes every base a rotation of one orbit and
+    collapses cross-base margins — measured). Odd docs get a +3
+    amplitude shift. Empirical fingerprint margins: planted pairs
+    <= 4 bits, closest cross-pair 15."""
+    import hashlib
+
+    base, pert = doc_id // 2, doc_id % 2
+    t = np.arange(2048, dtype=np.int64)
+    amp = (
+        t * (3 + base % 17) + (t * t) // (2 + base % 5) + base * 7
+    ) % 256 - 128
+    if pert:
+        amp = np.minimum(127, amp + 3)
+    env = np.array(
+        [
+            1
+            + int(hashlib.md5(f"{base}:{f}".encode()).hexdigest()[:15], 16)
+            % 13
+            for f in range(64)
+        ],
+        dtype=np.int64,
+    )[t // 32]
+    return (amp * env * 9).astype(np.int16)
+
+
 def audio_envelope_fp63(samples: np.ndarray, n_frames: int = 64) -> int:
     """Perceptual AUDIO fingerprint: the energy-envelope difference
     signature (the simplified Shazam/Chromaprint shape — the temporal

@@ -1459,9 +1459,11 @@ def semdedup(
     the standard hierarchy approximation; the kept set can only grow.
     A cluster that cannot be split (e.g. > cap byte-identical vectors
     collapsing to one distinct seed) still raises rather than building
-    a quadratic block. Sub-quantizers train on a bounded
-    ``split_train_rows`` sample (smallest ids — same first-k-distinct
-    seeds as full training) while ASSIGNMENT stays full-cluster, so
+    a quadratic block. Sub-quantizers train on a bounded sample — the
+    first ``split_train_rows`` DISTINCT vectors by smallest id, so
+    duplicate-heavy clusters cannot starve the trainer of diversity
+    and seeds match full-cluster training — while ASSIGNMENT stays
+    full-cluster, so
     per-level retraining is O(sample) instead of O(cluster) — the
     term that matters when an oversized cluster is millions of rows.
     (Round-6 finding: at the 50x probe the retraining term was NOT
@@ -1543,22 +1545,31 @@ def semdedup(
             # target half-full leaves so one split round usually ends
             # the recursion even under moderately uneven sub-clusters
             k = max(2, math.ceil(n / max(1, max_cluster_rows // 2)))
-            # SAMPLED sub-quantizer training (round-6: the 3x
-            # pathological-k penalty was per-level retraining over the
-            # FULL oversized cluster): train Lloyd on the smallest
-            # `split_train_rows` ids — a deterministic top-k, so the
-            # first-k-distinct seeds are identical to full-corpus
-            # training — then assign the WHOLE cluster against those
-            # centroids. The tokenizer-family discipline (BPE trains
-            # on a bounded sample, the encoder scales).
-            train = (
-                sub if n <= split_train_rows
-                # checkpoint: every Lloyd pass reads the sample, and
-                # without it each pass replays the filter+top-k
-                else sub.orderBy(F.col(id_col))
-                .limit(split_train_rows)
-                .localCheckpoint(eager=False)
-            )
+            # SAMPLED sub-quantizer training (round-6): train Lloyd on
+            # the first `split_train_rows` DISTINCT vectors by
+            # smallest id, then assign the WHOLE cluster against the
+            # centroids (the tokenizer-family discipline: bounded
+            # trainer, scaling encoder). Distinct-first matters on
+            # exactly this path's data: an oversized cluster on
+            # duplicate-heavy corpora can have its smallest
+            # `split_train_rows` ids all byte-identical, and a plain
+            # id-top-k sample would then see ONE distinct vector and
+            # falsely declare a splittable cluster irreducible (or
+            # trip the no-progress guard). The distinct min-id order
+            # is the same first-k-distinct discipline kmeans seeding
+            # uses, so seeds match full-cluster training whenever the
+            # first k distinct vectors exist at all.
+            train = sub
+            if n > split_train_rows:
+                train = (
+                    sub.groupBy(vec_col)
+                    .agg(F.min(F.col(id_col)).alias(id_col))
+                    .orderBy(F.col(id_col))
+                    .limit(split_train_rows)
+                    # checkpoint: every Lloyd pass reads the sample;
+                    # without it each pass replays the dedup+top-k
+                    .localCheckpoint(eager=False)
+                )
             sub_cent = kmeans_centroids(
                 train, k, iterations, id_col, vec_col
             )

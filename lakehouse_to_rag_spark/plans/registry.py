@@ -2529,14 +2529,12 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     energy-envelope fingerprinted, and paired by the banded Hamming
     join — (id_a, id_b, hamming <= 8). See the oracle comment for the
     exact replay contract."""
-    import hashlib
-
-    import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import BinaryType
 
     from lakehouse_to_rag_spark.multimodal.ops import encode_wav
+    from lakehouse_to_rag_spark.multimodal.phash import synth_am_waveform
     from lakehouse_to_rag_spark.operators.dedup import (
         audio_fingerprint_pairs,
     )
@@ -2549,46 +2547,12 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _synth(batches):
-        env_cache: dict[int, np.ndarray] = {}
-
-        def env_for(base: int) -> np.ndarray:
-            got = env_cache.get(base)
-            if got is None:
-                got = np.array(
-                    [
-                        1
-                        + int(
-                            hashlib.md5(f"{base}:{f}".encode()).hexdigest()[
-                                :15
-                            ],
-                            16,
-                        )
-                        % 13
-                        for f in range(64)
-                    ],
-                    dtype=np.int64,
-                )
-                env_cache[base] = got
-            return got
-
         for pdf in batches:
             ids, payloads = [], []
             for i in pdf["doc_id"]:
                 i = int(i)
-                base, pert = i // 2, i % 2
-                t = np.arange(2048, dtype=np.int64)
-                amp = (
-                    t * (3 + base % 17)
-                    + (t * t) // (2 + base % 5)
-                    + base * 7
-                ) % 256 - 128
-                if pert:
-                    amp = np.minimum(127, amp + 3)
-                env = env_for(base)[t // 32]
                 ids.append(i)
-                payloads.append(
-                    encode_wav((amp * env * 9).astype(np.int16))
-                )
+                payloads.append(encode_wav(synth_am_waveform(i)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents", parallelize=True).select(
@@ -2607,12 +2571,14 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are encoded as REAL PNGs, decoded back, pHashed, and paired by
     the banded Hamming join — (id_a, id_b, hamming <= 6). See the
     oracle comment for the exact replay contract."""
-    import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import BinaryType
 
     from lakehouse_to_rag_spark.multimodal.ops import encode_png
+    from lakehouse_to_rag_spark.multimodal.phash import (
+        synth_gradient_image,
+    )
     from lakehouse_to_rag_spark.operators.dedup import image_hash_pairs
 
     payload_schema = StructType(
@@ -2627,19 +2593,8 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, payloads = [], []
             for i in pdf["doc_id"]:
                 i = int(i)
-                base, pert = i // 2, i % 2
-                w, h = 33 + base % 31, 33 + base % 29
-                yy, xx = np.mgrid[0:h, 0:w]
-                r = (xx * (7 + base % 13) + yy * (5 + base % 11)
-                     + base * 11) % 256
-                if pert:
-                    r = np.minimum(255, r + 3)
-                g = (xx * (3 + base % 7) + yy * (2 + base % 5)
-                     + base * 7) % 256
-                b = (xx * 2 + yy * 3 + base) % 256
-                px = np.stack([r, g, b], axis=2).astype(np.uint8)
                 ids.append(i)
-                payloads.append(encode_png(px))
+                payloads.append(encode_png(synth_gradient_image(i)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     d = load_table(spark, sf_dir, "documents", parallelize=True).select(

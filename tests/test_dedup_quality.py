@@ -575,6 +575,36 @@ class TestSemdedupAutoSplit:
             rows, "vec_id long, embedding array<double>"
         )
 
+    def test_sampled_trainer_survives_duplicate_heavy_low_ids(self, spark):
+        """Round-6 review fix: the sub-quantizer sample is the first
+        split_train_rows DISTINCT vectors by id — a plain id-top-k
+        sample would see ONE distinct vector here (the 120 smallest
+        ids are byte-identical) and falsely raise 'irreducible' on a
+        cluster that full-cluster training splits fine."""
+        from lakehouse_to_rag_spark.operators.dedup import semdedup
+
+        rows = [(i, [9.0, 0.0, 0.0, 0.0]) for i in range(50)] + [
+            (50 + i, [float(1 + i % 7), float(i % 5),
+                      float(1 + i % 3), float(i % 2)])
+            for i in range(70)
+        ]
+        e = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = {
+            r["vec_id"]: r["kept"]
+            for r in semdedup(
+                e,
+                num_clusters=1,     # one oversized top cluster (120 > 60)
+                threshold=0.95,
+                max_cluster_rows=60,
+                split_train_rows=16,  # << the 50-copy clique's id range
+            ).collect()
+        }
+        assert len(out) == 120
+        assert out[0] is True          # smallest id of the clique kept
+        assert not any(out[i] for i in range(1, 50))  # clique dropped
+
     def test_inactive_split_is_identical_to_flat(self, spark):
         from lakehouse_to_rag_spark.operators.dedup import semdedup
 

@@ -1494,17 +1494,14 @@ class TestPerceptualImageDedup:
 
     @staticmethod
     def _synth(doc_id):
-        import numpy as np
+        # the shared planted-near-dup recipe: the margin numbers below
+        # are only meaningful against the SAME payloads the gated
+        # entry hashes
+        from lakehouse_to_rag_spark.multimodal.phash import (
+            synth_gradient_image,
+        )
 
-        base, pert = doc_id // 2, doc_id % 2
-        w, h = 33 + base % 31, 33 + base % 29
-        y, x = np.mgrid[0:h, 0:w]
-        r = (x * (7 + base % 13) + y * (5 + base % 11) + base * 11) % 256
-        if pert:
-            r = np.minimum(255, r + 3)
-        g = (x * (3 + base % 7) + y * (2 + base % 5) + base * 7) % 256
-        b = (x * 2 + y * 3 + base) % 256
-        return np.stack([r, g, b], axis=2).astype(np.uint8)
+        return synth_gradient_image(doc_id)
 
     def test_phash_brightness_invariance_and_discrimination(self):
         """A mild brightness shift (the planted perturbation) moves
@@ -1635,22 +1632,12 @@ class TestPerceptualAudioDedup:
 
     @staticmethod
     def _synth(doc_id):
-        import hashlib
+        # the shared planted-near-dup recipe (see the image twin)
+        from lakehouse_to_rag_spark.multimodal.phash import (
+            synth_am_waveform,
+        )
 
-        import numpy as np
-
-        base, pert = doc_id // 2, doc_id % 2
-        t = np.arange(2048, dtype=np.int64)
-        amp = (t * (3 + base % 17) + (t * t) // (2 + base % 5)
-               + base * 7) % 256 - 128
-        if pert:
-            amp = np.minimum(127, amp + 3)
-        env = np.array(
-            [1 + int(hashlib.md5(f"{base}:{f}".encode()).hexdigest()[:15],
-                     16) % 13 for f in range(64)],
-            dtype=np.int64,
-        )[t // 32]
-        return (amp * env * 9).astype(np.int16)
+        return synth_am_waveform(doc_id)
 
     def test_fingerprint_margins_and_exactness(self):
         """Planted level shifts move the fingerprint <= 4 bits;

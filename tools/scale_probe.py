@@ -360,12 +360,13 @@ def main() -> None:
         StructType,
     )
 
-    import hashlib
-
-    import numpy as np
     import pandas as pd
 
     from lakehouse_to_rag_spark.multimodal.ops import encode_png, encode_wav
+    from lakehouse_to_rag_spark.multimodal.phash import (
+        synth_am_waveform,
+        synth_gradient_image,
+    )
     from lakehouse_to_rag_spark.operators.dedup import (
         audio_fingerprint_pairs,
         image_hash_pairs,
@@ -377,20 +378,11 @@ def main() -> None:
 
     def _img(batches):
         for pdf in batches:
-            ids, ps = [], []
-            for i in pdf["id"]:
-                i = int(i)
-                base, pert = i // 2, i % 2
-                w, h = 33 + base % 31, 33 + base % 29
-                yy, xx = np.mgrid[0:h, 0:w]
-                r = (xx * (7 + base % 13) + yy * (5 + base % 11) + base * 11) % 256
-                if pert:
-                    r = np.minimum(255, r + 3)
-                g = (xx * (3 + base % 7) + yy * (2 + base % 5) + base * 7) % 256
-                b = (xx * 2 + yy * 3 + base) % 256
-                ids.append(i)
-                ps.append(encode_png(np.stack([r, g, b], axis=2).astype(np.uint8)))
-            yield pd.DataFrame({"doc_id": ids, "payload": ps})
+            ids = [int(i) for i in pdf["id"]]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [encode_png(synth_gradient_image(i)) for i in ids],
+            })
 
     n_media = 500 * factor
     imgs = spark.range(n_media).repartition(32).mapInPandas(_img, schema=pay_schema)
@@ -399,30 +391,12 @@ def main() -> None:
     print(f"image_hash_pairs({n_media}): {time.perf_counter() - t0:.1f}s pairs={n}")
 
     def _aud(batches):
-        env_cache = {}
-
-        def env_for(base):
-            got = env_cache.get(base)
-            if got is None:
-                got = np.array(
-                    [1 + int(hashlib.md5(f"{base}:{f}".encode()).hexdigest()[:15], 16) % 13
-                     for f in range(64)], dtype=np.int64)
-                env_cache[base] = got
-            return got
-
         for pdf in batches:
-            ids, ps = [], []
-            for i in pdf["id"]:
-                i = int(i)
-                base, pert = i // 2, i % 2
-                t = np.arange(2048, dtype=np.int64)
-                amp = (t * (3 + base % 17) + (t * t) // (2 + base % 5) + base * 7) % 256 - 128
-                if pert:
-                    amp = np.minimum(127, amp + 3)
-                env = env_for(base)[t // 32]
-                ids.append(i)
-                ps.append(encode_wav((amp * env * 9).astype(np.int16)))
-            yield pd.DataFrame({"doc_id": ids, "payload": ps})
+            ids = [int(i) for i in pdf["id"]]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [encode_wav(synth_am_waveform(i)) for i in ids],
+            })
 
     auds = spark.range(n_media).repartition(32).mapInPandas(_aud, schema=pay_schema)
     t0 = time.perf_counter()
