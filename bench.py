@@ -111,6 +111,7 @@ HEADLINE = [
     "hybrid_retrieval_ivf",
     "image_phash_dedup",
     "audio_fingerprint_dedup",
+    "image_dedup_incremental",
     # unigram-LM (SentencePiece-style) tokenizer: sample-trained
     # hard-EM, distributed Viterbi encode
     "unigram_token_counts",

@@ -518,6 +518,29 @@ def image_hash_pairs(
     from lakehouse_to_rag_spark.multimodal.ops import decode_png
     from lakehouse_to_rag_spark.multimodal.phash import dhash64, phash63
 
+    sh = image_signatures(images, id_col, payload_col, method)
+    return _banded_hamming_pairs(sh, 64, num_bands, max_hamming)
+
+
+def image_signatures(
+    images: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "phash",
+) -> DataFrame:
+    """(id, simhash) perceptual signatures for PNG payloads — the
+    decode+hash Arrow pass shared by the one-shot pair scan and the
+    incremental ingest path. Lazily checkpointed: every consumer
+    (self-join sides, snapshot anti-join) reads the materialized
+    8-byte table instead of re-decoding."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lakehouse_to_rag_spark.multimodal.ops import decode_png
+    from lakehouse_to_rag_spark.multimodal.phash import dhash64, phash63
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
     if method not in ("phash", "dhash"):
         raise NotImplementedError(
             f"unknown image hash method {method!r}: phash | dhash"
@@ -539,14 +562,11 @@ def image_hash_pairs(
                 }
             )
 
-    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
-
-    sh = (
+    return (
         maybe_parallelize(images.select(F.col(id_col), F.col(payload_col)))
         .mapInPandas(_hash, schema=schema)
         .localCheckpoint(eager=False)
     )
-    return _banded_hamming_pairs(sh, 64, num_bands, max_hamming)
 
 
 def audio_fingerprint_pairs(
@@ -566,6 +586,19 @@ def audio_fingerprint_pairs(
     fingerprints channel 0. Same scale shape as image_hash_pairs:
     one Arrow decode+hash pass, the join moves 8-byte signatures,
     never samples; decode failures fail closed."""
+    sh = audio_signatures(audio, id_col, payload_col, n_frames)
+    return _banded_hamming_pairs(sh, 64, num_bands, max_hamming)
+
+
+def audio_signatures(
+    audio: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_frames: int = 64,
+) -> DataFrame:
+    """(id, simhash) energy-envelope signatures for WAV payloads —
+    the audio twin of ``image_signatures`` (same checkpoint
+    discipline, same downstream consumers)."""
     import pandas as pd
 
     from pyspark.sql.types import LongType, StructField, StructType
@@ -586,12 +619,142 @@ def audio_fingerprint_pairs(
                 sigs.append(audio_envelope_fp63(s[:, 0], n_frames))
             yield pd.DataFrame({"id": pdf[id_col], "simhash": sigs})
 
-    sh = (
+    return (
         maybe_parallelize(audio.select(F.col(id_col), F.col(payload_col)))
         .mapInPandas(_hash, schema=schema)
         .localCheckpoint(eager=False)
     )
-    return _banded_hamming_pairs(sh, 64, num_bands, max_hamming)
+
+
+def _banded_hamming_matches(
+    probe: DataFrame,
+    snapshot: DataFrame,
+    n_bits: int,
+    num_bands: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Distinct probe ids having >= 1 snapshot signature within
+    ``max_hamming`` — the TWO-TABLE form of the pigeonhole-banded
+    join (probe x snapshot candidates on agreeing blocks, never a
+    product). Both inputs are (id, simhash) tables."""
+    bits_per = n_bits // num_bands
+    mask = (1 << bits_per) - 1
+
+    def band(df, side):
+        blocks = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("blk"),
+                    F.shiftrightunsigned(F.col("simhash"), j * bits_per)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bval"),
+                )
+                for j in range(num_bands)
+            ]
+        )
+        return df.select(
+            F.col("id").alias(f"{side}_id"),
+            F.col("simhash").alias(f"{side}_sh"),
+            F.explode(blocks).alias("b"),
+        ).select(
+            f"{side}_id", f"{side}_sh",
+            F.col("b.blk").alias("blk"), F.col("b.bval").alias("bval"),
+        )
+
+    ham = F.bit_count(F.col("p_sh").bitwiseXOR(F.col("s_sh")))
+    return (
+        band(probe, "p")
+        .join(band(snapshot, "s"), ["blk", "bval"])
+        .filter(ham <= max_hamming)
+        .select(F.col("p_id").alias("id"))
+        .distinct()
+    )
+
+
+def incremental_media_dedup(
+    incoming_sigs: DataFrame,
+    snapshot_sigs: DataFrame,
+    max_hamming: int = 6,
+    num_bands: int = 16,
+) -> DataFrame:
+    """Admit only the incoming media whose perceptual signature is
+    NEW — the continuous-ingest companion to the one-shot
+    ``image_hash_pairs``/``audio_fingerprint_pairs`` scans, and the
+    perceptual analog of ``curation.incremental_dedup_fps``: a daily
+    crawl batch dedups against yesterday's maintained signature
+    table without re-hashing (or re-reading) the snapshot's media.
+
+    Two banded stages, both shuffle-lean over 8-byte signatures:
+    drop incoming ids within ``max_hamming`` of ANY snapshot
+    signature (two-table banded join), then keep-first-by-id WITHIN
+    the batch for near-dups that arrive together (the self-join
+    pair scan on the survivors only). Inputs are (id, simhash)
+    tables from ``image_signatures``/``audio_signatures``; output is
+    the admitted (id, simhash) rows."""
+    fresh = incoming_sigs.join(
+        _banded_hamming_matches(
+            incoming_sigs, snapshot_sigs, 64, num_bands, max_hamming
+        ),
+        "id",
+        "left_anti",
+    ).localCheckpoint(eager=False)
+    dup_b = (
+        _banded_hamming_pairs(fresh, 64, num_bands, max_hamming)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return fresh.join(dup_b, "id", "left_anti")
+
+
+def admit_media_batch(
+    spark,
+    sig_table_path: str,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    media: str = "image",
+    method: str = "phash",
+    max_hamming: int = 6,
+    num_bands: int = 16,
+) -> DataFrame:
+    """One turn of the continuous perceptual-ingest loop: hash the
+    incoming media, dedup against the signature table at
+    ``sig_table_path``, and upsert the admitted signatures so the
+    NEXT batch excludes this batch's admissions. First call
+    bootstraps the table. Same staging discipline as
+    ``curation.admit_batch`` (unique per-batch staging dir, never
+    collect, reclaim via ``curation.cleanup_staging``)."""
+    import os
+    import uuid
+
+    from lakehouse_to_rag_spark.sources.lakehouse import (
+        read_layer,
+        upsert_by_key,
+        write_layer,
+    )
+
+    if media == "image":
+        sigs = image_signatures(incoming, id_col, payload_col, method)
+    elif media == "audio":
+        sigs = audio_signatures(incoming, id_col, payload_col)
+    else:
+        raise NotImplementedError(
+            f"unknown media kind {media!r}: image | audio"
+        )
+    if os.path.exists(sig_table_path):
+        snapshot = spark.read.parquet(sig_table_path).select(
+            F.col("id"), F.col("simhash")
+        )
+    else:
+        snapshot = spark.createDataFrame([], "id long, simhash long")
+    admitted = incremental_media_dedup(
+        sigs, snapshot, max_hamming, num_bands
+    )
+    staging = os.path.join(f"{sig_table_path}__staging", uuid.uuid4().hex)
+    write_layer(admitted, staging)
+    out = read_layer(spark, staging)
+    upsert_by_key(spark, sig_table_path, out, ["id"], fmt="parquet")
+    return out
 
 
 # ------------------------------------------------- embedding near-dup

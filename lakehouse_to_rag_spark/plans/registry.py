@@ -2402,7 +2402,9 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the rank-32 median, the bit fold, the banded self-join, and the
 # bit_count verification. Empirical margins at the synthesis recipe:
 # planted pairs hamming <= 2, closest cross-pair 10.
-_IMAGE_PHASH_ORACLE = """
+# chain through the per-doc pHash signature — shared by the one-shot
+# pair scan and the incremental-ingest entry below
+_IMAGE_SIG_CTES = """
 WITH d AS (
   SELECT doc_id, doc_id // 2 AS base, doc_id % 2 AS pert,
          33 + (doc_id // 2) % 31 AS w, 33 + (doc_id // 2) % 29 AS h
@@ -2447,7 +2449,10 @@ WITH d AS (
          SUM(CASE WHEN a.c > med.m
                   THEN (CAST(1 AS BIGINT) << a.idx) ELSE 0 END) AS simhash
   FROM ac a JOIN med USING (doc_id) GROUP BY a.doc_id
-), banded AS (
+)"""
+
+_IMAGE_PHASH_ORACLE = _IMAGE_SIG_CTES + """
+, banded AS (
   SELECT id, simhash, b.range AS blk,
          (simhash >> (b.range * 4)) & 15 AS bval
   FROM sig, range(16) b
@@ -2458,6 +2463,103 @@ FROM banded x JOIN banded y
   ON x.blk = y.blk AND x.bval = y.bval AND x.id < y.id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
 """
+
+# Incremental perceptual ingest, stateless form (the dedup_incremental
+# convention: snapshot/incoming split by a deterministic id rule so
+# the driver can replay it without table state). Snapshot = bases
+# 0,1 mod 3 (both planted members); incoming = bases 1,2 mod 3.
+# Overlap bases (=1) exercise the snapshot anti-join (every incoming
+# member is a near-dup of a snapshot member); incoming-only bases
+# (=2) exercise the within-batch keep-first; snapshot-only bases (=0)
+# prove absence doesn't leak. Admitted = the smaller-id member of
+# each base = 2 mod 3.
+_IMAGE_INC_ORACLE = _IMAGE_SIG_CTES + """
+, snap AS (
+  SELECT id, simhash FROM sig WHERE (id // 2) % 3 IN (0, 1)
+), inc AS (
+  SELECT id, simhash FROM sig WHERE (id // 2) % 3 IN (1, 2)
+), bsnap AS (
+  SELECT id, simhash, b.range AS blk,
+         (simhash >> (b.range * 4)) & 15 AS bval
+  FROM snap, range(16) b
+), binc AS (
+  SELECT id, simhash, b.range AS blk,
+         (simhash >> (b.range * 4)) & 15 AS bval
+  FROM inc, range(16) b
+), m1 AS (
+  SELECT DISTINCT i.id FROM binc i JOIN bsnap s
+    ON i.blk = s.blk AND i.bval = s.bval
+  WHERE bit_count(xor(i.simhash, s.simhash)) <= 6
+), fresh AS (
+  SELECT * FROM inc WHERE id NOT IN (SELECT id FROM m1)
+), bfresh AS (
+  SELECT id, simhash, b.range AS blk,
+         (simhash >> (b.range * 4)) & 15 AS bval
+  FROM fresh, range(16) b
+), m2 AS (
+  SELECT DISTINCT y.id FROM bfresh x JOIN bfresh y
+    ON x.blk = y.blk AND x.bval = y.bval AND x.id < y.id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+)
+SELECT id, simhash FROM fresh WHERE id NOT IN (SELECT id FROM m2)
+"""
+
+
+@_q("image_dedup_incremental", _IMAGE_INC_ORACLE)
+def image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest perceptual dedup, stateless replayable form:
+    incoming images are admitted only if their pHash is >6 bits from
+    EVERY maintained-snapshot signature (two-table banded join) and
+    from every smaller-id batchmate (keep-first) — the perceptual
+    analog of ``dedup_incremental``. The stateful loop around the
+    same operator (signature-table upsert + staging discipline) is
+    ``dedup.admit_media_batch``, exercised in
+    tests/test_multimodal.py."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType
+
+    from lakehouse_to_rag_spark.multimodal.ops import encode_png
+    from lakehouse_to_rag_spark.multimodal.phash import (
+        synth_gradient_image,
+    )
+    from lakehouse_to_rag_spark.operators.dedup import (
+        image_signatures,
+        incremental_media_dedup,
+    )
+
+    payload_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def _synth(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        encode_png(synth_gradient_image(i)) for i in ids
+                    ],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id"
+    )
+    sigs = image_signatures(
+        d.mapInPandas(_synth, schema=payload_schema), "doc_id", "payload"
+    )
+    base_mod = F.expr("(id div 2) % 3")
+    return incremental_media_dedup(
+        sigs.filter(base_mod.isin(1, 2)),
+        sigs.filter(base_mod.isin(0, 1)),
+        max_hamming=6,
+        num_bands=16,
+    )
 
 
 # Perceptual AUDIO dedup, oracle-gated end-to-end (the audio twin of

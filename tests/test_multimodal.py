@@ -1710,3 +1710,77 @@ class TestPerceptualAudioDedup:
         assert "NotImplementedError" in str(ei.value) or isinstance(
             ei.value, NotImplementedError
         )
+
+
+class TestAdmitMediaBatch:
+    """The stateful perceptual-ingest loop: signature-table upsert +
+    per-batch staging (the curation.admit_batch discipline applied to
+    media content)."""
+
+    @staticmethod
+    def _images(spark, ids):
+        import pandas as pd
+
+        from lakehouse_to_rag_spark.multimodal.ops import encode_png
+        from lakehouse_to_rag_spark.multimodal.phash import (
+            synth_gradient_image,
+        )
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [(i, encode_png(synth_gradient_image(i))) for i in ids],
+                columns=["doc_id", "payload"],
+            )
+        )
+
+    def test_ingest_loop_excludes_prior_admissions(self, spark, tmp_path):
+        from lakehouse_to_rag_spark.operators.curation import (
+            cleanup_staging,
+        )
+        from lakehouse_to_rag_spark.operators.dedup import (
+            admit_media_batch,
+        )
+
+        table = str(tmp_path / "sigs")
+        # batch 1: bases 0..4, both planted members each -> keep-first
+        b1 = admit_media_batch(
+            spark, table, self._images(spark, list(range(10)))
+        )
+        got1 = sorted(r["id"] for r in b1.collect())
+        assert got1 == [0, 2, 4, 6, 8]
+
+        # batch 2: the odd members of the SAME bases (near-dups of the
+        # now-maintained snapshot) plus fresh bases 10..11 -> only the
+        # fresh bases' keep-first members are admitted
+        b2 = admit_media_batch(
+            spark, table,
+            self._images(spark, [1, 3, 5, 7, 9, 20, 21, 22, 23]),
+        )
+        got2 = sorted(r["id"] for r in b2.collect())
+        assert got2 == [20, 22]
+
+        # batch 3: re-sending everything admits nothing
+        b3 = admit_media_batch(
+            spark, table, self._images(spark, list(range(10)) + [20, 21])
+        )
+        assert b3.count() == 0
+
+        # the maintained table is exactly the union of admissions
+        table_ids = sorted(
+            r["id"] for r in spark.read.parquet(table).collect()
+        )
+        assert table_ids == [0, 2, 4, 6, 8, 20, 22]
+        assert cleanup_staging(table) == 3  # one staging dir per batch
+
+    def test_bad_media_kind_fails_closed(self, spark, tmp_path):
+        import pytest
+
+        from lakehouse_to_rag_spark.operators.dedup import (
+            admit_media_batch,
+        )
+
+        with pytest.raises(NotImplementedError, match="image | audio"):
+            admit_media_batch(
+                spark, str(tmp_path / "t"),
+                self._images(spark, [0]), media="video",
+            )
