@@ -626,6 +626,57 @@ def audio_signatures(
     )
 
 
+def video_keyframe_pairs(
+    media: DataFrame,
+    every_n: int = 1,
+    method: str = "phash",
+    max_hamming: int = 6,
+    num_bands: int = 16,
+    min_matching_frames: int = 2,
+) -> DataFrame:
+    """Perceptual VIDEO near-dup pairs by keyframe voting — the video
+    leg of multimodal content dedup, built as the composition the
+    engine's pieces were designed for: ``sample_frames`` demuxes
+    every ``every_n``-th frame of each GIF/AVI/MP4 payload to
+    lossless PNG, ``image_signatures`` hashes them, and the banded
+    Hamming join matches keyframes ACROSS videos (frame indexes are
+    free to differ, so trimmed/shifted and cross-container copies —
+    the same clip muxed as AVI and as MP4 — still align). A pair of
+    videos is a near-dup when >= ``min_matching_frames`` keyframe
+    pairs match — clip-level voting, robust to a few re-encoded or
+    replaced frames.
+
+    Output: (media_a, media_b, n_matching_frames). No oracle entry:
+    the keyframes are JPEG-decoded pixels, and a closed-form SQL
+    replay of lossy DCT pixels exists only for flat frames (the
+    documented limit of the mp4/avi stats oracles) — fidelity is
+    pinned instead by the cross-container equality and planted
+    perturbation tests in tests/test_multimodal.py."""
+    from lakehouse_to_rag_spark.multimodal.ops import sample_frames
+
+    frames = sample_frames(media, every_n=every_n)
+    # key signatures by a composite id so the banded join machinery
+    # (one long id column) carries (video, frame) through: ids are
+    # media_id * 1e6 + frame_index (frame counts are bounded far
+    # below 1e6 by the codecs' own scope checks)
+    keyed = frames.select(
+        (F.col("media_id") * F.lit(1_000_000) + F.col("frame_index"))
+        .alias("doc_id"),
+        F.col("frame_payload").alias("payload"),
+    )
+    sigs = image_signatures(keyed, "doc_id", "payload", method)
+    pairs = _banded_hamming_pairs(sigs, 64, num_bands, max_hamming)
+    va = (F.col("id_a") / 1_000_000).cast("long")
+    vb = (F.col("id_b") / 1_000_000).cast("long")
+    return (
+        pairs.select(va.alias("media_a"), vb.alias("media_b"))
+        .filter(F.col("media_a") != F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).alias("n_matching_frames"))
+        .filter(F.col("n_matching_frames") >= min_matching_frames)
+    )
+
+
 def _banded_hamming_matches(
     probe: DataFrame,
     snapshot: DataFrame,

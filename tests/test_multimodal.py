@@ -1784,3 +1784,69 @@ class TestAdmitMediaBatch:
                 spark, str(tmp_path / "t"),
                 self._images(spark, [0]), media="video",
             )
+
+
+class TestVideoKeyframeDedup:
+    """Video content dedup by keyframe voting: sample_frames ->
+    image_signatures -> cross-video banded matching. Proves the
+    cross-container property (same clip as AVI and as MP4 matches on
+    every keyframe) and near-dup robustness (brightness-shifted
+    re-encode still matches)."""
+
+    @staticmethod
+    def _frames(shift=0, offset=0, n=4):
+        import numpy as np
+
+        from lakehouse_to_rag_spark.multimodal.jpeg import encode_jpeg
+
+        out = []
+        for f in range(n):
+            y, x = np.mgrid[0:36, 0:40]
+            r = (x * 7 + y * 5 + (f + offset) * 31) % 256
+            if shift:
+                r = np.minimum(255, r + shift)
+            g = (x * 3 + y * 2 + (f + offset) * 17) % 256
+            b = (x + y * 3 + f + offset) % 256
+            out.append(
+                encode_jpeg(
+                    np.stack([r, g, b], axis=2).astype(np.uint8),
+                    quality=85,
+                )
+            )
+        return out
+
+    def test_cross_container_and_perturbed_matching(self, spark):
+        import pandas as pd
+
+        from lakehouse_to_rag_spark.multimodal.avi import encode_avi_mjpeg
+        from lakehouse_to_rag_spark.multimodal.mp4 import encode_mp4_mjpeg
+        from lakehouse_to_rag_spark.operators.dedup import (
+            video_keyframe_pairs,
+        )
+
+        base = self._frames()
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (0, encode_avi_mjpeg(base, fps=10), "video"),
+                    (1, encode_mp4_mjpeg(base, fps=10), "video"),
+                    (2, encode_avi_mjpeg(self._frames(shift=3), fps=10),
+                     "video"),
+                    (3, encode_avi_mjpeg(self._frames(offset=100), fps=10),
+                     "video"),
+                ],
+                columns=["media_id", "payload", "media_type"],
+            )
+        )
+        got = {
+            (r["media_a"], r["media_b"]): r["n_matching_frames"]
+            for r in video_keyframe_pairs(
+                media, every_n=1, min_matching_frames=2
+            ).collect()
+        }
+        # same clip across containers: every keyframe matches exactly
+        assert got.get((0, 1)) == 4
+        # brightness-shifted re-encode: still a near-dup of both copies
+        assert got.get((0, 2), 0) >= 2 and got.get((1, 2), 0) >= 2
+        # the unrelated clip matches nothing
+        assert not any(3 in k for k in got)
