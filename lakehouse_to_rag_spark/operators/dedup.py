@@ -388,11 +388,12 @@ def simhash_pairs(
     return _banded_hamming_pairs(sh, 64, num_bands, max_hamming)
 
 
-def _banded_hamming_pairs(
-    sh: DataFrame, n_bits: int, num_bands: int, max_hamming: int
-) -> DataFrame:
-    """Pigeonhole-banded hamming join over an (id, simhash) table —
-    shared by the xxhash64 and md5 signature variants."""
+def _banded(sh: DataFrame, n_bits: int, num_bands: int) -> DataFrame:
+    """Explode an (id, simhash) table into (id, simhash, blk, bval)
+    band rows — THE single copy of the block scheme. Both the
+    self-join pair scan and the two-table incremental match build on
+    it; a banding change in one place cannot silently break the
+    pigeonhole-completeness guarantee of the other."""
     bits_per = n_bits // num_bands
     mask = (1 << bits_per) - 1
     blocks = F.array(
@@ -406,9 +407,17 @@ def _banded_hamming_pairs(
             for j in range(num_bands)
         ]
     )
-    banded = sh.select("id", "simhash", F.explode(blocks).alias("b")).select(
+    return sh.select("id", "simhash", F.explode(blocks).alias("b")).select(
         "id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bval").alias("bval")
     )
+
+
+def _banded_hamming_pairs(
+    sh: DataFrame, n_bits: int, num_bands: int, max_hamming: int
+) -> DataFrame:
+    """Pigeonhole-banded hamming join over an (id, simhash) table —
+    shared by the xxhash64 and md5 signature variants."""
+    banded = _banded(sh, n_bits, num_bands)
     x = banded.alias("x")
     y = banded.alias("y")
     ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
@@ -511,13 +520,6 @@ def image_hash_pairs(
     must be quarantined upstream, not silently skipped into a
     missed-duplicate.
     """
-    import pandas as pd
-
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from lakehouse_to_rag_spark.multimodal.ops import decode_png
-    from lakehouse_to_rag_spark.multimodal.phash import dhash64, phash63
-
     sh = image_signatures(images, id_col, payload_col, method)
     return _banded_hamming_pairs(sh, 64, num_bands, max_hamming)
 
@@ -658,21 +660,38 @@ def video_keyframe_pairs(
     # key signatures by a composite id so the banded join machinery
     # (one long id column) carries (video, frame) through: ids are
     # media_id * 1e6 + frame_index (frame counts are bounded far
-    # below 1e6 by the codecs' own scope checks)
+    # below 1e6 by the codecs' own scope checks). ALL arithmetic is
+    # exact 64-bit integer — a 32-bit multiply would wrap at
+    # media_id 2148 and a double-precision divide would misdecode
+    # snowflake-scale ids past 2^53
     keyed = frames.select(
-        (F.col("media_id") * F.lit(1_000_000) + F.col("frame_index"))
-        .alias("doc_id"),
+        (
+            F.col("media_id").cast("long") * F.lit(1_000_000).cast("long")
+            + F.col("frame_index").cast("long")
+        ).alias("doc_id"),
         F.col("frame_payload").alias("payload"),
     )
     sigs = image_signatures(keyed, "doc_id", "payload", method)
     pairs = _banded_hamming_pairs(sigs, 64, num_bands, max_hamming)
-    va = (F.col("id_a") / 1_000_000).cast("long")
-    vb = (F.col("id_b") / 1_000_000).cast("long")
+    # the vote counts DISTINCT matched frames on the WEAKER side, not
+    # matched pairs: a static clip whose frames all share one
+    # signature would otherwise inflate a single visual coincidence
+    # quadratically (4x3 pairs from ONE distinct match) past the
+    # threshold
     return (
-        pairs.select(va.alias("media_a"), vb.alias("media_b"))
+        pairs.select(
+            F.expr("id_a div 1000000").alias("media_a"),
+            F.expr("id_b div 1000000").alias("media_b"),
+            F.expr("id_a % 1000000").alias("frame_a"),
+            F.expr("id_b % 1000000").alias("frame_b"),
+        )
         .filter(F.col("media_a") != F.col("media_b"))
         .groupBy("media_a", "media_b")
-        .agg(F.count(F.lit(1)).alias("n_matching_frames"))
+        .agg(
+            F.least(
+                F.countDistinct("frame_a"), F.countDistinct("frame_b")
+            ).alias("n_matching_frames")
+        )
         .filter(F.col("n_matching_frames") >= min_matching_frames)
     )
 
@@ -687,35 +706,22 @@ def _banded_hamming_matches(
     """Distinct probe ids having >= 1 snapshot signature within
     ``max_hamming`` — the TWO-TABLE form of the pigeonhole-banded
     join (probe x snapshot candidates on agreeing blocks, never a
-    product). Both inputs are (id, simhash) tables."""
-    bits_per = n_bits // num_bands
-    mask = (1 << bits_per) - 1
-
-    def band(df, side):
-        blocks = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("blk"),
-                    F.shiftrightunsigned(F.col("simhash"), j * bits_per)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("bval"),
-                )
-                for j in range(num_bands)
-            ]
-        )
-        return df.select(
-            F.col("id").alias(f"{side}_id"),
-            F.col("simhash").alias(f"{side}_sh"),
-            F.explode(blocks).alias("b"),
-        ).select(
-            f"{side}_id", f"{side}_sh",
-            F.col("b.blk").alias("blk"), F.col("b.bval").alias("bval"),
-        )
-
+    product). Both inputs are (id, simhash) tables; the band scheme
+    is the shared ``_banded`` helper, so the two-table and self-join
+    forms cannot diverge."""
+    p = _banded(probe, n_bits, num_bands).select(
+        F.col("id").alias("p_id"), F.col("simhash").alias("p_sh"),
+        "blk", "bval",
+    )
+    # snapshot ids never surface — dedup the band rows so a
+    # duplicate-heavy snapshot (many ids sharing one signature) costs
+    # one candidate row per distinct (signature, block), not per id
+    s = _banded(snapshot, n_bits, num_bands).select(
+        F.col("simhash").alias("s_sh"), "blk", "bval",
+    ).distinct()
     ham = F.bit_count(F.col("p_sh").bitwiseXOR(F.col("s_sh")))
     return (
-        band(probe, "p")
-        .join(band(snapshot, "s"), ["blk", "bval"])
+        p.join(s, ["blk", "bval"])
         .filter(ham <= max_hamming)
         .select(F.col("p_id").alias("id"))
         .distinct()

@@ -2444,7 +2444,11 @@ WITH d AS (
            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c, idx) AS rn
     FROM ac
   ) WHERE rn = 32
-), sig AS (
+), sig AS MATERIALIZED (
+  -- materialized: the incremental entry reads sig from BOTH the
+  -- snapshot and incoming sides (and the pair entry from both join
+  -- sides); inlining would replay the 65k-term cos-DCT chain per
+  -- reference — measured minutes-per-copy at sf0.1
   SELECT a.doc_id AS id,
          SUM(CASE WHEN a.c > med.m
                   THEN (CAST(1 AS BIGINT) << a.idx) ELSE 0 END) AS simhash
@@ -2474,9 +2478,9 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
 # prove absence doesn't leak. Admitted = the smaller-id member of
 # each base = 2 mod 3.
 _IMAGE_INC_ORACLE = _IMAGE_SIG_CTES + """
-, snap AS (
+, snap AS MATERIALIZED (
   SELECT id, simhash FROM sig WHERE (id // 2) % 3 IN (0, 1)
-), inc AS (
+), inc AS MATERIALIZED (
   SELECT id, simhash FROM sig WHERE (id // 2) % 3 IN (1, 2)
 ), bsnap AS (
   SELECT id, simhash, b.range AS blk,
@@ -2490,7 +2494,7 @@ _IMAGE_INC_ORACLE = _IMAGE_SIG_CTES + """
   SELECT DISTINCT i.id FROM binc i JOIN bsnap s
     ON i.blk = s.blk AND i.bval = s.bval
   WHERE bit_count(xor(i.simhash, s.simhash)) <= 6
-), fresh AS (
+), fresh AS MATERIALIZED (
   SELECT * FROM inc WHERE id NOT IN (SELECT id FROM m1)
 ), bfresh AS (
   SELECT id, simhash, b.range AS blk,

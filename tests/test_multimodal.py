@@ -1602,7 +1602,7 @@ class TestPerceptualImageDedup:
         from lakehouse_to_rag_spark.multimodal.ops import encode_png
         from lakehouse_to_rag_spark.operators.dedup import image_hash_pairs
 
-        with pytest.raises(NotImplementedError, match="phash | dhash"):
+        with pytest.raises(NotImplementedError, match="unknown image hash method"):
             image_hash_pairs(
                 spark.createDataFrame(
                     pd.DataFrame([(0, b"x")], columns=["doc_id", "payload"])
@@ -1779,7 +1779,7 @@ class TestAdmitMediaBatch:
             admit_media_batch,
         )
 
-        with pytest.raises(NotImplementedError, match="image | audio"):
+        with pytest.raises(NotImplementedError, match="unknown media kind"):
             admit_media_batch(
                 spark, str(tmp_path / "t"),
                 self._images(spark, [0]), media="video",
