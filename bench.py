@@ -115,6 +115,9 @@ HEADLINE = [
     # unigram-LM (SentencePiece-style) tokenizer: sample-trained
     # hard-EM, distributed Viterbi encode
     "unigram_token_counts",
+    # the serving-side capstone: BM25 + kNN -> RRF -> min-max rel ->
+    # greedy MMR -> metadata join, one composed plan
+    "rag_read_path",
     # video leg: JPEG encode -> AVI mux -> demux -> JPEG decode per
     # doc (pure-Python entropy coding like GIF/FLAC — compare
     # round-over-round)

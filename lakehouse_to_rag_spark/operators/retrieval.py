@@ -333,38 +333,25 @@ def hybrid_retrieval_rrf(
     return rrf_fuse(lex, vec, k=k, c=c)
 
 
-def mmr_rerank(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k_candidates: int = 20,
-    k: int = 5,
-    lam: float = 0.7,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
-    1998): fetch ``k_candidates`` exact-cosine candidates per query,
-    then greedily select ``k`` of them maximizing
-    ``lam * rel(q, d) - (1 - lam) * max_sim(d, selected)`` — the
-    standard diversity-aware final stage of a RAG read path (top-k by
-    raw similarity returns near-duplicate passages; MMR trades
-    relevance against redundancy).
+def _mmr_greedy(cv: DataFrame, k: int, lam: float) -> DataFrame:
+    """Shared greedy-MMR core over ``cv`` = (query_id, neighbor_id,
+    rel, nv): per query, ``k`` selection steps maximizing
+    ``lam * rel - (1 - lam) * max_sim(d, selected)`` over the
+    candidate set. ONE implementation serves both the cosine-relevance
+    form (``mmr_rerank``) and the pre-scored form
+    (``mmr_rerank_scored``), so the two can never drift.
 
-    Scale shape: the candidate fetch is the two-phase broadcast kNN
-    (no all-pairs, no corpus shuffle); candidate vectors ride a
-    broadcast hash join back onto the corpus scan; the greedy stage
-    shuffles only queries x k_candidates rows and runs per-query on
-    <= k_candidates vectors (Arrow-grouped, O(k * k_candidates) per
-    query). Nothing downstream of the kNN touches corpus-sized data.
+    Scale shape: the greedy stage shuffles only queries x n_candidates
+    rows and runs per-query on the bounded candidate set
+    (Arrow-grouped, O(k * n) per query) — nothing corpus-sized.
 
-    Determinism/oracle parity: relevance is the kNN's 4dp cosine;
-    candidate-pair similarities round to 4dp (canonical dot/|a|/|b|
-    op order); the greedy argmax breaks score ties on smallest
-    neighbor_id. ``1 - lam`` is computed ONCE here and its exact
-    double is embedded in the oracle literal (1 - 0.7 in binary is
-    0.30000000000000004, not the SQL literal 0.3). Returns
-    (query_id, neighbor_id, mmr_score 4dp, mmr_rank 1..k).
-    """
+    Determinism/oracle parity: candidate-pair similarities round to
+    4dp (canonical dot/|a|/|b| op order); the greedy argmax breaks
+    score ties on smallest neighbor_id. ``1 - lam`` is computed ONCE
+    here and its exact double is embedded in the oracle literal
+    (1 - 0.7 in binary is 0.30000000000000004, not the SQL literal
+    0.3). Returns (query_id, neighbor_id, mmr_score 4dp,
+    mmr_rank 1..k)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -377,20 +364,9 @@ def mmr_rerank(
     from lakehouse_to_rag_spark.operators.similarity import (
         _batch_cosines,
         _round_away,
-        knn_bruteforce,
     )
 
-    if not 1 <= k <= k_candidates:
-        raise ValueError(f"mmr_rerank: need 1 <= k={k} <= k_candidates={k_candidates}")
     onemlam = 1.0 - lam
-
-    cand = knn_bruteforce(
-        corpus, queries, k=k_candidates, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id", F.col("cosine").alias("rel"))
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nv"),
-    ).join(F.broadcast(cand), "neighbor_id")
 
     out_schema = StructType(
         [
@@ -434,3 +410,190 @@ def mmr_rerank(
         )
 
     return cv.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): fetch ``k_candidates`` exact-cosine candidates per query,
+    then greedily select ``k`` of them — the standard diversity-aware
+    final stage of a RAG read path (top-k by raw similarity returns
+    near-duplicate passages; MMR trades relevance against redundancy).
+
+    Scale shape: the candidate fetch is the two-phase broadcast kNN
+    (no all-pairs, no corpus shuffle); candidate vectors ride a
+    broadcast hash join back onto the corpus scan. Relevance is the
+    kNN's 4dp cosine; greedy mechanics in ``_mmr_greedy``."""
+    from lakehouse_to_rag_spark.operators.similarity import knn_bruteforce
+
+    if not 1 <= k <= k_candidates:
+        raise ValueError(f"mmr_rerank: need 1 <= k={k} <= k_candidates={k_candidates}")
+
+    cand = knn_bruteforce(
+        corpus, queries, k=k_candidates, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", F.col("cosine").alias("rel"))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nv"),
+    ).join(F.broadcast(cand), "neighbor_id")
+    return _mmr_greedy(cv, k, lam)
+
+
+def mmr_rerank_scored(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MMR over PRE-SCORED candidates: ``candidates`` carries
+    (query_id, neighbor_id, rel) from any upstream ranker — an RRF
+    fusion, a cross-encoder, a calibrated BM25 — and ``vectors``
+    supplies the embeddings used for the pairwise-redundancy penalty.
+    This is the form a production read path actually needs: relevance
+    comes from the fused ranker, diversity from the vector space.
+
+    The caller guarantees every candidate id resolves in ``vectors``
+    (the join is inner; ``rag_read_path`` guarantees it by building
+    candidates from the embedded store). ``rel`` should be scaled
+    commensurate with cosine similarity (e.g. min-max normalized to
+    [0, 1]) or the lam trade-off is meaningless. Greedy mechanics,
+    determinism contract and output schema are ``_mmr_greedy``'s."""
+    if k < 1:
+        raise ValueError(f"mmr_rerank_scored: need k >= 1, got {k}")
+    cv = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nv"),
+    ).join(
+        F.broadcast(candidates.select("query_id", "neighbor_id", "rel")),
+        "neighbor_id",
+    )
+    return _mmr_greedy(cv, k, lam)
+
+
+def rag_read_path(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    candidates: int = 10,
+    kc: int = 8,
+    k: int = 4,
+    lam: float = 0.7,
+    c: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full RAG serving read path as ONE composed plan:
+
+    1. store   — the embedded corpus: documents with non-null text AND
+                 a vector (you only serve what is in the vector store;
+                 also what makes every downstream id vector-resolvable).
+    2. lexical — BM25 top-``candidates`` per query over the store.
+    3. vector  — exact-cosine kNN top-``candidates`` over the store.
+    4. fusion  — reciprocal-rank fusion, keep top-``kc``.
+    5. rel     — per-query min-max normalization of the RRF score to
+                 [0, 1] (FLOOR(x*1e4+.5)/1e4 — the engine-agnostic
+                 round; constant lists map to rel=1.0), so the MMR
+                 lambda trades fused relevance against redundancy on a
+                 cosine-commensurate scale.
+    6. MMR     — greedy diversity selection of ``k`` (mmr_rerank_scored).
+    7. serve   — join document metadata (source, content_length).
+
+    Scale shape: stages 2-3 are the proven broadcast shapes (query
+    terms / query vectors broadcast onto one corpus scan each); stages
+    4-6 touch only queries x candidates rows; stage 7 is a broadcast
+    join of k x queries rows back onto the dim. The store semi-joins
+    are corpus-shuffle-free (broadcast the smaller embedding-id side
+    at 100 TB text / bounded vector store — Catalyst picks this via
+    AQE; at equal sizes it degrades to one co-partitioned shuffle).
+
+    Returns (query_id, mmr_rank, doc_id, rrf_score, rel, mmr_score,
+    source, content_length)."""
+    from pyspark.sql import Window as W
+
+    if not 1 <= k <= kc:
+        raise ValueError(f"rag_read_path: need 1 <= k={k} <= kc={kc}")
+
+    emb = embeddings.select(
+        F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    store = (
+        docs.filter(F.col(text_col).isNotNull())
+        .join(emb.select(F.col("vec_id").alias(id_col)), id_col, "left_semi")
+    )
+    emb_store = emb.join(
+        store.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
+    )
+
+    queries_txt = store.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(text_col).alias("query")
+    )
+    # candidates+1 deep so the list is still `candidates` deep after
+    # the self-hit drops (same discipline as hybrid_retrieval_rrf)
+    lex = bm25_topk(
+        store, queries_txt, k=candidates + 1, id_col=id_col, text_col=text_col
+    ).filter(F.col("query_id") != F.col("doc_id"))
+    wlex = W.partitionBy("query_id").orderBy(F.asc("rank"))
+    lex = (
+        lex.withColumn("rank", F.row_number().over(wlex))
+        .filter(F.col("rank") <= candidates)
+    )
+
+    from lakehouse_to_rag_spark.operators.similarity import knn_bruteforce
+
+    qe = emb_store.filter(F.col("vec_id").isin(query_ids))
+    vec = knn_bruteforce(emb_store, qe, candidates).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").alias("doc_id"),
+    )
+
+    fused = rrf_fuse(lex, vec, k=kc, c=c)
+    wq = W.partitionBy("query_id")
+    mn, mx = F.min("rrf_score").over(wq), F.max("rrf_score").over(wq)
+    rel = F.when(mx == mn, F.lit(1.0)).otherwise(
+        F.floor(
+            (F.col("rrf_score") - mn) / (mx - mn) * F.lit(10000.0) + F.lit(0.5)
+        )
+        / F.lit(10000.0)
+    )
+    cand = fused.select(
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        "rrf_score",
+        rel.alias("rel"),
+    )
+
+    picked = mmr_rerank_scored(cand, emb_store, k=k, lam=lam)
+    meta = store.select(
+        F.col(id_col).alias("neighbor_id"),
+        "source",
+        F.length(text_col).cast("long").alias("content_length"),
+    )
+    return (
+        picked.join(
+            F.broadcast(cand.select("query_id", "neighbor_id", "rrf_score", "rel")),
+            ["query_id", "neighbor_id"],
+        )
+        .join(meta, "neighbor_id")
+        .select(
+            "query_id",
+            F.col("mmr_rank").cast("long").alias("mmr_rank"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rrf_score",
+            "rel",
+            "mmr_score",
+            "source",
+            "content_length",
+        )
+    )

@@ -6546,6 +6546,197 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# RAG read-path capstone (operators/retrieval.py:rag_read_path):
+# embedded store -> BM25 + kNN -> RRF -> min-max rel -> MMR -> serve
+# =====================================================================
+
+
+def _rag_read_oracle(candidates: int = 10, kc: int = 8, k: int = 4,
+                     lam: float = 0.7, c: int = 60) -> str:
+    """The full serving chain replayed in SQL by composing the three
+    PROVEN oracle fragments: the BM25 tokenize->tf/df/dl->score->rank
+    chain and the RRF full-outer fusion from _HYBRID_RRF_ORACLE, the
+    unrolled greedy-step CTEs from _mmr_oracle — over the EMBEDDED
+    store (documents with non-null text and a vector; at sf0.1 only
+    2000 of 5000 docs are embedded, so restricting both rankers to
+    the store is what keeps every candidate vector-resolvable in both
+    engines). New vs the fragments: the per-query min-max rel
+    normalization (FLOOR(x*1e4+.5)/1e4 on bit-identical 6dp RRF
+    doubles — FLOOR is exact where a second ROUND could straddle a
+    .00005 boundary) and the final metadata join. Every CTE referenced
+    more than once is MATERIALIZED (DuckDB otherwise inlines the
+    producing chain per reference — exponential plans on the unrolled
+    greedy steps)."""
+    l_ = repr(float(lam))
+    om = repr(1.0 - float(lam))
+    parts = [
+        f"""WITH store AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.source, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.text IS NOT NULL
+), toks AS (
+  SELECT doc_id AS id, string_split(LOWER(text), ' ') AS t FROM store
+), dl AS MATERIALIZED (
+  SELECT id, len(t) AS dl FROM toks
+), tf AS MATERIALIZED (
+  SELECT id, word, COUNT(*) AS tf
+  FROM (SELECT id, unnest(t) AS word FROM toks) GROUP BY id, word
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM dl
+), dfx AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+), qt AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(string_split(LOWER(text), ' ')) AS word
+  FROM store WHERE doc_id IN (0, 1, 2)
+), hits AS (
+  SELECT qt.query_id, tf.id,
+         CAST(FLOOR(
+           ROUND(LN(1 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)), 6)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           * 1000000.0 + 0.5) AS BIGINT) AS c
+  FROM tf
+  JOIN qt USING (word)
+  JOIN dl USING (id)
+  JOIN dfx USING (word)
+  CROSS JOIN stats
+), lex_scored AS (
+  SELECT query_id, id, FLOOR(SUM(c) / 100.0 + 0.5) / 10000.0 AS score
+  FROM hits GROUP BY query_id, id
+), lex AS (
+  SELECT query_id, id AS doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rn ASC) AS rank_a
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, id ASC) AS rn
+    FROM lex_scored
+  ) WHERE rn <= {candidates + 1} AND id <> query_id
+  QUALIFY rank_a <= {candidates}
+), qv AS (
+  SELECT doc_id AS query_id, v AS qe FROM store WHERE doc_id IN (0, 1, 2)
+), vp AS (
+  SELECT qv.query_id, s.doc_id,
+         ROUND(list_cosine_similarity(qv.qe, s.v), 4) AS cosine
+  FROM qv JOIN store s ON s.doc_id <> qv.query_id
+), vec AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id ASC) AS rank_b
+  FROM vp
+  QUALIFY rank_b <= {candidates}
+), fused AS (
+  SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+         COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({c} + rank_a), 0)
+               + COALESCE(1.0 / ({c} + rank_b), 0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN vec
+    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id
+), cand AS MATERIALIZED (
+  SELECT query_id, doc_id AS neighbor_id, rrf_score
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC) AS rn
+    FROM fused
+  ) WHERE rn <= {kc}
+), norm AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rrf_score,
+         CASE WHEN mx = mn THEN 1.0
+              ELSE FLOOR((rrf_score - mn) / (mx - mn) * 10000.0 + 0.5)
+                   / 10000.0
+         END AS rel
+  FROM (
+    SELECT *, MIN(rrf_score) OVER (PARTITION BY query_id) AS mn,
+              MAX(rrf_score) OVER (PARTITION BY query_id) AS mx
+    FROM cand
+  )
+), cv AS MATERIALIZED (
+  SELECT n.query_id, n.neighbor_id, n.rel, s.v
+  FROM norm n JOIN store s ON s.doc_id = n.neighbor_id
+), pair AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+         ROUND(list_cosine_similarity(a.v, b.v), 4) AS psim
+  FROM cv a JOIN cv b
+    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+), s1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, ROUND({l_} * rel, 4) AS mmr_score,
+         CAST(1 AS BIGINT) AS mmr_rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {l_} * rel DESC, neighbor_id ASC) AS rn
+    FROM norm
+  ) WHERE rn = 1
+), sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM s1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f""", s{t} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, ROUND(score, 4) AS mmr_score,
+         CAST({t} AS BIGINT) AS mmr_rank
+  FROM (
+    SELECT g.query_id, g.neighbor_id, g.score,
+           ROW_NUMBER() OVER (PARTITION BY g.query_id
+             ORDER BY g.score DESC, g.neighbor_id ASC) AS rn
+    FROM (
+      SELECT n.query_id, n.neighbor_id,
+             {l_} * n.rel - {om} * MAX(p.psim) AS score
+      FROM norm n
+      JOIN pair p ON p.query_id = n.query_id AND p.a_id = n.neighbor_id
+      JOIN sel{t - 1} s ON s.query_id = p.query_id
+                       AND s.neighbor_id = p.b_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sel{t - 1} x
+        WHERE x.query_id = n.query_id AND x.neighbor_id = n.neighbor_id)
+      GROUP BY n.query_id, n.neighbor_id, n.rel
+    ) g
+  ) WHERE rn = 1
+), sel{t} AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM sel{t - 1}
+  UNION ALL SELECT query_id, neighbor_id FROM s{t}
+)"""
+        )
+    steps = "\nUNION ALL ".join(
+        f"SELECT query_id, neighbor_id, mmr_score, mmr_rank FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    parts.append(
+        f""", picked AS (
+{steps}
+)
+SELECT p.query_id, p.mmr_rank, p.neighbor_id AS doc_id,
+       n.rrf_score, n.rel, p.mmr_score, s.source,
+       CAST(LENGTH(s.text) AS BIGINT) AS content_length
+FROM picked p
+JOIN norm n ON n.query_id = p.query_id AND n.neighbor_id = p.neighbor_id
+JOIN store s ON s.doc_id = p.neighbor_id"""
+    )
+    return "".join(parts)
+
+
+_RAG_READ_ORACLE = _rag_read_oracle(candidates=10, kc=8, k=4, lam=0.7, c=60)
+
+
+@_q("rag_read_path", _RAG_READ_ORACLE)
+def rag_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-side capstone: the complete RAG read path — embedded
+    store -> BM25 + exact-cosine kNN -> reciprocal-rank fusion ->
+    min-max relevance normalization -> greedy MMR diversity selection
+    -> document-metadata join — as ONE composed DataFrame plan under
+    ONE fused oracle (the write-side counterpart is
+    ``pretrain_corpus_full``). Composition is where per-stage
+    conventions clash (rank contiguity after self-hit drops, RRF
+    score scale vs cosine scale, vector resolvability of fused
+    candidates) — this entry pins them end-to-end."""
+    from lakehouse_to_rag_spark.operators.retrieval import (
+        rag_read_path as op,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return op(d, e, query_ids=[0, 1, 2], candidates=10, kc=8, k=4,
+              lam=0.7, c=60)
+
+
+# =====================================================================
 # Driver evidence-window ROTATION
 # =====================================================================
 # The round driver's correctness gate walks queries() in dict order

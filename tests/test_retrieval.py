@@ -328,3 +328,115 @@ class TestMMRRerank:
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan
         assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
+
+
+class TestMMRScored:
+    """mmr_rerank_scored: the pre-scored-relevance form sharing
+    _mmr_greedy with mmr_rerank."""
+
+    def test_cosine_rel_equals_mmr_rerank(self, spark, sf_dir):
+        """Feeding the kNN's own (query_id, neighbor_id, cosine) as
+        rel through the scored form must reproduce mmr_rerank exactly
+        — the refactor's no-drift guarantee, checked end to end."""
+        from lakehouse_to_rag_spark.operators.retrieval import (
+            mmr_rerank,
+            mmr_rerank_scored,
+        )
+        from lakehouse_to_rag_spark.operators.similarity import knn_bruteforce
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") < 3)
+        cand = knn_bruteforce(e, q, k=10).select(
+            "query_id", "neighbor_id", F.col("cosine").alias("rel")
+        )
+        got = sorted(
+            tuple(r) for r in mmr_rerank_scored(cand, e, k=4, lam=0.6).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in mmr_rerank(e, q, k_candidates=10, k=4, lam=0.6).collect()
+        )
+        assert got == want
+
+    def test_external_scores_steer_selection(self, spark):
+        """rel comes from the caller, not the vectors: give the
+        geometrically-worst candidate the best rel at lam=1 and it
+        must win rank 1."""
+        from lakehouse_to_rag_spark.operators.retrieval import mmr_rerank_scored
+
+        vecs = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),
+                (2, [0.99, 0.14]),
+                (3, [-1.0, 0.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        cand = spark.createDataFrame(
+            [(0, 1, 0.2), (0, 2, 0.3), (0, 3, 0.9)],
+            "query_id long, neighbor_id long, rel double",
+        )
+        rows = {
+            r["mmr_rank"]: r["neighbor_id"]
+            for r in mmr_rerank_scored(cand, vecs, k=3, lam=1.0).collect()
+        }
+        assert rows == {1: 3, 2: 2, 3: 1}
+
+
+class TestRagReadPath:
+    """rag_read_path: the composed serve chain. Value parity vs the
+    fused oracle runs in test_oracle_parity.py; here the composition
+    contract."""
+
+    def test_contract(self, spark, sf_dir):
+        from lakehouse_to_rag_spark.operators.retrieval import rag_read_path
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = rag_read_path(d, e, query_ids=[0, 1, 2], candidates=10,
+                            kc=8, k=4).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], []).append(r)
+        assert set(per_q) == {0, 1, 2}
+        emb_ids = {
+            r["vec_id"] for r in e.select("vec_id").collect()
+        }
+        for qid, rows in per_q.items():
+            assert sorted(r["mmr_rank"] for r in rows) == [1, 2, 3, 4]
+            ids = [r["doc_id"] for r in rows]
+            assert len(set(ids)) == 4 and qid not in ids
+            for r in rows:
+                assert r["doc_id"] in emb_ids  # embedded-store closure
+                assert 0.0 <= r["rel"] <= 1.0
+                assert r["content_length"] >= 1 and r["source"] is not None
+
+    def test_rel_normalization_minmax(self, spark, sf_dir):
+        """Per query, the best fused candidate gets rel 1.0 and the
+        worst rel 0.0 (strict min-max over the kc-deep list)."""
+        from lakehouse_to_rag_spark.operators.retrieval import rag_read_path
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # lam=1 => MMR keeps pure-rel order; k=kc surfaces the whole
+        # candidate list with its rel values
+        out = rag_read_path(d, e, query_ids=[0], candidates=10, kc=8,
+                            k=8, lam=1.0).collect()
+        rels = sorted(r["rel"] for r in out)
+        assert rels[0] == 0.0 and rels[-1] == 1.0
+
+    def test_plan_shape(self, spark, sf_dir):
+        """No cartesian anywhere in the composed plan; the metadata
+        and candidate-vector joins broadcast."""
+        from lakehouse_to_rag_spark.operators.retrieval import rag_read_path
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        plan = (
+            rag_read_path(d, e, query_ids=[0, 1, 2])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
