@@ -30,7 +30,15 @@ def connected_components(
 ) -> DataFrame:
     """Connected components of the undirected graph given by edge
     pairs. Returns (id, component) where component = min vertex id
-    reachable. Vertices are the ids appearing in any edge."""
+    reachable. Vertices are the ids appearing in any edge.
+
+    Convergence takes O(component diameter) propagation rounds — the
+    right tool for dedup graphs (near-dup components are shallow
+    cliques). Raises loudly if ``max_iterations`` rounds were not
+    enough (a silent return here would be a WRONG answer: labels not
+    yet fully propagated), naming ``connected_components_star`` —
+    O(log^2 n) rounds regardless of diameter — as the remedy for
+    long-chain graphs."""
     # materialize the symmetric edge list ONCE: every propagation
     # round joins against it, and without the checkpoint each round
     # re-executes the ENTIRE upstream pair-generation pipeline (the
@@ -48,6 +56,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["v"] == labels["id"])
@@ -72,8 +81,143 @@ def connected_components(
         n_changed = updated.agg(F.sum("changed")).collect()[0][0] or 0
         labels = updated.select("id", "component").localCheckpoint(eager=True)
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "connected_components: min-label propagation did not "
+            f"converge in max_iterations={max_iterations} rounds — the "
+            "graph has a component of diameter > max_iterations. "
+            "Returning here would silently mislabel vertices. Use "
+            "connected_components_star (O(log^2 n) rounds regardless "
+            "of diameter) or raise max_iterations."
+        )
     return labels
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond', SoCC 2014): every vertex connects all its
+    STRICTLY LARGER neighbors to the minimum of its closed
+    neighborhood. Input/output are symmetric-intent edge lists held as
+    (u, v) rows; output rows are (x, m) with x > m, deduplicated."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("nbr_min"))
+    return (
+        sym.join(mins, "u")
+        .withColumn("m", F.least(F.col("u"), F.col("nbr_min")))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge toward its larger
+    endpoint, then connect that endpoint AND all its (smaller)
+    neighbors to the smallest neighbor. Output rows are (x, m) with
+    x > m, deduplicated."""
+    oriented = (
+        edges.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    selfs = mins.select("u", F.col("m").alias("v"))
+    return (
+        relink.unionByName(selfs)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contractions (Kiveris et al., SoCC 2014) — the 100 TB-scale twin
+    of ``connected_components``. Same contract: (id, component) with
+    component = min reachable vertex id, vertices = ids appearing in
+    any edge.
+
+    Why a twin: min-label propagation converges in O(diameter) shuffle
+    rounds — fine for shallow dup cliques, fatal for chain-shaped
+    graphs (transitive near-dup chains over crawl snapshots routinely
+    have diameter in the thousands). The star alternation provably
+    converges in O(log^2 n) rounds INDEPENDENT of diameter, and each
+    round is one groupBy-min + one broadcast-or-shuffle join over an
+    edge list that only shrinks. High-degree hubs cost one partial-
+    aggregatable min per round, not a fan-out join.
+
+    Each round's edge list is localCheckpointed (same discipline as
+    the propagation loop); the fixpoint test is an exact exceptAll on
+    the (u, v) rows, not a checksum — a false 'converged' would be a
+    wrong answer. Raises loudly if ``max_iterations`` is exhausted.
+    ``stats['rounds']`` reports the converged round count when a dict
+    is passed (probe/test instrumentation)."""
+    cur = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iterations + 1):
+        # large-star needs both orientations of every edge; build the
+        # symmetric view from the canonical (u > v) list
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        # both sides are distinct sets, so equal counts + empty
+        # one-sided difference IS set equality (counts are cheap on
+        # the checkpointed frames)
+        if (
+            nxt.count() == cur.count()
+            and nxt.exceptAll(cur).limit(1).count() == 0
+        ):
+            converged = True
+            cur = nxt
+            break
+        cur = nxt
+    if not converged:
+        raise RuntimeError(
+            "connected_components_star: star alternation did not "
+            f"converge in max_iterations={max_iterations} rounds "
+            "(theoretical bound is O(log^2 n) — this indicates input "
+            "ids outside a total order, or max_iterations set far too "
+            "low). Raise max_iterations."
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    # converged edge list is a star forest (x -> root); roots and
+    # isolated-by-self-loop vertices label themselves
+    return vertices.join(
+        cur.select(F.col("u").alias("id"), F.col("v").alias("root")),
+        "id",
+        "left",
+    ).select("id", F.coalesce(F.col("root"), F.col("id")).alias("component"))
 
 
 def dedup_clusters(

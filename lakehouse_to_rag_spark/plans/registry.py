@@ -1692,6 +1692,31 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+@_q("dedup_clusters_star", _CLUSTERS_ORACLE)
+def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same cluster formation through the O(log^2 n)-round
+    large-star/small-star alternation (Kiveris et al., SoCC 2014)
+    instead of O(diameter)-round min-label propagation — the twin
+    that survives chain-shaped duplicate graphs (transitive near-dup
+    chains with diameter in the thousands, where propagation's round
+    count IS the diameter). Same oracle verbatim: both engines must
+    produce identical components."""
+    from lakehouse_to_rag_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        d, "doc_id", "text", 3, 0.5, max_shingle_df=None
+    )
+    cc = connected_components_star(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_root"),
+        (F.col("id") == F.col("component")).alias("is_kept"),
+    )
+
+
 _Q6_ORACLE = """
 SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue_delta,
        CAST(COUNT(*) AS BIGINT) AS n_items

@@ -2,6 +2,7 @@
 no SQL oracle: MinHash-LSH recall vs exact Jaccard, SimHash behavior on
 planted near-duplicates, IVF recall vs brute-force kNN."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from lakehouse_to_rag_spark.operators.dedup import (
@@ -203,6 +204,69 @@ def test_connected_components_properties(spark):
     )
     cc = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+class TestStarCC:
+    """connected_components_star: the O(log^2 n)-round twin."""
+
+    def test_equals_min_label_on_random_graphs(self, spark):
+        """Star and propagation must label identically on random
+        graphs (fixed seeds; mixed component shapes and sizes)."""
+        import random
+
+        from lakehouse_to_rag_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+
+        rng = random.Random(7)
+        for _ in range(3):
+            es = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+            es = [e for e in es if e[0] != e[1]] or [(0, 1)]
+            df = spark.createDataFrame(es, ["id_a", "id_b"])
+            a = sorted(
+                tuple(r)
+                for r in connected_components(df, max_iterations=200).collect()
+            )
+            b = sorted(tuple(r) for r in connected_components_star(df).collect())
+            assert a == b
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """A 4096-node path (diameter 4095) — the shape that kills
+        O(diameter) propagation — must converge in ~log^2 rounds and
+        label every vertex with the path minimum."""
+        from lakehouse_to_rag_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+
+        path = spark.createDataFrame(
+            [(i, i + 1) for i in range(4095)], ["id_a", "id_b"]
+        )
+        stats: dict = {}
+        cc = connected_components_star(path, stats=stats)
+        assert cc.filter("component <> 0").count() == 0
+        assert cc.count() == 4096
+        assert stats["rounds"] <= 15  # measured 13; bound is O(log^2 n)
+        # and the propagation twin must now REFUSE (a silent return
+        # would be mislabeled output), naming the star remedy
+        with pytest.raises(RuntimeError, match="connected_components_star"):
+            connected_components(path).collect()
+
+    def test_hub_skew(self, spark):
+        """A 1000-leaf hub (worst-case degree skew) converges in a
+        handful of rounds; hub min propagates to every leaf."""
+        from lakehouse_to_rag_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        hub = spark.createDataFrame(
+            [(500, i) for i in range(1000) if i != 500], ["id_a", "id_b"]
+        )
+        stats: dict = {}
+        cc = connected_components_star(hub, stats=stats)
+        assert cc.filter("component <> 0").count() == 0
+        assert stats["rounds"] <= 5
 
 
 def test_prefix_filter_jaccard_equals_naive(spark, sf_dir):

@@ -424,6 +424,41 @@ def main() -> None:
     n = _reg.QUERIES["pretrain_corpus_full"](spark, sf_dir).count()
     print(f"pretrain_corpus_full@sf: {time.perf_counter() - t0:.1f}s rows={n}")
 
+    # r6b: star CC — round count must stay O(log^2 n) regardless of
+    # component shape; probe the two adversarial shapes at once: a
+    # FACTOR*4096-node path (diameter = n-1, the min-label killer)
+    # unioned with a FACTOR*1000-leaf hub (degree skew)
+    from lakehouse_to_rag_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n_path, n_hub = 4096 * factor, 1000 * factor
+    chain = spark.range(n_path - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    hub = spark.range(n_hub).select(
+        (F.lit(10_000_000) + 0).alias("id_a"),
+        (F.lit(10_000_000) + 1 + F.col("id")).alias("id_b"),
+    )
+    st: dict = {}
+    t0 = time.perf_counter()
+    n = connected_components_star(chain.unionByName(hub), stats=st).count()
+    print(
+        f"star_cc(path {n_path} + hub {n_hub}): "
+        f"{time.perf_counter() - t0:.1f}s rounds={st['rounds']} labels={n}"
+    )
+
+    # r6b: the composed RAG read path — stages 2-3 are the broadcast
+    # kNN/BM25 shapes (linear in corpus per query), stages 4-7 touch
+    # only queries x candidates rows; wall must track the store scan
+    from lakehouse_to_rag_spark.operators.retrieval import rag_read_path
+
+    t0 = time.perf_counter()
+    n = rag_read_path(
+        docs, emb, query_ids=[0, 1, 2], candidates=10, kc=8, k=4
+    ).count()
+    print(f"rag_read_path(3q): {time.perf_counter() - t0:.1f}s rows={n}")
+
     spark.stop()
 
 
