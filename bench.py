@@ -75,6 +75,9 @@ HEADLINE = [
     # it round-over-round, not against JVM-side query rows.
     "knn_ivfpq",
     "knn_ivf_kmeans",
+    # 1-bit sign quantization + exact rerank: the ANN memory floor
+    # (XOR+popcount codegen scan)
+    "knn_binary_rerank",
     "bpe_token_counts",
     "dedup_ngram_jaccard_prefix",
     "gif_frame_stats",

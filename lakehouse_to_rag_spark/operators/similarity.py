@@ -1438,3 +1438,162 @@ def ann_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     ).select(
         "query_id", F.col("n_hits").cast("long").alias("n_hits"), "recall"
     )
+
+
+# =====================================================================
+# Binary (sign-bit) quantization ANN
+# =====================================================================
+# The storage tier below PQ: one BIT per dimension (64-dim float32 =
+# 256 B -> 8 B, a 32x shrink with zero model state — no codebooks, no
+# training pass). Hamming distance over the packed words approximates
+# angular distance (Charikar 2002 SimHash bound: P[bit differs] =
+# theta/pi per hyperplane; the identity basis is the hyperplane set
+# here, valid because the corpus is ~zero-centered per dimension).
+# Scoring is pure JVM codegen: XOR + popcount per word — no Arrow, no
+# floats, no summation-order concerns anywhere, so the whole family
+# oracles exactly at full precision.
+
+
+def quantize_binary(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pack per-dimension sign bits (x > 0) into ``ceil(dim/64)``
+    longs: word ``w`` holds dims ``[64w, 64w+63]``, dim ``i`` at bit
+    ``i % 64`` (bit 63 is the long's sign bit — two's-complement
+    addition of disjoint masks is bitwise OR, so the packing stays
+    exact integer arithmetic). Dims past ``dim`` in the last word are
+    zero on every row and cancel in XOR.
+
+    The 0.0 threshold is deterministic on any engine (no mean/median
+    training pass whose float reduction could drift) and is the right
+    cut for zero-centered embedding spaces; a biased corpus should be
+    centered upstream (pca_project / jl_project both produce centered
+    outputs). Returns (id, words array<long>)."""
+    if dim < 1:
+        raise ValueError(f"quantize_binary: need dim >= 1, got {dim}")
+    n_words = (dim + 63) // 64
+    vec = F.col(vec_col)
+    words = []
+    for w in range(n_words):
+        bits = []
+        for j in range(64):
+            i = w * 64 + j
+            if i >= dim:
+                break
+            mask = (1 << j) if j < 63 else -(1 << 63)
+            bits.append(
+                F.when(vec.getItem(i) > F.lit(0.0), F.lit(mask).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        words.append(acc)
+    return df.select(F.col(id_col).alias(id_col), F.array(*words).alias("words"))
+
+
+def _hamming(a, b):
+    """Popcount of XOR across the packed word arrays — exact integer
+    arithmetic, whole-stage codegen end to end."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def knn_binary(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate nearest neighbors by Hamming distance over sign-bit
+    signatures — the memory floor of the ANN family (32x smaller than
+    float32, 4x smaller than PQ-8, zero trained state).
+
+    Same distributed shape as ``knn_bruteforce`` (queries broadcast,
+    one corpus scan, two-phase top-k so the global rank sees only
+    partitions x queries x k rows); ties break on smallest
+    neighbor_id. Self-matches excluded. Returns (query_id,
+    neighbor_id, hamming BIGINT, rank 1..k)."""
+    c = quantize_binary(corpus, dim, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("words").alias("nw")
+    )
+    q = F.broadcast(
+        quantize_binary(queries, dim, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col("words").alias("qw")
+        )
+    )
+    pairs = c.join(q, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        _hamming(F.col("qw"), F.col("nw")).alias("hamming"),
+    )
+    local_w = Window.partitionBy("query_id", "pid").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    pairs = (
+        pairs.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrank", F.row_number().over(local_w))
+        .filter(F.col("lrank") <= k)
+        .drop("pid", "lrank")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def knn_binary_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary shortlist + exact re-rank — the two-tier read path the
+    bit signatures exist for (store/scan 1 bit per dim; touch float
+    vectors for only queries x rerank rows): Hamming top-``rerank``
+    per query, then ONE equi-join pulls true vectors for the shortlist
+    and exact rounded cosine ranks the final top-k. Quantization error
+    moves the shortlist boundary, not the returned ranking.
+
+    Returns (query_id, neighbor_id, cosine, rank) — the
+    ``knn_bruteforce`` contract, drop-in interchangeable."""
+    if not 1 <= k <= rerank:
+        raise ValueError(f"knn_binary_rerank: need 1 <= k={k} <= rerank={rerank}")
+    shortlist = knn_binary(
+        corpus, queries, dim, k=rerank, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    qvec = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    sim = F.round(cosine_similarity(F.col("qvec"), F.col("nvec")), 4)
+    pairs = (
+        shortlist.join(nvec, "neighbor_id")
+        .join(qvec, "query_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    return _ranked_topk(pairs, k)

@@ -6472,6 +6472,123 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Binary (sign-bit) ANN (operators/similarity.py:quantize_binary).
+# Every step is exact integer arithmetic (bit compare, XOR, popcount),
+# so the oracle replays at full precision with no rounding discipline
+# at all. The SQL skips the word packing and counts differing sign
+# bits directly — provably the same number popcount(xor(packed))
+# computes, with no 64-bit representation concerns in the replay.
+# =====================================================================
+
+_KNN_BINARY_ORACLE = """
+WITH b AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bits
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, bits AS qb FROM b WHERE vec_id < 10
+), p AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         CAST(len(list_filter(range(1, 65), i -> q.qb[i] <> b.bits[i]))
+              AS BIGINT) AS hamming
+  FROM q JOIN b ON b.vec_id <> q.query_id
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY hamming ASC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, hamming, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+@_q("knn_binary", _KNN_BINARY_ORACLE)
+def knn_binary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit Hamming ANN — the 1-bit-per-dimension memory floor of
+    the quantized family (32x under float32, 4x under PQ-8, zero
+    trained state). Scoring is XOR+popcount whole-stage codegen; the
+    oracle counts differing sign bits pairwise, which is the same
+    integer by construction."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return simi.knn_binary(e, queries, dim=64, k=5)
+
+
+_KNN_BINARY_RERANK_ORACLE = """
+WITH b AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bits
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, bits AS qb FROM b WHERE vec_id < 10
+), p AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         len(list_filter(range(1, 65), i -> q.qb[i] <> b.bits[i])) AS hamming
+  FROM q JOIN b ON b.vec_id <> q.query_id
+), sl AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY hamming ASC, neighbor_id ASC) AS hrank
+    FROM p
+  ) WHERE hrank <= 50
+), qv AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT sl.query_id, sl.neighbor_id,
+         ROUND(list_cosine_similarity(qv.qe, CAST(e.embedding AS DOUBLE[])), 4)
+           AS cosine
+  FROM sl
+  JOIN embeddings e ON e.vec_id = sl.neighbor_id
+  JOIN qv ON qv.query_id = sl.query_id
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM c
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+@_q("knn_binary_rerank", _KNN_BINARY_RERANK_ORACLE)
+def knn_binary_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary shortlist + exact cosine re-rank: Hamming top-50 selects
+    candidates from the bit signatures (the full-precision corpus is
+    never scanned), one equi-join pulls true vectors for queries x 50
+    rows, exact rounded cosine ranks the final top-5. The
+    ``knn_bruteforce`` output contract — drop-in interchangeable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return simi.knn_binary_rerank(e, queries, dim=64, k=5, rerank=50)
+
+
+_ANN_RECALL_BINARY_ORACLE = f"""
+WITH bf AS MATERIALIZED (SELECT * FROM ({_KNN_ORACLE})),
+ap AS MATERIALIZED (SELECT * FROM ({_KNN_BINARY_RERANK_ORACLE}))
+SELECT bf.query_id,
+       CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hits,
+       ROUND(COUNT(ap.neighbor_id) / 5.0, 4) AS recall
+FROM bf LEFT JOIN ap
+  ON ap.query_id = bf.query_id AND ap.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
+@_q("ann_recall_binary", _ANN_RECALL_BINARY_ORACLE)
+def ann_recall_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the binary-rerank path against the exact scan —
+    the gauge that prices the 32x storage cut (the rerank stage means
+    losses come only from true neighbors missing the Hamming top-50
+    shortlist)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = simi.knn_bruteforce(e, queries, k=5)
+    approx = simi.knn_binary_rerank(e, queries, dim=64, k=5, rerank=50)
+    return simi.ann_recall(exact, approx, k=5)
+
+
+# =====================================================================
 # MMR re-ranking (operators/retrieval.py:mmr_rerank)
 # =====================================================================
 

@@ -882,3 +882,88 @@ class TestAnnRecall:
         )
         [r] = ann_recall(exact, approx, k=5).collect()
         assert r["n_hits"] == 2 and r["recall"] == 0.4
+
+
+class TestBinaryANN:
+    """Sign-bit quantization family: packing exactness, the
+    rerank-equals-exact limit, and shortlist recall."""
+
+    def test_packing_matches_numpy_reference(self, spark):
+        """dim=128 (two words, bit 63 = the long sign bit exercised)
+        against an independent numpy packing."""
+        import numpy as np
+
+        from lakehouse_to_rag_spark.operators.similarity import quantize_binary
+
+        rng = np.random.default_rng(11)
+        vecs = rng.standard_normal((20, 128)).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            r["vec_id"]: list(r["words"])
+            for r in quantize_binary(df, dim=128).collect()
+        }
+        for i in range(20):
+            bits = (vecs[i] > 0).astype(np.uint64)
+            for w in range(2):
+                word = np.uint64(0)
+                for j in range(64):
+                    word |= bits[w * 64 + j] << np.uint64(j)
+                assert got[i][w] == np.int64(word), (i, w)
+
+    def test_hamming_counts_sign_disagreements(self, spark):
+        """Two crafted vectors disagreeing in exactly 3 sign positions
+        (one of them position 63) have hamming 3."""
+        from lakehouse_to_rag_spark.operators.similarity import knn_binary
+
+        a = [1.0] * 64
+        b = [1.0] * 64
+        for p in (0, 31, 63):
+            b[p] = -1.0
+        df = spark.createDataFrame(
+            [(0, a), (1, b)], "vec_id long, embedding array<float>"
+        )
+        rows = knn_binary(df, df.filter("vec_id = 0"), dim=64, k=1).collect()
+        assert len(rows) == 1 and rows[0]["hamming"] == 3
+
+    def test_rerank_full_shortlist_equals_bruteforce(self, spark, sf_dir):
+        """With rerank >= corpus size the shortlist is everything, so
+        the rerank path must reproduce knn_bruteforce EXACTLY."""
+        from lakehouse_to_rag_spark.operators.similarity import (
+            knn_binary_rerank,
+            knn_bruteforce,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = e.count()
+        q = e.filter(F.col("vec_id") < 5)
+        exact = sorted(tuple(r) for r in knn_bruteforce(e, q, k=5).collect())
+        full = sorted(
+            tuple(r)
+            for r in knn_binary_rerank(e, q, dim=64, k=5, rerank=n).collect()
+        )
+        assert exact == full
+
+    def test_shortlist_recall_floor(self, spark, sf_dir):
+        """A fixed-FRACTION Hamming shortlist (10% of the corpus) +
+        exact rerank keeps mean recall@5 far above the 10% a random
+        shortlist would score. (Measured with rerank=50 absolute:
+        0.68 at sf0.01 / 500 vectors, 0.48 at sf0.1 / 2000 — 1-bit
+        signatures price recall in shortlist FRACTION, hence the
+        corpus-proportional rerank here so the test means the same
+        thing at every SF.)"""
+        from lakehouse_to_rag_spark.operators.similarity import (
+            ann_recall,
+            knn_binary_rerank,
+            knn_bruteforce,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") < 10)
+        rerank = max(50, e.count() // 10)
+        exact = knn_bruteforce(e, q, k=5)
+        approx = knn_binary_rerank(e, q, dim=64, k=5, rerank=rerank)
+        rec = ann_recall(exact, approx, k=5).agg(F.avg("recall")).collect()[0][0]
+        assert rec >= 0.4, (rec, rerank)

@@ -326,3 +326,24 @@ def test_perceptual_dedup_joins_signatures_not_media(spark, sf_dir):
         assert plan.count("MapInPandas") == 0, (name, plan)
         assert plan.count("Scan ExistingRDD") == 2, (name, plan)
         assert "CartesianProduct" not in plan, name
+
+
+def test_knn_binary_pure_codegen_no_python(spark, sf_dir):
+    """The binary-ANN hot path must be JVM-only (XOR+popcount are
+    codegen expressions — a Python eval node anywhere means the 32x
+    storage cut bought a 100x scoring slowdown) with the query side
+    broadcast."""
+    from lakehouse_to_rag_spark.operators.similarity import knn_binary
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter("vec_id < 10")
+    plan = (
+        knn_binary(e, q, dim=64, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast queries, non-equi self-exclusion

@@ -459,6 +459,17 @@ def main() -> None:
     ).count()
     print(f"rag_read_path(3q): {time.perf_counter() - t0:.1f}s rows={n}")
 
+    # r6b: binary ANN — a 1-bit/dim XOR+popcount codegen scan; wall
+    # must track corpus size linearly with the smallest constant in
+    # the ANN family (the rerank join touches queries x rerank rows)
+    from lakehouse_to_rag_spark.operators.similarity import knn_binary_rerank
+
+    t0 = time.perf_counter()
+    n = knn_binary_rerank(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, rerank=50
+    ).count()
+    print(f"knn_binary_rerank(10q): {time.perf_counter() - t0:.1f}s rows={n}")
+
     spark.stop()
 
 
