@@ -118,6 +118,9 @@ HEADLINE = [
     # unigram-LM (SentencePiece-style) tokenizer: sample-trained
     # hard-EM, distributed Viterbi encode
     "unigram_token_counts",
+    # WordPiece greedy longest-match encode (the BERT tokenizer),
+    # completing the tokenizer triple
+    "wordpiece_token_counts",
     # the serving-side capstone: BM25 + kNN -> RRF -> min-max rel ->
     # greedy MMR -> metadata join, one composed plan
     "rag_read_path",

@@ -5048,6 +5048,115 @@ def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode(enc_in, logp)
 
 
+def _wordpiece_oracle(
+    vocab_multi: int = 200,
+    max_piece_len: int = 4,
+    sample_rows: int = 500,
+) -> str:
+    """WordPiece replay (functions/wordpiece.py) — the third tokenizer
+    twin, TRAINING and ENCODING fully in SQL.
+
+    Training is a flat substring unnest over the sampled word counts
+    (piece weight = word_freq x occurrence positions, no overlap
+    suppression — chosen exactly so this replay is one GROUP BY), the
+    char base unioned with the top ``vocab_multi`` multi-char pieces
+    under the engine's total order (weight DESC, piece ASC, cont ASC).
+
+    Encoding is a RECURSIVE CTE over DISTINCT corpus words: each step
+    LEFT-joins the vocabulary on ``substr(word, pos, len(piece)) =
+    piece AND cont = (pos > 1)`` and advances by MAX(len(piece)) —
+    greedy longest-match-first is a per-(word,pos) aggregate, no
+    window functions in the recursive term. A no-match position jumps
+    to len+1 with failed=true; the terminal row per word is the one
+    with pos > len, scoring CASE failed THEN 1 (the whole-word [UNK]
+    rule) ELSE the accumulated count. Word extraction, WS_CLASS and
+    the chr(31) strip are the BPE oracle's fragments verbatim;
+    whitespace-only docs keep n_tokens = 0 via the final LEFT JOIN."""
+    ws = r"[ \t\n\x0B\f\r]+"
+    return f"""WITH RECURSIVE sample AS MATERIALIZED (
+  SELECT replace(text, chr(31), '') AS text
+  FROM documents WHERE text IS NOT NULL
+  ORDER BY doc_id LIMIT {sample_rows}
+), sw AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(text, '{ws}')) AS word FROM sample
+  ) WHERE word <> '' GROUP BY word
+), pos AS (
+  SELECT word, freq, unnest(range(1, length(word) + 1)) AS i FROM sw
+), occs AS (
+  SELECT word, freq, i,
+         unnest(range(1, least({max_piece_len}, length(word) - i + 1) + 1)) AS l
+  FROM pos
+), weights AS MATERIALIZED (
+  SELECT substr(word, i, l) AS piece, (i > 1) AS cont, SUM(freq) AS w
+  FROM occs GROUP BY 1, 2
+), vocab AS MATERIALIZED (
+  SELECT piece, cont FROM weights WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cont FROM (
+    SELECT piece, cont,
+           ROW_NUMBER() OVER (ORDER BY w DESC, piece ASC, cont ASC) AS rn
+    FROM weights WHERE length(piece) >= 2
+  ) WHERE rn <= {vocab_multi}
+), cw AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(replace(text, chr(31), ''), '{ws}')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE word <> ''
+), dwords AS MATERIALIZED (
+  SELECT DISTINCT word FROM cw
+), step AS (
+  SELECT word, 1 AS pos, 0 AS cnt, false AS failed FROM dwords
+  UNION ALL
+  SELECT word,
+         CASE WHEN best IS NULL THEN length(word) + 1 ELSE pos + best END AS pos,
+         CASE WHEN best IS NULL THEN 0 ELSE cnt + 1 END AS cnt,
+         (best IS NULL) AS failed
+  FROM (
+    SELECT s.word, s.pos, s.cnt, MAX(length(v.piece)) AS best
+    FROM step s LEFT JOIN vocab v
+      ON v.cont = (s.pos > 1)
+     AND v.piece = substr(s.word, s.pos, length(v.piece))
+    WHERE s.pos <= length(s.word) AND NOT s.failed
+    GROUP BY s.word, s.pos, s.cnt
+  )
+), wtoks AS MATERIALIZED (
+  SELECT word, CASE WHEN failed THEN 1 ELSE cnt END AS toks
+  FROM step WHERE pos > length(word)
+), per_doc AS (
+  SELECT cw.doc_id, SUM(wt.toks) AS n
+  FROM cw JOIN wtoks wt USING (word) GROUP BY cw.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+WHERE d.text IS NOT NULL"""
+
+
+_WORDPIECE_ORACLE = _wordpiece_oracle(
+    vocab_multi=200, max_piece_len=4, sample_rows=500
+)
+
+
+@_q("wordpiece_token_counts", _WORDPIECE_ORACLE)
+def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece subword tokenization (Wu et al. 2016 / the BERT
+    tokenizer): frequency-built vocabulary on a bounded sample, greedy
+    longest-match-first distributed encode with the whole-word [UNK]
+    rule; emits (doc_id, n_tokens) — completing the tokenizer triple
+    (BPE merges, unigram-LM Viterbi, WordPiece greedy) every modern
+    pipeline budget is denominated in."""
+    from lakehouse_to_rag_spark.functions.wordpiece import (
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = wordpiece_train(d, vocab_multi=200, max_piece_len=4, sample_rows=500)
+    enc_in = load_table(spark, sf_dir, "documents", parallelize=True)
+    return wordpiece_encode(enc_in, vocab, max_piece_len=4)
+
+
 # IVF-PQ full-training replay (upgraded from rows-only in round 5):
 # the oracle re-runs the ENTIRE pipeline in SQL — sample k-means for
 # the coarse quantizer, a fresh final assignment, residual subspace
