@@ -1486,3 +1486,88 @@ def perplexity_buckets(
             bucket_idx == F.lit(b), F.lit(names[b])
         ).otherwise(name_expr)
     return ranked.withColumn("bucket", name_expr)
+
+
+def embed_hashed_tf(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing document embedder (the hashing trick,
+    Weinberger et al. 2009): each word occurrence hashes to a bucket
+    ``h % dim`` with a sign from an independent hash bit, and the
+    document vector is the signed term-frequency sum per bucket —
+    text -> fixed-dim vector with NO trained model state at all,
+    which is what makes embedding-based ops (kNN, cosine dedup,
+    clustering) runnable on a corpus before any encoder exists.
+
+    Exactness: the word hash is the engine-portable 60-bit md5
+    (simhash_md5's convention — non-negative in a signed long, so
+    ``%``/``>>`` agree across engines), the vector entries are exact
+    integer sums represented in doubles, and downstream cosines over
+    these vectors are exact integer dots (< 2^53) + one sqrt+divide —
+    bit-deterministic on any engine, like knn_int8's arithmetic.
+
+    Scale shape: one explode + one (id, bucket) partial-aggregatable
+    groupBy + one map assembly per doc — no model broadcast, no
+    driver state, no Python. Docs whose text splits to no words keep
+    a zero vector (left join from the not-null-text doc set).
+    Returns (id_col, embedding array<double> of length ``dim``)."""
+    if not 1 <= dim <= 1 << 30:
+        raise ValueError(f"embed_hashed_tf: need 1 <= dim <= 2^30, got {dim}")
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    base = maybe_parallelize(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), F.col(text_col)
+        )
+    )
+    words = (
+        base.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ", -1)).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .select(
+            "id",
+            F.conv(F.md5(F.col("word")).substr(1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    sums = (
+        words.select(
+            "id",
+            (F.col("h") % dim).cast("int").alias("bucket"),
+            F.when(
+                F.shiftright(F.col("h"), 59).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.sum("sgn").alias("v"))
+    )
+    vecs = sums.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("v")))
+        ).alias("m")
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"), i.cast("int")), F.lit(0)
+        ).cast("double"),
+    )
+    return (
+        base.select(F.col(id_col))
+        .join(vecs, F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col,
+            F.coalesce(
+                emb, F.array_repeat(F.lit(0.0), dim)
+            ).alias("embedding"),
+        )
+    )

@@ -5157,6 +5157,96 @@ def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_encode(enc_in, vocab, max_piece_len=4)
 
 
+# =====================================================================
+# Feature-hashing embedder (operators/text_analysis.py:embed_hashed_tf)
+# — text -> fixed-dim vector with zero model state, so embedding-based
+# ops run on a corpus before any encoder exists. All-exact arithmetic
+# (60-bit md5 buckets, signed integer tf sums), so both the embedding
+# AND a cosine kNN over it replay at full precision.
+# =====================================================================
+
+_EMBED_HASH_FRAG = """
+  SELECT doc_id, hv % 64 AS bucket,
+         CASE WHEN (hv >> 59) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+  FROM (
+    SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ) WHERE word <> ''
+  )
+"""
+
+_EMBED_HASHED_ORACLE = f"""
+WITH s AS ({_EMBED_HASH_FRAG}),
+sums AS MATERIALIZED (
+  SELECT doc_id, bucket, SUM(sgn) AS v FROM s GROUP BY doc_id, bucket
+), spine AS (
+  SELECT d.doc_id, i AS bucket
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+  WHERE d.text IS NOT NULL
+)
+SELECT sp.doc_id,
+       list(COALESCE(su.v, 0)::DOUBLE ORDER BY sp.bucket) AS embedding
+FROM spine sp LEFT JOIN sums su USING (doc_id, bucket)
+GROUP BY sp.doc_id
+"""
+
+
+@_q("embed_hashed_tf", _EMBED_HASHED_ORACLE)
+def embed_hashed_tf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document embeddings (Weinberger et al. 2009):
+    signed term-frequency sums over md5 buckets — the model-free
+    embedder that bootstraps the vector ops (kNN, cosine dedup,
+    SemDeDup-style clustering) on a raw corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return ta.embed_hashed_tf(d, dim=64)
+
+
+_KNN_TEXT_HASHED_ORACLE = f"""
+WITH s AS ({_EMBED_HASH_FRAG}),
+sums AS MATERIALIZED (
+  SELECT doc_id, bucket, SUM(sgn) AS v FROM s GROUP BY doc_id, bucket
+), spine AS (
+  SELECT d.doc_id, i AS bucket
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+  WHERE d.text IS NOT NULL
+), emb AS MATERIALIZED (
+  SELECT sp.doc_id,
+         list(COALESCE(su.v, 0)::DOUBLE ORDER BY sp.bucket) AS e
+  FROM spine sp LEFT JOIN sums su USING (doc_id, bucket)
+  GROUP BY sp.doc_id
+), q AS (
+  SELECT doc_id AS query_id, e AS qe FROM emb WHERE doc_id < 10
+), p AS (
+  SELECT q.query_id, emb.doc_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qe, emb.e), 4) AS cosine
+  FROM q JOIN emb ON emb.doc_id <> q.query_id
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+@_q("knn_text_hashed", _KNN_TEXT_HASHED_ORACLE)
+def knn_text_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-to-text similarity search with NO model: hashed-tf
+    embeddings composed into the exact-cosine kNN. Cosines over the
+    integer-valued vectors are exact integer dots + one sqrt/divide,
+    so this composition oracles at full precision (knn_int8's
+    arithmetic class, derived from raw text)."""
+    d = load_table(spark, sf_dir, "documents")
+    emb = ta.embed_hashed_tf(d, dim=64)
+    queries = emb.filter(F.col("doc_id") < 10)
+    return simi.knn_bruteforce(
+        emb, queries, k=5, id_col="doc_id", vec_col="embedding"
+    )
+
+
 # IVF-PQ full-training replay (upgraded from rows-only in round 5):
 # the oracle re-runs the ENTIRE pipeline in SQL — sample k-means for
 # the coarse quantizer, a fresh final assignment, residual subspace

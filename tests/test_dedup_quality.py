@@ -967,3 +967,66 @@ class TestBinaryANN:
         approx = knn_binary_rerank(e, q, dim=64, k=5, rerank=rerank)
         rec = ann_recall(exact, approx, k=5).agg(F.avg("recall")).collect()[0][0]
         assert rec >= 0.4, (rec, rerank)
+
+
+class TestHashedEmbedder:
+    """embed_hashed_tf: the model-free feature-hashing embedder."""
+
+    def test_shape_zero_vector_and_determinism(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            embed_hashed_tf,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (0, "spark table join"),
+                (1, "spark table join"),  # identical text
+                (2, ""),  # splits to no words -> zero vector
+                (3, None),  # dropped by the not-null contract
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: list(r["embedding"])
+               for r in embed_hashed_tf(df, dim=32).collect()}
+        assert set(out) == {0, 1, 2}
+        assert all(len(v) == 32 for v in out.values())
+        assert out[0] == out[1]  # same text -> identical vector
+        assert out[2] == [0.0] * 32
+        # signed tf sums: integer-valued entries, total mass = 3 words
+        assert all(float(x).is_integer() for x in out[0])
+        assert sum(abs(x) for x in out[0]) == 3.0
+
+    def test_tf_weighting_counts_occurrences(self, spark):
+        """A repeated word contributes its multiplicity, not 1."""
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            embed_hashed_tf,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "ha"), (1, "ha ha ha")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r["embedding"]
+               for r in embed_hashed_tf(df, dim=8).collect()}
+        assert [3 * x for x in out[0]] == list(out[1])
+
+    def test_exact_dup_texts_have_cosine_one(self, spark, sf_dir):
+        """Composition: hashed embeddings feed the cosine dedup ops —
+        planted exact-duplicate texts land at cosine 1.0."""
+        from lakehouse_to_rag_spark.operators.dedup import embedding_dup_pairs
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            embed_hashed_tf,
+        )
+
+        base = load_table(spark, sf_dir, "documents")
+        # plant exact duplicates: re-id copies of docs 0..4 at +100000
+        planted = base.filter("doc_id < 5").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(100_000)
+        )
+        docs = base.unionByName(planted)
+        dups = {(i, i + 100_000) for i in range(5)}
+        emb = embed_hashed_tf(docs, dim=64).withColumnRenamed("doc_id", "vec_id")
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_dup_pairs(emb, threshold=0.9999).collect()
+        }
+        assert dups <= pairs  # identical text => identical vector => cos 1
