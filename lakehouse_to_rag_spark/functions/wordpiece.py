@@ -56,6 +56,8 @@ def wordpiece_train(
     substring unnest + SUM)."""
     if max_piece_len < 1:
         raise ValueError(f"wordpiece_train: max_piece_len >= 1, got {max_piece_len}")
+    if vocab_multi < 0:
+        raise ValueError(f"wordpiece_train: vocab_multi >= 0, got {vocab_multi}")
     rows = (
         df.filter(F.col(text_col).isNotNull())
         .orderBy(F.col(id_col))

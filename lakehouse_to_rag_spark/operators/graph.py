@@ -166,6 +166,10 @@ def connected_components_star(
     wrong answer. Raises loudly if ``max_iterations`` is exhausted.
     ``stats['rounds']`` reports the converged round count when a dict
     is passed (probe/test instrumentation)."""
+    if max_iterations < 1:
+        raise ValueError(
+            f"connected_components_star: max_iterations >= 1, got {max_iterations}"
+        )
     cur = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),

@@ -1465,7 +1465,11 @@ def quantize_binary(
     ``i % 64`` (bit 63 is the long's sign bit — two's-complement
     addition of disjoint masks is bitwise OR, so the packing stays
     exact integer arithmetic). Dims past ``dim`` in the last word are
-    zero on every row and cancel in XOR.
+    zero on every row and cancel in XOR. Contract: every vector has
+    length >= ``dim`` — a shorter vector's missing entries read as
+    NULL and pack as 0-bits here, while a SQL replay's NULL
+    comparisons DROP those positions, so ragged inputs would silently
+    diverge (the corpus tables are fixed-width).
 
     The 0.0 threshold is deterministic on any engine (no mean/median
     training pass whose float reduction could drift) and is the right

@@ -1525,12 +1525,12 @@ def embed_hashed_tf(
     )
     words = (
         base.select(
-            F.col(id_col).alias("id"),
+            F.col(id_col).alias("__emb_id"),
             F.explode(F.split(F.col(text_col), " ", -1)).alias("word"),
         )
         .filter(F.length("word") > 0)
         .select(
-            "id",
+            "__emb_id",
             F.conv(F.md5(F.col("word")).substr(1, 15), 16, 10)
             .cast("long")
             .alias("h"),
@@ -1538,7 +1538,7 @@ def embed_hashed_tf(
     )
     sums = (
         words.select(
-            "id",
+            "__emb_id",
             (F.col("h") % dim).cast("int").alias("bucket"),
             F.when(
                 F.shiftright(F.col("h"), 59).bitwiseAND(F.lit(1)) == 1,
@@ -1547,10 +1547,10 @@ def embed_hashed_tf(
             .otherwise(F.lit(-1))
             .alias("sgn"),
         )
-        .groupBy("id", "bucket")
+        .groupBy("__emb_id", "bucket")
         .agg(F.sum("sgn").alias("v"))
     )
-    vecs = sums.groupBy("id").agg(
+    vecs = sums.groupBy("__emb_id").agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("bucket"), F.col("v")))
         ).alias("m")
@@ -1563,7 +1563,7 @@ def embed_hashed_tf(
     )
     return (
         base.select(F.col(id_col))
-        .join(vecs, F.col(id_col) == F.col("id"), "left")
+        .join(vecs, F.col(id_col) == F.col("__emb_id"), "left")
         .select(
             id_col,
             F.coalesce(
