@@ -597,3 +597,112 @@ def rag_read_path(
             "content_length",
         )
     )
+
+
+def build_rag_indexes(
+    docs: DataFrame,
+    base_path: str,
+    dim: int = 64,
+    num_centroids: int = 16,
+    n_buckets: int = 64,
+    chunk_size: int = 200,
+    chunk_overlap: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The RAG WRITE path — ``rag_read_path``'s build-time counterpart,
+    one composed plan from raw documents to the two persisted serving
+    artifacts:
+
+    1. chunk   — fixed-stride chunking (the SQL-exact chunker);
+                 chunk_id = doc_id * 1e6 + chunk_index, exact 64-bit
+                 arithmetic (the video-keyframe composite-id
+                 discipline; 1e6 chunks = a ~190 MB single document,
+                 far past any sane row size).
+    2. embed   — feature-hashing chunk embeddings (model-free signed
+                 tf; zero-vector chunks are dropped — cosine is
+                 undefined for them and you don't index what can't be
+                 scored).
+    3. lexical — ``write_bm25_index`` over the chunks: the
+                 bucket-partitioned posting list + _stats.
+    4. vector  — ``write_ivf_index`` over the chunk embeddings: the
+                 cluster-partitioned IVF layout + _centroids.
+    5. manifest — read BACK from the written layouts (never from the
+                 in-memory frames, so the manifest proves the write):
+                 one row per (index, part) with its row count, plus
+                 the bm25 _stats row — the registrable, oracle-able
+                 summary of a correct build.
+
+    Returns the manifest DataFrame: (index STRING, part BIGINT,
+    n_rows BIGINT). Parts: ivf cluster ids; bm25 part -1 = total
+    postings (per-bucket splits are xxhash64-placed — layout-verified
+    in tests, structurally not SQL-replayable); stats part -1 with
+    n_rows = n_docs and avgdl folded into the serve-path tests."""
+    from lakehouse_to_rag_spark.functions.chunker import fixed_stride_chunks
+    from lakehouse_to_rag_spark.operators.similarity import write_ivf_index
+    from lakehouse_to_rag_spark.operators.text_analysis import embed_hashed_tf
+    from lakehouse_to_rag_spark.sources.lakehouse import read_layer
+
+    spark = docs.sparkSession
+    base = docs.filter(F.col(text_col).isNotNull())
+    chunks = base.select(
+        F.col(id_col),
+        F.posexplode(
+            fixed_stride_chunks(F.col(text_col), chunk_size, chunk_overlap)
+        ).alias("chunk_index", "chunk"),
+    ).select(
+        (
+            F.col(id_col).cast("long") * F.lit(1_000_000).cast("long")
+            + F.col("chunk_index").cast("long")
+        ).alias("chunk_id"),
+        F.col("chunk"),
+    )
+    # the chunk set feeds both indexes; materialize it once
+    chunks = chunks.localCheckpoint(eager=True)
+
+    write_bm25_index(
+        chunks,
+        f"{base_path}/bm25",
+        n_buckets=n_buckets,
+        id_col="chunk_id",
+        text_col="chunk",
+    )
+    emb = embed_hashed_tf(
+        chunks, dim=dim, id_col="chunk_id", text_col="chunk"
+    ).filter(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)
+        )
+        > 0
+    )
+    write_ivf_index(
+        emb,
+        f"{base_path}/ivf",
+        num_centroids=num_centroids,
+        id_col="chunk_id",
+        vec_col="embedding",
+    )
+
+    ivf_counts = (
+        read_layer(spark, f"{base_path}/ivf")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit("ivf").alias("index"),
+            F.col("cluster").cast("long").alias("part"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+    bm25_total = read_layer(spark, f"{base_path}/bm25").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).select(
+        F.lit("bm25").alias("index"),
+        F.lit(-1).cast("long").alias("part"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+    stats_docs = read_layer(spark, f"{base_path}/bm25/_stats").select(
+        F.lit("stats").alias("index"),
+        F.lit(-1).cast("long").alias("part"),
+        F.col("n_docs").cast("long").alias("n_rows"),
+    )
+    return ivf_counts.unionByName(bm25_total).unionByName(stats_docs)

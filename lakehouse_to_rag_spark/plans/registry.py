@@ -5247,6 +5247,103 @@ def knn_text_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# RAG index-build capstone (operators/retrieval.py:build_rag_indexes)
+# — the WRITE-side counterpart of rag_read_path: chunks -> hashed
+# embeddings -> persisted BM25 + IVF serving layouts, evidenced by a
+# manifest READ BACK from the written files and replayed in SQL
+# (chunking, hashing-trick embedding, zero-vector drop, untrained-IVF
+# assignment, posting totals — every fragment already proven above).
+# =====================================================================
+
+_RAG_INDEX_ORACLE = """
+WITH chunks AS MATERIALIZED (
+  SELECT doc_id * 1000000 + CAST((s - 1) // 190 AS BIGINT) AS chunk_id,
+         substring(text, CAST(s AS INTEGER), 200) AS chunk
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(1, GREATEST(LENGTH(text), 1) + 1, 190)) AS s
+    FROM documents WHERE text IS NOT NULL
+  )
+), sg AS (
+  SELECT chunk_id, hv % 64 AS bucket,
+         CASE WHEN (hv >> 59) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+  FROM (
+    SELECT chunk_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv
+    FROM (
+      SELECT chunk_id, unnest(string_split(chunk, ' ')) AS word FROM chunks
+    ) WHERE word <> ''
+  )
+), sums AS MATERIALIZED (
+  SELECT chunk_id, bucket, SUM(sgn) AS v FROM sg GROUP BY chunk_id, bucket
+), spine AS (
+  SELECT c.chunk_id, i AS bucket
+  FROM chunks c CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+), emb AS MATERIALIZED (
+  SELECT chunk_id, e FROM (
+    SELECT sp.chunk_id,
+           list(COALESCE(su.v, 0)::DOUBLE ORDER BY sp.bucket) AS e
+    FROM spine sp LEFT JOIN sums su USING (chunk_id, bucket)
+    GROUP BY sp.chunk_id
+  ) WHERE list_sum(list_transform(e, x -> abs(x))) > 0
+), cent AS MATERIALIZED (
+  SELECT chunk_id AS centroid_id, e AS cv
+  FROM emb ORDER BY chunk_id LIMIT 16
+), asg AS (
+  SELECT chunk_id, centroid_id AS cluster FROM (
+    SELECT emb.chunk_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY emb.chunk_id
+             ORDER BY ROUND(list_cosine_similarity(emb.e, c.cv), 12) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM emb CROSS JOIN cent c
+  ) WHERE rn = 1
+), postings AS (
+  -- the denormalized posting rows write_bm25_index persists: one per
+  -- DISTINCT (chunk, lowercased word), empties INCLUDED when a chunk
+  -- boundary or trailing space produces them (split keeps them on
+  -- both engines — the bm25_topk convention)
+  SELECT COUNT(*) AS n FROM (
+    SELECT DISTINCT chunk_id, word FROM (
+      SELECT chunk_id, unnest(string_split(LOWER(chunk), ' ')) AS word
+      FROM chunks
+    )
+  )
+)
+SELECT 'ivf' AS index, CAST(cluster AS BIGINT) AS part,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM asg GROUP BY cluster
+UNION ALL
+SELECT 'bm25', CAST(-1 AS BIGINT), CAST(n AS BIGINT) FROM postings
+UNION ALL
+SELECT 'stats', CAST(-1 AS BIGINT),
+       CAST((SELECT COUNT(*) FROM chunks) AS BIGINT)
+"""
+
+
+@_q("rag_index_manifest", _RAG_INDEX_ORACLE)
+def rag_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG write path end to end: chunk -> hashed-embed -> persist
+    the BM25 posting-list and IVF serving layouts into uuid staging,
+    then return the manifest read back FROM THE WRITTEN FILES (per-
+    cluster vector counts, posting totals, chunk count). The manifest
+    is bounded (num_centroids + 2 rows), so it is collected eagerly
+    and staging is reclaimed before returning — the admit_batch
+    staging discipline."""
+    import shutil
+    import uuid
+
+    from lakehouse_to_rag_spark.operators.retrieval import build_rag_indexes
+
+    d = load_table(spark, sf_dir, "documents")
+    staging = f"/tmp/rag_index_staging/{uuid.uuid4().hex}"
+    try:
+        manifest = build_rag_indexes(d, staging, dim=64, num_centroids=16)
+        rows = manifest.collect()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return spark.createDataFrame(rows, manifest.schema)
+
+
 # IVF-PQ full-training replay (upgraded from rows-only in round 5):
 # the oracle re-runs the ENTIRE pipeline in SQL — sample k-means for
 # the coarse quantizer, a fresh final assignment, residual subspace

@@ -440,3 +440,87 @@ class TestRagReadPath:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestRagIndexBuild:
+    """build_rag_indexes: the write-side capstone."""
+
+    def test_built_indexes_serve_identically(self, spark, sf_dir, tmp_path):
+        """Round trip: the persisted BM25 and IVF layouts must serve
+        EXACTLY what the in-memory operators compute over the same
+        chunk set — the write path cannot change a single ranking."""
+        from lakehouse_to_rag_spark.functions.chunker import (
+            fixed_stride_chunks,
+        )
+        from lakehouse_to_rag_spark.operators.retrieval import (
+            bm25_topk,
+            bm25_topk_from_index,
+            build_rag_indexes,
+        )
+        from lakehouse_to_rag_spark.operators.similarity import (
+            ivf_topk,
+            ivf_topk_from_index,
+        )
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            embed_hashed_tf,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = str(tmp_path / "ragidx")
+        manifest = {
+            (r["index"], r["part"]): r["n_rows"]
+            for r in build_rag_indexes(d, base, dim=64, num_centroids=16).collect()
+        }
+
+        docs = d.filter(F.col("text").isNotNull())
+        chunks = docs.select(
+            "doc_id",
+            F.posexplode(fixed_stride_chunks(F.col("text"), 200, 10)).alias(
+                "chunk_index", "chunk"
+            ),
+        ).select(
+            (F.col("doc_id").cast("long") * 1_000_000
+             + F.col("chunk_index").cast("long")).alias("chunk_id"),
+            "chunk",
+        )
+        assert manifest[("stats", -1)] == chunks.count()
+        emb = embed_hashed_tf(
+            chunks, dim=64, id_col="chunk_id", text_col="chunk"
+        ).filter(
+            F.aggregate(F.col("embedding"), F.lit(0.0),
+                        lambda a, x: a + F.abs(x)) > 0
+        )
+        assert sum(v for (i, _), v in manifest.items() if i == "ivf") == emb.count()
+
+        q = spark.createDataFrame(
+            [(0, "spark table join"), (1, "fast vector scan")],
+            "query_id long, query string",
+        )
+        served = sorted(
+            tuple(r)
+            for r in bm25_topk_from_index(spark, f"{base}/bm25", q, k=5).collect()
+        )
+        direct = sorted(
+            tuple(r)
+            for r in bm25_topk(
+                chunks, q, k=5, id_col="chunk_id", text_col="chunk"
+            ).collect()
+        )
+        assert served == direct and served
+
+        vq = emb.limit(3)
+        vserved = sorted(
+            tuple(r)
+            for r in ivf_topk_from_index(
+                spark, f"{base}/ivf", vq, k=5, nprobe=4,
+                id_col="chunk_id", vec_col="embedding",
+            ).collect()
+        )
+        vdirect = sorted(
+            tuple(r)
+            for r in ivf_topk(
+                emb, vq, k=5, num_centroids=16, nprobe=4,
+                id_col="chunk_id", vec_col="embedding",
+            ).collect()
+        )
+        assert vserved == vdirect and vserved
