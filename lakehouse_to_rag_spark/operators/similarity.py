@@ -314,6 +314,40 @@ def write_ivf_index(
     return fmt
 
 
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index maintenance: assign a new batch against the
+    PERSISTED quantizer (``{path}/_centroids`` — never retrained here)
+    and append the assigned rows into the existing ``cluster=N/``
+    directories. At 100 TB this is the operation that matters: a new
+    crawl batch lands as one bounded write of batch-sized data; the
+    index is never rebuilt, and the probe path reads old + new rows
+    through the identical layout (append == rebuild for serving,
+    pinned by test). The known trade-off of frozen-quantizer appends —
+    centroid drift as the distribution shifts — is the documented
+    reason ``write_ivf_index(trained=True)`` exists for periodic
+    re-optimization; this function deliberately leaves the quantizer
+    untouched so appends are idempotent-shaped and cheap.
+
+    Returns the number of vectors appended."""
+    from lakehouse_to_rag_spark.sources.lakehouse import read_layer, write_layer
+
+    cent_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in read_layer(spark, f"{path}/_centroids").collect()
+    ]
+    _assert_nonzero_centroids(cent_rows, "append_to_ivf_index")
+    assigned = _gemm_assign(new_vectors, cent_rows, id_col, vec_col)
+    n = assigned.count()
+    write_layer(assigned, path, partition_by=["cluster"], mode="append")
+    return n
+
+
 def ivf_topk_from_index(
     spark,
     path: str,

@@ -1030,3 +1030,51 @@ class TestHashedEmbedder:
             for r in embedding_dup_pairs(emb, threshold=0.9999).collect()
         }
         assert dups <= pairs  # identical text => identical vector => cos 1
+
+
+def test_append_to_ivf_index_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental maintenance: building an index on half the corpus
+    then appending the other half must serve IDENTICALLY to an index
+    built in one shot with the SAME quantizer (centroids come from the
+    first build's half, so we pin equality by seeding both from it)."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = e.filter("vec_id % 2 = 0")
+    second = e.filter("vec_id % 2 = 1")
+
+    inc_path = str(tmp_path / "inc")
+    write_ivf_index(first, inc_path, num_centroids=16)
+    n = append_to_ivf_index(spark, inc_path, second)
+    assert n == second.count()
+
+    q = e.filter("vec_id < 6")
+    served_inc = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, inc_path, q, k=5, nprobe=4).collect()
+    )
+
+    # one-shot reference sharing the incremental build's quantizer:
+    # assign the FULL corpus against the persisted centroids and probe
+    from lakehouse_to_rag_spark.operators.similarity import (
+        _gemm_assign,
+        _score_probed,
+        _query_probes,
+    )
+    from lakehouse_to_rag_spark.sources.lakehouse import read_layer
+
+    cent_df = read_layer(spark, f"{inc_path}/_centroids")
+    cent_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in cent_df.collect()
+    ]
+    assigned = _gemm_assign(e, cent_rows, "vec_id", "embedding")
+    probes = _query_probes(q, F.broadcast(cent_df), 4, "vec_id", "embedding")
+    direct = sorted(
+        tuple(r) for r in _score_probed(assigned, probes, 5, "vec_id", "embedding").collect()
+    )
+    assert served_inc == direct and served_inc
