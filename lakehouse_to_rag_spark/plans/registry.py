@@ -7185,7 +7185,7 @@ def rag_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is CONTINUOUS RE-CONFIRMATION and it is computed MECHANICALLY from
 # the recorded CORRECTNESS files at import time:
 #
-#   window = 10 CANARIES (fixed cross-family regression tripwires)
+#   window = 6 CANARIES (fixed cross-family regression tripwires)
 #          + _PINS (this round's oracle upgrades / new entries that
 #            must face the gate now)
 #          + the STALEST remaining entries, oldest driver evidence
@@ -7197,28 +7197,30 @@ def rag_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in immediately. Never-checked entries have evidence round 0, i.e.
 # they are stalest by construction and enter the next window
 # automatically — the startup assertion below still verifies that
-# mechanically. With 40 rotating slots over ~129 non-canary entries, a
-# full re-confirmation cycle takes ~3.3 rounds, so steady-state
-# evidence age is bounded at ~4 rounds for every entry without any
-# hand-maintained lists.
+# mechanically. The staleness bound is ARITHMETIC, not aspirational:
+# with F fixed slots (canaries+pins) and N registered entries, the
+# stalest-first fill re-confirms every non-fixed entry within
+# ceil((N - F) / (50 - F)) rounds — ~4 at N=169, F=8 — and the
+# startup test pins exactly that bound (a fixed "3" became impossible
+# the moment the registry outgrew 50 * 3 entries).
 #
 # Entries outside a given round's window remain fully oracle-checked
 # by the local suite every session (tests/test_oracle_parity.py runs
 # ALL registered oracles, not a sample).
 
-# Stay in EVERY round's window — one per operator family, so a
-# regression anywhere in the engine core is visible to the external
-# gate immediately, not only when the family rotates back in.
+# Stay in EVERY round's window — one per engine-core family, so a
+# regression there is visible to the external gate immediately, not
+# only when the family rotates back in. Trimmed from 10 to 6 in round
+# 6: at 169 registered entries every always-on slot costs rotation
+# capacity (stale-cycle length = non-fixed entries / free slots), and
+# the four demoted canaries' families stay covered by the rotation
+# plus the full local oracle suite each session.
 _CANARIES: list[str] = [
     "silver_docs",            # medallion filters/normalize/window dedup
-    "gold_chunks_fixed",      # chunk explode + projection
     "word_freq_top10",        # explode/groupBy/top-k
     "dedup_minhash",          # banded LSH dedup
-    "dedup_tf_cosine",        # dense/sparse similarity join dispatch
     "knn_ivf",                # similarity search (assignment+probe)
     "tokenize_to_ids",        # text curation hot path
-    "bloom_decontaminate",    # corpus assembly
-    "events_heavy_hitters",   # mergeable sketches
     "q1_pricing_summary",     # TPC-H scan/agg shape
 ]
 

@@ -294,3 +294,55 @@ def snapshot_fingerprints(
         .select(F.md5(normalize_text(F.col(text_col))).alias("content_fp"))
         .distinct()
     )
+
+
+def stream_index_sink(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Streaming vector-index ingest: each micro-batch of documents is
+    hashed-tf embedded (``text_analysis.embed_hashed_tf`` — model-free,
+    so the stream needs no encoder service) and APPENDED to the
+    persisted IVF layout via ``similarity.append_to_ivf_index`` — the
+    streaming counterpart of the batch index-maintenance operator,
+    composing the same two proven pieces inside ``foreachBatch``.
+
+    The index at ``index_path`` must already exist (its ``_centroids``
+    quantizer is the frozen assignment model; bootstrap with
+    ``write_ivf_index`` on the first corpus slice). Zero vectors are
+    dropped (unscoreable under cosine — the build-path rule).
+    foreachBatch replays a failed batch, so downstream dedup of
+    replayed vec_ids is the reader's keyed-upsert concern; the classic
+    pairing is ``incremental_dedup_stream`` upstream of this sink so
+    only fresh documents reach the index. Returns the started
+    StreamingQuery."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        append_to_ivf_index,
+    )
+    from lakehouse_to_rag_spark.operators.text_analysis import embed_hashed_tf
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        emb = embed_hashed_tf(
+            batch, dim=dim, id_col=id_col, text_col=text_col
+        ).filter(
+            F.aggregate(
+                F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)
+            )
+            > 0
+        ).withColumnRenamed(id_col, "vec_id")
+        append_to_ivf_index(batch.sparkSession, index_path, emb)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

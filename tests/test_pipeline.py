@@ -169,28 +169,45 @@ def test_evidence_rounds_ignores_failing_rows(tmp_path, monkeypatch):
     assert "hard_error" not in ev
 
 
-def test_driver_window_bounds_staleness_to_three_rounds():
+def test_driver_window_bounds_staleness_to_arithmetic_cycle():
     """The mechanical rotation must actually retire staleness: with
     the REAL CORRECTNESS files on disk, every entry whose newest
-    driver evidence is >= 3 rounds old must be inside the upcoming
-    50-entry window (VERDICT r5 'freshness follow-through'). If the
-    stale backlog ever exceeds the window's free slots this fails
-    loudly instead of letting entries silently age out."""
+    driver evidence is >= B rounds old must be inside the upcoming
+    50-entry window (VERDICT r5 'freshness follow-through'), where
+    B = max(3, ceil(non_fixed / free_slots)) is the stalest-first
+    fill's provable re-confirmation cycle — a fixed B=3 became
+    arithmetically impossible once the registry outgrew 150 entries.
+    If the rotation logic regresses (or fixed slots crowd out the
+    backlog) this fails loudly instead of letting entries silently
+    age out."""
+    import math
+
     from lakehouse_to_rag_spark.plans import registry
 
     ev = registry._evidence_rounds()
     if not ev:  # fresh clone without CORRECTNESS files
         return
     newest = max(ev.values())
+    n_fixed = len(
+        set(registry._CANARIES)
+        | {p for p in registry._PINS if p in registry.QUERIES}
+    )
+    free = 50 - n_fixed
+    bound = max(3, math.ceil((len(registry.QUERIES) - n_fixed) / free))
+    assert bound <= 5, (
+        f"re-confirmation cycle has grown to {bound} rounds "
+        f"({len(registry.QUERIES)} entries, {free} free slots) — trim "
+        "fixed slots or accept and document the longer cycle"
+    )
     window = set(registry._driver_window())
     stale = [
         n for n in registry.QUERIES
-        if ev.get(n, 0) <= newest - 3
+        if ev.get(n, 0) <= newest - bound
     ]
     left_out = [n for n in stale if n not in window]
     assert not left_out, (
-        f"{len(left_out)} entries with evidence older than 3 rounds "
-        f"did not rotate into the window: {left_out[:10]}"
+        f"{len(left_out)} entries with evidence older than {bound} "
+        f"rounds did not rotate into the window: {left_out[:10]}"
     )
 
 

@@ -402,3 +402,61 @@ def test_running_stats_processor_matches_batch_no_protobuf(spark, sf_dir):
     )}
     assert not mism, sorted(mism)[:5]
     assert any(v[2] for v in want.values())  # the flag fires somewhere
+
+
+def test_stream_index_sink_equals_batch_append(spark, sf_dir, tmp_path):
+    """Streaming index ingest == the batch path: bootstrap an IVF
+    index on the even-id half, stream the odd-id half through
+    stream_index_sink, and the probe results must EXACTLY equal
+    batch embed + append_to_ivf_index of the same rows."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+    from lakehouse_to_rag_spark.operators.text_analysis import embed_hashed_tf
+    from lakehouse_to_rag_spark.streaming.pipeline import stream_index_sink
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    first = d.filter("doc_id % 2 = 0")
+    second = d.filter("doc_id % 2 = 1")
+
+    def _emb(df):
+        return (
+            embed_hashed_tf(df, dim=64)
+            .filter(
+                F.aggregate(
+                    F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)
+                )
+                > 0
+            )
+            .withColumnRenamed("doc_id", "vec_id")
+        )
+
+    s_path = str(tmp_path / "ivf_stream")
+    b_path = str(tmp_path / "ivf_batch")
+    write_ivf_index(_emb(first), s_path, num_centroids=16)
+    write_ivf_index(_emb(first), b_path, num_centroids=16)
+
+    src = str(tmp_path / "docs_src")
+    second.write.parquet(src)
+    stream = spark.readStream.schema(second.schema).parquet(src)
+    q = stream_index_sink(
+        stream, s_path, checkpoint_dir=str(tmp_path / "ckpt"), dim=64
+    )
+    q.awaitTermination(120)
+
+    append_to_ivf_index(spark, b_path, _emb(second))
+
+    queries = _emb(d.filter("doc_id < 6"))
+    got = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, s_path, queries, k=5, nprobe=4).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, b_path, queries, k=5, nprobe=4).collect()
+    )
+    assert got == want and got
