@@ -238,3 +238,74 @@ def dedup_clusters(
         F.col("component").alias("cluster_root"),
         (F.col("id") == F.col("component")).alias("is_kept"),
     )
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    damping_pct: int = 85,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list in EXACT integer micros —
+    the canonical iterative-graph-at-scale operator (domain/page
+    quality ranking a la Common Crawl's centrality scores; here it
+    ranks documents by kNN-graph centrality, a graph-density twin of
+    D4 prototypicality for curation).
+
+    Determinism is the design constraint: scores are BIGINT micros
+    (pr0 = 1,000,000), a node's per-edge contribution is
+    ``pr // out_degree`` (floor division) and the update is
+    ``pr' = (100 - damping_pct) * 10_000 + (damping_pct * sum_in) // 100``
+    — every operation is integer, so any engine replays the ranking
+    bit-for-bit (float PageRank sums in-contributions in partition
+    order and drifts). The deliberate simplifications, documented:
+    floor division leaks up to out_degree-1 micros per node per round
+    and dangling nodes (no out-edges) contribute nothing — both affect
+    total mass, neither the deterministic ranking this exists for.
+
+    Scale shape: each of the ``iterations`` rounds is ONE equi-join of
+    the (bounded, narrow) score table onto the edge list plus one
+    partial-aggregatable groupBy — the textbook Spark PageRank plan;
+    the score table is localCheckpointed per round so the lineage
+    stays flat. Returns (id, pr_micro BIGINT)."""
+    if not 1 <= damping_pct <= 100:
+        raise ValueError(f"pagerank_micro: damping_pct in [1,100], got {damping_pct}")
+    if iterations < 1:
+        raise ValueError(f"pagerank_micro: iterations >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = (100 - damping_pct) * 10_000
+    pr = nodes.withColumn("pr", F.lit(1_000_000).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(outdeg, "u")
+            .join(pr.select(F.col("id").alias("u"), "pr"), "u")
+            # `div` is TRUE integer division on longs (a double `/` +
+            # cast would be float math wearing an integer costume)
+            .select("v", F.expr("pr div d").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, nodes["id"] == contrib["v"], "left")
+            .select(
+                "id",
+                F.expr(
+                    f"CAST({base} AS BIGINT) + "
+                    f"(CAST({damping_pct} AS BIGINT) * COALESCE(s, 0)) div 100"
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("id", F.col("pr").alias("pr_micro"))

@@ -5344,6 +5344,95 @@ def rag_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, manifest.schema)
 
 
+def _doc_pagerank_oracle(k: int = 5, damping_pct: int = 85,
+                         iterations: int = 10) -> str:
+    """Graph-centrality document scoring replay: the hashed-tf
+    embedding chain (proven above) -> all-docs kNN edges (zero
+    vectors excluded — the build-path rule; 4dp cosine rank ties on
+    smallest neighbor) -> ``iterations`` unrolled PageRank rounds in
+    EXACT integer micros (`//` floor division both engines; Spark
+    side uses `div`). Every multi-referenced CTE MATERIALIZED."""
+    head = f"""WITH s AS ({_EMBED_HASH_FRAG}),
+sums AS MATERIALIZED (
+  SELECT doc_id, bucket, SUM(sgn) AS v FROM s GROUP BY doc_id, bucket
+), spine AS (
+  SELECT d.doc_id, i AS bucket
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+  WHERE d.text IS NOT NULL
+), emb AS MATERIALIZED (
+  SELECT doc_id, e FROM (
+    SELECT sp.doc_id,
+           list(COALESCE(su.v, 0)::DOUBLE ORDER BY sp.bucket) AS e
+    FROM spine sp LEFT JOIN sums su USING (doc_id, bucket)
+    GROUP BY sp.doc_id
+  ) WHERE list_sum(list_transform(e, x -> abs(x))) > 0
+), qn AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.doc_id AS src, b.doc_id AS dst,
+           ROW_NUMBER() OVER (PARTITION BY a.doc_id
+             ORDER BY ROUND(list_cosine_similarity(a.e, b.e), 4) DESC,
+                      b.doc_id ASC) AS rn
+    FROM emb a JOIN emb b ON b.doc_id <> a.doc_id
+  ) WHERE rn <= {k}
+), nodes AS MATERIALIZED (
+  SELECT src AS id FROM qn UNION SELECT dst FROM qn
+), od AS MATERIALIZED (
+  SELECT src, COUNT(*) AS d FROM qn GROUP BY src
+), p0 AS MATERIALIZED (
+  SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes
+)"""
+    base = (100 - damping_pct) * 10_000
+    steps = []
+    for t in range(1, iterations + 1):
+        steps.append(f""", c{t} AS (
+  SELECT e.dst AS v, SUM(p.pr // od.d) AS s
+  FROM qn e JOIN od ON od.src = e.src JOIN p{t - 1} p ON p.id = e.src
+  GROUP BY e.dst
+), p{t} AS MATERIALIZED (
+  SELECT n.id,
+         CAST({base} + ({damping_pct} * COALESCE(c.s, 0)) // 100 AS BIGINT)
+           AS pr
+  FROM nodes n LEFT JOIN c{t} c ON c.v = n.id
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT id AS doc_id, pr AS pr_micro FROM p{iterations}"
+    )
+
+
+_DOC_PAGERANK_ORACLE = _doc_pagerank_oracle(k=5, damping_pct=85, iterations=10)
+
+
+@_q("doc_pagerank", _DOC_PAGERANK_ORACLE)
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-centrality document scoring: PageRank in exact integer
+    micros over the kNN graph of hashed-tf document embeddings — the
+    graph-density twin of D4 prototypicality for curation (documents
+    many neighbors point at are prototypical; isolated ones are
+    outliers), and the canonical iterative-graph shape (one join + one
+    partial-aggregatable groupBy per round) at 100 TB. Both graph
+    build and 10 ranking rounds replay bit-exactly in SQL."""
+    from lakehouse_to_rag_spark.operators.graph import pagerank_micro
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = ta.embed_hashed_tf(d, dim=64).filter(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x))
+        > 0
+    )
+    # all-docs kNN: the Arrow GEMM path (proven 4dp-equal to the JVM
+    # expression path and to the SQL replay) — the interpreted
+    # zip_with cosine over n^2 pairs is the one shape where the GEMM
+    # twin exists precisely for this reason. Integer-valued hashed-tf
+    # vectors make even the raw dots exact, so 4dp parity is trivial.
+    edges = simi.knn_bruteforce_numpy(
+        emb, emb, k=5, id_col="doc_id", vec_col="embedding"
+    ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    return pagerank_micro(edges, damping_pct=85, iterations=10).select(
+        F.col("id").alias("doc_id"), "pr_micro"
+    )
+
+
 # IVF-PQ full-training replay (upgraded from rows-only in round 5):
 # the oracle re-runs the ENTIRE pipeline in SQL — sample k-means for
 # the coarse quantizer, a fresh final assignment, residual subspace

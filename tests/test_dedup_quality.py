@@ -1078,3 +1078,35 @@ def test_append_to_ivf_index_equals_rebuild(spark, sf_dir, tmp_path):
         tuple(r) for r in _score_probed(assigned, probes, 5, "vec_id", "embedding").collect()
     )
     assert served_inc == direct and served_inc
+
+
+class TestPageRank:
+    """pagerank_micro: exact integer-micro PageRank."""
+
+    def test_hand_computed_two_rounds(self, spark):
+        """1->2, 2->1, 3->1 for two rounds, every value hand-derived
+        (pr0 = 1e6; pr' = 150000 + 85*sum(pr//outdeg)//100)."""
+        from lakehouse_to_rag_spark.operators.graph import pagerank_micro
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (3, 1)], ["src", "dst"]
+        )
+        pr = {
+            r["id"]: r["pr_micro"]
+            for r in pagerank_micro(edges, 85, iterations=2).collect()
+        }
+        assert pr == {1: 1_127_500, 2: 1_722_500, 3: 150_000}
+
+    def test_hub_outranks_leaves(self, spark):
+        """A node every other node points at must rank first; floor
+        division keeps everything deterministic (re-run identical)."""
+        from lakehouse_to_rag_spark.operators.graph import pagerank_micro
+
+        edges = spark.createDataFrame(
+            [(i, 0) for i in range(1, 20)] + [(0, 1)], ["src", "dst"]
+        )
+        a = sorted(tuple(r) for r in pagerank_micro(edges, 85, 5).collect())
+        b = sorted(tuple(r) for r in pagerank_micro(edges, 85, 5).collect())
+        assert a == b
+        top = max(a, key=lambda t: t[1])
+        assert top[0] == 0
