@@ -664,11 +664,31 @@ def video_keyframe_pairs(
     # exact 64-bit integer — a 32-bit multiply would wrap at
     # media_id 2148 and a double-precision divide would misdecode
     # snowflake-scale ids past 2^53
+    composite = (
+        F.col("media_id").cast("long") * F.lit(1_000_000).cast("long")
+        + F.col("frame_index").cast("long")
+    )
+    # fail-closed rather than comment-guarded (review finding): a
+    # >= 1e6-frame clip or a media id past 2^63/1e6 would silently
+    # collide/overflow composite ids — refuse the row instead. The
+    # guard is the id expression itself, so it cannot be pruned and
+    # costs no extra decode pass.
     keyed = frames.select(
-        (
-            F.col("media_id").cast("long") * F.lit(1_000_000).cast("long")
-            + F.col("frame_index").cast("long")
-        ).alias("doc_id"),
+        F.when(
+            (F.col("frame_index") < 1_000_000)
+            & (F.abs(F.col("media_id").cast("long")) <= 9_223_372_036_853),
+            composite,
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "video_keyframe_pairs: frame_index >= 1e6 or "
+                    "|media_id| > 9.2e12 would collide/overflow the "
+                    "composite frame id; sample fewer frames or re-key"
+                )
+            )
+        )
+        .alias("doc_id"),
         F.col("frame_payload").alias("payload"),
     )
     sigs = image_signatures(keyed, "doc_id", "payload", method)
@@ -743,11 +763,24 @@ def incremental_media_dedup(
 
     Two banded stages, both shuffle-lean over 8-byte signatures:
     drop incoming ids within ``max_hamming`` of ANY snapshot
-    signature (two-table banded join), then keep-first-by-id WITHIN
-    the batch for near-dups that arrive together (the self-join
-    pair scan on the survivors only). Inputs are (id, simhash)
-    tables from ``image_signatures``/``audio_signatures``; output is
-    the admitted (id, simhash) rows."""
+    signature (two-table banded join), then within the batch drop
+    every id that has a SMALLER-id near-dup batchmate — regardless of
+    whether that batchmate itself survived. This is deliberately the
+    PESSIMISTIC one-pass rule, not greedy sequential keep-first:
+    greedy admission on a chain A<B<C (A~B, B~C, A!~C) depends on
+    B's own verdict, i.e. it has sequential dependency chains that
+    need O(chain) rounds to resolve — this rule is ONE banded
+    self-join. The documented cost: on such chains it over-drops
+    (here C, whose only conflict B was itself dropped). That is a
+    conservative loss of unique content, never an admitted duplicate;
+    note a later batch's near-dup of a dropped-never-tabled item IS
+    admitted, which is correct under retained-corpus semantics (the
+    corpus does not contain the dropped item). Chain-heavy batches
+    that can't afford the over-drop should cluster first
+    (``graph.dedup_clusters`` on the batch pairs) and admit cluster
+    roots. Inputs are (id, simhash) tables from
+    ``image_signatures``/``audio_signatures``; output is the admitted
+    (id, simhash) rows."""
     fresh = incoming_sigs.join(
         _banded_hamming_matches(
             incoming_sigs, snapshot_sigs, 64, num_bands, max_hamming

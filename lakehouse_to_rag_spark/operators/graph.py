@@ -228,11 +228,26 @@ def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    backend: str = "propagation",
 ) -> DataFrame:
     """Near-dup pairs -> (doc_id, cluster_root, is_kept): every member
     of each duplicate cluster labeled with the cluster's min id; the
-    min id is the canonical keeper (deterministic survivor policy)."""
-    cc = connected_components(pairs, id_a, id_b)
+    min id is the canonical keeper (deterministic survivor policy).
+
+    ``backend`` selects the CC engine: ``"propagation"`` (min-label,
+    O(diameter) rounds — right for shallow dup cliques, and it REFUSES
+    loudly past max_iterations rather than mislabeling) or ``"star"``
+    (large-star/small-star, O(log^2 n) rounds — the remedy propagation
+    names when a chain-shaped graph trips it; both produce identical
+    labels, equality-tested)."""
+    if backend == "propagation":
+        cc = connected_components(pairs, id_a, id_b)
+    elif backend == "star":
+        cc = connected_components_star(pairs, id_a, id_b)
+    else:
+        raise ValueError(
+            f"dedup_clusters: backend must be 'propagation' or 'star', got {backend!r}"
+        )
     return cc.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_root"),

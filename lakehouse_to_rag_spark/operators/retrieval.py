@@ -535,30 +535,20 @@ def rag_read_path(
         store.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
     )
 
-    queries_txt = store.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(text_col).alias("query")
+    # stages 2-4 ARE hybrid_retrieval_rrf over the embedded store —
+    # one implementation, so the self-hit/rank-contiguity discipline
+    # and any future vector-backend swap cannot drift between the
+    # standalone operator and this composition
+    fused = hybrid_retrieval_rrf(
+        store,
+        emb_store,
+        query_ids,
+        k=kc,
+        candidates=candidates,
+        c=c,
+        id_col=id_col,
+        text_col=text_col,
     )
-    # candidates+1 deep so the list is still `candidates` deep after
-    # the self-hit drops (same discipline as hybrid_retrieval_rrf)
-    lex = bm25_topk(
-        store, queries_txt, k=candidates + 1, id_col=id_col, text_col=text_col
-    ).filter(F.col("query_id") != F.col("doc_id"))
-    wlex = W.partitionBy("query_id").orderBy(F.asc("rank"))
-    lex = (
-        lex.withColumn("rank", F.row_number().over(wlex))
-        .filter(F.col("rank") <= candidates)
-    )
-
-    from lakehouse_to_rag_spark.operators.similarity import knn_bruteforce
-
-    qe = emb_store.filter(F.col("vec_id").isin(query_ids))
-    vec = knn_bruteforce(emb_store, qe, candidates).select(
-        "query_id",
-        F.col("rank").cast("long").alias("rank"),
-        F.col("neighbor_id").alias("doc_id"),
-    )
-
-    fused = rrf_fuse(lex, vec, k=kc, c=c)
     wq = W.partitionBy("query_id")
     mn, mx = F.min("rrf_score").over(wq), F.max("rrf_score").over(wq)
     rel = F.when(mx == mn, F.lit(1.0)).otherwise(
@@ -645,18 +635,33 @@ def build_rag_indexes(
 
     spark = docs.sparkSession
     base = docs.filter(F.col(text_col).isNotNull())
+    composite = (
+        F.col(id_col).cast("long") * F.lit(1_000_000).cast("long")
+        + F.col("chunk_index").cast("long")
+    )
+    # fail-closed, not documented-away: a >= 1e6-chunk document (a
+    # ~190 MB text cell) or a doc id past 2^63/1e6 would silently
+    # collide/overflow composite ids across documents — refuse the row
+    # instead (the expression IS the id, so Catalyst cannot prune it)
+    chunk_id = F.when(
+        (F.col("chunk_index") < 1_000_000)
+        & (F.abs(F.col(id_col).cast("long")) <= 9_223_372_036_853),
+        composite,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "build_rag_indexes: chunk_index >= 1e6 or |doc_id| > "
+                "9.2e12 would collide/overflow the composite chunk_id; "
+                "re-chunk with a larger stride or re-key the documents"
+            )
+        )
+    )
     chunks = base.select(
         F.col(id_col),
         F.posexplode(
             fixed_stride_chunks(F.col(text_col), chunk_size, chunk_overlap)
         ).alias("chunk_index", "chunk"),
-    ).select(
-        (
-            F.col(id_col).cast("long") * F.lit(1_000_000).cast("long")
-            + F.col("chunk_index").cast("long")
-        ).alias("chunk_id"),
-        F.col("chunk"),
-    )
+    ).select(chunk_id.alias("chunk_id"), F.col("chunk"))
     # the chunk set feeds both indexes; materialize it once
     chunks = chunks.localCheckpoint(eager=True)
 

@@ -1701,20 +1701,13 @@ def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains with diameter in the thousands, where propagation's round
     count IS the diameter). Same oracle verbatim: both engines must
     produce identical components."""
-    from lakehouse_to_rag_spark.operators.graph import (
-        connected_components_star,
-    )
+    from lakehouse_to_rag_spark.operators.graph import dedup_clusters
 
     d = load_table(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(
         d, "doc_id", "text", 3, 0.5, max_shingle_df=None
     )
-    cc = connected_components_star(pairs)
-    return cc.select(
-        F.col("id").alias("doc_id"),
-        F.col("component").alias("cluster_root"),
-        (F.col("id") == F.col("component")).alias("is_kept"),
-    )
+    return dedup_clusters(pairs, backend="star")
 
 
 _Q6_ORACLE = """
