@@ -287,12 +287,19 @@ def hybrid_retrieval_rrf(
     id_col: str = "doc_id",
     text_col: str = "text",
     vector_topk=None,
+    lexical_topk=None,
 ) -> DataFrame:
     """Hybrid lexical+vector retrieval: for each query id (a document
     that has both text and an embedding), fuse BM25 over the corpus
     text with cosine kNN over the embeddings via RRF. The query
     document itself is excluded from both sides (kNN already excludes
     self; BM25 filters it).
+
+    ``lexical_topk`` selects the lexical backend: a callable
+    ``(docs, queries_txt, k, id_col, text_col) -> DataFrame`` with
+    ``bm25_topk``'s contract — the default, or a closure over
+    ``bm25_topk_from_index`` to serve from the persisted posting-list
+    layout (byte-identical scoring tail, so in-memory == served).
 
     ``vector_topk`` selects the vector backend: a callable
     ``(embeddings, query_embeddings, k) -> DataFrame`` returning
@@ -309,13 +316,15 @@ def hybrid_retrieval_rrf(
 
     if vector_topk is None:
         vector_topk = knn_bruteforce
+    if lexical_topk is None:
+        lexical_topk = bm25_topk
 
     queries_txt = docs.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(text_col).alias("query")
     )
     # candidates+1 so the list is still `candidates` deep after the
     # self-hit (always rank 1 for a query drawn from the corpus) drops
-    lex = bm25_topk(
+    lex = lexical_topk(
         docs, queries_txt, k=candidates + 1, id_col=id_col, text_col=text_col
     ).filter(F.col("query_id") != F.col("doc_id"))
     # re-rank after the self-hit drop so both sides feed 1..candidates
@@ -492,6 +501,8 @@ def rag_read_path(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vector_topk=None,
+    lexical_topk=None,
 ) -> DataFrame:
     """The full RAG serving read path as ONE composed plan:
 
@@ -548,6 +559,8 @@ def rag_read_path(
         c=c,
         id_col=id_col,
         text_col=text_col,
+        vector_topk=vector_topk,
+        lexical_topk=lexical_topk,
     )
     wq = W.partitionBy("query_id")
     mn, mx = F.min("rrf_score").over(wq), F.max("rrf_score").over(wq)

@@ -7256,6 +7256,58 @@ def rag_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
               lam=0.7, c=60)
 
 
+@_q("rag_read_path_served", _RAG_READ_ORACLE)  # same oracle: full-probe
+def rag_read_path_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read path served FROM THE PERSISTED INDEXES — the actual
+    production deployment: BM25 from the bucket-partitioned posting
+    layout (shared scoring tail — byte-identical to in-memory) and
+    kNN from the cluster-partitioned IVF layout at FULL nprobe (the
+    probe degenerates to the exact scan, so quantization changes
+    nothing), both plugged into rag_read_path's backend slots. The
+    oracle is rag_read_path's VERBATIM: the served stack must
+    reproduce the composed in-memory plan bit-for-bit. Indexes build
+    into uuid staging; the bounded result (queries x k rows) is
+    collected eagerly and staging reclaimed before returning."""
+    import shutil
+    import uuid
+
+    from lakehouse_to_rag_spark.operators.retrieval import (
+        bm25_topk_from_index,
+        rag_read_path,
+        write_bm25_index,
+    )
+    from lakehouse_to_rag_spark.operators.similarity import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    store = d.filter(F.col("text").isNotNull()).join(
+        e.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    emb_store = e.join(
+        store.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    staging = f"/tmp/rag_serve_staging/{uuid.uuid4().hex}"
+    try:
+        write_bm25_index(store, f"{staging}/bm25")
+        write_ivf_index(emb_store, f"{staging}/ivf", num_centroids=16)
+        served = rag_read_path(
+            d, e, query_ids=[0, 1, 2], candidates=10, kc=8, k=4,
+            lam=0.7, c=60,
+            lexical_topk=lambda docs, q, k, id_col, text_col:
+                bm25_topk_from_index(spark, f"{staging}/bm25", q, k=k),
+            vector_topk=lambda emb, q, k:
+                ivf_topk_from_index(spark, f"{staging}/ivf", q, k=k,
+                                    nprobe=16),
+        )
+        rows = served.collect()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return spark.createDataFrame(rows, served.schema)
+
+
 # =====================================================================
 # Driver evidence-window ROTATION
 # =====================================================================

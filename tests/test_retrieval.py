@@ -524,3 +524,16 @@ class TestRagIndexBuild:
             ).collect()
         )
         assert vserved == vdirect and vserved
+
+
+def test_rag_read_path_served_equals_in_memory(spark, sf_dir):
+    """The persisted-index serving stack (BM25 posting layout +
+    full-probe IVF layout plugged into rag_read_path's backend slots)
+    must reproduce the composed in-memory plan EXACTLY — same rows,
+    same scores, same MMR picks."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    served = sorted(tuple(r) for r in qs["rag_read_path_served"](spark, sf_dir).collect())
+    direct = sorted(tuple(r) for r in qs["rag_read_path"](spark, sf_dir).collect())
+    assert served == direct and served
