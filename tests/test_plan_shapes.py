@@ -347,3 +347,24 @@ def test_knn_binary_pure_codegen_no_python(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # broadcast queries, non-equi self-exclusion
+
+
+def test_wordpiece_encode_map_only_no_exchange(spark, sf_dir):
+    """The WordPiece encoder is the scaling path (the trainer sees a
+    sample): one Arrow pass, zero shuffles — an Exchange here means
+    the 100 TB encode pays a sort/shuffle it doesn't need."""
+    from lakehouse_to_rag_spark.functions.wordpiece import (
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = wordpiece_train(d, vocab_multi=50, sample_rows=100)
+    plan = (
+        wordpiece_encode(d, vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
