@@ -223,3 +223,68 @@ def count_min_heavy_hitters(
         .cast("long")
         .alias("cms_estimate"),
     )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus DATA CARD — the summary table every dataset
+    release ships (cf. 'Datasheets for Datasets', Gebru et al. 2021):
+    document counts, null-text counts, whitespace-token totals, a
+    deterministic median length, and exact-duplicate document counts,
+    one row per ``group_col``.
+
+    Determinism choices: the median is RANK-BASED (the value at row
+    ceil(n/2) ordered by (length, id) among non-null texts — no
+    interpolation, so no float quantile-convention skew between
+    engines); token totals count single-space splits (the word-family
+    convention); dup_docs counts documents whose md5(text) appears
+    more than once WITHIN the group. Everything is one scan + two
+    keyed aggregations + one window — partial-aggregatable, no
+    collects, group count bounded by the source-label cardinality."""
+    t = F.col(text_col)
+    nn = df.filter(t.isNotNull())
+    w = Window.partitionBy(group_col).orderBy(
+        F.length(text_col).asc(), F.col(id_col).asc()
+    )
+    med = (
+        nn.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+        )
+        .filter(F.col("_rn") == F.ceil(F.col("_n") / 2))
+        .select(
+            F.col(group_col),
+            F.length(text_col).cast("long").alias("median_len"),
+        )
+    )
+    dups = (
+        nn.groupBy(group_col, F.md5(t).alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .groupBy(group_col)
+        .agg(F.sum("_c").alias("dup_docs"))
+    )
+    base = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(t.isNull().cast("long")).alias("n_null_text"),
+        F.sum(
+            F.when(t.isNotNull(), F.size(F.split(t, " ", -1)))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("total_tokens"),
+    )
+    return (
+        base.join(med, group_col, "left")
+        .join(dups, group_col, "left")
+        .select(
+            group_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_null_text").cast("long").alias("n_null_text"),
+            "total_tokens",
+            F.coalesce(F.col("median_len"), F.lit(0)).cast("long").alias("median_len"),
+            F.coalesce(F.col("dup_docs"), F.lit(0)).cast("long").alias("dup_docs"),
+        )
+    )

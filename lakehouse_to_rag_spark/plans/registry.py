@@ -3471,6 +3471,52 @@ JOIN sk s2 ON s2.row_i = 2 AND s2.bucket = p.b2
 """
 
 
+_DATACARD_ORACLE = """
+WITH nn AS MATERIALIZED (
+  SELECT source, doc_id, text, LENGTH(text) AS L
+  FROM documents WHERE text IS NOT NULL
+), med AS (
+  SELECT source, CAST(L AS BIGINT) AS median_len FROM (
+    SELECT source, L,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY L ASC, doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM nn
+  ) WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+), dups AS (
+  SELECT source, SUM(c) AS dup_docs FROM (
+    SELECT source, md5(text) AS h, COUNT(*) AS c
+    FROM nn GROUP BY source, md5(text)
+  ) WHERE c > 1 GROUP BY source
+), base AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_text,
+         CAST(SUM(CASE WHEN text IS NOT NULL
+                       THEN len(string_split(text, ' ')) ELSE 0 END)
+              AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+)
+SELECT b.source, b.n_docs, b.n_null_text, b.total_tokens,
+       CAST(COALESCE(m.median_len, 0) AS BIGINT) AS median_len,
+       CAST(COALESCE(d.dup_docs, 0) AS BIGINT) AS dup_docs
+FROM base b
+LEFT JOIN med m USING (source)
+LEFT JOIN dups d USING (source)
+"""
+
+
+@_q("corpus_datacard", _DATACARD_ORACLE)
+def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card (Gebru et al. 2021 datasheets): document /
+    null-text / token counts, a rank-based deterministic median
+    length, and within-source exact-duplicate counts — the release
+    summary every corpus ships, as one scan + keyed aggregations."""
+    d = load_table(spark, sf_dir, "documents")
+    return analytics.corpus_datacard(d)
+
+
 @_q("events_heavy_hitters", _CMS_ORACLE)
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable count-min sketch heavy hitters: the sketch is a SPARSE
