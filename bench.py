@@ -124,6 +124,8 @@ HEADLINE = [
     # the serving-side capstone: BM25 + kNN -> RRF -> min-max rel ->
     # greedy MMR -> metadata join, one composed plan
     "rag_read_path",
+    # the release datasheet: per-source counts/tokens/median/dups
+    "corpus_datacard",
     # video leg: JPEG encode -> AVI mux -> demux -> JPEG decode per
     # doc (pure-Python entropy coding like GIF/FLAC — compare
     # round-over-round)

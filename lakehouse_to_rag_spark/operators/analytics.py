@@ -242,13 +242,26 @@ def corpus_datacard(
     interpolation, so no float quantile-convention skew between
     engines); token totals count single-space splits (the word-family
     convention); dup_docs counts documents whose md5(text) appears
-    more than once WITHIN the group. Everything is one scan + two
-    keyed aggregations + one window — partial-aggregatable, no
-    collects, group count bounded by the source-label cardinality."""
+    more than once WITHIN the group. The corpus is scanned ONCE into
+    a narrow localCheckpointed projection (group, id, flags, length,
+    tokens, md5 — the text column never leaves the scan); the three
+    summaries derive from it. Joins back onto the base are NULL-SAFE
+    on the group key (eqNullSafe — a NULL-source group must report
+    its real median/dups, not coalesced zeros; review finding)."""
     t = F.col(text_col)
-    nn = df.filter(t.isNotNull())
+    proj = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        t.isNull().cast("long").alias("_isnull"),
+        F.length(t).alias("_len"),
+        F.when(t.isNotNull(), F.size(F.split(t, " ", -1)))
+        .otherwise(F.lit(0))
+        .alias("_tok"),
+        F.md5(t).alias("_h"),
+    ).localCheckpoint(eager=False)
+    nn = proj.filter(F.col("_isnull") == 0)
     w = Window.partitionBy(group_col).orderBy(
-        F.length(text_col).asc(), F.col(id_col).asc()
+        F.col("_len").asc(), F.col(id_col).asc()
     )
     med = (
         nn.withColumn("_rn", F.row_number().over(w))
@@ -257,28 +270,25 @@ def corpus_datacard(
         )
         .filter(F.col("_rn") == F.ceil(F.col("_n") / 2))
         .select(
-            F.col(group_col),
-            F.length(text_col).cast("long").alias("median_len"),
+            F.col(group_col).alias("_gm"),
+            F.col("_len").cast("long").alias("median_len"),
         )
     )
     dups = (
-        nn.groupBy(group_col, F.md5(t).alias("_h"))
+        nn.groupBy(group_col, "_h")
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") > 1)
-        .groupBy(group_col)
+        .groupBy(F.col(group_col).alias("_gd"))
         .agg(F.sum("_c").alias("dup_docs"))
     )
-    base = df.groupBy(group_col).agg(
+    base = proj.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(t.isNull().cast("long")).alias("n_null_text"),
-        F.sum(
-            F.when(t.isNotNull(), F.size(F.split(t, " ", -1)))
-            .otherwise(F.lit(0))
-        ).cast("long").alias("total_tokens"),
+        F.sum("_isnull").alias("n_null_text"),
+        F.sum("_tok").cast("long").alias("total_tokens"),
     )
     return (
-        base.join(med, group_col, "left")
-        .join(dups, group_col, "left")
+        base.join(med, F.col(group_col).eqNullSafe(F.col("_gm")), "left")
+        .join(dups, F.col(group_col).eqNullSafe(F.col("_gd")), "left")
         .select(
             group_col,
             F.col("n_docs").cast("long").alias("n_docs"),

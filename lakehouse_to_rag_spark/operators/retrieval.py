@@ -488,6 +488,34 @@ def mmr_rerank_scored(
     return _mmr_greedy(cv, k, lam)
 
 
+def rag_store(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """The embedded-corpus store: (store, emb_store) where store =
+    documents with non-null text AND a vector, and emb_store = the
+    matching vectors (normalized to vec_id/embedding names). ONE
+    definition shared by the in-memory read path and the index-build/
+    serve entries — if the store rule ever changes, the persisted
+    indexes and the queried corpus move together (review finding: a
+    hand-copied derivation could drift and silently break the served
+    path's verbatim-oracle identity)."""
+    emb = embeddings.select(
+        F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    store = docs.filter(F.col(text_col).isNotNull()).join(
+        emb.select(F.col("vec_id").alias(id_col)), id_col, "left_semi"
+    )
+    emb_store = emb.join(
+        store.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
+    )
+    return store, emb_store
+
+
 def rag_read_path(
     docs: DataFrame,
     embeddings: DataFrame,
@@ -535,15 +563,8 @@ def rag_read_path(
     if not 1 <= k <= kc:
         raise ValueError(f"rag_read_path: need 1 <= k={k} <= kc={kc}")
 
-    emb = embeddings.select(
-        F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    )
-    store = (
-        docs.filter(F.col(text_col).isNotNull())
-        .join(emb.select(F.col("vec_id").alias(id_col)), id_col, "left_semi")
-    )
-    emb_store = emb.join(
-        store.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
+    store, emb_store = rag_store(
+        docs, embeddings, id_col, text_col, vec_id_col, vec_col
     )
 
     # stages 2-4 ARE hybrid_retrieval_rrf over the embedded store —

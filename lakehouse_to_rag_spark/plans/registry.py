@@ -3502,8 +3502,8 @@ SELECT b.source, b.n_docs, b.n_null_text, b.total_tokens,
        CAST(COALESCE(m.median_len, 0) AS BIGINT) AS median_len,
        CAST(COALESCE(d.dup_docs, 0) AS BIGINT) AS dup_docs
 FROM base b
-LEFT JOIN med m USING (source)
-LEFT JOIN dups d USING (source)
+LEFT JOIN med m ON b.source IS NOT DISTINCT FROM m.source
+LEFT JOIN dups d ON b.source IS NOT DISTINCT FROM d.source
 """
 
 
@@ -7320,6 +7320,7 @@ def rag_read_path_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_to_rag_spark.operators.retrieval import (
         bm25_topk_from_index,
         rag_read_path,
+        rag_store,
         write_bm25_index,
     )
     from lakehouse_to_rag_spark.operators.similarity import (
@@ -7329,12 +7330,8 @@ def rag_read_path_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
-    store = d.filter(F.col("text").isNotNull()).join(
-        e.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
-    )
-    emb_store = e.join(
-        store.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
-    )
+    # the SAME store derivation the in-memory path uses (shared helper)
+    store, emb_store = rag_store(d, e)
     staging = f"/tmp/rag_serve_staging/{uuid.uuid4().hex}"
     try:
         write_bm25_index(store, f"{staging}/bm25")

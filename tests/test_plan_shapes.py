@@ -367,4 +367,4 @@ def test_wordpiece_encode_map_only_no_exchange(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
-    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    assert "mapinpandas" in plan.lower()

@@ -537,3 +537,26 @@ def test_rag_read_path_served_equals_in_memory(spark, sf_dir):
     served = sorted(tuple(r) for r in qs["rag_read_path_served"](spark, sf_dir).collect())
     direct = sorted(tuple(r) for r in qs["rag_read_path"](spark, sf_dir).collect())
     assert served == direct and served
+
+
+def test_corpus_datacard_null_source_group(spark):
+    """A NULL-source group must report its REAL median and dup counts
+    (null-safe group joins — a non-null-safe join would coalesce them
+    to zeros while both engines agreed; review finding)."""
+    from lakehouse_to_rag_spark.operators.analytics import corpus_datacard
+
+    df = spark.createDataFrame(
+        [
+            (0, None, "same text"),
+            (1, None, "same text"),
+            (2, None, "zzz longer text"),
+            (3, "s", None),
+            (4, "s", "a b"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["source"]: r for r in corpus_datacard(df).collect()}
+    n = rows[None]
+    assert n["n_docs"] == 3 and n["dup_docs"] == 2 and n["median_len"] == 9
+    s = rows["s"]
+    assert s["n_null_text"] == 1 and s["median_len"] == 3 and s["dup_docs"] == 0
