@@ -57,6 +57,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = entry.queries(), entry.oracle_sql()
     con = duckdb.connect()
+    # spill OUTSIDE the repo: the heavier oracles (image-pHash DP
+    # layers) spill tens of GB; an un-set temp_directory lands that
+    # in ./.tmp and a killed sweep leaves multi-GB debris behind
+    con.execute("SET temp_directory='/tmp/duckspill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     fails = []
