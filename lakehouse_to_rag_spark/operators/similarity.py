@@ -1635,3 +1635,107 @@ def knn_binary_rerank(
         .select("query_id", "neighbor_id", sim.alias("cosine"))
     )
     return _ranked_topk(pairs, k)
+
+
+def knn_binary_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary IVF — coarse Hamming-space pruning over the sign-bit
+    signatures (cf. FAISS's binary IVF, the billion-scale recipe for
+    1-bit vectors): centroids are the first ``num_centroids``
+    signatures by id (the untrained-quantizer convention of
+    ``ivf_assign``), every signature buckets to its Hamming-nearest
+    centroid (ties to the smallest centroid id), and a query scans
+    only its ``nprobe`` nearest buckets. Completes the quantized-ANN
+    matrix: float has IVF, PQ has IVF-PQ, and the 1-bit tier now has
+    its inverted file too.
+
+    EVERYTHING is integer arithmetic — packing, XOR, popcount,
+    argmin, ranking — so unlike float IVF there is no rounding
+    discipline anywhere and the SQL replay is exact by construction.
+    Scale shape: one groupBy-free assignment scan (centroid list is
+    broadcast closure state), the probe filter prunes the corpus scan
+    to the probed buckets, then the two-phase Hamming top-k. Returns
+    (query_id, neighbor_id, hamming BIGINT, rank 1..k)."""
+    if not 1 <= nprobe <= num_centroids:
+        raise ValueError(
+            f"knn_binary_ivf: need 1 <= nprobe={nprobe} <= num_centroids={num_centroids}"
+        )
+    sigs = quantize_binary(corpus, dim, id_col, vec_col)
+    cent = (
+        sigs.orderBy(F.col(id_col))
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col("words").alias("cw")
+        )
+    )
+    bcent = F.broadcast(cent)
+
+    def _assign(frame: DataFrame, idc: str) -> DataFrame:
+        ham = _hamming(F.col("words"), F.col("cw"))
+        w = Window.partitionBy(idc).orderBy(
+            F.asc("h"), F.asc("centroid_id")
+        )
+        return (
+            frame.crossJoin(bcent)
+            .select(idc, "words", "centroid_id", ham.alias("h"))
+            .withColumn("rn", F.row_number().over(w))
+        )
+
+    assigned = (
+        _assign(sigs, id_col)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("words").alias("nw"),
+            F.col("centroid_id").alias("cluster"),
+        )
+    )
+    qsigs = quantize_binary(queries, dim, id_col, vec_col)
+    probes = (
+        _assign(qsigs, id_col)
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("words").alias("qw"),
+            F.col("centroid_id").alias("cluster"),
+        )
+    )
+    pairs = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _hamming(F.col("qw"), F.col("nw")).alias("hamming"),
+        )
+    )
+    local_w = Window.partitionBy("query_id", "pid").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    pairs = (
+        pairs.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrank", F.row_number().over(local_w))
+        .filter(F.col("lrank") <= k)
+        .drop("pid", "lrank")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

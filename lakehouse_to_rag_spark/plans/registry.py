@@ -6987,6 +6987,62 @@ def knn_binary_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simi.knn_binary_rerank(e, queries, dim=64, k=5, rerank=50)
 
 
+_KNN_BINARY_IVF_ORACLE = """
+WITH b AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bits
+  FROM embeddings
+), cent AS MATERIALIZED (
+  SELECT vec_id AS centroid_id, bits AS cb
+  FROM b ORDER BY vec_id LIMIT 16
+), asg AS MATERIALIZED (
+  SELECT vec_id, bits, centroid_id AS cluster FROM (
+    SELECT b.vec_id, b.bits, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY len(list_filter(range(1, 65),
+                          i -> b.bits[i] <> c.cb[i])) ASC,
+                      c.centroid_id ASC) AS rn
+    FROM b CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, bits AS qb, centroid_id AS cluster FROM (
+    SELECT b.vec_id, b.bits, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY len(list_filter(range(1, 65),
+                          i -> b.bits[i] <> c.cb[i])) ASC,
+                      c.centroid_id ASC) AS rn
+    FROM b CROSS JOIN cent c WHERE b.vec_id < 10
+  ) WHERE rn <= 4
+), p AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(len(list_filter(range(1, 65), i -> p.qb[i] <> a.bits[i]))
+              AS BIGINT) AS hamming
+  FROM probes p JOIN asg a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY hamming ASC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, hamming, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+@_q("knn_binary_ivf", _KNN_BINARY_IVF_ORACLE)
+def knn_binary_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary IVF: Hamming-space coarse pruning over the sign-bit
+    signatures (FAISS's billion-scale binary recipe) — completes the
+    quantized-ANN matrix (float:IVF :: PQ:IVF-PQ :: 1-bit:this).
+    All-integer end to end, so the replay is exact by construction —
+    the only ANN index here with literally zero rounding sites."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return simi.knn_binary_ivf(
+        e, queries, dim=64, k=5, num_centroids=16, nprobe=4
+    )
+
+
 _ANN_RECALL_BINARY_ORACLE = f"""
 WITH bf AS MATERIALIZED (SELECT * FROM ({_KNN_ORACLE})),
 ap AS MATERIALIZED (SELECT * FROM ({_KNN_BINARY_RERANK_ORACLE}))

@@ -1110,3 +1110,47 @@ class TestPageRank:
         assert a == b
         top = max(a, key=lambda t: t[1])
         assert top[0] == 0
+
+
+def test_knn_binary_ivf_full_probe_equals_flat_scan(spark, sf_dir):
+    """At nprobe == num_centroids every bucket is scanned, so binary
+    IVF must reproduce the flat Hamming scan EXACTLY — the pruning
+    changes candidates, never arithmetic."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        knn_binary,
+        knn_binary_ivf,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    flat = sorted(tuple(r) for r in knn_binary(e, q, dim=64, k=5).collect())
+    full = sorted(
+        tuple(r)
+        for r in knn_binary_ivf(
+            e, q, dim=64, k=5, num_centroids=16, nprobe=16
+        ).collect()
+    )
+    assert flat == full and flat
+
+
+def test_knn_binary_ivf_pruned_recall(spark, sf_dir):
+    """nprobe=4 of 16 buckets keeps majority overlap with the flat
+    scan's neighbor set (the standard IVF recall/probes trade)."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        knn_binary,
+        knn_binary_ivf,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    flat = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_binary(e, q, dim=64, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_binary_ivf(
+            e, q, dim=64, k=5, num_centroids=16, nprobe=4
+        ).collect()
+    }
+    assert len(flat & ivf) / len(flat) >= 0.4, len(flat & ivf) / len(flat)
