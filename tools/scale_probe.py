@@ -470,6 +470,34 @@ def main() -> None:
     ).count()
     print(f"knn_binary_rerank(10q): {time.perf_counter() - t0:.1f}s rows={n}")
 
+    # r6b: binary IVF — the nprobe-pruned Hamming scan; wall should
+    # track (probed fraction x corpus), the assignment scan is linear
+    from lakehouse_to_rag_spark.operators.similarity import knn_binary_ivf
+
+    t0 = time.perf_counter()
+    n = knn_binary_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
+        num_centroids=16, nprobe=4,
+    ).count()
+    print(f"knn_binary_ivf(10q,4/16): {time.perf_counter() - t0:.1f}s rows={n}")
+
+    # r6b: integer-micro PageRank over the GEMM-built kNN graph —
+    # graph build is the GEMM (linear scans x queries), the 10 rounds
+    # are join+groupBy over an n-row score table
+    from lakehouse_to_rag_spark.operators.graph import pagerank_micro
+    from lakehouse_to_rag_spark.operators.similarity import (
+        knn_bruteforce_numpy,
+    )
+
+    t0 = time.perf_counter()
+    edges = knn_bruteforce_numpy(
+        emb, emb, k=5, id_col="vec_id", vec_col="embedding"
+    ).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    n = pagerank_micro(edges, damping_pct=85, iterations=10).count()
+    print(f"doc_pagerank_shape: {time.perf_counter() - t0:.1f}s rows={n}")
+
     spark.stop()
 
 
