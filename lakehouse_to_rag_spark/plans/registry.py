@@ -659,6 +659,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+@_q("dedup_minhash_distinct", _NGRAM_JACCARD_ORACLE)
+def dedup_minhash_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup-first MinHash: signatures/banding/verification run
+    once per DISTINCT text, pairs expand to members — provably the
+    direct operator's exact pair set (equality-tested), at O(distinct
+    texts) banding cost instead of O(docs) (212s -> 27.5s at the 100x
+    replica-clique probe). Same oracle as dedup_minhash verbatim."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs_distinct(
+        d, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
 @_q("dedup_simhash")  # bit-bucket candidates: rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

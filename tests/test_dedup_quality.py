@@ -1154,3 +1154,30 @@ def test_knn_binary_ivf_pruned_recall(spark, sf_dir):
         ).collect()
     }
     assert len(flat & ivf) / len(flat) >= 0.4, len(flat & ivf) / len(flat)
+
+
+def test_minhash_distinct_first_equals_direct(spark, sf_dir):
+    """Exact-dedup-first MinHash must emit EXACTLY the direct
+    operator's pair set, values included — both on the raw corpus and
+    with planted exact-duplicate cliques (where the factoring's
+    within-clique expansion carries the load)."""
+    from lakehouse_to_rag_spark.operators.dedup import (
+        minhash_lsh_pairs_distinct,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter("doc_id < 20").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(500_000)
+    )
+    for d in (docs, docs.unionByName(planted)):
+        a = sorted(
+            tuple(r)
+            for r in minhash_lsh_pairs(d, "doc_id", "text", 3, threshold=0.5).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in minhash_lsh_pairs_distinct(
+                d, "doc_id", "text", 3, threshold=0.5
+            ).collect()
+        )
+        assert a == b and a
