@@ -677,6 +677,16 @@ def audio_signatures(
     """(id, simhash) energy-envelope signatures for WAV payloads —
     the audio twin of ``image_signatures`` (same checkpoint
     discipline, same downstream consumers)."""
+    # fail closed on the knob's real range (ADVICE r6): the envelope
+    # fingerprint sets bits 0..n_frames-2 of a SIGNED 64-bit column,
+    # and the banded join's 16x4-bit pigeonhole covers exactly 64
+    # bits — n_frames > 64 overflows int64 into an opaque Arrow
+    # conversion error AND would void the completeness guarantee
+    if not 2 <= n_frames <= 64:
+        raise ValueError(
+            f"audio_signatures: need 2 <= n_frames <= 64 (63 usable "
+            f"bits in the signed int64 signature), got {n_frames}"
+        )
     import pandas as pd
 
     from pyspark.sql.types import LongType, StructField, StructType
@@ -774,12 +784,25 @@ def video_keyframe_pairs(
     # signature would otherwise inflate a single visual coincidence
     # quadratically (4x3 pairs from ONE distinct match) past the
     # threshold
+    # decode with FLOOR semantics, not truncation: `div`/`%` truncate
+    # toward zero, so a negative media id (admitted by the guard
+    # above) would split one video's frames across two decoded ids —
+    # e.g. media -1 frame 2 encodes to -999998, which `div 1e6`
+    # decodes to media 0 — letting intra-video matches through the
+    # media_a != media_b filter as fake cross-video pairs. pmod is
+    # always in [0, 1e6), and (x - pmod(x)) is exactly divisible, so
+    # the subtract-then-div form IS floor division in exact 64-bit
+    # integers (no double-precision detour past 2^53).
     return (
         pairs.select(
-            F.expr("id_a div 1000000").alias("media_a"),
-            F.expr("id_b div 1000000").alias("media_b"),
-            F.expr("id_a % 1000000").alias("frame_a"),
-            F.expr("id_b % 1000000").alias("frame_b"),
+            F.expr(
+                "(id_a - pmod(id_a, 1000000)) div 1000000"
+            ).alias("media_a"),
+            F.expr(
+                "(id_b - pmod(id_b, 1000000)) div 1000000"
+            ).alias("media_b"),
+            F.expr("pmod(id_a, 1000000)").alias("frame_a"),
+            F.expr("pmod(id_b, 1000000)").alias("frame_b"),
         )
         .filter(F.col("media_a") != F.col("media_b"))
         .groupBy("media_a", "media_b")

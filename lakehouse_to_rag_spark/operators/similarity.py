@@ -235,9 +235,24 @@ def _query_probes(
 
 
 def _score_probed(
-    assigned: DataFrame, probes: DataFrame, k: int, id_col: str, vec_col: str
+    assigned: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    dedupe_candidates: bool = False,
 ) -> DataFrame:
-    """Equi-join probed clusters onto the assigned corpus and rank."""
+    """Equi-join probed clusters onto the assigned corpus and rank.
+
+    ``dedupe_candidates`` is the persisted-layout serve path's replay
+    armor (ADVICE r6): a crashed-then-replayed streaming append can
+    leave duplicate vec_id rows in ``cluster=N/`` files, and without
+    dedup each duplicate occupies its own rank slot, skewing top-k.
+    Duplicates are bit-identical (frozen quantizer => deterministic
+    assignment => same cluster, same cosine), so a dropDuplicates on
+    (query_id, neighbor_id) restores exact single-copy results. Cost:
+    one partial-aggregatable dedup over the candidate set — the same
+    rows the rank window already shuffles, not the corpus."""
     sim = F.round(cosine_similarity(F.col("qvec"), F.col(vec_col)), 4)
     pairs = (
         assigned.join(F.broadcast(probes), "cluster")
@@ -246,6 +261,8 @@ def _score_probed(
             "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cosine")
         )
     )
+    if dedupe_candidates:
+        pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
     return _ranked_topk(pairs, k)
 
 
@@ -374,7 +391,9 @@ def ivf_topk_from_index(
     assigned = read_layer(spark, path).filter(
         F.col("cluster").isin(probe_clusters)
     )
-    return _score_probed(assigned, probes, k, id_col, vec_col)
+    return _score_probed(
+        assigned, probes, k, id_col, vec_col, dedupe_candidates=True
+    )
 
 
 def knn_bruteforce_numpy(

@@ -2536,7 +2536,8 @@ _IMAGE_INC_ORACLE = _IMAGE_SIG_CTES + """
     ON x.blk = y.blk AND x.bval = y.bval AND x.id < y.id
   WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
 )
-SELECT id, simhash FROM fresh WHERE id NOT IN (SELECT id FROM m2)
+SELECT id, CAST(simhash AS BIGINT) AS simhash
+FROM fresh WHERE id NOT IN (SELECT id FROM m2)
 """
 
 
@@ -5238,10 +5239,9 @@ sums AS MATERIALIZED (
   FROM documents d CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
   WHERE d.text IS NOT NULL
 )
-SELECT sp.doc_id,
-       list(COALESCE(su.v, 0)::DOUBLE ORDER BY sp.bucket) AS embedding
+SELECT sp.doc_id, CAST(sp.bucket AS BIGINT) AS bucket,
+       COALESCE(su.v, 0)::DOUBLE AS value
 FROM spine sp LEFT JOIN sums su USING (doc_id, bucket)
-GROUP BY sp.doc_id
 """
 
 
@@ -5250,9 +5250,17 @@ def embed_hashed_tf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick document embeddings (Weinberger et al. 2009):
     signed term-frequency sums over md5 buckets — the model-free
     embedder that bootstraps the vector ops (kNN, cosine dedup,
-    SemDeDup-style clustering) on a raw corpus."""
+    SemDeDup-style clustering) on a raw corpus. Gate shape: the
+    array column is exploded to one (doc_id, bucket, value) row per
+    dimension — the driver's canonicalizer sorts pandas values and
+    array cells aren't orderable there (the ``embedding_pca``
+    flattening precedent; the array form itself is gate-proven via
+    ``knn_text_hashed``, which replays this exact chain)."""
     d = load_table(spark, sf_dir, "documents")
-    return ta.embed_hashed_tf(d, dim=64)
+    e = ta.embed_hashed_tf(d, dim=64)
+    return e.select(
+        "doc_id", F.posexplode("embedding").alias("bucket", "value")
+    ).withColumn("bucket", F.col("bucket").cast("long"))
 
 
 _KNN_TEXT_HASHED_ORACLE = f"""
@@ -7475,14 +7483,12 @@ _CANARIES: list[str] = [
 # Remove a pin once its fresh green row is recorded; new registry
 # entries need no pin (never-checked == stalest == auto-included).
 _PINS: list[str] = [
-    # r6: the BPE training oracle was rewritten (double-delimited
-    # REPLACE == consume-both scan, ADVICE high fix) — the changed
-    # oracle needs a fresh external row
-    "bpe_token_counts",
-    # r6: streaming-family evidence — batch twin of the stream-stream
-    # attribution join, so the streaming surface keeps external
-    # evidence fresh (VERDICT r5 brief #8)
-    "click_attribution",
+    # r7: the two r6 red rows, both fixed this round (oracle HUGEINT
+    # simhash now CAST to BIGINT; embed_hashed_tf reshaped to exploded
+    # scalar rows). Failing entries auto-rotate in as maximally stale,
+    # but the pin guarantees it regardless of evidence bookkeeping.
+    "image_dedup_incremental",
+    "embed_hashed_tf",
 ]
 
 

@@ -316,19 +316,42 @@ def stream_index_sink(
     quantizer is the frozen assignment model; bootstrap with
     ``write_ivf_index`` on the first corpus slice). Zero vectors are
     dropped (unscoreable under cosine — the build-path rule).
-    foreachBatch replays a failed batch, so downstream dedup of
-    replayed vec_ids is the reader's keyed-upsert concern; the classic
-    pairing is ``incremental_dedup_stream`` upstream of this sink so
-    only fresh documents reach the index. Returns the started
+
+    Replay idempotence (ADVICE r6): foreachBatch re-delivers a failed
+    micro-batch with the SAME batch_id, and a blind append would then
+    persist duplicate vec_id rows that skew the serve path. The sink
+    keeps a ``{index_path}/_ledger`` of committed batch_ids
+    (underscore prefix — invisible to readers of the index root, like
+    ``_centroids``) and skips any batch already recorded. The ledger
+    row is written AFTER the data append, so the one remaining crash
+    window (data landed, ledger write lost) re-appends exactly one
+    batch — which ``ivf_topk_from_index``'s candidate-level
+    dropDuplicates absorbs at serve time. Returns the started
     StreamingQuery."""
+    from pyspark.errors import AnalysisException
+
     from lakehouse_to_rag_spark.operators.similarity import (
         append_to_ivf_index,
     )
     from lakehouse_to_rag_spark.operators.text_analysis import embed_hashed_tf
+    from lakehouse_to_rag_spark.sources.lakehouse import (
+        read_layer,
+        write_layer,
+    )
 
     def _append(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        spark = batch.sparkSession
+        ledger = f"{index_path}/_ledger"
+        try:
+            committed = {
+                r["batch_id"] for r in read_layer(spark, ledger).collect()
+            }
+        except AnalysisException:
+            committed = set()  # first batch: no ledger yet
+        if batch_id in committed:
+            return  # replay of an already-committed batch
         emb = embed_hashed_tf(
             batch, dim=dim, id_col=id_col, text_col=text_col
         ).filter(
@@ -337,7 +360,12 @@ def stream_index_sink(
             )
             > 0
         ).withColumnRenamed(id_col, "vec_id")
-        append_to_ivf_index(batch.sparkSession, index_path, emb)
+        append_to_ivf_index(spark, index_path, emb)
+        write_layer(
+            spark.createDataFrame([(int(batch_id),)], "batch_id long"),
+            ledger,
+            mode="append",
+        )
 
     writer = (
         docs_stream.writeStream.foreachBatch(_append)

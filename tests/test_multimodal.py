@@ -1711,6 +1711,18 @@ class TestPerceptualAudioDedup:
             ei.value, NotImplementedError
         )
 
+        # n_frames is bounded by the int64 signature and the 16x4-bit
+        # band scheme (ADVICE r6): out-of-range values must refuse at
+        # plan-build time, not surface as an opaque Arrow overflow
+        from lakehouse_to_rag_spark.operators.dedup import audio_signatures
+
+        for bad_n in (0, 1, 65, 128):
+            with pytest.raises(ValueError, match="n_frames"):
+                audio_signatures(bad, n_frames=bad_n)
+        for bad_n in (0, 1, 65):
+            with pytest.raises(ValueError, match="n_frames"):
+                audio_fingerprint_pairs(bad, n_frames=bad_n)
+
 
 class TestAdmitMediaBatch:
     """The stateful perceptual-ingest loop: signature-table upsert +
@@ -1850,3 +1862,47 @@ class TestVideoKeyframeDedup:
         assert got.get((0, 2), 0) >= 2 and got.get((1, 2), 0) >= 2
         # the unrelated clip matches nothing
         assert not any(3 in k for k in got)
+
+    def test_negative_media_id_roundtrip(self, spark):
+        """Composite frame ids must decode with FLOOR semantics: with
+        truncating `div`, media -1's frames decode to media 0 /
+        negative frame indexes, so one negative-id video self-matches
+        through the media_a != media_b filter and its real matches
+        mis-attribute (ADVICE r6). A negative-id copy must pair with
+        its positive-id twin — and a lone negative-id video must
+        produce NO pairs."""
+        import pandas as pd
+
+        from lakehouse_to_rag_spark.multimodal.avi import encode_avi_mjpeg
+        from lakehouse_to_rag_spark.operators.dedup import (
+            video_keyframe_pairs,
+        )
+
+        base = self._frames()
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (-1, encode_avi_mjpeg(base, fps=10), "video"),
+                    (5, encode_avi_mjpeg(base, fps=10), "video"),
+                ],
+                columns=["media_id", "payload", "media_type"],
+            )
+        )
+        got = {
+            (r["media_a"], r["media_b"]): r["n_matching_frames"]
+            for r in video_keyframe_pairs(
+                media, every_n=1, min_matching_frames=2
+            ).collect()
+        }
+        assert got == {(-1, 5): 4}
+
+        lone = spark.createDataFrame(
+            pd.DataFrame(
+                [(-1, encode_avi_mjpeg(base, fps=10), "video")],
+                columns=["media_id", "payload", "media_type"],
+            )
+        )
+        assert (
+            video_keyframe_pairs(lone, every_n=1, min_matching_frames=1)
+            .count() == 0
+        )

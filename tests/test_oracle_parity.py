@@ -56,8 +56,44 @@ def _row_set(cols, rows):
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_projection_types(name, duck):
+    """Gate contract, enforced WITHOUT executing the oracle (DuckDB
+    DESCRIBE binds the plan only): no top-level HUGEINT / array /
+    struct / map columns. The driver fetches the oracle via pandas,
+    where HUGEINT silently becomes float64 (truncating 63-bit
+    signatures — the r6 ``image_dedup_incremental`` red row) and
+    nested cells break ``sort_values`` (the r6 ``embed_hashed_tf``
+    ERR). This turns that whole divergence class into a local
+    pre-gate failure."""
+    desc = duck.execute("DESCRIBE " + ORACLES[name]).fetchall()
+    bad = [
+        (col, typ)
+        for col, typ, *_ in desc
+        if "HUGEINT" in typ.upper()
+        or "[]" in typ
+        or typ.upper().startswith(("STRUCT", "MAP", "LIST", "UNION"))
+    ]
+    assert not bad, (
+        f"{name}: oracle projects driver-hostile types {bad} — CAST "
+        "HUGEINT to BIGINT / flatten nested columns to scalar rows"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, name, duck):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     sdf = QUERIES[name](spark, SF_DIR)
+    nested = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"{name}: entry returns nested columns {nested} — the driver's "
+        "pandas canonicalizer cannot sort/hash them; explode or flatten "
+        "(the embedding_pca / embed_hashed_tf precedent)"
+    )
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 

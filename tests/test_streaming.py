@@ -460,3 +460,78 @@ def test_stream_index_sink_equals_batch_append(spark, sf_dir, tmp_path):
         for r in ivf_topk_from_index(spark, b_path, queries, k=5, nprobe=4).collect()
     )
     assert got == want and got
+
+
+def test_stream_index_sink_replay_idempotent(spark, sf_dir, tmp_path):
+    """Replay armor (ADVICE r6): re-delivering a committed micro-batch
+    (same batch_id — here forced by pointing a FRESH checkpoint at the
+    same source, so batch 0 is delivered twice) must not change the
+    persisted index; and even when duplicate rows DO land (the
+    data-landed/ledger-lost crash window, simulated by a raw double
+    append), the serve path returns single-copy results."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+    from lakehouse_to_rag_spark.operators.text_analysis import embed_hashed_tf
+    from lakehouse_to_rag_spark.streaming.pipeline import stream_index_sink
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def _emb(df):
+        return (
+            embed_hashed_tf(df, dim=64)
+            .filter(
+                F.aggregate(
+                    F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)
+                )
+                > 0
+            )
+            .withColumnRenamed("doc_id", "vec_id")
+        )
+
+    first = d.filter("doc_id % 2 = 0")
+    second = d.filter("doc_id % 2 = 1")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(_emb(first), path, num_centroids=16)
+
+    src = str(tmp_path / "docs_src")
+    second.write.parquet(src)
+    stream = spark.readStream.schema(second.schema).parquet(src)
+    stream_index_sink(
+        stream, path, checkpoint_dir=str(tmp_path / "ckpt1"), dim=64
+    ).awaitTermination(120)
+    queries = _emb(d.filter("doc_id < 6"))
+    before = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, path, queries, k=5, nprobe=4)
+        .collect()
+    )
+    n_before = (
+        spark.read.parquet(path).count()
+    )
+
+    # replay: fresh checkpoint, same source => batch_id 0 again
+    stream2 = spark.readStream.schema(second.schema).parquet(src)
+    stream_index_sink(
+        stream2, path, checkpoint_dir=str(tmp_path / "ckpt2"), dim=64
+    ).awaitTermination(120)
+    assert spark.read.parquet(path).count() == n_before  # ledger skipped it
+    after = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, path, queries, k=5, nprobe=4)
+        .collect()
+    )
+    assert after == before
+
+    # crash window: duplicates physically present -> serve-side dedup
+    append_to_ivf_index(spark, path, _emb(second))
+    dup = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, path, queries, k=5, nprobe=4)
+        .collect()
+    )
+    assert dup == before

@@ -31,24 +31,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def _norm(rows, cols):
-    # floats normalize to 4dp BY DESIGN: this mirrors the round
-    # driver's own comparison (sort columns by name, round doubles to
-    # 4dp, value-hash) — the sweep checks exactly the contract the
-    # gate checks, no more and no less
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 4)
-                if v == -0.0:
-                    v = 0.0
-            vals.append(repr(v))
-        out.append(tuple(vals))
-    return sorted(out)
+def _canon(df):
+    """Mirror the DRIVER's canonicalizer, pandas path included: both
+    sides go through pandas (Spark via toPandas, DuckDB via .df()),
+    columns sort by name, floats round to 4dp, rows sort, cells
+    stringify. Round 6 proved the fetchall()+repr shortcut hides an
+    entire divergence class: DuckDB HUGEINT reaches pandas as float64
+    (truncating 63-bit signatures) and array cells kill sort_values —
+    both invisible to exact-Python-int fetchall but red at the gate."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(4) + 0.0  # +0.0 folds -0.0 to 0.0
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    def cell(v):
+        # integral floats normalize to ints: DuckDB SUM(BIGINT) is
+        # HUGEINT and reaches pandas as float64, yet such entries are
+        # driver-green vs Spark's int64 — so the gate must equate
+        # 5.0 with 5 (truncation past 2^53 still diverges, as r6's
+        # image red row proved)
+        if isinstance(v, float) and not (v != v) and v.is_integer():
+            return str(int(v))
+        return str(v)
+
+    return [
+        tuple(cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
 
 
 def main() -> None:
@@ -69,15 +81,24 @@ def main() -> None:
             continue
         t0 = time.time()
         try:
-            sdf = qs[name](spark, sf)
-            srows = [tuple(r) for r in sdf.collect()]
-            res = con.execute(osql[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # pre-flight the gate contract before paying for execution
+            desc = con.execute("DESCRIBE " + osql[name]).fetchall()
+            hostile = [
+                (c, t)
+                for c, t, *_ in desc
+                if "HUGEINT" in t.upper()
+                or "[]" in t
+                or t.upper().startswith(("STRUCT", "MAP", "LIST", "UNION"))
+            ]
+            if hostile:
+                raise TypeError(f"driver-hostile oracle types {hostile}")
+            spdf = qs[name](spark, sf).toPandas()
+            ddf = con.execute(osql[name]).df()
             ok = (
-                sorted(sdf.columns) == sorted(dcols)
-                and _norm(srows, sdf.columns) == _norm(drows, dcols)
+                sorted(spdf.columns) == sorted(ddf.columns)
+                and _canon(spdf) == _canon(ddf)
             )
+            nrows = len(spdf)
         except Exception as exc:  # noqa: BLE001 - report, keep sweeping
             fails.append((name, f"ERROR {str(exc)[:120]}"))
             print(f"{name}: ERROR ({time.time() - t0:.0f}s)", flush=True)
@@ -85,7 +106,7 @@ def main() -> None:
         if not ok:
             fails.append((name, "mismatch"))
         print(
-            f"{name}: {'OK' if ok else 'MISMATCH'} {len(srows)} rows "
+            f"{name}: {'OK' if ok else 'MISMATCH'} {nrows} rows "
             f"({time.time() - t0:.0f}s)",
             flush=True,
         )
