@@ -132,6 +132,16 @@ HEADLINE = [
     "avi_frame_stats",
     # the ISO-BMFF twin (sample tables instead of RIFF chunks)
     "mp4_frame_stats",
+    # round-7 additions: the round-6b tail that was gated but never
+    # benched — the exact-dedup-first MinHash twin (crawl-shaped
+    # corpora), the all-integer Hamming IVF, link-graph centrality,
+    # and both halves of the persisted-index RAG story (write-side
+    # manifest build, read-side serve from the persisted layouts)
+    "dedup_minhash_distinct",
+    "knn_binary_ivf",
+    "doc_pagerank",
+    "rag_read_path_served",
+    "rag_index_manifest",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -357,6 +357,52 @@ def minhash_lsh_pairs_distinct(
     return cross.unionByName(within)
 
 
+def minhash_lsh_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    dup_ratio_cutover: float = 0.3,
+    probe_mod: int = 16,
+) -> DataFrame:
+    """One MinHash entry point that PICKS its factoring from the data:
+    a cheap sampled duplication-ratio probe dispatches to
+    ``minhash_lsh_pairs_distinct`` (exact-dedup-first — 7.7x on the
+    100x replica-clique probe) for duplicate-heavy corpora, or the
+    direct ``minhash_lsh_pairs`` for mostly-distinct ones, where the
+    distinct form's groupBy(text) + expansion joins are pure overhead.
+    Both branches produce the identical pair set (the distinct form's
+    docstring proof), so the dispatch can never change results — only
+    cost.
+
+    The probe samples BY TEXT HASH (``xxhash64(text) % probe_mod ==
+    0``), not by row: all copies of a sampled text enter together, so
+    ``1 - distinct/count`` over the slice is an unbiased estimate of
+    the corpus duplication ratio at ~1/probe_mod of the scan — one
+    aggregation job (count + approx_count_distinct, partial-agg'd
+    map-side) and an 8-byte driver result; no signatures are computed
+    twice. ``dup_ratio_cutover`` defaults to the measured sf0.01
+    crossover (SCALE.md r7: the distinct form's overhead on a clean
+    corpus vs its savings as cliques grow)."""
+    probe = df.filter(
+        F.pmod(F.xxhash64(F.col(text_col)), F.lit(probe_mod)) == 0
+    )
+    row = probe.agg(
+        F.count(F.col(text_col)).alias("n"),
+        F.approx_count_distinct(F.col(text_col)).alias("d"),
+    ).collect()[0]
+    dup_ratio = 0.0 if not row["n"] else 1.0 - row["d"] / row["n"]
+    form = (
+        minhash_lsh_pairs_distinct
+        if dup_ratio >= dup_ratio_cutover
+        else minhash_lsh_pairs
+    )
+    return form(df, id_col, text_col, n, num_hashes, rows_per_band, threshold)
+
+
 # ------------------------------------------------------------- SimHash
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

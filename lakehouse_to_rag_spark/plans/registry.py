@@ -101,6 +101,55 @@ def silver_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("medallion_incremental", _SILVER_ORACLE)
+def medallion_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED-mode medallion (url-keyed upserts, never a corpus
+    overwrite — the reference's etl.py:179-198 intent): the corpus is
+    fed as three disjoint batches plus a RE-CRAWL batch that resends
+    the first 100 urls with altered content and bumped doc_ids; the
+    url-keyed admission must reject every re-crawled row, leaving the
+    final silver layer row-for-row equal to the overwrite pipeline's —
+    so this entry shares ``silver_docs``' oracle, and any admission or
+    upsert defect diverges the hash. Write-path staging follows the
+    capstone convention: /tmp uuid layers, read back, collected
+    eagerly, staging removed before return."""
+    import shutil
+    import uuid
+
+    from lakehouse_to_rag_spark.operators.pipeline import (
+        documents_as_raw,
+        run_medallion_incremental,
+    )
+
+    raw = documents_as_raw(load_table(spark, sf_dir, "documents"))
+    batches = [raw.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i) for i in range(3)]
+    recrawl = (
+        raw.filter(F.col("doc_id") < 200)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+        .withColumn("content", F.concat(F.lit("RECRAWLED COPY "), F.col("content")))
+    )
+    state = f"/tmp/medallion_inc_{uuid.uuid4().hex[:12]}"
+    try:
+        layers = run_medallion_incremental(
+            spark, batches + [recrawl], state
+        )
+        rows = (
+            layers["silver"]
+            .select(
+                "url", "source", "title", "doc_id", "lang", "content",
+                F.col("content_length").cast("long").alias("content_length"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "url string, source string, title string, doc_id bigint, "
+        "lang string, content string, content_length bigint",
+    )
+
+
 _GOLD_FIXED_ORACLE = """
 SELECT doc_id,
        CAST((s - 1) // 190 AS BIGINT) AS chunk_index,

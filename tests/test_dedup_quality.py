@@ -1181,3 +1181,48 @@ def test_minhash_distinct_first_equals_direct(spark, sf_dir):
             ).collect()
         )
         assert a == b and a
+
+
+def test_minhash_auto_dispatch(spark, sf_dir):
+    """The auto entry point must (a) return the identical pair set
+    whichever branch the cutover forces, and (b) pick the branch the
+    corpus shape calls for: the direct form on the mostly-distinct
+    raw documents, the distinct-first form once the corpus is
+    replica-heavy."""
+    from unittest.mock import patch
+
+    import lakehouse_to_rag_spark.operators.dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    want = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", 3, threshold=0.5
+        ).collect()
+    )
+    for cutover in (0.0, 2.0):  # force distinct-first / force direct
+        got = sorted(
+            tuple(r)
+            for r in dd.minhash_lsh_pairs_auto(
+                docs, "doc_id", "text", 3,
+                threshold=0.5, dup_ratio_cutover=cutover,
+            ).collect()
+        )
+        assert got == want and got
+
+    # dispatch direction: spy on the distinct-first form only (the
+    # distinct form calls the direct one internally on the rep table,
+    # so "direct was called" can't discriminate)
+    heavy = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    ).unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(20_000_000))
+    )
+    for data, expect_distinct in ((docs, False), (heavy, True)):
+        with patch.object(
+            dd,
+            "minhash_lsh_pairs_distinct",
+            wraps=dd.minhash_lsh_pairs_distinct,
+        ) as dist:
+            dd.minhash_lsh_pairs_auto(data, "doc_id", "text", 3)
+            assert dist.called == expect_distinct

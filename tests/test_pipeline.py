@@ -99,6 +99,74 @@ def test_run_etl_end_to_end(spark, tmp_path):
     assert paths["gold"].endswith("/gold")
 
 
+def test_medallion_incremental_equals_overwrite(spark, sf_dir, tmp_path):
+    """Maintained-mode medallion == one overwrite run over the union:
+    feed the corpus as three disjoint batches plus (a) a re-crawl
+    batch resending existing urls with altered content (must all be
+    rejected — first crawl wins) and (b) a batch-boundary case: a url
+    whose FIRST version fails the length filter and whose re-crawl
+    would pass (must stay out — the reference ranks before filtering,
+    so the first crawl wins even when it yields nothing)."""
+    from lakehouse_to_rag_spark.operators.pipeline import (
+        documents_as_raw,
+        run_medallion_incremental,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = documents_as_raw(docs)
+    short_first = raw.filter("doc_id = 0").select(
+        F.lit("doc://edge").alias("url"), "source",
+        F.lit("edge").alias("title"),
+        F.lit("tiny.").alias("content"),
+        F.lit(99_000_000).cast("long").alias("doc_id"), "lang",
+    )
+    long_second = short_first.select(
+        "url", "source", "title",
+        F.lit("now the content is long enough to clear the fifty "
+              "character silver floor easily.").alias("content"),
+        (F.col("doc_id") + 1).alias("doc_id"), "lang",
+    )
+    recrawl = (
+        raw.filter("doc_id < 100")
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+        .withColumn(
+            "content", F.concat(F.lit("RECRAWLED COPY "), F.col("content"))
+        )
+    )
+    batches = [
+        raw.filter("doc_id % 3 = 0").unionByName(short_first),
+        raw.filter("doc_id % 3 = 1"),
+        raw.filter("doc_id % 3 = 2").unionByName(long_second),
+        recrawl,
+    ]
+    maintained = run_medallion_incremental(
+        spark, batches, str(tmp_path / "state")
+    )
+
+    from lakehouse_to_rag_spark.operators.bronze import bronze_transform
+    from lakehouse_to_rag_spark.operators.gold import gold_transform
+    from lakehouse_to_rag_spark.operators.silver import silver_transform
+
+    union = raw.unionByName(short_first).unionByName(long_second).unionByName(recrawl)
+    bronze = bronze_transform(
+        union, id_cols=("url", "source", "title", "doc_id", "lang"),
+        processed_at="2025-01-01 00:00:00",
+    )
+    silver = silver_transform(
+        bronze, key_col="url", order_cols=("processed_at", "doc_id"),
+        silver_processed_at="2025-01-01 00:00:00",
+    )
+    gold = gold_transform(silver, with_index=True)
+
+    for layer, want in (("bronze", bronze), ("silver", silver), ("gold", gold)):
+        cols = sorted(want.columns)
+        a = sorted(map(tuple, maintained[layer].select(*cols).collect()))
+        b = sorted(map(tuple, want.select(*cols).collect()))
+        assert a == b and a, layer
+    urls = {r["url"] for r in maintained["silver"].select("url").collect()}
+    assert "doc://edge" not in urls  # rank-before-filter: first crawl wins
+
+
 def test_observed_medallion_metrics_match_direct_aggregates(spark, sf_dir):
     """Observation metrics (computed inside the job, zero extra scan)
     must equal the values a separate aggregation job computes, and one
