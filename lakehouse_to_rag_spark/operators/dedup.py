@@ -365,7 +365,7 @@ def minhash_lsh_pairs_auto(
     num_hashes: int = 64,
     rows_per_band: int = 2,
     threshold: float = 0.5,
-    dup_ratio_cutover: float = 0.3,
+    dup_ratio_cutover: float = 0.8,
     probe_mod: int = 16,
 ) -> DataFrame:
     """One MinHash entry point that PICKS its factoring from the data:
@@ -384,9 +384,14 @@ def minhash_lsh_pairs_auto(
     the corpus duplication ratio at ~1/probe_mod of the scan — one
     aggregation job (count + approx_count_distinct, partial-agg'd
     map-side) and an 8-byte driver result; no signatures are computed
-    twice. ``dup_ratio_cutover`` defaults to the measured sf0.01
-    crossover (SCALE.md r7: the distinct form's overhead on a clean
-    corpus vs its savings as cliques grow)."""
+    twice. ``dup_ratio_cutover`` defaults to the measured crossover
+    (SCALE.md r7, 20k-500k-row sweeps): the distinct form's
+    groupBy(full text) + expansion joins beat its banding savings
+    only past dup ratio ~0.8 — direct wins 2.6x at dup 0.5 even at
+    500k rows; distinct wins 1.9x at dup 0.9 / 500k and 7.7x at the
+    r6 dup-0.99 probe — and the crossover sits at ~0.8 at every
+    probed scale because both the overhead and the savings grow with
+    the same corpus-size terms."""
     probe = df.filter(
         F.pmod(F.xxhash64(F.col(text_col)), F.lit(probe_mod)) == 0
     )

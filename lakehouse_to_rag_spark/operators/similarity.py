@@ -365,6 +365,58 @@ def append_to_ivf_index(
     return n
 
 
+def compact_ivf_index(spark, path: str) -> int:
+    """Small-file compaction for the persisted IVF layout — the
+    maintenance pass the incremental story needs: every
+    ``append_to_ivf_index`` / ``stream_index_sink`` batch adds one
+    file per touched ``cluster=N/`` directory, so a long-running
+    ingest accretes thousands of tiny files and probes pay per-file
+    open cost with row groups too small to prune. The generic
+    ``sources.lakehouse.compact_layer`` cannot be used here: it swaps
+    the layout ROOT (discarding the ``_centroids`` quantizer and the
+    sink's ``_ledger``) and flattens the cluster partitioning the
+    probe path's directory pruning depends on.
+
+    This pass rewrites the assigned rows repartitioned BY CLUSTER
+    (each cluster collapses to one task => one file per directory;
+    at real scale swap in repartitionByRange on (cluster, vec_id) for
+    multi-file clusters), carries ``_centroids``/``_ledger`` across
+    unchanged, and swaps atomically. Probe results are bit-equal
+    before/after (compact-then-serve equality test). Returns the
+    data file count written."""
+    import os
+    import pathlib
+    import shutil
+    import uuid
+
+    from lakehouse_to_rag_spark.sources.lakehouse import (
+        read_layer,
+        write_layer,
+    )
+
+    df = read_layer(spark, path)
+    tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
+    write_layer(
+        df.repartition("cluster"), tmp, partition_by=["cluster"]
+    )
+    for aux in ("_centroids", "_ledger"):
+        src = os.path.join(path, aux)
+        if os.path.exists(src):
+            shutil.copytree(src, os.path.join(tmp, aux))
+    old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(
+        [
+            f
+            for f in pathlib.Path(path).rglob("*.parquet")
+            if f.is_file() and not f.name.startswith(("_", "."))
+            and "_centroids" not in f.parts and "_ledger" not in f.parts
+        ]
+    )
+
+
 def ivf_topk_from_index(
     spark,
     path: str,

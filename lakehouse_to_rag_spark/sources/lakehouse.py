@@ -241,6 +241,11 @@ def compact_layer(
     defeat pruning — periodic compaction is the standard fix. Uses
     coalesce (no shuffle) since output count only shrinks. Returns
     the file count written.
+
+    NOT safe on IVF index layouts: this swaps the layer ROOT (which
+    would drop the ``_centroids`` quantizer and the streaming sink's
+    ``_ledger``) and flattens any partition directories. Use
+    ``operators.similarity.compact_ivf_index`` for those.
     """
     import math
     import os

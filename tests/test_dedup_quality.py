@@ -1080,6 +1080,66 @@ def test_append_to_ivf_index_equals_rebuild(spark, sf_dir, tmp_path):
     assert served_inc == direct and served_inc
 
 
+def test_compact_ivf_index_preserves_serving(spark, sf_dir, tmp_path):
+    """Compact-then-serve equality: repeated appends fragment the
+    cluster=N/ directories into one file per batch; compaction must
+    (a) actually shrink the file count, (b) keep probe results
+    bit-equal, and (c) preserve the _centroids quantizer and the
+    streaming sink's _ledger across the swap (the generic
+    compact_layer would destroy both — that's why the index-aware
+    pass exists)."""
+    import pathlib
+
+    from lakehouse_to_rag_spark.operators.similarity import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+    from lakehouse_to_rag_spark.sources.lakehouse import write_layer
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(e.filter("vec_id % 4 = 0"), path, num_centroids=16)
+    for m in (1, 2, 3):
+        append_to_ivf_index(spark, path, e.filter(f"vec_id % 4 = {m}"))
+    write_layer(
+        spark.createDataFrame([(0,)], "batch_id long"),
+        f"{path}/_ledger",
+    )
+
+    def files(p):
+        return [
+            f for f in pathlib.Path(p).rglob("*.parquet")
+            if f.is_file()
+            and "_centroids" not in f.parts and "_ledger" not in f.parts
+        ]
+
+    def cents(p):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{p}/_centroids").collect()
+        )
+
+    q = e.filter("vec_id < 6")
+    before = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, path, q, k=5, nprobe=4).collect()
+    )
+    n_before, cents_before = len(files(path)), cents(path)
+    assert n_before > 16  # fragmentation actually present
+
+    n_written = compact_ivf_index(spark, path)
+    assert len(files(path)) == n_written < n_before
+    after = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, path, q, k=5, nprobe=4).collect()
+    )
+    assert after == before and after
+    assert cents(path) == cents_before
+    assert spark.read.parquet(f"{path}/_ledger").collect()[0]["batch_id"] == 0
+
+
 class TestPageRank:
     """pagerank_micro: exact integer-micro PageRank."""
 
@@ -1213,11 +1273,13 @@ def test_minhash_auto_dispatch(spark, sf_dir):
     # dispatch direction: spy on the distinct-first form only (the
     # distinct form calls the direct one internally on the rep table,
     # so "direct was called" can't discriminate)
-    heavy = docs.unionByName(
-        docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
-    ).unionByName(
-        docs.withColumn("doc_id", F.col("doc_id") + F.lit(20_000_000))
-    )
+    heavy = docs
+    for i in range(1, 8):  # 8 copies => dup ratio 0.875, above cutover
+        heavy = heavy.unionByName(
+            docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+            )
+        )
     for data, expect_distinct in ((docs, False), (heavy, True)):
         with patch.object(
             dd,
