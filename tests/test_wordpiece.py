@@ -118,3 +118,46 @@ def test_vocab_total_order_and_char_base(spark):
     assert ("b", True) in vocab and ("b", False) not in vocab
     # weight('aa')=2 > weight('ab')=1 -> only 'aa' survives the cap
     assert ("aa", False) in vocab and ("ab", False) not in vocab
+
+
+def test_production_vocab_encode_memory_bound(spark):
+    """Encode at a PRODUCTION 32k vocab (training oracles cap at ~200
+    pieces; this pins the encode path itself): the vocab rides every
+    task closure, so its serialized size is the per-executor memory
+    bill — assert it stays sub-MB at 32k pieces — and the encode must
+    stay correct with a large vocab in the hot loop (hand-computable
+    planted words among filler pieces). SCALE.md r7 records the
+    throughput side: 500k docs / 50k distinct words in ~3s for both
+    WordPiece and Unigram at this vocab size."""
+    import pickle
+
+    from lakehouse_to_rag_spark.functions.unigram import unigram_encode
+    from lakehouse_to_rag_spark.functions.wordpiece import wordpiece_encode
+
+    vocab = {(f"zq{i:05d}", bool(i % 2)) for i in range(31_990)}
+    for c in "abx":
+        vocab.add((c, False))
+        vocab.add((c, True))
+    vocab.add(("ab", False))
+    assert len(vocab) > 31_000
+    assert len(pickle.dumps(vocab)) < 1 << 20  # sub-MB closure at 32k
+
+    df = spark.createDataFrame(
+        [(0, "ab a b"), (1, "abq ab")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in wordpiece_encode(df, vocab, max_piece_len=7).collect()
+    }
+    # 'ab'=1, 'a'=1, 'b'=1; 'abq' has no ('q',True) -> UNK=1, 'ab'=1
+    assert got == {0: 3, 1: 2}
+
+    logp = {f"zq{i:05d}": -1_000_000 for i in range(31_990)}
+    logp.update({"a": -2_000_000, "b": -2_000_000, "ab": -3_000_000})
+    assert len(pickle.dumps(logp)) < 1 << 20
+    got_u = {
+        r["doc_id"]: r["n_tokens"]
+        for r in unigram_encode(df, logp, max_piece_len=7).collect()
+    }
+    # viterbi: 'ab' -> min tokens 1 ('ab' beats 'a'+'b'); 'abq': 'ab'+UNK
+    assert got_u[0] == 3 and got_u[1] >= 2
