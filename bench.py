@@ -142,6 +142,11 @@ HEADLINE = [
     "doc_pagerank",
     "rag_read_path_served",
     "rag_index_manifest",
+    # r7: data-dispatched MinHash (probe + winning form) and the
+    # maintained-mode medallion (4 batches of keyed upserts incl. a
+    # rejected re-crawl wave — a WRITE-path row like rag_index_manifest)
+    "dedup_minhash_auto",
+    "medallion_incremental",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -721,6 +721,20 @@ def dedup_minhash_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("dedup_minhash_auto", _NGRAM_JACCARD_ORACLE)
+def dedup_minhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-dispatched MinHash: a text-hash-sampled duplication-ratio
+    probe (one count + approx_count_distinct job) picks the direct or
+    the exact-dedup-first factoring (crossover measured at dup ratio
+    ~0.8, SCALE.md r7). Both branches emit the identical pair set, so
+    this shares the exact-jaccard oracle verbatim — the gate proves
+    the dispatch machinery never perturbs results."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs_auto(
+        d, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
 @_q("dedup_simhash")  # bit-bucket candidates: rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -368,3 +368,32 @@ def test_wordpiece_encode_map_only_no_exchange(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert "mapinpandas" in plan.lower()
+
+
+def test_medallion_admission_prunes_to_url_column(spark, sf_dir, tmp_path):
+    """The maintained-mode medallion's admission anti-join must read
+    ONLY the url column from the bronze layer — at 100 TB the seen-set
+    scan is the per-batch cost floor, and a scan that also reads
+    content would make every batch pay a corpus-text read."""
+    from lakehouse_to_rag_spark.operators.bronze import bronze_transform
+    from lakehouse_to_rag_spark.operators.pipeline import documents_as_raw
+    from lakehouse_to_rag_spark.sources.lakehouse import read_layer
+
+    raw = documents_as_raw(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    bronze_path = str(tmp_path / "bronze")
+    bronze_transform(
+        raw, id_cols=("url", "source", "title", "doc_id", "lang"),
+        processed_at="2025-01-01 00:00:00",
+    ).write.parquet(bronze_path)
+
+    seen = read_layer(spark, bronze_path).select("url").distinct()
+    fresh = raw.join(seen, "url", "left_anti")
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    # the bronze-layer scan is the one whose projection collapsed to
+    # the join key alone; the corpus scan keeps its full schema
+    pruned = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "ReadSchema: struct<url:string>" in ln
+    ]
+    assert len(pruned) == 1, plan
+    assert "LeftAnti" in plan
