@@ -5539,10 +5539,13 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_to_rag_spark.operators.graph import pagerank_micro
 
     d = load_table(spark, sf_dir, "documents")
+    # checkpointed: the self-kNN consumes emb TWICE (driver collect of
+    # the query matrix + the corpus Arrow scan) — without it the
+    # explode+groupBy embed chain runs twice
     emb = ta.embed_hashed_tf(d, dim=64).filter(
         F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x))
         > 0
-    )
+    ).localCheckpoint(eager=False)
     # all-docs kNN: the Arrow GEMM path (proven 4dp-equal to the JVM
     # expression path and to the SQL replay) — the interpreted
     # zip_with cosine over n^2 pairs is the one shape where the GEMM
