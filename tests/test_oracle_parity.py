@@ -79,6 +79,29 @@ def test_oracle_projection_types(name, duck):
     )
 
 
+def test_projection_guard_catches_reintroduced_hostile_types(duck):
+    """Negative control for the gate-contract guard (the r6 done
+    criterion): a deliberately HUGEINT projection and a deliberately
+    nested one must BOTH be flagged by the exact check the
+    projection-types test and the sweep pre-flight run."""
+    hostile_cases = {
+        # SUM over BIGINT is HUGEINT in DuckDB — the r6 image red row
+        "hugeint": "SELECT doc_id, SUM(doc_id) AS s FROM documents GROUP BY doc_id",
+        # list aggregate — the r6 embed_hashed_tf ERR
+        "nested": "SELECT doc_id, [doc_id, doc_id + 1] AS arr FROM documents",
+    }
+    for label, sql in hostile_cases.items():
+        desc = duck.execute("DESCRIBE " + sql).fetchall()
+        bad = [
+            (c, t)
+            for c, t, *_ in desc
+            if "HUGEINT" in t.upper()
+            or "[]" in t
+            or t.upper().startswith(("STRUCT", "MAP", "LIST", "UNION"))
+        ]
+        assert bad, f"{label}: guard failed to flag {desc}"
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, name, duck):
     from pyspark.sql.types import ArrayType, MapType, StructType
