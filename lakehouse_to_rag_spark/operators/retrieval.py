@@ -182,8 +182,14 @@ def write_bm25_index(
 
     tf, dl = _doc_terms(docs, id_col, text_col)
     df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # sum_dl is the EXACT integer the incremental path needs: appends
+    # update (n_docs, sum_dl) additively and re-derive avgdl with the
+    # same single sum/count division a full rebuild performs — a
+    # rolling avgdl*n reconstruction would drift by ulps and flip
+    # 4dp-rounded scores at boundaries
     stats_df = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
         F.lit(n_buckets).cast("long").alias("n_buckets"),
     )
@@ -198,6 +204,69 @@ def write_bm25_index(
     fmt = write_layer(postings, path, partition_by=["bucket"])
     write_layer(stats_df, f"{path}/_stats")
     return fmt
+
+
+def append_to_bm25_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Incremental BM25 index maintenance — the lexical twin of
+    ``append_to_ivf_index``: a new crawl batch lands as one bounded
+    posting append into the existing ``bucket=N/`` directories plus an
+    exact additive update of the one-row ``_stats`` (n_docs and the
+    integer sum_dl accumulate; avgdl re-derives by the same single
+    division a rebuild performs). The corpus-global term statistics
+    that make naive BM25 appends wrong are handled on the SERVE side:
+    ``bm25_topk_from_index`` recomputes df from the pruned scan, so
+    stale denormalized df values in previously-written rows are never
+    read — append == rebuild EXACTLY (equality-tested).
+
+    Caveats, stated: new doc ids must be disjoint from the indexed
+    corpus (a re-sent id would double its tf rows — run the
+    incremental dedup admission upstream, or rebuild), and a
+    crashed-then-replayed batch appends twice (wrap with the
+    stream sink's ledger pattern if driving this from foreachBatch).
+    Returns the number of posting rows appended."""
+    from lakehouse_to_rag_spark.sources.lakehouse import (
+        read_layer,
+        write_layer,
+    )
+
+    stats = read_layer(spark, f"{path}/_stats").collect()[0]
+    if "sum_dl" not in stats.asDict():
+        raise ValueError(
+            "append_to_bm25_index: index _stats lacks sum_dl (written "
+            "by an older layout) — rebuild with write_bm25_index first"
+        )
+    n_buckets = int(stats["n_buckets"])
+    tf, dl = _doc_terms(new_docs, id_col, text_col)
+    df_b = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    postings = (
+        tf.join(dl, "id")
+        .join(df_b, "word")  # batch-local df: schema parity only —
+        # the serve path recomputes df and never reads this column
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col("word")), F.lit(n_buckets))
+        )
+        .select("bucket", "word", "id", "tf", "dl", "df")
+        .localCheckpoint(eager=True)  # count + write from one pass
+    )
+    n = postings.count()
+    batch = dl.agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("dl").alias("sb")
+    ).collect()[0]
+    write_layer(postings, path, partition_by=["bucket"], mode="append")
+    n_docs = int(stats["n_docs"]) + int(batch["nb"] or 0)
+    sum_dl = int(stats["sum_dl"]) + int(batch["sb"] or 0)
+    new_stats = spark.createDataFrame(
+        [(n_docs, sum_dl, sum_dl / n_docs, n_buckets)],
+        "n_docs long, sum_dl long, avgdl double, n_buckets long",
+    )
+    write_layer(new_stats, f"{path}/_stats")
+    return n
 
 
 def bm25_topk_from_index(
@@ -229,8 +298,23 @@ def bm25_topk_from_index(
         r["bucket"] for r in qterms.select("bucket").distinct().collect()
     )
     postings = read_layer(spark, path).filter(F.col("bucket").isin(buckets))
+    # df is recomputed from the pruned scan, never trusted from the
+    # stored column: appends (append_to_bm25_index) change every
+    # term's document frequency but cannot rewrite existing posting
+    # rows' denormalized df. The recompute is complete because word
+    # hashing puts ALL of a term's postings in one bucket (which the
+    # query scan reads anyway), and on a fresh index it reproduces the
+    # stored value exactly (both are the same integer count), so
+    # persisted == in-memory stays bit-equal. Cost: one
+    # partial-aggregatable count over rows already scanned.
+    hit_rows = postings.drop("df").join(
+        F.broadcast(qterms.drop("bucket")), "word"
+    )
+    live_df = hit_rows.groupBy("word").agg(
+        F.countDistinct("id").alias("df")
+    )
     hits = (
-        postings.join(F.broadcast(qterms.drop("bucket")), "word")
+        hit_rows.join(F.broadcast(live_df), "word")
         .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
     )
     return _score_hits(hits, k, k1, b)

@@ -5943,6 +5943,42 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, queries, k=5)
 
 
+@_q("bm25_served_incremental", _BM25_ORACLE)
+def bm25_served_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from an INCREMENTALLY-BUILT posting layout — the
+    lexical half of the no-full-rebuild index story: the index is
+    bootstrapped on the even-id half of the corpus and the odd-id
+    half lands via ``append_to_bm25_index`` (additive _stats, stale
+    stored df neutralized by the serve path's pruned-scan df
+    recompute). Results must equal full-corpus BM25 exactly, so this
+    shares ``bm25_retrieval``'s oracle verbatim — any drift in the
+    append arithmetic or the df recompute diverges the hash. Staging
+    follows the write-path convention (uuid dir, bounded eager
+    collect, cleanup before return)."""
+    import shutil
+    import uuid
+
+    from lakehouse_to_rag_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_topk_from_index,
+        write_bm25_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query string"
+    )
+    staging = f"/tmp/bm25_inc_{uuid.uuid4().hex[:12]}"
+    try:
+        write_bm25_index(d.filter("doc_id % 2 = 0"), staging)
+        append_to_bm25_index(spark, staging, d.filter("doc_id % 2 = 1"))
+        served = bm25_topk_from_index(spark, staging, queries, k=5)
+        rows = served.collect()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return spark.createDataFrame(rows, served.schema)
+
+
 # Hybrid = BM25 over the query document's own text + exact cosine kNN,
 # fused by reciprocal rank (Cormack et al. 2009, c=60). Candidate
 # lists are 10 deep after self-hit removal; fused terms are exact

@@ -560,3 +560,61 @@ def test_corpus_datacard_null_source_group(spark):
     assert n["n_docs"] == 3 and n["dup_docs"] == 2 and n["median_len"] == 9
     s = rows["s"]
     assert s["n_null_text"] == 1 and s["median_len"] == 3 and s["dup_docs"] == 0
+
+
+def test_append_to_bm25_index_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental BM25 maintenance: bootstrap on the even-id half,
+    append the odd-id half, and the served top-k must EXACTLY equal
+    an index rebuilt on the full corpus. This is the strong form: it
+    proves the additive _stats arithmetic (exact integer sum_dl) AND
+    that the serve path never reads the stale denormalized df of
+    previously-written rows (term dfs change on every append)."""
+    from lakehouse_to_rag_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_topk,
+        bm25_topk_from_index,
+        write_bm25_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = spark.createDataFrame(
+        [(0, "spark table join"), (1, "fast vector scan"),
+         (2, "the data pipeline")],
+        "query_id long, query string",
+    )
+
+    inc = str(tmp_path / "inc")
+    write_bm25_index(d.filter("doc_id % 2 = 0"), inc)
+    n = append_to_bm25_index(spark, inc, d.filter("doc_id % 2 = 1"))
+    assert n > 0
+
+    full = str(tmp_path / "full")
+    write_bm25_index(d, full)
+
+    got = sorted(
+        tuple(r) for r in bm25_topk_from_index(spark, inc, q, k=5).collect()
+    )
+    want = sorted(
+        tuple(r) for r in bm25_topk_from_index(spark, full, q, k=5).collect()
+    )
+    mem = sorted(tuple(r) for r in bm25_topk(d, q, k=5).collect())
+    assert got == want == mem and got
+
+    # exact additive stats: appended == rebuilt, bit for bit
+    s_inc = spark.read.parquet(f"{inc}/_stats").collect()[0]
+    s_full = spark.read.parquet(f"{full}/_stats").collect()[0]
+    assert (s_inc["n_docs"], s_inc["sum_dl"], s_inc["avgdl"]) == (
+        s_full["n_docs"], s_full["sum_dl"], s_full["avgdl"]
+    )
+
+    # old-layout refusal: _stats without sum_dl must fail loudly
+    import pytest
+
+    old = str(tmp_path / "old")
+    write_bm25_index(d.filter("doc_id % 2 = 0"), old)
+    legacy = spark.read.parquet(f"{old}/_stats").drop("sum_dl").collect()
+    spark.createDataFrame(
+        legacy, "n_docs long, avgdl double, n_buckets long"
+    ).write.mode("overwrite").parquet(f"{old}/_stats")
+    with pytest.raises(ValueError, match="sum_dl"):
+        append_to_bm25_index(spark, old, d.filter("doc_id % 2 = 1"))
