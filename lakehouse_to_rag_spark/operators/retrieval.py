@@ -269,6 +269,24 @@ def append_to_bm25_index(
     return n
 
 
+def compact_bm25_index(spark, path: str) -> int:
+    """Small-file compaction for the persisted BM25 posting layout —
+    ``append_to_bm25_index`` adds one file per touched ``bucket=N/``
+    directory per batch, the same accretion as the IVF appends (the
+    shared ``similarity._compact_index_layout`` core; measured 1.9x
+    serve overhead at 39 batches on the IVF twin, SCALE.md r7).
+    ``_stats`` is rewritten to one file. Serve results are bit-equal
+    before/after (compact-then-serve equality test). Returns the data
+    file count written."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        _compact_index_layout,
+    )
+
+    return _compact_index_layout(
+        spark, path, "bucket", carry_dirs=(), rewrite_dirs=("_stats",),
+    )
+
+
 def bm25_topk_from_index(
     spark,
     path: str,

@@ -365,25 +365,23 @@ def append_to_ivf_index(
     return n
 
 
-def compact_ivf_index(spark, path: str) -> int:
-    """Small-file compaction for the persisted IVF layout — the
-    maintenance pass the incremental story needs: every
-    ``append_to_ivf_index`` / ``stream_index_sink`` batch adds one
-    file per touched ``cluster=N/`` directory, so a long-running
-    ingest accretes thousands of tiny files and probes pay per-file
-    open cost with row groups too small to prune. The generic
-    ``sources.lakehouse.compact_layer`` cannot be used here: it swaps
-    the layout ROOT (discarding the ``_centroids`` quantizer and the
-    sink's ``_ledger``) and flattens the cluster partitioning the
-    probe path's directory pruning depends on.
-
-    This pass rewrites the assigned rows repartitioned BY CLUSTER
-    (each cluster collapses to one task => one file per directory;
-    at real scale swap in repartitionByRange on (cluster, vec_id) for
-    multi-file clusters), carries ``_centroids``/``_ledger`` across
-    unchanged, and swaps atomically. Probe results are bit-equal
-    before/after (compact-then-serve equality test). Returns the
-    data file count written."""
+def _compact_index_layout(
+    spark,
+    path: str,
+    partition_col: str,
+    carry_dirs: tuple[str, ...],
+    rewrite_dirs: tuple[str, ...],
+) -> int:
+    """Shared core of index-layout compaction (IVF and BM25 share the
+    problem exactly): rewrite the data rows repartitioned by the
+    layout's partition column (each value collapses to one task =>
+    one file per directory; at real scale swap in repartitionByRange
+    on (partition, id) for multi-file partitions), carry ``carry_dirs``
+    verbatim, rewrite each per-batch-accreting ``rewrite_dirs`` aux
+    table to a single file, and swap atomically. The generic
+    ``sources.lakehouse.compact_layer`` is NOT layout-safe — it swaps
+    the root (discarding the underscore aux dirs) and flattens the
+    partitioning directory pruning depends on."""
     import os
     import pathlib
     import shutil
@@ -397,32 +395,50 @@ def compact_ivf_index(spark, path: str) -> int:
     df = read_layer(spark, path)
     tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
     write_layer(
-        df.repartition("cluster"), tmp, partition_by=["cluster"]
+        df.repartition(partition_col), tmp, partition_by=[partition_col]
     )
-    # _centroids is written once (carry verbatim); the sink's _ledger
-    # accretes one tiny file per micro-batch — rewrite it to one file
-    # in the same pass so ledger reads don't degrade with batch count
-    src = os.path.join(path, "_centroids")
-    if os.path.exists(src):
-        shutil.copytree(src, os.path.join(tmp, "_centroids"))
-    led = os.path.join(path, "_ledger")
-    if os.path.exists(led):
-        write_layer(
-            read_layer(spark, led).coalesce(1),
-            os.path.join(tmp, "_ledger"),
-        )
+    for aux in carry_dirs:
+        src = os.path.join(path, aux)
+        if os.path.exists(src):
+            shutil.copytree(src, os.path.join(tmp, aux))
+    for aux in rewrite_dirs:
+        src = os.path.join(path, aux)
+        if os.path.exists(src):
+            write_layer(
+                read_layer(spark, src).coalesce(1), os.path.join(tmp, aux)
+            )
     old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+    aux_all = set(carry_dirs) | set(rewrite_dirs)
     return len(
         [
             f
             for f in pathlib.Path(path).rglob("*.parquet")
             if f.is_file() and not f.name.startswith(("_", "."))
-            and "_centroids" not in f.parts and "_ledger" not in f.parts
+            and not aux_all.intersection(f.parts)
         ]
     )
+
+
+def compact_ivf_index(spark, path: str) -> int:
+    """Small-file compaction for the persisted IVF layout — the
+    maintenance pass the incremental story needs: every
+    ``append_to_ivf_index`` / ``stream_index_sink`` batch adds one
+    file per touched ``cluster=N/`` directory, so a long-running
+    ingest accretes thousands of tiny files and probes pay per-file
+    open cost with row groups too small to prune (measured 1.9x at
+    39 batches, SCALE.md r7). ``_centroids`` carries verbatim (written
+    once); the sink's ``_ledger`` rewrites to one file. Probe results
+    are bit-equal before/after (compact-then-serve equality test).
+    Returns the data file count written."""
+    return _compact_index_layout(
+        spark, path, "cluster",
+        carry_dirs=("_centroids",), rewrite_dirs=("_ledger",),
+    )
+
+
 
 
 def ivf_topk_from_index(

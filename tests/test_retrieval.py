@@ -618,3 +618,47 @@ def test_append_to_bm25_index_equals_rebuild(spark, sf_dir, tmp_path):
     ).write.mode("overwrite").parquet(f"{old}/_stats")
     with pytest.raises(ValueError, match="sum_dl"):
         append_to_bm25_index(spark, old, d.filter("doc_id % 2 = 1"))
+
+
+def test_compact_bm25_index_preserves_serving(spark, sf_dir, tmp_path):
+    """Compact-then-serve equality for the BM25 layout: appends
+    fragment the bucket=N/ dirs; compaction must shrink the file
+    count, keep served top-k bit-equal, and preserve the _stats row."""
+    import pathlib
+
+    from lakehouse_to_rag_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_topk_from_index,
+        compact_bm25_index,
+        write_bm25_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(d.filter("doc_id % 4 = 0"), path)
+    for m in (1, 2, 3):
+        append_to_bm25_index(spark, path, d.filter(f"doc_id % 4 = {m}"))
+
+    def files():
+        return [
+            f for f in pathlib.Path(path).rglob("*.parquet")
+            if f.is_file() and "_stats" not in f.parts
+        ]
+
+    q = spark.createDataFrame(
+        [(0, "spark table join"), (1, "fast vector scan")],
+        "query_id long, query string",
+    )
+    before = sorted(
+        tuple(r) for r in bm25_topk_from_index(spark, path, q, k=5).collect()
+    )
+    stats_before = spark.read.parquet(f"{path}/_stats").collect()
+    n_before = len(files())
+
+    n_written = compact_bm25_index(spark, path)
+    assert len(files()) == n_written < n_before
+    after = sorted(
+        tuple(r) for r in bm25_topk_from_index(spark, path, q, k=5).collect()
+    )
+    assert after == before and after
+    assert spark.read.parquet(f"{path}/_stats").collect() == stats_before
