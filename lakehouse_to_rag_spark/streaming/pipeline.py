@@ -328,18 +328,87 @@ def stream_index_sink(
     batch — which ``ivf_topk_from_index``'s candidate-level
     dropDuplicates absorbs at serve time. Returns the started
     StreamingQuery."""
-    from pyspark.errors import AnalysisException
-
     from lakehouse_to_rag_spark.operators.similarity import (
         append_to_ivf_index,
     )
     from lakehouse_to_rag_spark.operators.text_analysis import embed_hashed_tf
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        emb = embed_hashed_tf(
+            batch, dim=dim, id_col=id_col, text_col=text_col
+        ).filter(
+            F.aggregate(
+                F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)
+            )
+            > 0
+        ).withColumnRenamed(id_col, "vec_id")
+        append_to_ivf_index(batch.sparkSession, index_path, emb)
+
+    return _ledgered_index_sink(
+        docs_stream, index_path, checkpoint_dir, _append,
+        trigger_available_now,
+    )
+
+
+def stream_bm25_sink(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Streaming LEXICAL-index ingest — ``stream_index_sink``'s BM25
+    twin, completing the symmetric story (a document stream maintains
+    BOTH serving artifacts): each micro-batch appends into the
+    persisted posting layout via ``retrieval.append_to_bm25_index``
+    (exact additive _stats; the serve path's pruned-scan df recompute
+    makes stale stored dfs unreadable). The index at ``index_path``
+    must already exist (bootstrap with ``write_bm25_index``). Replay
+    idempotence is the shared ledger discipline (``_ledger`` of
+    committed batch_ids; see ``stream_index_sink``); unlike the IVF
+    side there is no serve-time duplicate absorber for the
+    data-landed/ledger-lost crash window, so ids replayed through that
+    window should be deduped upstream (``incremental_dedup_stream``)
+    or the index rebuilt. Returns the started StreamingQuery."""
+    from lakehouse_to_rag_spark.operators.retrieval import (
+        append_to_bm25_index,
+    )
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        append_to_bm25_index(
+            batch.sparkSession, index_path, batch,
+            id_col=id_col, text_col=text_col,
+        )
+
+    return _ledgered_index_sink(
+        docs_stream, index_path, checkpoint_dir, _append,
+        trigger_available_now,
+    )
+
+
+def _ledgered_index_sink(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    append_fn,
+    trigger_available_now: bool,
+):
+    """Shared foreachBatch harness for ledgered index sinks: skip
+    empty batches, skip batch_ids already in ``{index_path}/_ledger``
+    (foreachBatch re-delivers a failed batch under the SAME id), run
+    ``append_fn(batch, batch_id)``, then record the id. The ledger row
+    lands AFTER the data append, so the one crash window re-appends
+    exactly one batch — absorbed at serve time (IVF candidate dedup)
+    or by upstream admission (BM25)."""
+    from pyspark.errors import AnalysisException
+
     from lakehouse_to_rag_spark.sources.lakehouse import (
         read_layer,
         write_layer,
     )
 
-    def _append(batch: DataFrame, batch_id: int) -> None:
+    def _guarded(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
@@ -352,15 +421,7 @@ def stream_index_sink(
             committed = set()  # first batch: no ledger yet
         if batch_id in committed:
             return  # replay of an already-committed batch
-        emb = embed_hashed_tf(
-            batch, dim=dim, id_col=id_col, text_col=text_col
-        ).filter(
-            F.aggregate(
-                F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x)
-            )
-            > 0
-        ).withColumnRenamed(id_col, "vec_id")
-        append_to_ivf_index(spark, index_path, emb)
+        append_fn(batch, batch_id)
         write_layer(
             spark.createDataFrame([(int(batch_id),)], "batch_id long"),
             ledger,
@@ -368,7 +429,7 @@ def stream_index_sink(
         )
 
     writer = (
-        docs_stream.writeStream.foreachBatch(_append)
+        docs_stream.writeStream.foreachBatch(_guarded)
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_available_now:

@@ -535,3 +535,63 @@ def test_stream_index_sink_replay_idempotent(spark, sf_dir, tmp_path):
         .collect()
     )
     assert dup == before
+
+
+def test_stream_bm25_sink_equals_batch_append_and_replays_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """The lexical streaming sink: (a) streaming the odd-id half into
+    a BM25 index bootstrapped on the even-id half must serve EXACTLY
+    like the batch append of the same rows; (b) re-delivering the
+    committed batch (fresh checkpoint, same source => batch 0 again)
+    must leave the index unchanged — the shared ledger discipline."""
+    from lakehouse_to_rag_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_topk_from_index,
+        write_bm25_index,
+    )
+    from lakehouse_to_rag_spark.streaming.pipeline import stream_bm25_sink
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    first = d.filter("doc_id % 2 = 0")
+    second = d.filter("doc_id % 2 = 1")
+    q = spark.createDataFrame(
+        [(0, "spark table join"), (1, "fast vector scan")],
+        "query_id long, query string",
+    )
+
+    s_path, b_path = str(tmp_path / "s"), str(tmp_path / "b")
+    write_bm25_index(first, s_path)
+    write_bm25_index(first, b_path)
+
+    src = str(tmp_path / "src")
+    second.write.parquet(src)
+    stream_bm25_sink(
+        spark.readStream.schema(second.schema).parquet(src),
+        s_path, checkpoint_dir=str(tmp_path / "ck1"),
+    ).awaitTermination(120)
+    append_to_bm25_index(spark, b_path, second)
+
+    got = sorted(
+        tuple(r) for r in bm25_topk_from_index(spark, s_path, q, k=5).collect()
+    )
+    want = sorted(
+        tuple(r) for r in bm25_topk_from_index(spark, b_path, q, k=5).collect()
+    )
+    assert got == want and got
+    stats = spark.read.parquet(f"{s_path}/_stats").collect()
+    n_rows = spark.read.parquet(s_path).count()
+
+    # replay with a fresh checkpoint: ledger must skip batch 0
+    stream_bm25_sink(
+        spark.readStream.schema(second.schema).parquet(src),
+        s_path, checkpoint_dir=str(tmp_path / "ck2"),
+    ).awaitTermination(120)
+    assert spark.read.parquet(s_path).count() == n_rows
+    assert spark.read.parquet(f"{s_path}/_stats").collect() == stats
+    after = sorted(
+        tuple(r) for r in bm25_topk_from_index(spark, s_path, q, k=5).collect()
+    )
+    assert after == got
