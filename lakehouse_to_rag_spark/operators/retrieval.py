@@ -321,18 +321,20 @@ def bm25_topk_from_index(
     # term's document frequency but cannot rewrite existing posting
     # rows' denormalized df. The recompute is complete because word
     # hashing puts ALL of a term's postings in one bucket (which the
-    # query scan reads anyway), and on a fresh index it reproduces the
-    # stored value exactly (both are the same integer count), so
-    # persisted == in-memory stays bit-equal. Cost: one
-    # partial-aggregatable count over rows already scanned.
-    hit_rows = postings.drop("df").join(
-        F.broadcast(qterms.drop("bucket")), "word"
-    )
-    live_df = hit_rows.groupBy("word").agg(
-        F.countDistinct("id").alias("df")
-    )
+    # query scan reads anyway), and postings hold one row per
+    # (word, id), so a plain COUNT over a word-partitioned window IS
+    # the document frequency — on a fresh index it reproduces the
+    # stored integer exactly, keeping persisted == in-memory
+    # bit-equal. The window runs BEFORE the query-term join (after it
+    # the per-query duplication would inflate the count) and keeps
+    # the plan a single FileScan of the layout (a groupBy+self-join
+    # df was measured as 2 scans; the bucket-pruning metrics test
+    # watches this scan).
+    wdf = Window.partitionBy("word")
     hits = (
-        hit_rows.join(F.broadcast(live_df), "word")
+        postings.drop("df")
+        .withColumn("df", F.count(F.lit(1)).over(wdf))
+        .join(F.broadcast(qterms.drop("bucket")), "word")
         .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
     )
     return _score_hits(hits, k, k1, b)
