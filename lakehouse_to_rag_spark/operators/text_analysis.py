@@ -1426,6 +1426,90 @@ def global_rank(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE running total under a TOTAL order, distributed —
+    the prefix-sum twin of ``global_rank``: range-repartition on the
+    order columns, one bounded collect of per-partition value totals,
+    then a within-partition running sum plus the partition's prefix
+    offset. No single-partition Window anywhere — the scalable
+    substitute for ``SUM(v) OVER (ORDER BY ...)``, which at 100 TB
+    funnels the corpus through one task.
+
+    ``order_cols`` must define a total order (add a unique id as the
+    last key). NULL values count as 0. Sums are exact for integral
+    ``value_col`` (BIGINT end to end)."""
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    v = F.coalesce(F.col(value_col), F.lit(0))
+    ranged = df.repartitionByRange(num_partitions, *order_cols)
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=False)  # one exchange, two uses
+    totals = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum(v).alias("s")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += int(totals[pid] or 0)
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn(
+            out_col,
+            (F.sum(v).over(w) + off[F.col("_pid")]).cast("long"),
+        )
+        .drop("_pid")
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    order_cols: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget corpus selection — the release-cut operator every
+    pretraining run ends with ("take the best documents until N
+    tokens"): order the corpus by ``order_cols`` (quality descending
+    with a unique tie-break, typically) and keep the maximal prefix
+    whose INCLUSIVE cumulative whitespace-token count stays within
+    ``budget_tokens``. The running total is ``global_cumsum`` — the
+    distributed two-phase prefix sum, no single-partition Window (the
+    same discipline as ``global_rank``/``perplexity_buckets``,
+    plan-asserted). Token counts use the package WS_CLASS convention
+    (``token_counts``' ws_tokens — exact cross-engine).
+
+    Returns (id_col, n_tokens, cum_tokens) for the selected prefix.
+    A single document larger than the whole budget is excluded, like
+    every prefix rule."""
+    if budget_tokens < 0:
+        raise ValueError(
+            f"token_budget_select: budget_tokens >= 0, got {budget_tokens}"
+        )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), WS_CLASS, -1))
+        .cast("long")
+        .alias("n_tokens"),
+        *[c for c in df.columns if c not in (id_col, text_col)],
+    )
+    cum = global_cumsum(base, order_cols, "n_tokens", out_col="cum_tokens")
+    return cum.filter(F.col("cum_tokens") <= budget_tokens).select(
+        id_col, "n_tokens", "cum_tokens"
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     model_df: DataFrame,

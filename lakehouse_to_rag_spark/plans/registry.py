@@ -966,6 +966,41 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_counts(d)
 
 
+_TOKEN_BUDGET_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         LENGTH(text) AS len,
+         CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY len DESC, doc_id) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 3000
+"""
+
+
+@_q("token_budget_select", _TOKEN_BUDGET_ORACLE)
+def token_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: keep the longest-first prefix of
+    the corpus whose inclusive cumulative whitespace-token count stays
+    within the budget — the release-cut every pretraining run ends
+    with. The running total is the DISTRIBUTED two-phase prefix sum
+    (``global_cumsum``, no single-partition Window — plan-asserted
+    like global_rank's consumers); the oracle replays it with a plain
+    windowed SUM. Order key is LENGTH(text) (non-null by the filter)
+    with doc_id as the unique tie-break."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_len", F.length("text")
+    )
+    return ta.token_budget_select(
+        d, 3000, [F.desc("_len"), F.asc("doc_id")]
+    )
+
+
 _FINGERPRINT_ORACLE = r"""
 SELECT doc_id,
        md5(TRIM(REGEXP_REPLACE(LOWER(REGEXP_REPLACE(text, '[^\w\d\s\.,!?;:\-\(\)]', ' ', 'g')), '\s+', ' ', 'g'))) AS fingerprint_md5,

@@ -1163,3 +1163,79 @@ class TestPerplexityBuckets:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
+
+
+class TestTokenBudgetSelect:
+    """Distributed prefix-sum budget selection (text_analysis.py:
+    global_cumsum / token_budget_select)."""
+
+    def test_global_cumsum_matches_collect_sort(self, spark):
+        from pyspark.sql import functions as F
+
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            global_cumsum,
+        )
+
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 13, (i * 3) % 5 if i % 6 else None)
+             for i in range(50)],
+            "id long, v long, x long",
+        )
+        got = {
+            r["id"]: r["cumsum"]
+            for r in global_cumsum(
+                df, [F.desc("v"), F.asc("id")], "x", num_partitions=7
+            ).collect()
+        }
+        acc, want = 0, {}
+        for _negv, i, x in sorted(
+            (-((i * 7) % 13), i, (i * 3) % 5 if i % 6 else None)
+            for i in range(50)
+        ):
+            acc += x or 0  # NULLs count as 0
+            want[i] = acc
+        assert got == want
+
+    def test_budget_prefix_rule(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            token_budget_select,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "a b c d e"), (1, "a b c"), (2, "a b"), (3, "a")],
+            "doc_id long, text string",
+        ).withColumn("_len", F.length("text"))
+        order = [F.desc("_len"), F.asc("doc_id")]
+
+        def ids(budget):
+            return sorted(
+                r["doc_id"]
+                for r in token_budget_select(docs, budget, order).collect()
+            )
+
+        # tokens in length order: 5, 3, 2, 1 (cums 5, 8, 10, 11)
+        assert ids(11) == [0, 1, 2, 3]
+        assert ids(10) == [0, 1, 2]
+        assert ids(8) == [0, 1]
+        assert ids(7) == [0]  # doc 1 would overshoot: prefix stops
+        assert ids(4) == []   # first doc alone exceeds the budget
+        assert ids(0) == []
+        with pytest.raises(ValueError, match="budget_tokens"):
+            token_budget_select(docs, -1, order)
+
+    def test_no_single_partition_window(self, spark, sf_dir):
+        """The 100 TB discipline: the cumulative sum must never funnel
+        the corpus through one task (same plan contract as
+        perplexity_buckets' global_rank)."""
+        from lakehouse_to_rag_spark.plans.registry import QUERIES
+
+        plan = (
+            QUERIES["token_budget_select"](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SinglePartition" not in plan
