@@ -966,6 +966,41 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_counts(d)
 
 
+_WINNOW_ORACLE = r"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, GREATEST(LENGTH(text) - 7, 0) + 1),
+           i -> ('0x' || substr(md5(substring(text, CAST(i AS INTEGER), 8)),
+                 1, 15))::BIGINT) AS hs
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4 THEN
+           list_distinct(list_transform(range(1, len(hs) - 2),
+             j -> list_min(list_slice(hs, CAST(j AS INTEGER),
+                                      CAST(j + 3 AS INTEGER)))))
+         ELSE [] END AS fps
+  FROM h
+)
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM m
+"""
+
+
+@_q("winnow_fingerprints", _WINNOW_ORACLE)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): per-window minima of character-8-gram hashes, window
+    4 — the position-aware near-dup/plagiarism sketch with the paper's
+    guarantee that any shared substring of length >= k+w-1 (11 chars)
+    lands at least one identical fingerprint in both documents. Pure
+    per-row JVM array lambdas; hashes are the engine-portable 60-bit
+    md5 so the oracle replays the whole sketch (window arithmetic
+    note: Spark's sequence is end-INCLUSIVE, DuckDB's range
+    end-EXCLUSIVE — the bounds differ by one on purpose)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ta.winnow_fingerprints(d, k=8, w=4)
+
+
 _TOKEN_BUDGET_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,

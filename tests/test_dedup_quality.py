@@ -1288,3 +1288,75 @@ def test_minhash_auto_dispatch(spark, sf_dir):
         ) as dist:
             dd.minhash_lsh_pairs_auto(data, "doc_id", "text", 3)
             assert dist.called == expect_distinct
+
+
+class TestWinnowing:
+    """Winnowing fingerprints (Schleimer et al. 2003): the guarantee,
+    the boundary, and the sketch-size economics."""
+
+    def test_shared_substring_guarantee(self, spark):
+        """Any substring of length >= k + w - 1 shared between two
+        documents must land at least one identical fingerprint in
+        both — the paper's correctness property, on a planted
+        plagiarism pair with otherwise unrelated text."""
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            winnow_fingerprints,
+        )
+
+        stolen = "the quick brown fox jumps over the lazy dog tonight"
+        docs = spark.createDataFrame(
+            [
+                (0, "aaaa bbbb cccc " + stolen + " dddd eeee"),
+                (1, "zzzz yyyy " + stolen + " xxxx wwww vvvv"),
+                (2, "completely unrelated content with no overlap 12345"),
+            ],
+            "doc_id long, text string",
+        )
+        fps = {
+            i: {
+                r["fp"]
+                for r in winnow_fingerprints(
+                    docs.filter(f"doc_id = {i}"), k=8, w=4
+                ).collect()
+            }
+            for i in range(3)
+        }
+        assert fps[0] & fps[1], "planted shared substring missed"
+        assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+    def test_boundary_and_sketch_size(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            winnow_fingerprints,
+        )
+
+        # shorter than k + w - 1 = 11 chars: no full window, no rows
+        short = spark.createDataFrame(
+            [(0, "ten chars!"), (1, "0123456789a")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]
+            for r in winnow_fingerprints(short, k=8, w=4).collect()
+        }
+        assert got == {1}  # exactly the 11-char doc fingerprints
+
+        # sketch is materially smaller than the full k-gram set
+        long_doc = spark.createDataFrame(
+            [(0, " ".join(f"tok{i}" for i in range(200)))],
+            "doc_id long, text string",
+        )
+        n_fp = winnow_fingerprints(long_doc, k=8, w=4).count()
+        n_grams = len(" ".join(f"tok{i}" for i in range(200))) - 7
+        assert 0 < n_fp < n_grams / 2  # ~2/(w+1) of the gram set
+
+    def test_rejects_bad_params(self, spark):
+        import pytest
+
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            winnow_fingerprints,
+        )
+
+        docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        for k, w in ((0, 4), (8, 0)):
+            with pytest.raises(ValueError, match="winnow"):
+                winnow_fingerprints(docs, k=k, w=w)
