@@ -1480,6 +1480,50 @@ def winnow_fingerprints(
     )
 
 
+def winnow_matches(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document matches over winnowing fingerprints — the MOSS
+    report stage: pairs of documents sharing >= ``min_shared``
+    selected fingerprints, i.e. likely copied spans (each shared
+    fingerprint witnesses a shared substring of >= k chars; two of
+    them witness either one long or two separate copied regions).
+
+    Scale shape: one equi-join on the fingerprint value — shuffle is
+    O(docs x sketch), pair output bounded by true matches — with the
+    stop-shingle discipline: fingerprints present in more than
+    ``max_fp_df`` documents are dropped BEFORE the self-join
+    (boilerplate headers/footers would otherwise contribute
+    O(df²) pairs each; same justification as the Jaccard prefix
+    filter's stop-shingle DF cap, and MOSS itself culls
+    over-frequent fingerprints). Returns (id_a, id_b, n_shared)."""
+    fps = winnow_fingerprints(df, k, w, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_fp_df)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")
+    a = kept.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = kept.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def global_cumsum(
     df: DataFrame,
     order_cols: list,

@@ -1001,6 +1001,48 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.winnow_fingerprints(d, k=8, w=4)
 
 
+_WINNOW_MATCH_ORACLE = r"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, GREATEST(LENGTH(text) - 7, 0) + 1),
+           i -> ('0x' || substr(md5(substring(text, CAST(i AS INTEGER), 8)),
+                 1, 15))::BIGINT) AS hs
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4 THEN
+           list_distinct(list_transform(range(1, len(hs) - 2),
+             j -> list_min(list_slice(hs, CAST(j AS INTEGER),
+                                      CAST(j + 3 AS INTEGER)))))
+         ELSE [] END AS fpl
+  FROM h
+), fps AS MATERIALIZED (
+  SELECT doc_id, unnest(fpl) AS fp FROM m
+), rare AS MATERIALIZED (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 1000
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a
+JOIN rare r ON a.fp = r.fp
+JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
+@_q("winnow_matches", _WINNOW_MATCH_ORACLE)
+def winnow_matches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS report stage over ``winnow_fingerprints``: document
+    pairs sharing >= 2 selected fingerprints (each witnesses a shared
+    >= 8-char substring), with over-frequent fingerprints (> 1000
+    docs — boilerplate) culled before the self-join, the stop-shingle
+    discipline. One fingerprint equi-join; pair output bounded by
+    true matches."""
+    d = load_table(spark, sf_dir, "documents")
+    return ta.winnow_matches(d, k=8, w=4, min_shared=2, max_fp_df=1000)
+
+
 _TOKEN_BUDGET_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,

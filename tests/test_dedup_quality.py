@@ -1360,3 +1360,30 @@ class TestWinnowing:
         for k, w in ((0, 4), (8, 0)):
             with pytest.raises(ValueError, match="winnow"):
                 winnow_fingerprints(docs, k=k, w=w)
+
+    def test_matches_find_planted_plagiarism(self, spark):
+        """winnow_matches pairs exactly the planted copy pair; the
+        boilerplate cap drops a fingerprint shared by every doc (a
+        common header must not make everything match everything)."""
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            winnow_matches,
+        )
+
+        header = "standard corporate header line "
+        stolen = "the quick brown fox jumps over the lazy dog tonight"
+        docs = spark.createDataFrame(
+            [
+                (0, header + "aaa bbb " + stolen),
+                (1, header + "zzz yyy " + stolen + " xxx"),
+                (2, header + "totally unrelated content 12345 seven"),
+                (3, header + "another unrelated body entirely 99 ok"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in winnow_matches(
+                docs, k=8, w=4, min_shared=2, max_fp_df=2
+            ).collect()
+        }
+        assert got == {(0, 1)}
