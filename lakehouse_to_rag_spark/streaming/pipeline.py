@@ -350,6 +350,49 @@ def stream_index_sink(
     )
 
 
+def stream_medallion_sink(
+    raw_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    min_content_length: int = 50,
+    trigger_available_now: bool = True,
+):
+    """The maintained-mode medallion at STREAM cadence — the
+    reference's cron-scheduled overwrite ETL re-expressed as a
+    Structured Streaming sink: each micro-batch of raw rows
+    (url/source/title/content/doc_id/lang) runs one turn of
+    ``operators.pipeline.run_medallion_incremental`` against the
+    persistent bronze/silver/gold layers under ``state_dir``. No
+    ledger is needed: the incremental pipeline is replay-idempotent by
+    construction (bronze upserts by the unique raw key; silver/gold
+    admission anti-joins make a re-delivered batch a no-op), which is
+    exactly why the batch operator was shaped that way. Processing a
+    corpus as a stream of batches equals one overwrite run over the
+    union (the batch equality theorem, re-pinned by the streaming
+    test). Returns the started StreamingQuery."""
+    from lakehouse_to_rag_spark.operators.pipeline import (
+        run_medallion_incremental,
+    )
+
+    def _one_turn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        run_medallion_incremental(
+            batch.sparkSession,
+            [batch],
+            state_dir,
+            min_content_length=min_content_length,
+        )
+
+    writer = (
+        raw_stream.writeStream.foreachBatch(_one_turn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_bm25_sink(
     docs_stream: DataFrame,
     index_path: str,

@@ -595,3 +595,51 @@ def test_stream_bm25_sink_equals_batch_append_and_replays_idempotent(
         tuple(r) for r in bm25_topk_from_index(spark, s_path, q, k=5).collect()
     )
     assert after == got
+
+
+def test_stream_medallion_sink_equals_overwrite(spark, sf_dir, tmp_path):
+    """The maintained medallion at stream cadence: streaming the raw
+    corpus (file source, capped files per trigger => several
+    micro-batches) into stream_medallion_sink must leave silver/gold
+    layers row-for-row equal to one overwrite run_medallion over the
+    corpus — and a full REPLAY of the same stream with a fresh
+    checkpoint must change nothing (the incremental pipeline's
+    idempotence, exercised through foreachBatch re-delivery)."""
+    from lakehouse_to_rag_spark.operators.pipeline import (
+        documents_as_raw,
+        run_medallion,
+    )
+    from lakehouse_to_rag_spark.sources.lakehouse import read_layer
+    from lakehouse_to_rag_spark.streaming.pipeline import (
+        stream_medallion_sink,
+    )
+
+    raw = documents_as_raw(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    src = str(tmp_path / "raw_src")
+    raw.repartition(4).write.parquet(src)
+    state = str(tmp_path / "state")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)  # force several batches
+            .parquet(src)
+        )
+        stream_medallion_sink(
+            stream, state, checkpoint_dir=str(tmp_path / ckpt)
+        ).awaitTermination(240)
+
+    run("ck1")
+    want = run_medallion(spark, sf_dir)
+    for layer in ("silver", "gold"):
+        cols = sorted(want[layer].columns)
+        a = sorted(map(tuple, read_layer(spark, f"{state}/{layer}")
+                       .select(*cols).collect()))
+        b = sorted(map(tuple, want[layer].select(*cols).collect()))
+        assert a == b and a, layer
+
+    n = {ly: read_layer(spark, f"{state}/{ly}").count()
+         for ly in ("bronze", "silver", "gold")}
+    run("ck2")  # full replay, fresh checkpoint
+    for ly, cnt in n.items():
+        assert read_layer(spark, f"{state}/{ly}").count() == cnt, ly
