@@ -216,7 +216,6 @@ def minhash_lsh_pairs(
     signatures are per-row array expressions) and no false positives
     in the output.
     """
-    num_bands = num_hashes // rows_per_band
     # NB: no size(shingles)>0 filter here — Catalyst would push it
     # below the repartition WITH the whole shingle expression inlined,
     # collapsing the parallel stage back into the single-split scan.
@@ -227,33 +226,11 @@ def minhash_lsh_pairs(
     # checkpoint the text would be split+shingled twice (once per use)
     sets = shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=False)
 
-    # signatures via the exploded + groupBy(min...) form: hash
-    # aggregation is whole-stage-codegen'd, which beats per-row
-    # array-lambda evaluation (interpreted) by ~5x here.
-    # localCheckpoint materializes the (tiny: docs × num_hashes longs)
-    # signature table once — the band self-join would otherwise
-    # recompute the whole shingle+hash pipeline for BOTH sides (the
-    # broadcast build breaks exchange reuse).
-    exploded = sets.select(F.col("id"), F.explode("shingles").alias("shingle"))
-    sig = minhash_signatures(exploded, num_hashes).localCheckpoint(eager=False)
-    # built as ONE SQL string (same Py4J-round-trip economics as
-    # minhash_signatures; sig[i] is 0-based GetArrayItem, identical to
-    # .getItem, and band seeds stay INT literals → bit-identical keys)
-    band_structs = F.expr(
-        "array("
-        + ", ".join(
-            f"struct({j} AS band, xxhash64({j}, "
-            + ", ".join(
-                f"sig[{j * rows_per_band + r}]" for r in range(rows_per_band)
-            )
-            + ") AS bkey)"
-            for j in range(num_bands)
-        )
-        + ")"
-    )
-    bands = sig.select("id", F.explode(band_structs).alias("b")).select(
-        "id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
-    )
+    # signature + band construction is the SHARED _minhash_band_rows
+    # (also the two-table decontamination form); see its notes on the
+    # codegen'd groupBy(min...) signatures, the checkpointed signature
+    # table, and the one-SQL-string band economics
+    bands = _minhash_band_rows(sets, num_hashes, rows_per_band)
     x = bands.alias("x")
     y = bands.alias("y")
     candidates = (
@@ -355,6 +332,105 @@ def minhash_lsh_pairs_distinct(
         )
     )
     return cross.unionByName(within)
+
+
+def _minhash_band_rows(
+    sets: DataFrame, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bkey) banding rows from (id, shingles) sets — the
+    shared band scheme of the MinHash family, factored so the
+    self-join (minhash_lsh_pairs) and two-table (fuzzy_decontaminate)
+    forms cannot diverge.
+
+    Signatures go through the exploded + groupBy(min...) form: hash
+    aggregation is whole-stage-codegen'd, ~5x over interpreted
+    per-row array lambdas. The signature table (tiny: docs x
+    num_hashes longs) is localCheckpointed once — a downstream band
+    join would otherwise recompute the whole shingle+hash pipeline
+    per side. Bands are built as ONE SQL string (the Py4J
+    round-trip economics of minhash_signatures; sig[i] is 0-based
+    GetArrayItem and band seeds stay INT literals, so band keys are
+    bit-identical across call sites)."""
+    num_bands = num_hashes // rows_per_band
+    exploded = sets.select(F.col("id"), F.explode("shingles").alias("shingle"))
+    sig = minhash_signatures(exploded, num_hashes).localCheckpoint(eager=False)
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({j} AS band, xxhash64({j}, "
+            + ", ".join(
+                f"sig[{j * rows_per_band + r}]" for r in range(rows_per_band)
+            )
+            + ") AS bkey)"
+            for j in range(num_bands)
+        )
+        + ")"
+    )
+    return sig.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """NEAR-DUPLICATE decontamination — the fuzzy form of
+    ``bloom_decontaminate`` (which catches only exact n-gram overlap):
+    flag training documents whose shingle Jaccard with ANY benchmark
+    document reaches ``threshold``, the train/eval leakage check the
+    big-model reports run (paraphrased or lightly-edited benchmark
+    items slip past exact matching).
+
+    Two-table shape of the MinHash machinery: both sides band through
+    the SHARED scheme (``_minhash_band_rows``), candidates come from
+    one equi-join on (band, bkey) with the benchmark side BROADCAST
+    (eval sets are tiny next to a pretraining corpus — the join never
+    shuffles the corpus), and every candidate is verified by exact
+    Jaccard over the shingle arrays, so there are NO false positives;
+    banding recall at b=32/r=2 is ~99.99% at j=0.5 (the dedup_minhash
+    argument, verified equal to the exact pair set on the harness
+    corpus). Returns (id_col, bench_id, jaccard)."""
+    tsets = shingle_arrays(train, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
+    bsets = shingle_arrays(
+        bench, bench_id_col, bench_text_col, n
+    ).localCheckpoint(eager=False)
+    tb = _minhash_band_rows(tsets, num_hashes, rows_per_band)
+    bb = _minhash_band_rows(bsets, num_hashes, rows_per_band).select(
+        F.col("id").alias("bench_id"), "band", "bkey"
+    )
+    cand = (
+        tb.join(F.broadcast(bb), ["band", "bkey"])
+        .select("id", "bench_id")
+        .distinct()
+    )
+    ta_ = tsets.select(F.col("id"), F.col("shingles").alias("set_a"))
+    tb_ = bsets.select(
+        F.col("id").alias("bench_id"), F.col("shingles").alias("set_b")
+    )
+    n_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    jac = n_inter / (F.size("set_a") + F.size("set_b") - n_inter)
+    return (
+        cand.join(ta_, "id")
+        .join(F.broadcast(tb_), "bench_id")
+        .select(
+            F.col("id").alias(id_col),
+            "bench_id",
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(jac >= threshold)
+        .select(id_col, "bench_id", "jaccard")
+    )
 
 
 def minhash_lsh_pairs_auto(

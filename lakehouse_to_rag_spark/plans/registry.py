@@ -735,6 +735,49 @@ def dedup_minhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_DECONTAM_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, GREATEST(len(words) - 1, 1)),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+  FROM w
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+  GROUP BY 1, 2
+)
+SELECT i.doc_id, i.bench_id,
+       ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_id
+JOIN sizes sb ON sb.doc_id = i.bench_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+@_q("decontaminate_fuzzy", _FUZZY_DECONTAM_ORACLE)
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate train/benchmark decontamination — the fuzzy form
+    of ``bloom_decontaminate``: training docs (doc_id % 17 != 0)
+    whose 3-gram shingle Jaccard with ANY benchmark doc (% 17 == 0)
+    reaches 0.5, found by the two-table banded MinHash join with the
+    benchmark side broadcast and exact-Jaccard verification (no false
+    positives; the dedup_minhash recall argument carries over — the
+    oracle is the exact two-table Jaccard join)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.fuzzy_decontaminate(
+        d.filter("doc_id % 17 != 0"),
+        d.filter("doc_id % 17 = 0"),
+        n=3,
+        threshold=0.5,
+    )
+
+
 @_q("dedup_simhash")  # bit-bucket candidates: rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

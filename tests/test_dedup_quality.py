@@ -1387,3 +1387,54 @@ class TestWinnowing:
             ).collect()
         }
         assert got == {(0, 1)}
+
+
+def test_fuzzy_decontaminate_planted_leak(spark, sf_dir):
+    """Near-dup decontamination: a training doc that lightly edits a
+    benchmark item must be flagged; unrelated training docs must not
+    be; and (exact verification) nothing below the threshold sneaks
+    through. Also the no-false-positive property against the exact
+    two-table Jaccard join on the real corpus split."""
+    from lakehouse_to_rag_spark.operators.dedup import (
+        fuzzy_decontaminate,
+        ngram_jaccard_pairs,
+    )
+
+    bench_text = ("which planet is known as the red planet in our "
+                  "solar system answer mars the fourth planet")
+    train = spark.createDataFrame(
+        [
+            # paraphrase-lite leak: one word changed
+            (100, bench_text.replace("fourth", "4th")),
+            (101, "totally unrelated training document about spark "
+                  "shuffle partitions and broadcast joins"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, bench_text)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["bench_id"])
+        for r in fuzzy_decontaminate(train, bench, threshold=0.5).collect()
+    }
+    assert got == {(100, 0)}
+
+    # corpus split: flagged set == exact two-table jaccard (banding
+    # recall 1.0 here, and verification guarantees no false positives)
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = {
+        (r["doc_id"], r["bench_id"], r["jaccard"])
+        for r in fuzzy_decontaminate(
+            docs.filter("doc_id % 17 != 0"), docs.filter("doc_id % 17 = 0")
+        ).collect()
+    }
+    exact_pairs = ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
+    exact = {
+        (a, b) if a % 17 != 0 else (b, a)
+        for a, b in (
+            (r["id_a"], r["id_b"]) for r in exact_pairs.collect()
+        )
+        if (a % 17 == 0) != (b % 17 == 0)
+    }
+    assert {(t, b) for t, b, _ in flagged} == exact and flagged
