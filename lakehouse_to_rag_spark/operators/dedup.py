@@ -382,6 +382,7 @@ def fuzzy_decontaminate(
     threshold: float = 0.5,
     num_hashes: int = 64,
     rows_per_band: int = 2,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """NEAR-DUPLICATE decontamination — the fuzzy form of
     ``bloom_decontaminate`` (which catches only exact n-gram overlap):
@@ -398,19 +399,31 @@ def fuzzy_decontaminate(
     Jaccard over the shingle arrays, so there are NO false positives;
     banding recall at b=32/r=2 is ~99.99% at j=0.5 (the dedup_minhash
     argument, verified equal to the exact pair set on the harness
-    corpus). Returns (id_col, bench_id, jaccard)."""
+    corpus). Returns (id_col, bench_id, jaccard).
+
+    The eval-sets-are-tiny assumption is now GUARDED, not assumed
+    (the ``max_broadcast_rows`` convention of
+    ``embedding_dup_pairs_numpy``): the bench side is counted once
+    (cheap — it is checkpointed anyway for its two consumers), and
+    past the bound the ``F.broadcast`` hints are dropped so both
+    joins fall back to shuffle hash/sort-merge on the SAME plan
+    shape, instead of silently building an executor-OOM broadcast
+    from a 10M-row "benchmark". Results are identical either way
+    (hint-only change; fallback-equality tested)."""
     tsets = shingle_arrays(train, id_col, text_col, n).localCheckpoint(
         eager=False
     )
     bsets = shingle_arrays(
         bench, bench_id_col, bench_text_col, n
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
+    small = bsets.count() <= max_broadcast_rows
+    maybe_bcast = F.broadcast if small else (lambda d: d)
     tb = _minhash_band_rows(tsets, num_hashes, rows_per_band)
     bb = _minhash_band_rows(bsets, num_hashes, rows_per_band).select(
         F.col("id").alias("bench_id"), "band", "bkey"
     )
     cand = (
-        tb.join(F.broadcast(bb), ["band", "bkey"])
+        tb.join(maybe_bcast(bb), ["band", "bkey"])
         .select("id", "bench_id")
         .distinct()
     )
@@ -422,7 +435,7 @@ def fuzzy_decontaminate(
     jac = n_inter / (F.size("set_a") + F.size("set_b") - n_inter)
     return (
         cand.join(ta_, "id")
-        .join(F.broadcast(tb_), "bench_id")
+        .join(maybe_bcast(tb_), "bench_id")
         .select(
             F.col("id").alias(id_col),
             "bench_id",

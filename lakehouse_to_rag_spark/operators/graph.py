@@ -261,6 +261,7 @@ def pagerank_micro(
     iterations: int = 10,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_rounds: bool = True,
 ) -> DataFrame:
     """PageRank over a directed edge list in EXACT integer micros —
     the canonical iterative-graph-at-scale operator (domain/page
@@ -279,11 +280,21 @@ def pagerank_micro(
     and dangling nodes (no out-edges) contribute nothing — both affect
     total mass, neither the deterministic ranking this exists for.
 
-    Scale shape: each of the ``iterations`` rounds is ONE equi-join of
-    the (bounded, narrow) score table onto the edge list plus one
-    partial-aggregatable groupBy — the textbook Spark PageRank plan;
-    the score table is localCheckpointed per round so the lineage
-    stays flat. Returns (id, pr_micro BIGINT)."""
+    Scale shape: the degree-annotated edge list ``e ⋈ outdeg`` is
+    loop-INVARIANT, so it is computed and checkpointed ONCE before the
+    loop; each of the ``iterations`` rounds is then ONE equi-join of
+    the (bounded, narrow) score table onto that materialized edge
+    table plus one partial-aggregatable groupBy — the textbook Spark
+    PageRank plan (re-joining outdeg per round would pay
+    iterations-1 redundant joins; plan-asserted in
+    tests/test_plan_shapes.py). The score table is localCheckpointed
+    per round so the lineage stays flat. Returns (id, pr_micro
+    BIGINT).
+
+    ``checkpoint_rounds=False`` skips the per-round localCheckpoint so
+    the full multi-round lineage stays visible to ``.explain`` — for
+    plan assertions only (the joins-per-round count in
+    tests/test_plan_shapes.py); production keeps the default."""
     if not 1 <= damping_pct <= 100:
         raise ValueError(f"pagerank_micro: damping_pct in [1,100], got {damping_pct}")
     if iterations < 1:
@@ -294,6 +305,10 @@ def pagerank_micro(
         .localCheckpoint(eager=True)
     )
     outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # loop-invariant: every round contributes pr//d along each edge,
+    # so the (u, v, d) table never changes — join it once, checkpoint,
+    # and the per-round plan touches only the score table
+    ed = e.join(outdeg, "u").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("u").alias("id"))
         .unionByName(e.select(F.col("v").alias("id")))
@@ -304,23 +319,20 @@ def pagerank_micro(
     pr = nodes.withColumn("pr", F.lit(1_000_000).cast("long"))
     for _ in range(iterations):
         contrib = (
-            e.join(outdeg, "u")
-            .join(pr.select(F.col("id").alias("u"), "pr"), "u")
+            ed.join(pr.select(F.col("id").alias("u"), "pr"), "u")
             # `div` is TRUE integer division on longs (a double `/` +
             # cast would be float math wearing an integer costume)
             .select("v", F.expr("pr div d").alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("s"))
         )
-        pr = (
-            nodes.join(contrib, nodes["id"] == contrib["v"], "left")
-            .select(
-                "id",
-                F.expr(
-                    f"CAST({base} AS BIGINT) + "
-                    f"(CAST({damping_pct} AS BIGINT) * COALESCE(s, 0)) div 100"
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=True)
+        pr = nodes.join(contrib, nodes["id"] == contrib["v"], "left").select(
+            "id",
+            F.expr(
+                f"CAST({base} AS BIGINT) + "
+                f"(CAST({damping_pct} AS BIGINT) * COALESCE(s, 0)) div 100"
+            ).alias("pr"),
         )
+        if checkpoint_rounds:
+            pr = pr.localCheckpoint(eager=True)
     return pr.select("id", F.col("pr").alias("pr_micro"))

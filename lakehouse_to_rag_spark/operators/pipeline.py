@@ -131,8 +131,16 @@ def run_medallion_incremental(
         # materialize admissions BEFORE the upserts swap the layer
         # directories the anti-join was computed against
         fresh = fresh.localCheckpoint(eager=True)
-        upsert_by_key(spark, paths["bronze"], bronze_b, ["doc_id"])
         upsert_by_key(spark, paths["silver"], fresh, ["url"])
         gold_b = gold_transform(fresh, with_index=True)
         upsert_by_key(spark, paths["gold"], gold_b, ["url", "chunk_index"])
+        # bronze upserts LAST: admission keys on bronze, so a url only
+        # becomes "seen" once its whole turn committed. A crash between
+        # any two upserts replays cleanly — silver/gold upserts are
+        # idempotent by key, and the half-written batch's urls are
+        # still un-admitted until this line lands. Bronze-FIRST had the
+        # inverse window: a crash after bronze made the batch's urls
+        # seen with their silver/gold rows permanently lost
+        # (crash-replay tested in tests/test_pipeline.py).
+        upsert_by_key(spark, paths["bronze"], bronze_b, ["doc_id"])
     return {k: read_layer(spark, p) for k, p in paths.items()}

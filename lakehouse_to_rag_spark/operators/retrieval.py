@@ -212,6 +212,7 @@ def append_to_bm25_index(
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    check_disjoint: bool = True,
 ) -> int:
     """Incremental BM25 index maintenance — the lexical twin of
     ``append_to_ivf_index``: a new crawl batch lands as one bounded
@@ -225,16 +226,38 @@ def append_to_bm25_index(
     read — append == rebuild EXACTLY (equality-tested).
 
     Caveats, stated: new doc ids must be disjoint from the indexed
-    corpus (a re-sent id would double its tf rows — run the
-    incremental dedup admission upstream, or rebuild), and a
-    crashed-then-replayed batch appends twice (wrap with the
-    stream sink's ledger pattern if driving this from foreachBatch).
+    corpus (a re-sent id would double its tf rows). This is now
+    FAIL-CLOSED by default: ``check_disjoint=True`` runs one
+    column-pruned id scan of the index semi-joined against the
+    (broadcast, batch-bounded) new ids and raises on any overlap,
+    BEFORE anything is written — pass ``check_disjoint=False`` only
+    when an upstream admission anti-join (the ``incremental_dedup_fps``
+    pattern) already guarantees disjointness. A crashed-then-replayed
+    batch still appends twice (wrap with the stream sink's ledger
+    pattern if driving this from foreachBatch).
+
+    Commit discipline: the postings append lands first, then the
+    updated one-row ``_stats`` is written to a sibling tmp dir and
+    swapped in (two renames) — ``_stats`` is therefore never torn by
+    a mid-overwrite crash, and stale ``._compact_``/``._old_``
+    remnants are repaired on the next append. The remaining
+    HALF-COMMIT window, stated: a crash after the postings append but
+    before the swap leaves ``_stats`` excluding the already-appended
+    docs (served avgdl/N silently stale) — on any append failure run
+    ``rebuild_bm25_stats`` (one scan of the postings, from which the
+    stats are fully derivable) to reconcile, or rebuild the index.
     Returns the number of posting rows appended."""
+    import os
+
+    from lakehouse_to_rag_spark.operators.similarity import (
+        _recover_compact_remnants,
+    )
     from lakehouse_to_rag_spark.sources.lakehouse import (
         read_layer,
         write_layer,
     )
 
+    _recover_compact_remnants(os.path.join(path, "_stats"))
     stats = read_layer(spark, f"{path}/_stats").collect()[0]
     if "sum_dl" not in stats.asDict():
         raise ValueError(
@@ -242,6 +265,22 @@ def append_to_bm25_index(
             "by an older layout) — rebuild with write_bm25_index first"
         )
     n_buckets = int(stats["n_buckets"])
+    if check_disjoint:
+        new_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
+        n_dup = (
+            read_layer(spark, path)
+            .select("id")
+            .join(F.broadcast(new_ids), "id", "left_semi")
+            .select(F.countDistinct("id").alias("n"))
+            .collect()[0]["n"]
+        )
+        if n_dup:
+            raise ValueError(
+                f"append_to_bm25_index: {n_dup} doc id(s) in the batch "
+                "already exist in the index — appending would double "
+                "their tf rows. Dedup/admit upstream, or pass "
+                "check_disjoint=False if disjointness is guaranteed."
+            )
     tf, dl = _doc_terms(new_docs, id_col, text_col)
     df_b = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     postings = (
@@ -265,8 +304,65 @@ def append_to_bm25_index(
         [(n_docs, sum_dl, sum_dl / n_docs, n_buckets)],
         "n_docs long, sum_dl long, avgdl double, n_buckets long",
     )
-    write_layer(new_stats, f"{path}/_stats")
+    # tmp-write + two-rename swap: _stats is replaced whole, never
+    # overwritten in place, so a crash can leave it STALE (see the
+    # half-commit caveat above) but never TORN. Same remnant naming as
+    # _compact_index_layout so one recovery routine repairs both.
+    import shutil
+    import uuid
+
+    sdir = os.path.join(path, "_stats")
+    tmp = f"{sdir}._compact_{uuid.uuid4().hex[:8]}"
+    write_layer(new_stats.coalesce(1), tmp)
+    old = f"{sdir}._old_{uuid.uuid4().hex[:8]}"
+    os.rename(sdir, old)
+    os.rename(tmp, sdir)
+    shutil.rmtree(old)
     return n
+
+
+def rebuild_bm25_stats(spark, path: str) -> None:
+    """Reconcile ``_stats`` from the postings alone — the recovery
+    tool for ``append_to_bm25_index``'s documented half-commit window
+    (postings appended, stats swap never landed). Every stat is fully
+    derivable from the posting rows: dl repeats on each of a doc's
+    rows, so one distinct over the column-pruned (id, dl) pair gives
+    exact n_docs and the integer sum_dl, and avgdl re-derives by the
+    same single division a build performs — rebuilt ``_stats`` is
+    bit-equal to an uninterrupted append's (equality-tested). One
+    pruned scan; the swap discipline matches the append path."""
+    import os
+    import shutil
+    import uuid
+
+    from lakehouse_to_rag_spark.operators.similarity import (
+        _recover_compact_remnants,
+    )
+    from lakehouse_to_rag_spark.sources.lakehouse import (
+        read_layer,
+        write_layer,
+    )
+
+    sdir = os.path.join(path, "_stats")
+    _recover_compact_remnants(sdir)
+    n_buckets = int(read_layer(spark, sdir).collect()[0]["n_buckets"])
+    stats_df = (
+        read_layer(spark, path)
+        .select("id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+            F.lit(n_buckets).cast("long").alias("n_buckets"),
+        )
+    )
+    tmp = f"{sdir}._compact_{uuid.uuid4().hex[:8]}"
+    write_layer(stats_df.coalesce(1), tmp)
+    old = f"{sdir}._old_{uuid.uuid4().hex[:8]}"
+    os.rename(sdir, old)
+    os.rename(tmp, sdir)
+    shutil.rmtree(old)
 
 
 def compact_bm25_index(spark, path: str) -> int:
@@ -275,15 +371,21 @@ def compact_bm25_index(spark, path: str) -> int:
     directory per batch, the same accretion as the IVF appends (the
     shared ``similarity._compact_index_layout`` core; measured 1.9x
     serve overhead at 39 batches on the IVF twin, SCALE.md r7).
-    ``_stats`` is rewritten to one file. Serve results are bit-equal
-    before/after (compact-then-serve equality test). Returns the data
-    file count written."""
+    ``_stats`` is rewritten to one file, and so is the ``_ledger`` that
+    ``stream_bm25_sink`` keeps under the same root — dropping it across
+    the swap would make a post-compaction foreachBatch re-delivery
+    re-append postings the ledger had already absorbed, and the BM25
+    side has no serve-time duplicate absorber. Serve results are
+    bit-equal before/after (compact-then-serve equality test). Must be
+    run with any ingest stream quiesced (see ``_compact_index_layout``).
+    Returns the data file count written."""
     from lakehouse_to_rag_spark.operators.similarity import (
         _compact_index_layout,
     )
 
     return _compact_index_layout(
-        spark, path, "bucket", carry_dirs=(), rewrite_dirs=("_stats",),
+        spark, path, "bucket",
+        carry_dirs=(), rewrite_dirs=("_stats", "_ledger"),
     )
 
 

@@ -337,6 +337,7 @@ def append_to_ivf_index(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    check_disjoint: bool = False,
 ) -> int:
     """Incremental index maintenance: assign a new batch against the
     PERSISTED quantizer (``{path}/_centroids`` — never retrained here)
@@ -351,9 +352,31 @@ def append_to_ivf_index(
     re-optimization; this function deliberately leaves the quantizer
     untouched so appends are idempotent-shaped and cheap.
 
-    Returns the number of vectors appended."""
+    ``check_disjoint=True`` fail-closes on batch ids already present
+    in the index (one column-pruned id scan semi-joined against the
+    broadcast, batch-bounded new ids, before anything is written) —
+    the same knob as ``append_to_bm25_index``, but default OFF here
+    because the IVF serve path already absorbs duplicate ids
+    (``_score_probed(dedupe_candidates=True)``) where BM25 serving
+    has no absorber. Returns the number of vectors appended."""
     from lakehouse_to_rag_spark.sources.lakehouse import read_layer, write_layer
 
+    if check_disjoint:
+        new_ids = new_vectors.select(F.col(id_col).alias("id")).distinct()
+        n_dup = (
+            read_layer(spark, path)
+            .select(F.col(id_col).alias("id"))
+            .join(F.broadcast(new_ids), "id", "left_semi")
+            .select(F.countDistinct("id").alias("n"))
+            .collect()[0]["n"]
+        )
+        if n_dup:
+            raise ValueError(
+                f"append_to_ivf_index: {n_dup} vec id(s) in the batch "
+                "already exist in the index. Dedup/admit upstream, or "
+                "pass check_disjoint=False (the default) if duplicate "
+                "absorption at serve time is acceptable."
+            )
     cent_rows = [
         (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
         for r in read_layer(spark, f"{path}/_centroids").collect()
@@ -363,6 +386,37 @@ def append_to_ivf_index(
     n = assigned.count()
     write_layer(assigned, path, partition_by=["cluster"], mode="append")
     return n
+
+
+def _recover_compact_remnants(path: str) -> None:
+    """Crash recovery for ``_compact_index_layout``'s two-rename swap —
+    run before every compaction pass (and safe to call at sink
+    startup). Three remnant states, each unambiguous:
+
+    - ``<path>._compact_*`` exists: a compaction died before its first
+      rename. The source layout is intact (at ``path`` or ``._old_``),
+      so the partial rewrite is discarded.
+    - ``path`` missing but ``<path>._old_*`` present: death BETWEEN the
+      two renames — the only window where no layout is at ``path``.
+      The old dir is byte-complete; rename it back.
+    - ``path`` AND ``<path>._old_*`` both present: death after the
+      second rename but before cleanup; the new layout already serves,
+      so the old dir is deleted.
+    """
+    import glob
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    for t in glob.glob(f"{base}._compact_*"):
+        shutil.rmtree(t, ignore_errors=True)
+    olds = sorted(glob.glob(f"{base}._old_*"))
+    if olds:
+        if not os.path.exists(base):
+            os.rename(olds[0], base)
+            olds = olds[1:]
+        for o in olds:
+            shutil.rmtree(o, ignore_errors=True)
 
 
 def _compact_index_layout(
@@ -381,7 +435,18 @@ def _compact_index_layout(
     table to a single file, and swap atomically. The generic
     ``sources.lakehouse.compact_layer`` is NOT layout-safe — it swaps
     the root (discarding the underscore aux dirs) and flattens the
-    partitioning directory pruning depends on."""
+    partitioning directory pruning depends on.
+
+    CONCURRENCY CONTRACT: compaction must run with the ingest stream
+    QUIESCED (stop ``stream_index_sink``/``stream_bm25_sink`` first).
+    The pass reads a snapshot and swaps the whole root, so any batch
+    appended between the snapshot read and the swap would be silently
+    discarded; there is no lock because the single-writer maintenance
+    window is the operational model (the same contract Delta OPTIMIZE
+    assumes of concurrent blind appends it can't see). Crash safety is
+    handled separately: ``_recover_compact_remnants`` runs first and
+    repairs any ``._old_``/``._compact_`` remnant a previous
+    interrupted pass left behind (remnant-recovery tested)."""
     import os
     import pathlib
     import shutil
@@ -392,6 +457,7 @@ def _compact_index_layout(
         write_layer,
     )
 
+    _recover_compact_remnants(path)
     df = read_layer(spark, path)
     tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
     write_layer(
@@ -733,6 +799,220 @@ def ivf_topk_kmeans(
         .select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cosine"))
     )
     return _ranked_topk(pairs, k)
+
+
+def knn_self_ivf(
+    corpus: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Self-kNN over a trained IVF quantizer — the SUB-QUADRATIC graph
+    builder for corpus-scale kNN graphs (doc_pagerank's edge list,
+    SemDeDup-style neighborhood graphs). ``ivf_topk_kmeans`` cannot
+    serve this role at scale: its probe table is BROADCAST, which is
+    correct for a handful of queries but is the whole corpus × nprobe
+    here. This form computes assignment AND probe lists in ONE Arrow
+    GEMM pass (top-nprobe clusters per row cost nothing beyond the
+    argmax the assignment already does), then candidates are scored
+    by a cluster-COGROUPED Arrow GEMM (one queries×members matmul per
+    cluster, local top-k inside the group) — the shuffle is one
+    exchange on cluster id, both sides corpus-sized, nothing
+    broadcast, and only n·nprobe·k candidate rows leave Python. Work
+    is O(n² · nprobe / C), so C ~ √n gives O(n^1.5) total (measured
+    sub-quadratic at 400k rows, SCALE.md r8).
+
+    Every numeric convention matches ``ivf_topk_kmeans`` exactly —
+    same deterministic k-means, 12dp half-away rounding before the
+    probe/assign argsort with ties to the smallest centroid id, 4dp
+    rounded cosine ranked by (cosine DESC, neighbor_id ASC); GEMM
+    sums can differ from the JVM sequential dot only in the last ulp
+    (the ``knn_bruteforce_numpy`` parity class, absorbed by the 4dp
+    round) — so for the same (k, C, nprobe, iterations) the result
+    equals ``ivf_topk_kmeans(corpus, corpus, ...)`` row-for-row
+    (equality-tested) and the existing kmeans-IVF SQL replay applies
+    verbatim minus its query filter. Self-matches excluded. Returns
+    (query_id, neighbor_id, cosine, rank 1..k); rows may have fewer
+    than k neighbors when the probed clusters run dry (the standard
+    IVF recall trade)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    if not 1 <= nprobe <= num_centroids:
+        raise ValueError(
+            f"knn_self_ivf: need 1 <= nprobe={nprobe} <= "
+            f"num_centroids={num_centroids}"
+        )
+    cent_df = kmeans_centroids(
+        corpus, num_centroids, iterations, id_col, vec_col
+    )
+    cent_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]]) for r in cent_df.collect()
+    )
+    _assert_nonzero_centroids(cent_rows, "knn_self_ivf")
+    cids = np.array([c[0] for c in cent_rows], dtype=np.int64)
+    cmat = np.array([c[1] for c in cent_rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = np.nan
+    np_eff = min(nprobe, len(cent_rows))
+
+    schema = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .schema.add("cluster", "long")
+        .add("probes", ArrayType(LongType()))
+    )
+
+    def _assign_probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # 12dp half-away before the sort: near-ties collapse to
+            # exact ties resolved by ascending centroid id (stable
+            # argsort over cid-ascending columns) — the _gemm_assign
+            # convention, so column 0 IS the _gemm_assign cluster
+            sims = _round_away(_batch_cosines(m, cmat, cnorm), 12)
+            sims = np.where(np.isnan(sims), -np.inf, sims)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :np_eff]
+            out = pdf[[id_col, vec_col]].copy()
+            out["cluster"] = cids[order[:, 0]]
+            out["probes"] = [cids[row].tolist() for row in order]
+            yield out
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    assigned = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(_assign_probe, schema=schema)
+        # two consumers (neighbor side + exploded query side) — one
+        # Arrow pass instead of two
+        .localCheckpoint(eager=False)
+    )
+    nbr = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        "cluster",
+    )
+    qry = assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode("probes").alias("cluster"),
+    )
+
+    pair_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    # Candidate scoring is the O(n²·nprobe/C) term, and a JVM
+    # zip_with/aggregate cosine evaluates INTERPRETED (~10 µs/dot —
+    # the knn_bruteforce_numpy rationale at n·nprobe·n/C pairs).
+    # Cogrouped-by-cluster Arrow GEMM instead: per cluster ONE
+    # queries×members matmul + per-query local top-k, so only
+    # n·nprobe·k candidate rows ever leave Python. Each neighbor
+    # lives in exactly ONE cluster, so (query, neighbor) candidates
+    # are unique by construction. Pre-sorting members by id makes the
+    # stable argsort resolve exact 4dp ties by ascending neighbor_id
+    # (the knn_bruteforce_numpy proof), matching the JVM/SQL
+    # tie-break; NaN sims (zero-norm rows) sort last and never enter
+    # the top-k while real candidates remain — also the GEMM-twin
+    # convention.
+    def _score_cluster(qpdf, npdf):
+        if len(qpdf) == 0 or len(npdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            )
+        import numpy as np
+
+        ids = npdf["neighbor_id"].to_numpy(dtype=np.int64)
+        o = np.argsort(ids, kind="stable")
+        ids = ids[o]
+        mat = np.array(list(npdf["nvec"]), dtype=np.float64)[o]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = np.nan
+        q_ids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        q_mat = np.array(list(qpdf["qvec"]), dtype=np.float64)
+        q_norm = np.linalg.norm(q_mat, axis=1)
+        q_norm[q_norm == 0] = np.nan
+        sims = (mat @ q_mat.T) / norms[:, None] / q_norm[None, :]
+        sims = _round_away(sims, 4)
+        top = min(k + 1, len(ids))  # +1 to survive self-match removal
+        order = np.argsort(-sims, axis=0, kind="stable")[:top]
+        nbr_ids = ids[order]                              # (top, Q)
+        cos = np.take_along_axis(sims, order, axis=0)     # (top, Q)
+        qid = np.broadcast_to(q_ids[None, :], nbr_ids.shape)
+        keep = (nbr_ids != qid).T                         # (Q, top)
+        return pd.DataFrame(
+            {
+                "query_id": qid.T[keep],
+                "neighbor_id": nbr_ids.T[keep],
+                "cosine": cos.T[keep],
+            }
+        )
+
+    pairs = (
+        qry.groupBy("cluster")
+        .cogroup(nbr.groupBy("cluster"))
+        .applyInPandas(_score_cluster, schema=pair_schema)
+    )
+    return _ranked_topk(pairs, k)
+
+
+def knn_edges_auto(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cutover_rows: int = 50_000,
+    num_centroids: int | None = None,
+    nprobe: int = 8,
+    iterations: int = 3,
+) -> DataFrame:
+    """kNN-graph edge builder that PICKS its algorithm from the corpus
+    size — the ``minhash_lsh_pairs_auto`` precedent applied to the one
+    remaining all-pairs composition (doc_pagerank's edge list): one
+    count (cheap when the caller checkpoints, which doc_pagerank
+    does), then ≤ ``cutover_rows`` dispatches to the EXACT GEMM
+    ``knn_bruteforce_numpy`` (oracle-replayable bit-for-bit; O(n²)
+    work is the cheaper constant at small n) and beyond it to
+    ``knn_self_ivf`` with C = max(16, √n) trained centroids —
+    O(n^1.5) work, shuffle-join only, nothing corpus-sized broadcast.
+    Below the cutover the dispatch can never change results vs the
+    brute-force form; above it, edges are the standard IVF
+    approximation (recall pinned in tests). Returns (src, dst)."""
+    import math
+
+    n = corpus.count()
+    if n <= cutover_rows:
+        knn = knn_bruteforce_numpy(
+            corpus, corpus, k=k, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        c = num_centroids or max(16, math.isqrt(n))
+        knn = knn_self_ivf(
+            corpus,
+            k=k,
+            num_centroids=c,
+            nprobe=min(nprobe, c),
+            iterations=iterations,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    return knn.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
 
 
 def quantize_int8(

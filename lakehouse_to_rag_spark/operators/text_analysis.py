@@ -1432,6 +1432,7 @@ def winnow_fingerprints(
     w: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
     2003 — the MOSS algorithm): hash every character k-gram, slide a
@@ -1445,10 +1446,19 @@ def winnow_fingerprints(
     Engine shape: per-row JVM array lambdas only — one transform for
     the hash sequence, one transform+array_min for the window minima,
     array_distinct, explode. No shuffle before the final explode, no
-    Python. The k-gram hash is the engine-portable 60-bit md5
-    (``simhash_md5``'s convention) so the whole sketch replays in SQL;
-    swapping in xxhash64 is the drop-in production knob when
-    cross-engine replay is not needed (same plan, ~10x cheaper hash).
+    Python.
+
+    ``hash_fn`` picks the k-gram hash: ``"md5"`` (default) is the
+    engine-portable 60-bit md5 (``simhash_md5``'s convention) so the
+    whole sketch replays in SQL and stays the oracle form;
+    ``"xxhash64"`` is the drop-in PRODUCTION knob when cross-engine
+    replay is not needed — the identical plan with the JVM's native
+    64-bit hash in place of the md5+conv chain (~10x cheaper per
+    gram; benched side by side in bench.py). The winnowing guarantee
+    (any shared substring of length >= k + w - 1 contributes at least
+    one shared fingerprint) is hash-agnostic — it depends only on
+    both documents hashing a gram identically — and is
+    property-tested for BOTH functions.
 
     Returns (id_col, fp BIGINT), distinct per document; documents
     shorter than k + w - 1 characters emit no rows (no full window
@@ -1456,16 +1466,27 @@ def winnow_fingerprints(
     if k < 1 or w < 1:
         raise ValueError(f"winnow_fingerprints: k, w >= 1, got k={k} w={w}")
     t = f"`{text_col}`"
+    if hash_fn == "md5":
+        gram = (
+            f"cast(conv(substr(md5(substring({t}, i, {k})), 1, 15), 16, 10) "
+            f"as bigint)"
+        )
+    elif hash_fn == "xxhash64":
+        gram = f"xxhash64(substring({t}, i, {k}))"
+    else:
+        raise ValueError(
+            f"winnow_fingerprints: hash_fn must be 'md5' (SQL-replayable "
+            f"oracle form) or 'xxhash64' (production form), got {hash_fn!r}"
+        )
     # the hash sequence binds to a COLUMN first: inlining it in the
-    # window lambda would re-evaluate every md5 per window (O(n*w)
+    # window lambda would re-evaluate every hash per window (O(n*w)
     # hashes per doc instead of O(n))
     # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — a
     # doc shorter than k would hash two garbage grams without the case
     hashes = (
         f"case when length({t}) >= {k} then "
-        f"transform(sequence(1, length({t}) - {k - 1}), i -> "
-        f"cast(conv(substr(md5(substring({t}, i, {k})), 1, 15), 16, 10) "
-        f"as bigint)) else cast(array() as array<bigint>) end"
+        f"transform(sequence(1, length({t}) - {k - 1}), i -> {gram}) "
+        f"else cast(array() as array<bigint>) end"
     )
     mins = (
         f"case when size(_h) >= {w} then "
@@ -1488,6 +1509,7 @@ def winnow_matches(
     max_fp_df: int = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Cross-document matches over winnowing fingerprints — the MOSS
     report stage: pairs of documents sharing >= ``min_shared``
@@ -1502,10 +1524,13 @@ def winnow_matches(
     (boilerplate headers/footers would otherwise contribute
     O(df²) pairs each; same justification as the Jaccard prefix
     filter's stop-shingle DF cap, and MOSS itself culls
-    over-frequent fingerprints). Returns (id_a, id_b, n_shared)."""
-    fps = winnow_fingerprints(df, k, w, id_col, text_col).localCheckpoint(
-        eager=False
-    )
+    over-frequent fingerprints). ``hash_fn`` passes through to
+    ``winnow_fingerprints`` (pair sets from the two hashes agree
+    except on hash collisions — astronomically rare at 60/64 bits).
+    Returns (id_a, id_b, n_shared)."""
+    fps = winnow_fingerprints(
+        df, k, w, id_col, text_col, hash_fn
+    ).localCheckpoint(eager=False)
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))

@@ -1086,6 +1086,24 @@ def winnow_matches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.winnow_matches(d, k=8, w=4, min_shared=2, max_fp_df=1000)
 
 
+@_q("winnow_fingerprints_xx")  # no oracle, documented structural
+# class: JVM xxhash64 has no DuckDB counterpart (the simhash
+# precedent). The winnowing GUARANTEE for this form is property-
+# tested (tests/test_properties.py: planted >= k+w-1 shared
+# substrings always share a fingerprint under BOTH hash_fns), and
+# the md5 twin above replays fully in SQL — same plan, different
+# gram hash.
+def winnow_fingerprints_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of ``winnow_fingerprints``: identical
+    winnowing plan with the native 64-bit xxhash64 gram hash in place
+    of the md5+conv chain (~10x cheaper per gram — benched against
+    the oracle form in bench.py). Selection differs from the md5 form
+    by construction (each hash induces its own per-window minima);
+    the MOSS guarantee is hash-agnostic and holds for both."""
+    d = load_table(spark, sf_dir, "documents")
+    return ta.winnow_fingerprints(d, k=8, w=4, hash_fn="xxhash64")
+
+
 _TOKEN_BUDGET_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,
@@ -4985,6 +5003,32 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Self-kNN over the SAME trained quantizer: identical SQL replay with
+# the query filter removed (every vector probes its nprobe clusters).
+# The engine side is the shuffle-join form (knn_self_ivf) — nothing
+# corpus-sized broadcast — proven row-equal to ivf_topk_kmeans(e, e)
+# in tests, so one oracle covers both factorings.
+_KNN_SELF_IVF_ORACLE = _KNN_IVF_KMEANS_ORACLE.replace(
+    " WHERE q.vec_id < 10", ""
+)
+assert _KNN_SELF_IVF_ORACLE != _KNN_IVF_KMEANS_ORACLE
+
+
+@_q("knn_self_ivf", _KNN_SELF_IVF_ORACLE)
+def knn_self_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide self-kNN through the trained IVF quantizer — the
+    sub-quadratic graph builder behind ``knn_edges_auto`` /
+    ``doc_pagerank`` at scale, gated here directly at its full
+    fidelity (assignment + probe lists in one Arrow GEMM pass, then a
+    shuffle equi-join on cluster — the broadcast-free factoring
+    ``ivf_topk_kmeans`` can't provide when the query side IS the
+    corpus)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return simi.knn_self_ivf(
+        e, k=5, num_centroids=16, nprobe=4, iterations=3
+    )
+
+
 def _bpe_oracle(num_merges: int = 200, sample_rows: int = 500) -> str:
     """Full BPE replay in SQL — TRAINING and ENCODING (upgraded from
     rows-only in round 5; the last tokenizer stage with no oracle).
@@ -5690,25 +5734,26 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     many neighbors point at are prototypical; isolated ones are
     outliers), and the canonical iterative-graph shape (one join + one
     partial-aggregatable groupBy per round) at 100 TB. Both graph
-    build and 10 ranking rounds replay bit-exactly in SQL."""
+    build and 10 ranking rounds replay bit-exactly in SQL.
+
+    The edge list comes from ``knn_edges_auto`` (r8 — previously the
+    unconditional all-pairs GEMM, the one composition in the repo that
+    died at 100×): at gate scale the dispatch picks the EXACT
+    brute-force build (≤ cutover_rows — the oracle's all-pairs SQL
+    replays it bit-for-bit, unchanged), while past the cutover the
+    same call builds the graph with trained-IVF self-kNN at
+    O(n^1.5) (sub-quadratic probe in SCALE.md r8)."""
     from lakehouse_to_rag_spark.operators.graph import pagerank_micro
 
     d = load_table(spark, sf_dir, "documents")
     # checkpointed: the self-kNN consumes emb TWICE (driver collect of
-    # the query matrix + the corpus Arrow scan) — without it the
-    # explode+groupBy embed chain runs twice
+    # the query matrix + the corpus Arrow scan) plus the dispatch
+    # count — without it the explode+groupBy embed chain runs thrice
     emb = ta.embed_hashed_tf(d, dim=64).filter(
         F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x))
         > 0
     ).localCheckpoint(eager=False)
-    # all-docs kNN: the Arrow GEMM path (proven 4dp-equal to the JVM
-    # expression path and to the SQL replay) — the interpreted
-    # zip_with cosine over n^2 pairs is the one shape where the GEMM
-    # twin exists precisely for this reason. Integer-valued hashed-tf
-    # vectors make even the raw dots exact, so 4dp parity is trivial.
-    edges = simi.knn_bruteforce_numpy(
-        emb, emb, k=5, id_col="doc_id", vec_col="embedding"
-    ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    edges = simi.knn_edges_auto(emb, k=5, id_col="doc_id", vec_col="embedding")
     return pagerank_micro(edges, damping_pct=85, iterations=10).select(
         F.col("id").alias("doc_id"), "pr_micro"
     )
@@ -7740,12 +7785,10 @@ _CANARIES: list[str] = [
 # Remove a pin once its fresh green row is recorded; new registry
 # entries need no pin (never-checked == stalest == auto-included).
 _PINS: list[str] = [
-    # r7: the two r6 red rows, both fixed this round (oracle HUGEINT
-    # simhash now CAST to BIGINT; embed_hashed_tf reshaped to exploded
-    # scalar rows). Failing entries auto-rotate in as maximally stale,
-    # but the pin guarantees it regardless of evidence bookkeeping.
-    "image_dedup_incremental",
-    "embed_hashed_tf",
+    # r8: no oracle upgrades this round — both r7 pins recorded fresh
+    # green rows (CORRECTNESS_r07) and rotate out, freeing 2 slots so
+    # the stalest-first fill drains the r3 evidence backlog (8 entries)
+    # plus this round's new registrations in one window.
 ]
 
 

@@ -366,7 +366,11 @@ def stream_medallion_sink(
     ledger is needed: the incremental pipeline is replay-idempotent by
     construction (bronze upserts by the unique raw key; silver/gold
     admission anti-joins make a re-delivered batch a no-op), which is
-    exactly why the batch operator was shaped that way. Processing a
+    exactly why the batch operator was shaped that way — INCLUDING a
+    crash mid-turn: bronze (the admission key layer) upserts LAST, so
+    a turn that died after its silver/gold upserts has not yet marked
+    its urls seen, and the replay re-admits them through the
+    idempotent by-key upserts (crash-replay tested). Processing a
     corpus as a stream of batches equals one overwrite run over the
     union (the batch equality theorem, re-pinned by the streaming
     test). Returns the started StreamingQuery."""

@@ -1298,7 +1298,10 @@ class TestWinnowing:
         """Any substring of length >= k + w - 1 shared between two
         documents must land at least one identical fingerprint in
         both — the paper's correctness property, on a planted
-        plagiarism pair with otherwise unrelated text."""
+        plagiarism pair with otherwise unrelated text. The guarantee
+        is HASH-AGNOSTIC (it needs only that both docs hash a gram
+        identically), so it must hold for the md5 oracle form AND the
+        xxhash64 production form alike."""
         from lakehouse_to_rag_spark.operators.text_analysis import (
             winnow_fingerprints,
         )
@@ -1312,17 +1315,32 @@ class TestWinnowing:
             ],
             "doc_id long, text string",
         )
-        fps = {
-            i: {
-                r["fp"]
-                for r in winnow_fingerprints(
-                    docs.filter(f"doc_id = {i}"), k=8, w=4
-                ).collect()
+        for hash_fn in ("md5", "xxhash64"):
+            fps = {
+                i: {
+                    r["fp"]
+                    for r in winnow_fingerprints(
+                        docs.filter(f"doc_id = {i}"), k=8, w=4,
+                        hash_fn=hash_fn,
+                    ).collect()
+                }
+                for i in range(3)
             }
-            for i in range(3)
-        }
-        assert fps[0] & fps[1], "planted shared substring missed"
-        assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+            assert fps[0] & fps[1], f"planted substring missed ({hash_fn})"
+            assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+    def test_rejects_unknown_hash_fn(self, spark):
+        import pytest
+
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            winnow_fingerprints,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "some text")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="hash_fn"):
+            winnow_fingerprints(docs, hash_fn="sha1")
 
     def test_boundary_and_sketch_size(self, spark):
         from lakehouse_to_rag_spark.operators.text_analysis import (
@@ -1380,13 +1398,15 @@ class TestWinnowing:
             ],
             "doc_id long, text string",
         )
-        got = {
-            (r["id_a"], r["id_b"])
-            for r in winnow_matches(
-                docs, k=8, w=4, min_shared=2, max_fp_df=2
-            ).collect()
-        }
-        assert got == {(0, 1)}
+        for hash_fn in ("md5", "xxhash64"):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in winnow_matches(
+                    docs, k=8, w=4, min_shared=2, max_fp_df=2,
+                    hash_fn=hash_fn,
+                ).collect()
+            }
+            assert got == {(0, 1)}, hash_fn
 
 
 def test_fuzzy_decontaminate_planted_leak(spark, sf_dir):
@@ -1438,3 +1458,175 @@ def test_fuzzy_decontaminate_planted_leak(spark, sf_dir):
         if (a % 17 == 0) != (b % 17 == 0)
     }
     assert {(t, b) for t, b, _ in flagged} == exact and flagged
+
+
+def test_fuzzy_decontaminate_shuffle_fallback(spark, sf_dir):
+    """Past max_broadcast_rows the broadcast hints are dropped and
+    both joins run as shuffle joins — results must be IDENTICAL (the
+    hint changes strategy, never semantics). max_broadcast_rows=0
+    forces the fallback on any non-empty bench."""
+    from lakehouse_to_rag_spark.operators.dedup import fuzzy_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter("doc_id % 17 != 0")
+    bench = docs.filter("doc_id % 17 = 0")
+    bcast = sorted(
+        tuple(r) for r in fuzzy_decontaminate(train, bench).collect()
+    )
+    shuffled = sorted(
+        tuple(r)
+        for r in fuzzy_decontaminate(
+            train, bench, max_broadcast_rows=0
+        ).collect()
+    )
+    assert bcast == shuffled
+
+
+def test_append_ivf_check_disjoint(spark, sf_dir, tmp_path):
+    """Opt-in fail-closed id admission for the IVF append (symmetry
+    with the BM25 default): a re-sent batch raises before anything is
+    written; the default stays permissive because the IVF serve path
+    absorbs duplicates."""
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.similarity import (
+        append_to_ivf_index,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(e.filter("vec_id % 2 = 0"), path, num_centroids=16)
+    n_before = spark.read.parquet(path).count()
+    with pytest.raises(ValueError, match="already exist"):
+        append_to_ivf_index(
+            spark, path, e.filter("vec_id % 4 = 0"), check_disjoint=True
+        )
+    assert spark.read.parquet(path).count() == n_before  # fail-closed
+    n = append_to_ivf_index(
+        spark, path, e.filter("vec_id % 2 = 1"), check_disjoint=True
+    )
+    assert n == e.filter("vec_id % 2 = 1").count()
+
+
+def test_compact_remnant_recovery(spark, sf_dir, tmp_path):
+    """Crash recovery around the two-rename swap: (a) a dangling
+    ._compact_ tmp dir is discarded, (b) path missing + ._old_
+    present (death between the renames) restores the old layout,
+    (c) path + ._old_ both present (death before cleanup) drops the
+    old dir. After each repair the layout must serve."""
+    import os
+    import shutil
+
+    from lakehouse_to_rag_spark.operators.similarity import (
+        _recover_compact_remnants,
+        compact_ivf_index,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(e, path, num_centroids=16)
+    q = e.filter("vec_id < 6")
+
+    def served():
+        return sorted(
+            tuple(r)
+            for r in ivf_topk_from_index(
+                spark, path, q, k=5, nprobe=4
+            ).collect()
+        )
+
+    want = served()
+
+    # (a) dangling tmp from a compaction that died before its renames
+    os.makedirs(f"{path}._compact_deadbeef/cluster=0", exist_ok=True)
+    # (b)+(c) staged via a real crash simulation: move the layout to
+    # the _old_ name (exactly the state between the two renames)
+    shutil.move(path, f"{path}._old_cafef00d")
+    _recover_compact_remnants(path)
+    assert not os.path.exists(f"{path}._compact_deadbeef")
+    assert not os.path.exists(f"{path}._old_cafef00d")
+    assert served() == want
+
+    # (c) death after the second rename, before cleanup: old copy left
+    shutil.copytree(path, f"{path}._old_12345678")
+    _recover_compact_remnants(path)
+    assert not os.path.exists(f"{path}._old_12345678")
+    assert served() == want
+
+    # and a full compaction pass runs recovery implicitly
+    os.makedirs(f"{path}._compact_feedface", exist_ok=True)
+    compact_ivf_index(spark, path)
+    assert not os.path.exists(f"{path}._compact_feedface")
+    assert served() == want
+
+
+def test_knn_self_ivf_equals_ivf_topk_kmeans(spark, sf_dir):
+    """The broadcast-free self-kNN factoring must equal
+    ivf_topk_kmeans(corpus, corpus) row-for-row at the same
+    (k, C, nprobe, iterations) — same quantizer, same rounding
+    discipline, different join strategy only."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        ivf_topk_kmeans,
+        knn_self_ivf,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mine = sorted(
+        tuple(r)
+        for r in knn_self_ivf(
+            e, k=5, num_centroids=16, nprobe=4, iterations=3
+        ).collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in ivf_topk_kmeans(
+            e, e, k=5, num_centroids=16, nprobe=4, iterations=3
+        ).collect()
+    )
+    assert mine == ref and mine
+
+
+def test_knn_edges_auto_dispatch(spark, sf_dir):
+    """Below the cutover the dispatcher must emit exactly the
+    brute-force edge set; above it, exactly the self-IVF edge set
+    with C = max(16, isqrt(n)) — the minhash_lsh_pairs_auto contract
+    (dispatch changes cost, and past the cutover recall, never
+    correctness of the chosen form)."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        knn_bruteforce_numpy,
+        knn_edges_auto,
+        knn_self_ivf,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = sorted(
+        tuple(r)
+        for r in knn_bruteforce_numpy(e, e, k=5)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    auto_small = sorted(
+        tuple(r) for r in knn_edges_auto(e, k=5).collect()
+    )
+    assert auto_small == brute and auto_small
+
+    n = e.count()
+    ann = sorted(
+        tuple(r)
+        for r in knn_self_ivf(
+            e, k=5, num_centroids=max(16, int(n ** 0.5)), nprobe=8
+        )
+        .select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+        )
+        .collect()
+    )
+    auto_big = sorted(
+        tuple(r)
+        for r in knn_edges_auto(e, k=5, cutover_rows=1).collect()
+    )
+    assert auto_big == ann and auto_big

@@ -167,6 +167,66 @@ def test_medallion_incremental_equals_overwrite(spark, sf_dir, tmp_path):
     assert "doc://edge" not in urls  # rank-before-filter: first crawl wins
 
 
+def test_medallion_incremental_crash_replay(spark, sf_dir, tmp_path):
+    """The ADVICE r7 crash window: a turn that dies AFTER its
+    silver/gold upserts but BEFORE bronze must replay losslessly.
+    Bronze (the admission-key layer) now upserts LAST, so the dead
+    turn's urls are not yet 'seen' and the replay re-admits them
+    through the idempotent by-key upserts. We simulate the crash by
+    running a turn's silver/gold upserts manually and skipping
+    bronze, then replaying the batch through the real operator."""
+    from lakehouse_to_rag_spark.operators.bronze import bronze_transform
+    from lakehouse_to_rag_spark.operators.gold import gold_transform
+    from lakehouse_to_rag_spark.operators.pipeline import (
+        documents_as_raw,
+        run_medallion_incremental,
+    )
+    from lakehouse_to_rag_spark.operators.silver import silver_transform
+    from lakehouse_to_rag_spark.sources.lakehouse import (
+        read_layer,
+        upsert_by_key,
+    )
+
+    ts = "2025-01-01 00:00:00"
+    raw = documents_as_raw(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    b1 = raw.filter("doc_id % 2 = 0")
+    b2 = raw.filter("doc_id % 2 = 1")
+
+    crashed = str(tmp_path / "crashed")
+    run_medallion_incremental(spark, [b1], crashed)
+
+    # --- the dying turn for b2: silver + gold land, bronze does NOT
+    bronze_b = bronze_transform(
+        b2, id_cols=("url", "source", "title", "doc_id", "lang"),
+        processed_at=ts,
+    )
+    seen = read_layer(spark, f"{crashed}/bronze").select("url").distinct()
+    fresh = (
+        silver_transform(
+            bronze_b, key_col="url", order_cols=("processed_at", "doc_id"),
+            silver_processed_at=ts,
+        )
+        .join(seen, "url", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    upsert_by_key(spark, f"{crashed}/silver", fresh, ["url"])
+    upsert_by_key(
+        spark, f"{crashed}/gold", gold_transform(fresh, with_index=True),
+        ["url", "chunk_index"],
+    )
+    # crash here: bronze never upserted — now the foreachBatch replay
+    replayed = run_medallion_incremental(spark, [b2], crashed)
+
+    clean = run_medallion_incremental(
+        spark, [b1, b2], str(tmp_path / "clean")
+    )
+    for layer in ("bronze", "silver", "gold"):
+        cols = sorted(clean[layer].columns)
+        a = sorted(map(tuple, replayed[layer].select(*cols).collect()))
+        b = sorted(map(tuple, clean[layer].select(*cols).collect()))
+        assert a == b and a, layer
+
+
 def test_observed_medallion_metrics_match_direct_aggregates(spark, sf_dir):
     """Observation metrics (computed inside the job, zero extra scan)
     must equal the values a separate aggregation job computes, and one

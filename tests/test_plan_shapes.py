@@ -397,3 +397,28 @@ def test_medallion_admission_prunes_to_url_column(spark, sf_dir, tmp_path):
     ]
     assert len(pruned) == 1, plan
     assert "LeftAnti" in plan
+
+
+def test_pagerank_hoists_loop_invariant_degree_join(spark):
+    """pagerank_micro's degree-annotated edge table (e ⋈ outdeg) is
+    loop-invariant and must be joined ONCE (checkpointed) before the
+    rounds, not re-joined per iteration: with checkpointing disabled
+    so the full lineage is visible, the optimized plan must contain
+    exactly 2 joins per round (score ⋈ edges, nodes ⟕ contrib) and
+    not the 3 the pre-hoist form paid. Oracle-value equality with the
+    checkpointed production form is asserted alongside."""
+    from lakehouse_to_rag_spark.operators.graph import pagerank_micro
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)], "src long, dst long"
+    )
+    iters = 3
+    flat = pagerank_micro(edges, iterations=iters, checkpoint_rounds=False)
+    plan = flat._jdf.queryExecution().optimizedPlan().toString()
+    n_joins = plan.count("Join ")
+    assert n_joins == 2 * iters, f"expected {2 * iters} joins, plan has {n_joins}"
+    # and the un-checkpointed plan computes the same exact micros
+    prod = sorted(
+        tuple(r) for r in pagerank_micro(edges, iterations=iters).collect()
+    )
+    assert sorted(tuple(r) for r in flat.collect()) == prod

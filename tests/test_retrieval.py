@@ -638,11 +638,18 @@ def test_compact_bm25_index_preserves_serving(spark, sf_dir, tmp_path):
     write_bm25_index(d.filter("doc_id % 4 = 0"), path)
     for m in (1, 2, 3):
         append_to_bm25_index(spark, path, d.filter(f"doc_id % 4 = {m}"))
+    # a streaming sink keeps its ledger under the index root — the
+    # ADVICE r7 bug: compaction dropped it, so a post-compaction
+    # foreachBatch re-delivery would re-append absorbed postings
+    spark.createDataFrame([(0,)], "batch_id long").write.parquet(
+        f"{path}/_ledger"
+    )
 
     def files():
         return [
             f for f in pathlib.Path(path).rglob("*.parquet")
             if f.is_file() and "_stats" not in f.parts
+            and "_ledger" not in f.parts
         ]
 
     q = spark.createDataFrame(
@@ -662,3 +669,62 @@ def test_compact_bm25_index_preserves_serving(spark, sf_dir, tmp_path):
     )
     assert after == before and after
     assert spark.read.parquet(f"{path}/_stats").collect() == stats_before
+    # ledger survives the swap (mirrors the IVF twin's assertion)
+    assert spark.read.parquet(f"{path}/_ledger").collect()[0]["batch_id"] == 0
+
+
+def test_append_bm25_check_disjoint_fail_closed(spark, sf_dir, tmp_path):
+    """A re-sent doc id would double its tf rows; the default
+    check_disjoint=True must refuse BEFORE anything is written, and
+    the explicit opt-out must keep the old (documented-unsafe)
+    behavior for callers with upstream admission."""
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.retrieval import (
+        append_to_bm25_index,
+        write_bm25_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(d.filter("doc_id % 2 = 0"), path)
+    before_rows = spark.read.parquet(path).count()
+    before_stats = spark.read.parquet(f"{path}/_stats").collect()
+    resent = d.filter("doc_id % 4 = 0")  # subset of what's indexed
+    with pytest.raises(ValueError, match="already exist"):
+        append_to_bm25_index(spark, path, resent)
+    # fail-CLOSED: nothing was appended, stats untouched
+    assert spark.read.parquet(path).count() == before_rows
+    assert spark.read.parquet(f"{path}/_stats").collect() == before_stats
+    # disjoint batch passes the check unchanged
+    n = append_to_bm25_index(spark, path, d.filter("doc_id % 2 = 1"))
+    assert n > 0
+    # opt-out keeps the unguarded append for admission-guaranteed callers
+    append_to_bm25_index(spark, path, resent, check_disjoint=False)
+
+
+def test_rebuild_bm25_stats_reconciles_half_commit(spark, sf_dir, tmp_path):
+    """The documented half-commit window: postings appended but the
+    _stats swap never landed. rebuild_bm25_stats must reconstruct
+    _stats from the postings alone, bit-equal to an uninterrupted
+    append's stats."""
+    from lakehouse_to_rag_spark.operators.retrieval import (
+        append_to_bm25_index,
+        rebuild_bm25_stats,
+        write_bm25_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(d.filter("doc_id % 2 = 0"), path)
+    stale = spark.read.parquet(f"{path}/_stats").collect()
+    append_to_bm25_index(spark, path, d.filter("doc_id % 2 = 1"))
+    good = spark.read.parquet(f"{path}/_stats").collect()
+    # simulate the crash: postings are in, but _stats rolled back
+    schema = "n_docs long, sum_dl long, avgdl double, n_buckets long"
+    spark.createDataFrame(stale, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_stats")
+    assert spark.read.parquet(f"{path}/_stats").collect() == stale != good
+    rebuild_bm25_stats(spark, path)
+    assert spark.read.parquet(f"{path}/_stats").collect() == good
