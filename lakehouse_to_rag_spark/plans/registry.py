@@ -7785,10 +7785,14 @@ _CANARIES: list[str] = [
 # Remove a pin once its fresh green row is recorded; new registry
 # entries need no pin (never-checked == stalest == auto-included).
 _PINS: list[str] = [
-    # r8: no oracle upgrades this round — both r7 pins recorded fresh
-    # green rows (CORRECTNESS_r07) and rotate out, freeing 2 slots so
-    # the stalest-first fill drains the r3 evidence backlog (8 entries)
-    # plus this round's new registrations in one window.
+    # r8: doc_pagerank's edge build changed (unconditional all-pairs
+    # GEMM -> knn_edges_auto dispatch) — the dispatch must pick the
+    # exact brute-force form at gate scale, and that claim needs a
+    # fresh external driver row, not just local parity. Both r7 pins
+    # recorded green rows (CORRECTNESS_r07) and rotate out; the freed
+    # slots + stalest-first fill drain the r3 evidence backlog (8
+    # entries) plus this round's new registrations in one window.
+    "doc_pagerank",
 ]
 
 

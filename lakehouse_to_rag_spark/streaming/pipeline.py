@@ -417,7 +417,13 @@ def stream_bm25_sink(
     side there is no serve-time duplicate absorber for the
     data-landed/ledger-lost crash window, so ids replayed through that
     window should be deduped upstream (``incremental_dedup_stream``)
-    or the index rebuilt. Returns the started StreamingQuery."""
+    or the index rebuilt. The sink passes ``check_disjoint=False``
+    deliberately: the batch operator's fail-closed id scan is O(index)
+    per call — right for a manual append, wrong as a per-micro-batch
+    tax at scale — and here the ledger already absorbs re-deliveries
+    while upstream admission owns true id collisions (the same
+    division of labor as the medallion sink). Returns the started
+    StreamingQuery."""
     from lakehouse_to_rag_spark.operators.retrieval import (
         append_to_bm25_index,
     )
@@ -425,7 +431,7 @@ def stream_bm25_sink(
     def _append(batch: DataFrame, batch_id: int) -> None:
         append_to_bm25_index(
             batch.sparkSession, index_path, batch,
-            id_col=id_col, text_col=text_col,
+            id_col=id_col, text_col=text_col, check_disjoint=False,
         )
 
     return _ledgered_index_sink(
