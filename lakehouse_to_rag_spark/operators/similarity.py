@@ -809,6 +809,8 @@ def knn_self_ivf(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt_cap: int = 200_000,
+    gemm_block_elems: int = 50_000_000,
 ) -> DataFrame:
     """Self-kNN over a trained IVF quantizer — the SUB-QUADRATIC graph
     builder for corpus-scale kNN graphs (doc_pagerank's edge list,
@@ -824,6 +826,23 @@ def knn_self_ivf(
     broadcast, and only n·nprobe·k candidate rows leave Python. Work
     is O(n² · nprobe / C), so C ~ √n gives O(n^1.5) total (measured
     sub-quadratic at 400k rows, SCALE.md r8).
+
+    SKEW GUARD (``salt_cap``): identical vectors all assign to the
+    same centroid, so a duplicate-heavy corpus collapses into one
+    mega-cluster and the cogroup hands ONE task an O(cluster²) GEMM —
+    the same failure mode the stop-shingle caps and the
+    exact-dedup-first MinHash form guard against. Clusters whose
+    member count exceeds ``salt_cap`` are split into
+    ceil(size/salt_cap) salt shards by member-id hash; every prober
+    of a salted cluster fans out to ALL its shards, so the candidate
+    SET is exactly the unsalted one and results are bit-identical
+    (each member still appears in exactly one (cluster, salt) group;
+    per-shard top-k is a superset-preserving prefilter of the same
+    total order the global rank applies — salted-vs-unsalted equality
+    tested on a 90%-duplicate corpus). Cost: per-shard probe
+    duplication, bounding every task at salt_cap members. The cluster
+    size table is one partial-aggregated groupBy over the checkpointed
+    assignment (C rows collected — the legitimately tiny list).
 
     Every numeric convention matches ``ivf_topk_kmeans`` exactly —
     same deterministic k-means, 12dp half-away rounding before the
@@ -897,6 +916,15 @@ def knn_self_ivf(
         # Arrow pass instead of two
         .localCheckpoint(eager=False)
     )
+    if salt_cap < 1:
+        raise ValueError(f"knn_self_ivf: salt_cap >= 1, got {salt_cap}")
+    hot = {
+        int(r["cluster"]): -(-int(r["n"]) // salt_cap)  # ceil div
+        for r in assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if int(r["n"]) > salt_cap
+    }
     nbr = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
@@ -907,6 +935,20 @@ def knn_self_ivf(
         F.col(vec_col).alias("qvec"),
         F.explode("probes").alias("cluster"),
     )
+    if hot:
+        ns_map = F.create_map(
+            *[F.lit(x) for kv in hot.items() for x in kv]
+        )
+        ns = F.coalesce(ns_map[F.col("cluster")], F.lit(1))
+        nbr = nbr.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("neighbor_id")), ns)
+        )
+        qry = qry.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0).cast("long"), ns - 1))
+        )
+    else:
+        nbr = nbr.withColumn("salt", F.lit(0).cast("long"))
+        qry = qry.withColumn("salt", F.lit(0).cast("long"))
 
     pair_schema = StructType(
         [
@@ -942,29 +984,44 @@ def knn_self_ivf(
         mat = np.array(list(npdf["nvec"]), dtype=np.float64)[o]
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = np.nan
-        q_ids = qpdf["query_id"].to_numpy(dtype=np.int64)
-        q_mat = np.array(list(qpdf["qvec"]), dtype=np.float64)
-        q_norm = np.linalg.norm(q_mat, axis=1)
-        q_norm[q_norm == 0] = np.nan
-        sims = (mat @ q_mat.T) / norms[:, None] / q_norm[None, :]
-        sims = _round_away(sims, 4)
-        top = min(k + 1, len(ids))  # +1 to survive self-match removal
-        order = np.argsort(-sims, axis=0, kind="stable")[:top]
-        nbr_ids = ids[order]                              # (top, Q)
-        cos = np.take_along_axis(sims, order, axis=0)     # (top, Q)
-        qid = np.broadcast_to(q_ids[None, :], nbr_ids.shape)
-        keep = (nbr_ids != qid).T                         # (Q, top)
-        return pd.DataFrame(
-            {
-                "query_id": qid.T[keep],
-                "neighbor_id": nbr_ids.T[keep],
-                "cosine": cos.T[keep],
-            }
-        )
+        q_ids_all = qpdf["query_id"].to_numpy(dtype=np.int64)
+        q_mat_all = np.array(list(qpdf["qvec"]), dtype=np.float64)
+        # QUERY-CHUNKED GEMM: the full members×probers sims matrix is
+        # memory-QUADRATIC in the group (a salt_cap-member shard
+        # probed by the whole mega-cluster would allocate tens of GB
+        # in one task). Blocks bound the live matrix at
+        # gemm_block_elems doubles (~400 MB at the default) regardless
+        # of prober count; per-query top-k is independent, so chunking
+        # is exact (chunked==unchunked equality-tested).
+        qblock = max(1, gemm_block_elems // max(1, len(ids)))
+        outs = []
+        for s in range(0, len(q_ids_all), qblock):
+            q_ids = q_ids_all[s:s + qblock]
+            q_mat = q_mat_all[s:s + qblock]
+            q_norm = np.linalg.norm(q_mat, axis=1)
+            q_norm[q_norm == 0] = np.nan
+            sims = (mat @ q_mat.T) / norms[:, None] / q_norm[None, :]
+            sims = _round_away(sims, 4)
+            top = min(k + 1, len(ids))  # +1: survive self-match removal
+            order = np.argsort(-sims, axis=0, kind="stable")[:top]
+            nbr_ids = ids[order]                              # (top, Q)
+            cos = np.take_along_axis(sims, order, axis=0)     # (top, Q)
+            qid = np.broadcast_to(q_ids[None, :], nbr_ids.shape)
+            keep = (nbr_ids != qid).T                         # (Q, top)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid.T[keep],
+                        "neighbor_id": nbr_ids.T[keep],
+                        "cosine": cos.T[keep],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     pairs = (
-        qry.groupBy("cluster")
-        .cogroup(nbr.groupBy("cluster"))
+        qry.groupBy("cluster", "salt")
+        .cogroup(nbr.groupBy("cluster", "salt"))
         .applyInPandas(_score_cluster, schema=pair_schema)
     )
     return _ranked_topk(pairs, k)
@@ -991,7 +1048,9 @@ def knn_edges_auto(
     O(n^1.5) work, shuffle-join only, nothing corpus-sized broadcast.
     Below the cutover the dispatch can never change results vs the
     brute-force form; above it, edges are the standard IVF
-    approximation (recall pinned in tests). Returns (src, dst)."""
+    approximation (recall pinned in tests), with ``knn_self_ivf``'s
+    salt shards bounding the per-task GEMM on duplicate-heavy corpora.
+    Returns (src, dst)."""
     import math
 
     n = corpus.count()

@@ -1630,3 +1630,39 @@ def test_knn_edges_auto_dispatch(spark, sf_dir):
         for r in knn_edges_auto(e, k=5, cutover_rows=1).collect()
     )
     assert auto_big == ann and auto_big
+
+
+def test_knn_self_ivf_salting_equality(spark, sf_dir):
+    """The skew guard: a duplicate-heavy corpus collapses into a
+    mega-cluster; salting must bound the per-task GEMM WITHOUT
+    changing results — salted (tiny salt_cap forcing shards on the
+    harness data AND on a 90%-duplicate corpus) == unsalted,
+    row-for-row."""
+    from lakehouse_to_rag_spark.operators.similarity import knn_self_ivf
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def run(df, cap, blk=50_000_000):
+        return sorted(
+            tuple(r)
+            for r in knn_self_ivf(
+                df, k=5, num_centroids=16, nprobe=4, salt_cap=cap,
+                gemm_block_elems=blk,
+            ).collect()
+        )
+
+    assert run(e, 10) == run(e, 200_000)
+    # tiny GEMM block forces many query chunks per group: chunked
+    # scoring must equal the one-shot matrix exactly
+    assert run(e, 200_000, blk=64) == run(e, 200_000)
+
+    # 90%-duplicate corpus: every copy of vec 0's embedding assigns to
+    # ONE cluster — exactly the skew case the cap exists for
+    base = e.filter("vec_id < 50").select("vec_id", "embedding")
+    dup = (
+        e.filter("vec_id = 0")
+        .select(F.explode(F.sequence(F.lit(1), F.lit(450))).alias("j"), "embedding")
+        .select((F.col("j") + 1000).alias("vec_id"), "embedding")
+    )
+    skewed = base.unionByName(dup).localCheckpoint(eager=True)
+    assert run(skewed, 25) == run(skewed, 200_000)
