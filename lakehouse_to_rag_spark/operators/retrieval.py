@@ -365,7 +365,9 @@ def rebuild_bm25_stats(spark, path: str) -> None:
     shutil.rmtree(old)
 
 
-def compact_bm25_index(spark, path: str) -> int:
+def compact_bm25_index(
+    spark, path: str, target_rows_per_file: int | None = None
+) -> int:
     """Small-file compaction for the persisted BM25 posting layout —
     ``append_to_bm25_index`` adds one file per touched ``bucket=N/``
     directory per batch, the same accretion as the IVF appends (the
@@ -377,8 +379,9 @@ def compact_bm25_index(spark, path: str) -> int:
     re-append postings the ledger had already absorbed, and the BM25
     side has no serve-time duplicate absorber. Serve results are
     bit-equal before/after (compact-then-serve equality test). Must be
-    run with any ingest stream quiesced (see ``_compact_index_layout``).
-    Returns the data file count written."""
+    run with any ingest stream quiesced (see ``_compact_index_layout``,
+    which also documents the ``target_rows_per_file`` multi-file
+    policy for hot buckets). Returns the data file count written."""
     from lakehouse_to_rag_spark.operators.similarity import (
         _compact_index_layout,
     )
@@ -386,6 +389,7 @@ def compact_bm25_index(spark, path: str) -> int:
     return _compact_index_layout(
         spark, path, "bucket",
         carry_dirs=(), rewrite_dirs=("_stats", "_ledger"),
+        target_rows_per_file=target_rows_per_file, split_col="id",
     )
 
 

@@ -425,17 +425,32 @@ def _compact_index_layout(
     partition_col: str,
     carry_dirs: tuple[str, ...],
     rewrite_dirs: tuple[str, ...],
+    target_rows_per_file: int | None = None,
+    split_col: str | None = None,
 ) -> int:
     """Shared core of index-layout compaction (IVF and BM25 share the
     problem exactly): rewrite the data rows repartitioned by the
-    layout's partition column (each value collapses to one task =>
-    one file per directory; at real scale swap in repartitionByRange
-    on (partition, id) for multi-file partitions), carry ``carry_dirs``
-    verbatim, rewrite each per-batch-accreting ``rewrite_dirs`` aux
-    table to a single file, and swap atomically. The generic
+    layout's partition column, carry ``carry_dirs`` verbatim, rewrite
+    each per-batch-accreting ``rewrite_dirs`` aux table to a single
+    file, and swap atomically. The generic
     ``sources.lakehouse.compact_layer`` is NOT layout-safe — it swaps
     the root (discarding the underscore aux dirs) and flattens the
     partitioning directory pruning depends on.
+
+    File-count policy: default (``target_rows_per_file=None``) hashes
+    on the partition column — each value collapses to one task and
+    ONE file per directory, the right shape at bench scale. At real
+    scale one file per value is its own pathology (a hot bucket
+    becomes one multi-TB file written by one task and scanned with no
+    intra-directory parallelism), so passing ``target_rows_per_file``
+    switches to ``repartitionByRange(ceil(rows/target), partition,
+    split_col)``: value-contiguous ranges split oversized values
+    across consecutive tasks (range boundaries fall only between
+    distinct sort keys, so the secondary ``split_col`` — the row id —
+    is what makes a hot value divisible), the partitioned write still
+    routes every row to its ``<partition>=N/`` directory, and big
+    directories get ~size/target files while small ones keep one
+    (multi-file compaction is serve-equality tested).
 
     CONCURRENCY CONTRACT: compaction must run with the ingest stream
     QUIESCED (stop ``stream_index_sink``/``stream_bm25_sink`` first).
@@ -460,9 +475,25 @@ def _compact_index_layout(
     _recover_compact_remnants(path)
     df = read_layer(spark, path)
     tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
-    write_layer(
-        df.repartition(partition_col), tmp, partition_by=[partition_col]
-    )
+    if target_rows_per_file is None:
+        out = df.repartition(partition_col)
+    else:
+        if target_rows_per_file < 1:
+            raise ValueError(
+                "_compact_index_layout: target_rows_per_file >= 1, "
+                f"got {target_rows_per_file}"
+            )
+        if split_col is None:
+            raise ValueError(
+                "_compact_index_layout: target_rows_per_file needs "
+                "split_col (the secondary range key that makes a hot "
+                "partition value divisible)"
+            )
+        n_out = max(1, -(-df.count() // target_rows_per_file))
+        out = df.repartitionByRange(
+            n_out, F.col(partition_col), F.col(split_col)
+        )
+    write_layer(out, tmp, partition_by=[partition_col])
     for aux in carry_dirs:
         src = os.path.join(path, aux)
         if os.path.exists(src):
@@ -488,7 +519,9 @@ def _compact_index_layout(
     )
 
 
-def compact_ivf_index(spark, path: str) -> int:
+def compact_ivf_index(
+    spark, path: str, target_rows_per_file: int | None = None
+) -> int:
     """Small-file compaction for the persisted IVF layout — the
     maintenance pass the incremental story needs: every
     ``append_to_ivf_index`` / ``stream_index_sink`` batch adds one
@@ -498,10 +531,13 @@ def compact_ivf_index(spark, path: str) -> int:
     39 batches, SCALE.md r7). ``_centroids`` carries verbatim (written
     once); the sink's ``_ledger`` rewrites to one file. Probe results
     are bit-equal before/after (compact-then-serve equality test).
+    ``target_rows_per_file`` opts into multi-file directories for hot
+    clusters (see ``_compact_index_layout``'s file-count policy).
     Returns the data file count written."""
     return _compact_index_layout(
         spark, path, "cluster",
         carry_dirs=("_centroids",), rewrite_dirs=("_ledger",),
+        target_rows_per_file=target_rows_per_file, split_col="vec_id",
     )
 
 

@@ -1666,3 +1666,40 @@ def test_knn_self_ivf_salting_equality(spark, sf_dir):
     )
     skewed = base.unionByName(dup).localCheckpoint(eager=True)
     assert run(skewed, 25) == run(skewed, 200_000)
+
+
+def test_compact_ivf_multi_file_target(spark, sf_dir, tmp_path):
+    """target_rows_per_file: hot cluster directories split into
+    multiple files (range split on the secondary id key) while serve
+    results stay bit-equal — the 100 TB file-count policy the
+    one-file-per-value default can't provide."""
+    import pathlib
+
+    from lakehouse_to_rag_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(e, path, num_centroids=4)  # few clusters => hot dirs
+    q = e.filter("vec_id < 6")
+    before = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, path, q, k=5, nprobe=2).collect()
+    )
+
+    n_written = compact_ivf_index(spark, path, target_rows_per_file=50)
+    per_dir: dict[str, int] = {}
+    for f in pathlib.Path(path).rglob("*.parquet"):
+        if f.is_file() and "_centroids" not in f.parts:
+            d = [p for p in f.parts if p.startswith("cluster=")][0]
+            per_dir[d] = per_dir.get(d, 0) + 1
+    assert sum(per_dir.values()) == n_written
+    assert max(per_dir.values()) > 1  # a hot cluster actually split
+    after = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(spark, path, q, k=5, nprobe=2).collect()
+    )
+    assert after == before and after
