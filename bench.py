@@ -170,13 +170,33 @@ def _prior_mins() -> dict[str, float]:
     """Per-query min timings from the most recent recorded BENCH
     round, used only to decide which entries get an untimed warm-up
     pass (see below). Missing file / missing entry => warm up (the
-    conservative default for never-benched queries)."""
+    conservative default for never-benched queries).
+
+    Handles BOTH formats on disk: this script's own output line
+    (top-level "queries") and the driver's recording wrapper
+    ({n, rc, tail, parsed} — "parsed" when the driver parsed the JSON
+    line, else the raw stdout tail, from which the queries section is
+    recovered by regex; the tail may be truncated, which at worst
+    re-warms a few entries)."""
+    import re
+
     latest: dict[str, float] = {}
     for f in sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json")):
         try:
-            q = json.loads(f.read_text()).get("queries") or {}
+            data = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
+        q = data.get("queries")
+        if not q and isinstance(data.get("parsed"), dict):
+            q = data["parsed"].get("queries")
+        if not q and isinstance(data.get("tail"), str):
+            sec = data["tail"].split('"queries_p50"')[0]
+            q = {
+                m[0]: float(m[1])
+                for m in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', sec)
+            }
+            for k in ("value", "sf", "n", "rc", "cpus"):
+                q.pop(k, None)
         if q:
             latest = {k: float(v) for k, v in q.items()}
     return latest

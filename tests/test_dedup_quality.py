@@ -1703,3 +1703,25 @@ def test_compact_ivf_multi_file_target(spark, sf_dir, tmp_path):
         for r in ivf_topk_from_index(spark, path, q, k=5, nprobe=2).collect()
     )
     assert after == before and after
+
+
+def test_knn_self_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """Recall floor for the graph-build ANN branch (knn_edges_auto's
+    past-cutover form): self-IVF top-5 neighbor pairs vs the exact
+    brute-force graph, same floor as the query-side IVF pin."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        knn_bruteforce_numpy,
+        knn_self_ivf,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce_numpy(e, e, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_self_ivf(e, k=5, num_centroids=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
