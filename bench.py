@@ -158,6 +158,8 @@ HEADLINE = [
     "decontaminate_fuzzy",
     "bm25_served_incremental",
     "knn_self_ivf",
+    # the embedding rung of the decontamination family (map-only GEMM)
+    "decontaminate_semantic",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

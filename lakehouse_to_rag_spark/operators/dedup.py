@@ -446,6 +446,117 @@ def fuzzy_decontaminate(
     )
 
 
+def semantic_decontaminate(
+    train_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    threshold: float | None = 0.9,
+    max_broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """SEMANTIC decontamination — the third rung of the family: exact
+    n-gram (``bloom_decontaminate``) catches verbatim overlap, fuzzy
+    MinHash (``fuzzy_decontaminate``) catches edited/paraphrase-lite
+    overlap, and this catches REWRITES that share no surface n-grams
+    but embed next to a benchmark item (the embedding-similarity
+    decontamination check the big-model reports run alongside the
+    n-gram one).
+
+    For every training vector: the maximum 4dp-rounded cosine against
+    the WHOLE benchmark set, with the witnessing bench id (ties ->
+    smallest bench id). ``threshold`` keeps rows at or above it;
+    ``None`` reports every train row's best match (the audit form the
+    gate entry uses — thresholding is then a trivial filter the
+    caller owns).
+
+    Scale shape: the benchmark embeds as one driver matrix shipped in
+    the task closure — eval sets are small by nature, and the
+    assumption is GUARDED by the ``embedding_dup_pairs_numpy``
+    convention (fail-closed raise past ``max_broadcast_rows``, stated
+    bound instead of a silent executor OOM). The corpus side is ONE
+    Arrow mapInPandas scan, GEMM per batch, no shuffle at all before
+    the (already per-row) result — the cheapest possible shape: at
+    100 TB this is a map-only pass. Zero-norm rows on either side
+    have undefined cosine and are excluded (NaN never wins the
+    argmax; an all-NaN train row emits nothing), matching the
+    build-path zero-vector rule. GEMM ulps vs a sequential dot are
+    absorbed by the 4dp round (the ``knn_bruteforce_numpy`` parity
+    class); ROW_NUMBER over (cos4 DESC, bench_id ASC) replays it in
+    SQL exactly. Returns (id_col, bench_id, cosine)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from lakehouse_to_rag_spark.operators.similarity import _round_away
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    bench_narrow = maybe_parallelize(
+        bench_emb.select(bench_id_col, bench_vec_col)
+    ).localCheckpoint(eager=True)
+    n_bench = bench_narrow.count()
+    if n_bench > max_broadcast_rows:
+        raise ValueError(
+            f"semantic_decontaminate: benchmark has {n_bench} rows > "
+            f"max_broadcast_rows={max_broadcast_rows}; the closure-matrix "
+            "contract is bounded. Split the benchmark or raise the bound "
+            "deliberately."
+        )
+    b_rows = bench_narrow.collect()
+    # sort by bench id so a stable argmax resolves exact 4dp ties to
+    # the smallest bench id (the knn_bruteforce_numpy pre-sort proof)
+    b_rows.sort(key=lambda r: r[0])
+    b_ids = np.array([r[0] for r in b_rows], dtype=np.int64)
+    b_mat = np.array([r[1] for r in b_rows], dtype=np.float64)
+    b_norm = np.linalg.norm(b_mat, axis=1)
+    b_norm[b_norm == 0] = np.nan
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("bench_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = np.nan
+            sims = (mat @ b_mat.T) / norms[:, None] / b_norm[None, :]
+            sims = _round_away(sims, 4)
+            # NaN columns/rows never win: nan -> -inf, all--inf rows drop
+            sims = np.where(np.isnan(sims), -np.inf, sims)
+            best = np.argmax(sims, axis=1)  # first max = smallest bench id
+            cos = sims[np.arange(len(ids)), best]
+            keep = np.isfinite(cos)
+            yield pd.DataFrame(
+                {
+                    id_col: ids[keep],
+                    "bench_id": b_ids[best[keep]],
+                    "cosine": cos[keep],
+                }
+            )
+
+    out = (
+        maybe_parallelize(train_emb.select(id_col, vec_col))
+        .mapInPandas(_score, out_schema)
+    )
+    if threshold is not None:
+        out = out.filter(F.col("cosine") >= threshold)
+    return out
+
+
 def minhash_lsh_pairs_auto(
     df: DataFrame,
     id_col: str,

@@ -778,6 +778,43 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMANTIC_DECONTAM_ORACLE = """
+WITH t AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 17 <> 0
+), b AS (
+  SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 17 = 0
+), p AS (
+  SELECT t.vec_id, b.bench_id,
+         ROUND(list_cosine_similarity(t.v, b.v), 4) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY t.vec_id
+           ORDER BY ROUND(list_cosine_similarity(t.v, b.v), 4) DESC,
+                    b.bench_id ASC) AS rn
+  FROM t CROSS JOIN b
+)
+SELECT vec_id, bench_id, cosine FROM p WHERE rn = 1
+"""
+
+
+@_q("decontaminate_semantic", _SEMANTIC_DECONTAM_ORACLE)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/benchmark decontamination — the third
+    rung after exact n-gram (bloom) and fuzzy MinHash: every training
+    vector's best 4dp cosine against the benchmark set with the
+    witnessing bench id (ties to the smallest id). Gate runs the
+    threshold-free audit form so EVERY train row faces the hash; the
+    engine is one Arrow map-only GEMM scan against the closure-borne
+    bench matrix (fail-closed past max_broadcast_rows), replayed in
+    SQL by the cross join + ROW_NUMBER argmax."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return dd.semantic_decontaminate(
+        e.filter("vec_id % 17 != 0"),
+        e.filter("vec_id % 17 = 0"),
+        threshold=None,
+    )
+
+
 @_q("dedup_simhash")  # bit-bucket candidates: rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

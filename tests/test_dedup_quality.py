@@ -1725,3 +1725,49 @@ def test_knn_self_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_semantic_decontaminate_planted_and_guards(spark, sf_dir):
+    """The embedding rung of the decontamination family: a train
+    vector colinear with a bench item is flagged at the threshold, an
+    orthogonal one is not; threshold=None audits every non-zero train
+    row; zero-norm rows are excluded; the bench-side broadcast is
+    fail-closed past max_broadcast_rows."""
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.dedup import (
+        semantic_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [
+            (100, [2.0, 0.0, 0.0, 0.0]),   # colinear with bench 0 -> cos 1
+            (101, [0.0, 0.0, 3.0, 0.0]),   # orthogonal to both -> cos 0
+            (102, [0.0, 0.0, 0.0, 0.0]),   # zero norm -> excluded
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["vec_id"], r["bench_id"], r["cosine"])
+        for r in semantic_decontaminate(train, bench, threshold=0.9).collect()
+    }
+    assert got == {(100, 0, 1.0)}
+
+    audit = {
+        r["vec_id"]: (r["bench_id"], r["cosine"])
+        for r in semantic_decontaminate(
+            train, bench, threshold=None
+        ).collect()
+    }
+    assert set(audit) == {100, 101}  # zero-norm 102 emits nothing
+    assert audit[100] == (0, 1.0)
+    assert audit[101][1] == 0.0
+    # exact tie (cos 0 against both bench items) -> smallest bench id
+    assert audit[101][0] == 0
+
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        semantic_decontaminate(train, bench, max_broadcast_rows=1)
