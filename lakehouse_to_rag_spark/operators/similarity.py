@@ -1068,7 +1068,7 @@ def knn_edges_auto(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    cutover_rows: int = 50_000,
+    cutover_rows: int = 10_000,
     num_centroids: int | None = None,
     nprobe: int = 8,
     iterations: int = 3,
@@ -1078,10 +1078,18 @@ def knn_edges_auto(
     remaining all-pairs composition (doc_pagerank's edge list): one
     count (cheap when the caller checkpoints, which doc_pagerank
     does), then ≤ ``cutover_rows`` dispatches to the EXACT GEMM
-    ``knn_bruteforce_numpy`` (oracle-replayable bit-for-bit; O(n²)
-    work is the cheaper constant at small n) and beyond it to
-    ``knn_self_ivf`` with C = max(16, √n) trained centroids —
-    O(n^1.5) work, shuffle-join only, nothing corpus-sized broadcast.
+    ``knn_bruteforce_numpy`` and beyond it to ``knn_self_ivf`` with
+    C = max(16, √n) trained centroids — O(n^1.5) work, shuffle-join
+    only, nothing corpus-sized broadcast.
+
+    The default cutover is set by MEASUREMENT, not preference
+    (SCALE.md r8 probe): brute is cheaper below ~6-8k rows (no
+    k-means training to amortize — 0.3 s vs 1.9 s at the 2.5k gate
+    corpus), the forms cross in the high-single-digit thousands, and
+    by 16k self-IVF already wins 9.8x (58.6 s vs 6.0 s) with the gap
+    growing quadratically. 10k keeps every corpus below it on the
+    exact, oracle-replayable form at a bounded worst-case cost
+    (~25 s) while everything above gets the sub-quadratic plan.
     Below the cutover the dispatch can never change results vs the
     brute-force form; above it, edges are the standard IVF
     approximation (recall pinned in tests), with ``knn_self_ivf``'s
