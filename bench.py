@@ -160,6 +160,8 @@ HEADLINE = [
     "knn_self_ivf",
     # the embedding rung of the decontamination family (map-only GEMM)
     "decontaminate_semantic",
+    # content-root split: one fingerprint groupBy + join
+    "leakage_safe_split",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

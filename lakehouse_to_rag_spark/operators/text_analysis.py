@@ -320,6 +320,59 @@ def train_split_assign(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """CONTENT-keyed train/val/test assignment — the leakage-safe form
+    of ``train_split_assign``: hashing the row id splits exact
+    duplicates of one document across train and test (the classic
+    eval-leakage failure — the test set "generalization" was
+    memorizable from an identical train copy). Here every document
+    inherits its split from its CONTENT ROOT: the smallest id among
+    all rows sharing the same normalized-text fingerprint (the
+    ``incremental_dedup`` md5 convention), so identical content
+    always co-locates in one split, before or instead of dedup.
+
+    NULL-text rows carry no content and become their own singleton
+    roots (an id-keyed sentinel fingerprint), so they split exactly
+    like ``train_split_assign`` would.
+
+    Scale shape: one partial-aggregatable groupBy(min) on the
+    fingerprint plus one equi-join back on it — both shuffles keyed
+    on md5 output, uniformly distributed by construction (no skew
+    beyond true duplicate mass, which is the thing being co-located).
+    Same md5 bucket arithmetic as ``train_split_assign`` so both
+    replay in any engine. Returns (id_col, root_id, bucket, split)."""
+    from lakehouse_to_rag_spark.functions.text import normalize_text
+
+    fp = F.when(
+        F.col(text_col).isNotNull(),
+        F.md5(normalize_text(F.col(text_col))),
+    ).otherwise(F.concat(F.lit("null:"), F.col(id_col).cast("string")))
+    keyed = df.select(
+        F.col(id_col).alias("id"), fp.alias("content_fp")
+    ).localCheckpoint(eager=False)  # two consumers, one normalize pass
+    roots = keyed.groupBy("content_fp").agg(F.min("id").alias("root_id"))
+    bucket = (
+        F.conv(F.md5(F.col("root_id").cast("string")).substr(1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return keyed.join(roots, "content_fp").select(
+        F.col("id").alias(id_col),
+        "root_id",
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def vocab_builder(
     df: DataFrame,
     text_col: str = "text",

@@ -7048,6 +7048,42 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.incremental_dedup(incoming, corpus)
 
 
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN 'null:' || CAST(doc_id AS VARCHAR)
+              ELSE md5({_NORM_SQL}) END AS content_fp
+  FROM documents
+), r AS (
+  SELECT content_fp, MIN(doc_id) AS root_id FROM f GROUP BY content_fp
+)
+SELECT f.doc_id, r.root_id,
+       ('0x' || substr(md5(CAST(r.root_id AS VARCHAR)), 1, 8))::BIGINT % 100
+         AS bucket,
+       CASE WHEN ('0x' || substr(md5(CAST(r.root_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+            THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(r.root_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM f JOIN r USING (content_fp)
+"""
+
+
+@_q("leakage_safe_split", _LEAKAGE_SPLIT_ORACLE)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed split assignment: every document inherits its
+    train/val/test bucket from the smallest id sharing its
+    normalized-text fingerprint (the ``incremental_dedup`` md5
+    convention), so exact duplicates can never straddle a split
+    boundary — the eval-leakage failure ``train_split_assign``'s id
+    hashing permits on a dup-bearing corpus. The harness documents
+    table has no exact-normalized duplicates, so the gate pins the
+    root-keyed arithmetic (groupBy + join + root-hash buckets);
+    the co-location property itself is pinned by the planted-dup
+    test in tests/test_properties.py."""
+    return ta.leakage_safe_split(load_table(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Spectral (distributed PCA — operators/spectral.py)
 # =====================================================================

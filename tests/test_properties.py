@@ -590,3 +590,65 @@ def test_flac_byte_flip_fail_closed(seed, nflips):
         decode_flac(bytes(good))
     except NotImplementedError:
         pass  # the documented fail-closed path
+
+
+def test_leakage_safe_split_colocates_duplicates(spark, sf_dir):
+    """The leakage property itself: exact duplicates (same normalized
+    text, different ids) must land in ONE split, even when planted so
+    the id-hash split would separate them; null-text rows split like
+    train_split_assign (their own roots); and on the real dup-bearing
+    harness corpus every content group is split-pure while the split
+    is deterministic."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_to_rag_spark.functions.text import normalize_text
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        leakage_safe_split,
+        train_split_assign,
+    )
+
+    # plant a duplicate pair whose ID-hash buckets differ
+    import hashlib
+
+    def id_bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    a = next(i for i in range(1000) if id_bucket(i) < 80)
+    b = next(i for i in range(1000) if id_bucket(i) >= 90)
+    docs = spark.createDataFrame(
+        [(a, "the same exact text"), (b, "the same exact text"),
+         (777, None)],
+        "doc_id long, text string",
+    )
+    naive = {r["doc_id"]: r["split"] for r in train_split_assign(docs).collect()}
+    assert naive[a] == "train" and naive[b] == "test"  # the leak
+    safe = {r["doc_id"]: r for r in leakage_safe_split(docs).collect()}
+    assert safe[a]["split"] == safe[b]["split"]
+    assert safe[a]["root_id"] == safe[b]["root_id"] == min(a, b)
+    # null-text row: own root, same bucket the id-hash split gives it
+    assert safe[777]["root_id"] == 777
+    assert safe[777]["split"] == naive[777]
+    assert safe[777]["bucket"] == id_bucket(777)
+
+    # real corpus: split-purity per content group + determinism
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = leakage_safe_split(d)
+    impure = (
+        out.join(
+            d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
+            .filter(F.col("fp").isNotNull()),
+            "doc_id",
+        )
+        .groupBy("fp")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert impure == 0
+    again = sorted(map(tuple, leakage_safe_split(d).collect()))
+    assert again == sorted(map(tuple, out.collect()))
+    # the harness corpus has no exact-normalized duplicates, so there
+    # every doc is its own root and the assignment degenerates to the
+    # id-hash split ON THE ROOT — the planted pair above is what
+    # exercises the co-location property
+    assert out.select("root_id").distinct().count() == d.count()
