@@ -938,12 +938,7 @@ def knn_self_ivf(
             yield out
 
     import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     assigned = (
         corpus.select(id_col, vec_col)
