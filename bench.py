@@ -162,6 +162,8 @@ HEADLINE = [
     "decontaminate_semantic",
     # content-root split: one fingerprint groupBy + join
     "leakage_safe_split",
+    # cross-source vocabulary matrix: distinct-reduce + bounded join
+    "source_vocab_overlap",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

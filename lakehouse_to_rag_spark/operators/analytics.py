@@ -298,3 +298,66 @@ def corpus_datacard(
             F.coalesce(F.col("dup_docs"), F.lit(0)).cast("long").alias("dup_docs"),
         )
     )
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source lexical-similarity matrix: for every source pair
+    (a <= b, diagonal included) the distinct-word intersection size
+    and its vocabulary Jaccard — the corpus-analysis input mixing
+    decisions lean on (two sources whose vocabularies barely overlap
+    contribute more diversity per token than two near-identical
+    crawls; the diagonal is each source's own vocabulary size, so one
+    result table carries both the marginals and the interactions).
+
+    Scale shape: the corpus reduces FIRST to distinct (source, word)
+    pairs — one partial-aggregatable exchange, output bounded by
+    sources x vocabulary, corpus size gone. The self-join then keys
+    on word with per-word fan-out bounded by the SOURCE count squared
+    (sources are a small dimension; a word present in all of them
+    contributes |sources|^2 rows, never corpus-scaled) — the inverted
+    index join whose skew is structurally capped, unlike document
+    self-joins. Whitespace tokens, lowercased, empties dropped (the
+    vocab_builder convention); Jaccard is an exact integer ratio
+    rounded to 4dp. Returns (source_a, source_b, n_shared, jaccard)."""
+    words = (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(source_col).isNotNull()
+        )
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), " ", -1)
+            ).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .distinct()
+        .localCheckpoint(eager=False)  # three consumers, one reduce
+    )
+    sizes = words.groupBy("src").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a = words.select(F.col("src").alias("source_a"), "word")
+    b = words.select(F.col("src").alias("source_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (
+        F.col("sa.n_vocab") + F.col("sb.n_vocab") - F.col("n_shared")
+    )
+    return (
+        inter.join(
+            sizes.alias("sa"), F.col("source_a") == F.col("sa.src")
+        )
+        .join(sizes.alias("sb"), F.col("source_b") == F.col("sb.src"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(jac, ROUND_DP).alias("jaccard"),
+        )
+    )

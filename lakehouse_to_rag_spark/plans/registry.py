@@ -376,6 +376,43 @@ def avg_length_by_source_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOURCE_VOCAB_OVERLAP_ORACLE = """
+WITH w AS (
+  SELECT DISTINCT src, word FROM (
+    SELECT source AS src,
+           unnest(string_split(LOWER(text), ' ')) AS word
+    FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+  ) WHERE LENGTH(word) > 0
+), s AS (
+  SELECT src, COUNT(*) AS n_vocab FROM w GROUP BY src
+), i AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM w a JOIN w b USING (word)
+  WHERE a.src <= b.src
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE)
+             / (sa.n_vocab + sb.n_vocab - n_shared), 4) AS jaccard
+FROM i
+JOIN s sa ON sa.src = source_a
+JOIN s sb ON sb.src = source_b
+"""
+
+
+@_q("source_vocab_overlap", _SOURCE_VOCAB_OVERLAP_ORACLE)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap matrix (pairs a <= b, diagonal
+    = own vocabulary size): the lexical-diversity input to mixing
+    decisions. Corpus reduces to distinct (source, word) FIRST, so
+    the self-join's per-word fan-out is bounded by the source count
+    squared — an inverted-index join whose skew is structurally
+    capped."""
+    d = load_table(spark, sf_dir, "documents")
+    return analytics.source_vocab_overlap(d)
+
+
 _DUP_ROWS_ORACLE = """
 SELECT event_id, user_id, event_type
 FROM (

@@ -652,3 +652,34 @@ def test_leakage_safe_split_colocates_duplicates(spark, sf_dir):
     # id-hash split ON THE ROOT — the planted pair above is what
     # exercises the co-location property
     assert out.select("root_id").distinct().count() == d.count()
+
+
+def test_source_vocab_overlap_planted(spark):
+    """Hand-computable vocabulary matrix: diagonal = own vocab size,
+    off-diagonal = shared-word count with exact Jaccard; disjoint
+    sources produce no off-diagonal row; case folding and empty
+    tokens follow the vocab_builder convention."""
+    from lakehouse_to_rag_spark.operators.analytics import (
+        source_vocab_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "alpha beta  GAMMA"),      # vocab {alpha,beta,gamma}
+            (1, "a", "beta gamma"),             # dup words collapse
+            (2, "b", "gamma delta"),            # shares {gamma} with a
+            (3, "c", "epsilon zeta"),           # disjoint from both
+            (4, "c", None),                     # null text ignored
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_shared"], r["jaccard"])
+        for r in source_vocab_overlap(docs).collect()
+    }
+    assert got[("a", "a")] == (3, 1.0)
+    assert got[("b", "b")] == (2, 1.0)
+    assert got[("c", "c")] == (2, 1.0)
+    assert got[("a", "b")] == (1, 0.25)    # 1 / (3 + 2 - 1)
+    assert ("a", "c") not in got and ("b", "c") not in got
+    assert set(got) == {("a", "a"), ("b", "b"), ("c", "c"), ("a", "b")}
