@@ -196,13 +196,26 @@ def _prior_mins() -> dict[str, float]:
         if not q and isinstance(data.get("parsed"), dict):
             q = data["parsed"].get("queries")
         if not q and isinstance(data.get("tail"), str):
-            sec = data["tail"].split('"queries_p50"')[0]
-            q = {
-                m[0]: float(m[1])
-                for m in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', sec)
-            }
-            for k in ("value", "sf", "n", "rc", "cpus"):
-                q.pop(k, None)
+            # Anchor to the queries OBJECT, not everything before
+            # "queries_p50": an unanchored scan admitted every
+            # '"key": number' pair in the tail (calib entries, value,
+            # sf, ...) and relied on a hardcoded pop allowlist — any
+            # OTHER numeric field would skew warm-up selection. The
+            # driver keeps only the LAST 2000 chars, so the opener may
+            # be truncated away; the queries object is the first
+            # object-valued key in the line, so it still ENDS at the
+            # first '}' — fall back to [0, first '}') unless marker
+            # keys show the tail starts PAST the queries object.
+            t = data["tail"]
+            m = re.search(r'"queries"\s*:\s*\{', t)
+            start = m.end() if m else 0
+            end = t.find("}", start)
+            sec = t[start:end] if end != -1 else t[start:]
+            if m or not re.search(r'"(queries_p50|value_p50|calib)"', sec):
+                q = {
+                    g[0]: float(g[1])
+                    for g in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', sec)
+                }
         if q:
             latest = {k: float(v) for k, v in q.items()}
     return latest
@@ -270,6 +283,17 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
     prior = _prior_mins()
+    # Name-drift guard: a RENAMED entry has no recorded min anywhere,
+    # so it silently re-enters the always-warm class (one extra full
+    # run) — fine for genuinely new entries, but worth a visible line
+    # so a rename that was meant to keep its history is caught.
+    never_benched = [n for n in HEADLINE if n not in prior]
+    if never_benched and prior:
+        print(
+            f"# warm-up: {len(never_benched)} HEADLINE name(s) with no "
+            f"recorded min (new or renamed): {never_benched}",
+            file=sys.stderr,
+        )
     for name in HEADLINE:
         if prior.get(name, 99.0) >= 1.0:
             QUERIES[name](spark, sf_dir).count()

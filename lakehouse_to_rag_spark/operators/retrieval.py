@@ -227,8 +227,11 @@ def append_to_bm25_index(
 
     Caveats, stated: new doc ids must be disjoint from the indexed
     corpus (a re-sent id would double its tf rows). This is now
-    FAIL-CLOSED by default: ``check_disjoint=True`` runs one
-    column-pruned id scan of the index semi-joined against the
+    FAIL-CLOSED by default: ``check_disjoint=True`` first raises on
+    duplicate (or null) ids WITHIN the batch (count vs countDistinct,
+    one batch-bounded aggregate — a doc sent twice in one batch is
+    the same tf-doubling corruption as an index overlap), then runs
+    one column-pruned id scan of the index semi-joined against the
     (broadcast, batch-bounded) new ids and raises on any overlap,
     BEFORE anything is written — pass ``check_disjoint=False`` only
     when an upstream admission anti-join (the ``incremental_dedup_fps``
@@ -266,6 +269,27 @@ def append_to_bm25_index(
         )
     n_buckets = int(stats["n_buckets"])
     if check_disjoint:
+        # Batch-INTERNAL duplicates are the same corruption as
+        # batch-vs-index overlap (a doc id sent twice in one batch
+        # doubles its tf rows, and BM25 serving has no duplicate
+        # absorber) — the .distinct() on new_ids would silently pass
+        # them, so check count vs countDistinct first. countDistinct
+        # excludes nulls, so a null id also trips the check (a null
+        # doc id is index corruption either way). One batch-bounded
+        # aggregate.
+        card = new_docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.col(id_col)).alias("nd"),
+        ).collect()[0]
+        if int(card["n"]) != int(card["nd"]):
+            raise ValueError(
+                f"append_to_bm25_index: batch has {int(card['n'])} rows "
+                f"but only {int(card['nd'])} distinct non-null "
+                f"{id_col} value(s) — duplicate (or null) ids within "
+                "one batch would double their tf rows just like an "
+                "index overlap. Dedup the batch upstream, or pass "
+                "check_disjoint=False if uniqueness is guaranteed."
+            )
         new_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
         n_dup = (
             read_layer(spark, path)

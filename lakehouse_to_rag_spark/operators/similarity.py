@@ -352,9 +352,11 @@ def append_to_ivf_index(
     re-optimization; this function deliberately leaves the quantizer
     untouched so appends are idempotent-shaped and cheap.
 
-    ``check_disjoint=True`` fail-closes on batch ids already present
-    in the index (one column-pruned id scan semi-joined against the
-    broadcast, batch-bounded new ids, before anything is written) —
+    ``check_disjoint=True`` fail-closes on duplicate ids WITHIN the
+    batch (count vs countDistinct — the .distinct() would otherwise
+    mask them) and then on batch ids already present in the index
+    (one column-pruned id scan semi-joined against the broadcast,
+    batch-bounded new ids, before anything is written) —
     the same knob as ``append_to_bm25_index``, but default OFF here
     because the IVF serve path already absorbs duplicate ids
     (``_score_probed(dedupe_candidates=True)``) where BM25 serving
@@ -362,6 +364,26 @@ def append_to_ivf_index(
     from lakehouse_to_rag_spark.sources.lakehouse import read_layer, write_layer
 
     if check_disjoint:
+        # Also fail-closed on batch-INTERNAL duplicate ids — the
+        # .distinct() below would mask them, and while IVF serving
+        # absorbs duplicates (dedupe_candidates=True), a caller who
+        # asked for the disjointness guarantee wants the index free of
+        # them, not merely tolerable. One batch-bounded aggregate;
+        # countDistinct excludes nulls so a null id also trips it.
+        card = new_vectors.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.col(id_col)).alias("nd"),
+        ).collect()[0]
+        if int(card["n"]) != int(card["nd"]):
+            raise ValueError(
+                f"append_to_ivf_index: batch has {int(card['n'])} rows "
+                f"but only {int(card['nd'])} distinct non-null "
+                f"{id_col} value(s) — duplicate ids within one batch "
+                "violate the disjointness this check guarantees. "
+                "Dedup the batch upstream, or pass "
+                "check_disjoint=False to rely on serve-time "
+                "duplicate absorption."
+            )
         new_ids = new_vectors.select(F.col(id_col).alias("id")).distinct()
         n_dup = (
             read_layer(spark, path)
@@ -408,11 +430,21 @@ def _recover_compact_remnants(path: str) -> None:
     import shutil
 
     base = path.rstrip("/")
-    for t in glob.glob(f"{base}._compact_*"):
+    # glob.escape: an index path containing glob metacharacters
+    # ([, ?, *) would otherwise match NOTHING and remnants would
+    # silently go unrepaired (only the appended remnant suffix is a
+    # wildcard, never the base path itself).
+    pat = glob.escape(base)
+    for t in glob.glob(f"{pat}._compact_*"):
         shutil.rmtree(t, ignore_errors=True)
-    olds = sorted(glob.glob(f"{base}._old_*"))
+    olds = sorted(glob.glob(f"{pat}._old_*"))
     if olds:
         if not os.path.exists(base):
+            # >1 ._old_ remnant with `path` missing is UNREACHABLE
+            # under the single-writer contract (each swap deletes its
+            # old dir before the next can start; the between-renames
+            # crash window holds at most one). The sorted()[0] pick
+            # is therefore never a choice between live candidates.
             os.rename(olds[0], base)
             olds = olds[1:]
         for o in olds:
@@ -888,8 +920,13 @@ def knn_self_ivf(
     (the ``knn_bruteforce_numpy`` parity class, absorbed by the 4dp
     round) — so for the same (k, C, nprobe, iterations) the result
     equals ``ivf_topk_kmeans(corpus, corpus, ...)`` row-for-row
-    (equality-tested) and the existing kmeans-IVF SQL replay applies
-    verbatim minus its query filter. Self-matches excluded. Returns
+    (equality-tested) on corpora with no zero-norm vectors. On
+    zero-norm-BEARING corpora the forms deliberately differ:
+    ``ivf_topk_kmeans`` emits NaN-cosine pairs (which Spark's desc
+    rank treats as greatest), while this form drops every non-finite
+    candidate before emitting (isfinite guard in ``_score_cluster``)
+    — undefined similarity is no candidate, never the top one.
+    Self-matches excluded. Returns
     (query_id, neighbor_id, cosine, rank 1..k); rows may have fewer
     than k neighbors when the probed clusters run dry (the standard
     IVF recall trade)."""
@@ -1038,7 +1075,14 @@ def knn_self_ivf(
             nbr_ids = ids[order]                              # (top, Q)
             cos = np.take_along_axis(sims, order, axis=0)     # (top, Q)
             qid = np.broadcast_to(q_ids[None, :], nbr_ids.shape)
-            keep = (nbr_ids != qid).T                         # (Q, top)
+            # isfinite guard (the semantic_decontaminate convention):
+            # NaN sims sort LAST in numpy but GREATEST in Spark's
+            # desc rank, so a shard with < k+1 finite members would
+            # otherwise emit a zero-norm neighbor that _ranked_topk
+            # promotes to rank 1. Dropping non-finite candidates here
+            # keeps cosine semantics honest (undefined similarity is
+            # no candidate, not the best candidate).
+            keep = (nbr_ids != qid).T & np.isfinite(cos.T)    # (Q, top)
             outs.append(
                 pd.DataFrame(
                     {

@@ -5812,11 +5812,12 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The edge list comes from ``knn_edges_auto`` (r8 — previously the
     unconditional all-pairs GEMM, the one composition in the repo that
-    died at 100×): at gate scale the dispatch picks the EXACT
-    brute-force build (≤ cutover_rows — the oracle's all-pairs SQL
-    replays it bit-for-bit, unchanged), while past the cutover the
-    same call builds the graph with trained-IVF self-kNN at
-    O(n^1.5) (sub-quadratic probe in SCALE.md r8)."""
+    died at 100×). THIS gated entry pins ``cutover_rows=sys.maxsize``
+    (r9) so the exact brute-force build — the form the oracle's
+    all-pairs SQL replays bit-for-bit — is chosen at EVERY gate scale
+    factor, not just ones under the production default; the auto
+    dispatch (exact ≤10k, trained-IVF self-kNN at O(n^1.5) beyond —
+    SCALE.md r8 probe) is the production composition."""
     from lakehouse_to_rag_spark.operators.graph import pagerank_micro
 
     d = load_table(spark, sf_dir, "documents")
@@ -5827,7 +5828,21 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + F.abs(x))
         > 0
     ).localCheckpoint(eager=False)
-    edges = simi.knn_edges_auto(emb, k=5, id_col="doc_id", vec_col="embedding")
+    # cutover pinned to maxsize FOR THIS GATED ENTRY ONLY: the SQL
+    # oracle replays the exact all-pairs build, so letting the size
+    # dispatch pick the approximate IVF regime at a larger gate sf
+    # would flip the parity row red for a non-bug reason. Production
+    # callers use knn_edges_auto's measured default (10k) and get the
+    # sub-quadratic plan past it.
+    import sys as _sys
+
+    edges = simi.knn_edges_auto(
+        emb,
+        k=5,
+        id_col="doc_id",
+        vec_col="embedding",
+        cutover_rows=_sys.maxsize,
+    )
     return pagerank_micro(edges, damping_pct=85, iterations=10).select(
         F.col("id").alias("doc_id"), "pr_micro"
     )
@@ -7873,6 +7888,26 @@ def rag_read_path_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Entries outside a given round's window remain fully oracle-checked
 # by the local suite every session (tests/test_oracle_parity.py runs
 # ALL registered oracles, not a sample).
+#
+# GROWTH POLICY (decided r9 — the registry is near the cycle ceiling
+# and this is the rule, not a per-round judgment call): the accepted
+# re-confirmation cycle is FIVE rounds (test_pipeline.py pins
+# bound <= 5), so with F fixed slots the registry may hold at most
+#   N_max = F + 5 * (50 - F)
+# entries (F=9 -> 214, F=6 -> 226, F=4 -> 234). Before ANY
+# registration that would push N past N_max, apply in order:
+#   1. drop pins — a pin is a one-round artifact by definition; a pin
+#      carried two rounds is a bug in this file;
+#   2. trim canaries 6 -> 4 (keep silver_docs + q1_pricing_summary +
+#      one of the dedup/similarity pair + tokenize_to_ids; the demoted
+#      families stay covered by rotation + the full local suite);
+#   3. consolidate entries — merge variant entries that gate the SAME
+#      code path (e.g. a _xx hash twin whose base entry already gates
+#      the operator) into one registration;
+#   4. only then accept a 6-round cycle: raise the test bound and
+#      document the longer cycle in COVERAGE.md in the SAME commit.
+# Per-round new-entry budget is therefore N_max - N_current; check it
+# BEFORE building a new entry, not after.
 
 # Stay in EVERY round's window — one per engine-core family, so a
 # regression there is visible to the external gate immediately, not
@@ -7895,14 +7930,21 @@ _CANARIES: list[str] = [
 # Remove a pin once its fresh green row is recorded; new registry
 # entries need no pin (never-checked == stalest == auto-included).
 _PINS: list[str] = [
-    # r8: doc_pagerank's edge build changed (unconditional all-pairs
-    # GEMM -> knn_edges_auto dispatch) — the dispatch must pick the
-    # exact brute-force form at gate scale, and that claim needs a
-    # fresh external driver row, not just local parity. Both r7 pins
-    # recorded green rows (CORRECTNESS_r07) and rotate out; the freed
-    # slots + stalest-first fill drain the r3 evidence backlog (8
-    # entries) plus this round's new registrations in one window.
+    # The r8 pin (doc_pagerank, dispatch cutover) recorded its green
+    # row (CORRECTNESS_r08) — but r9 changed implementations again,
+    # so these three face the gate now:
+    # r9: doc_pagerank pins cutover_rows=sys.maxsize in the registry
+    # fn (ADVICE: the size dispatch made oracle parity scale-fragile);
+    # same oracle, changed composition.
     "doc_pagerank",
+    # r9: knn_self_ivf gained the isfinite candidate guard in
+    # _score_cluster (NaN cosines no longer emitted); no-op on the
+    # zero-norm-free gate corpus, but that claim needs a driver row.
+    "knn_self_ivf",
+    # r9: append_to_bm25_index's check_disjoint now also fail-closes
+    # on batch-internal duplicate ids — the served-incremental capstone
+    # exercises the changed write path end-to-end.
+    "bm25_served_incremental",
 ]
 
 

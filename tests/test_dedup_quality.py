@@ -1509,6 +1509,53 @@ def test_append_ivf_check_disjoint(spark, sf_dir, tmp_path):
     assert n == e.filter("vec_id % 2 = 1").count()
 
 
+def test_append_ivf_batch_internal_duplicates(spark, sf_dir, tmp_path):
+    """check_disjoint=True also refuses duplicate ids WITHIN the
+    batch (index-disjoint, so the overlap scan alone would pass
+    them); the permissive default still appends, relying on
+    serve-time duplicate absorption."""
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.similarity import (
+        append_to_ivf_index,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(e.filter("vec_id % 2 = 0"), path, num_centroids=16)
+    n_before = spark.read.parquet(path).count()
+    odd = e.filter("vec_id % 2 = 1")
+    doubled = odd.union(odd.limit(2))
+    with pytest.raises(ValueError, match="within one batch"):
+        append_to_ivf_index(spark, path, doubled, check_disjoint=True)
+    assert spark.read.parquet(path).count() == n_before  # fail-closed
+    # default check_disjoint=False keeps the unguarded append
+    assert append_to_ivf_index(spark, path, doubled) == doubled.count()
+
+
+def test_compact_remnant_recovery_glob_metachar_path(tmp_path):
+    """An index path containing glob metacharacters ([, ?, *) must
+    still be repaired: the remnant patterns glob.escape the base so
+    only the appended suffix is a wildcard. Pure-filesystem check
+    (between-renames crash state staged by hand)."""
+    import os
+
+    from lakehouse_to_rag_spark.operators.similarity import (
+        _recover_compact_remnants,
+    )
+
+    base = str(tmp_path / "ivf[v2]")
+    os.makedirs(f"{base}._old_cafef00d/cluster=0")
+    with open(f"{base}._old_cafef00d/cluster=0/part-0", "w") as f:
+        f.write("x")
+    os.makedirs(f"{base}._compact_deadbeef")
+    _recover_compact_remnants(base)
+    assert os.path.exists(f"{base}/cluster=0/part-0")
+    assert not os.path.exists(f"{base}._old_cafef00d")
+    assert not os.path.exists(f"{base}._compact_deadbeef")
+
+
 def test_compact_remnant_recovery(spark, sf_dir, tmp_path):
     """Crash recovery around the two-rename swap: (a) a dangling
     ._compact_ tmp dir is discarded, (b) path missing + ._old_
@@ -1725,6 +1772,40 @@ def test_knn_self_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_knn_self_ivf_zero_norm_rows_never_rank(spark):
+    """A zero-norm vector has UNDEFINED cosine to everything: without
+    the isfinite guard a shard with < k+1 finite members emits
+    NaN-cosine candidates that Spark's desc rank promotes to rank 1.
+    The zero row must appear as neither neighbor nor query, and every
+    emitted cosine must be finite. (C=1 keeps the k-means centroid —
+    the mean of all members — nonzero, isolating the member-side
+    guard.)"""
+    import math
+
+    from lakehouse_to_rag_spark.operators.similarity import knn_self_ivf
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.1, 0.9, 0.0]),
+            (9, [0.0, 0.0, 0.0]),  # zero-norm: cosine undefined
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = knn_self_ivf(
+        corpus, k=5, num_centroids=1, nprobe=1, iterations=1
+    ).collect()
+    assert rows, "finite rows must still be emitted"
+    for r in rows:
+        assert r["neighbor_id"] != 9, "zero-norm row served as neighbor"
+        assert r["query_id"] != 9, "zero-norm row emitted as query"
+        assert math.isfinite(r["cosine"]), r
+    # each of the 4 finite rows keeps its 3 finite non-self neighbors
+    assert len(rows) == 12
 
 
 def test_semantic_decontaminate_planted_and_guards(spark, sf_dir):

@@ -703,6 +703,35 @@ def test_append_bm25_check_disjoint_fail_closed(spark, sf_dir, tmp_path):
     append_to_bm25_index(spark, path, resent, check_disjoint=False)
 
 
+def test_append_bm25_batch_internal_duplicates_fail_closed(
+    spark, sf_dir, tmp_path
+):
+    """check_disjoint guards the WHOLE uniqueness invariant: a batch
+    whose ids are disjoint from the index but duplicated WITHIN the
+    batch is the same tf-doubling corruption (the .distinct()'d
+    overlap scan alone would pass it). Must refuse before writing."""
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.retrieval import (
+        append_to_bm25_index,
+        write_bm25_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(d.filter("doc_id % 2 = 0"), path)
+    before_rows = spark.read.parquet(path).count()
+    before_stats = spark.read.parquet(f"{path}/_stats").collect()
+    odd = d.filter("doc_id % 2 = 1")
+    doubled = odd.union(odd.limit(3))  # index-disjoint, batch-internal dups
+    with pytest.raises(ValueError, match="within one batch|distinct non-null"):
+        append_to_bm25_index(spark, path, doubled)
+    assert spark.read.parquet(path).count() == before_rows
+    assert spark.read.parquet(f"{path}/_stats").collect() == before_stats
+    # the deduped batch then passes
+    assert append_to_bm25_index(spark, path, odd) > 0
+
+
 def test_rebuild_bm25_stats_reconciles_half_commit(spark, sf_dir, tmp_path):
     """The documented half-commit window: postings appended but the
     _stats swap never landed. rebuild_bm25_stats must reconstruct
