@@ -164,6 +164,9 @@ HEADLINE = [
     "leakage_safe_split",
     # cross-source vocabulary matrix: distinct-reduce + bounded join
     "source_vocab_overlap",
+    # r9: the BOUNDED MOSS report (per-doc top-m) — winnow_matches'
+    # O(docs*m) production form on dup-saturated corpora
+    "winnow_matches_topm",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -1131,9 +1131,21 @@ def knn_edges_auto(
     (~25 s) while everything above gets the sub-quadratic plan.
     Below the cutover the dispatch can never change results vs the
     brute-force form; above it, edges are the standard IVF
-    approximation (recall pinned in tests), with ``knn_self_ivf``'s
-    salt shards bounding the per-task GEMM on duplicate-heavy corpora.
-    Returns (src, dst)."""
+    approximation, with ``knn_self_ivf``'s salt shards bounding the
+    per-task GEMM on duplicate-heavy corpora.
+
+    Recall in the ANN regime is MEASURED, not assumed (SCALE.md r9,
+    sampled ground truth at 100k-400k rows): on clustered embedding
+    spaces — near-dup families, topic mixtures, i.e. every
+    document-embedding corpus this graph build exists for — recall@5
+    is 1.000 at the default nprobe=8, flat from 100k to 400k. The
+    pessimistic floor is a structure-free uniform space: 0.24 at
+    nprobe=8 / 400k, scaling near-linearly with nprobe (0.36 at 16)
+    at proportional cost — if the corpus embeds near-uniformly, raise
+    ``nprobe`` (exposed here end to end) or pin ``cutover_rows`` high
+    to force the exact form. Unit tripwires: recall >= 0.5 vs brute
+    at nprobe=4 and >= 0.8 at the default nprobe=8 on real
+    embeddings. Returns (src, dst)."""
     import math
 
     n = corpus.count()

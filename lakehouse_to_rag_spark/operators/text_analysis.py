@@ -1559,7 +1559,7 @@ def winnow_matches(
     k: int = 8,
     w: int = 4,
     min_shared: int = 2,
-    max_fp_df: int = 1000,
+    max_fp_df: int | str = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "md5",
@@ -1577,19 +1577,49 @@ def winnow_matches(
     (boilerplate headers/footers would otherwise contribute
     O(df²) pairs each; same justification as the Jaccard prefix
     filter's stop-shingle DF cap, and MOSS itself culls
-    over-frequent fingerprints). ``hash_fn`` passes through to
-    ``winnow_fingerprints`` (pair sets from the two hashes agree
-    except on hash collisions — astronomically rare at 60/64 bits).
-    Returns (id_a, id_b, n_shared)."""
+    over-frequent fingerprints).
+
+    The cap and corpus growth, stated precisely: with an ABSOLUTE cap
+    each admitted fingerprint contributes <= C(cap, 2) pairs and the
+    number of admitted fingerprints grows LINEARLY with the corpus, so
+    total pair output is linear — never quadratic (a fingerprint is a
+    literal >= k-char substring; one shared by 1000 documents is
+    boilerplate at ANY corpus size, which is why an absolute cap is
+    the faithful MOSS semantic). What an absolute cap cannot shrink is
+    the CONSTANT: a near-cap fingerprint still contributes ~cap²/2
+    pairs (~500k at 1000). ``max_fp_df="auto"`` derives a
+    corpus-calibrated cap instead: clamp(ceil(1% of the non-null doc
+    count), 16, 1000) — MOSS's own cull is stated as a FRACTION of
+    submissions ("ignore matches appearing in more than N% of the
+    corpus"), and a fraction rule is robust where a df-quantile is
+    not (on a boilerplate-heavy corpus the quantile lands ON the
+    boilerplate mass — measured while building this knob: a footer in
+    100% of a 30-doc corpus sits exactly at p99 of the df
+    distribution and survives; 1%-of-corpus culls it). The floor
+    keeps genuinely-copied spans on small corpora; the ceiling is the
+    absolute linear-output bound above. One extra count; "auto" is
+    the production knob — the gated oracle entry keeps the explicit
+    1000 so the SQL replay is parameter-stable.
+
+    ``hash_fn`` passes through to ``winnow_fingerprints`` (pair sets
+    from the two hashes agree except on hash collisions —
+    astronomically rare at 60/64 bits). Returns (id_a, id_b,
+    n_shared)."""
     fps = winnow_fingerprints(
         df, k, w, id_col, text_col, hash_fn
     ).localCheckpoint(eager=False)
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_fp_df)
-        .select("fp")
-    )
+    fp_df = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    if max_fp_df == "auto":
+        n_docs = df.filter(F.col(text_col).isNotNull()).count()
+        cap = int(min(1000, max(16, -(-n_docs // 100))))
+    elif isinstance(max_fp_df, int):
+        cap = max_fp_df
+    else:
+        raise ValueError(
+            f"winnow_matches: max_fp_df must be an int or 'auto', "
+            f"got {max_fp_df!r}"
+        )
+    rare = fp_df.filter(F.col("_df") <= cap).select("fp")
     kept = fps.join(rare, "fp")
     a = kept.select(F.col("fp"), F.col(id_col).alias("id_a"))
     b = kept.select(F.col("fp"), F.col(id_col).alias("id_b"))
@@ -1599,6 +1629,61 @@ def winnow_matches(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_matches_topm(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | str = 1000,
+    m: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """BOUNDED MOSS report: each document's top-``m`` strongest
+    matches by shared-fingerprint count — the form the report stage
+    wants on a dup-saturated corpus, where the exhaustive
+    ``winnow_matches`` is OUTPUT-bound (9.68M true pairs at the sf0.1
+    harness corpus, VERDICT r8): emitted rows are O(docs · m) no
+    matter how saturated the corpus, while the candidate/verify
+    stages keep the exhaustive form's plan (fp equi-join under the
+    stop-fp cap — the intermediate pair aggregate is unavoidable for
+    an exact per-doc ranking; what this bounds is everything
+    DOWNSTREAM of the report).
+
+    Pairs are symmetrized first (a match is reported from BOTH ends —
+    each doc gets its own strongest-matches list), then ranked per
+    doc by (n_shared DESC, match_id ASC) — the deterministic
+    tie-break, so the output is stable and SQL-replayable. The window
+    partitions by doc_id: no global sort, partial aggregation
+    upstream, the standard top-k-per-group shape.
+
+    Returns (doc_id, match_id, n_shared, rank 1..m)."""
+    if m < 1:
+        raise ValueError(f"winnow_matches_topm: m >= 1, got {m}")
+    pairs = winnow_matches(
+        df, k, w, min_shared, max_fp_df, id_col, text_col, hash_fn
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("match_id"),
+        "n_shared",
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("match_id"),
+            "n_shared",
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_shared"), F.asc("match_id")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= m)
     )
 
 

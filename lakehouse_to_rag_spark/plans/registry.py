@@ -1160,6 +1160,62 @@ def winnow_matches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.winnow_matches(d, k=8, w=4, min_shared=2, max_fp_df=1000)
 
 
+_WINNOW_TOPM_ORACLE = r"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, GREATEST(LENGTH(text) - 7, 0) + 1),
+           i -> ('0x' || substr(md5(substring(text, CAST(i AS INTEGER), 8)),
+                 1, 15))::BIGINT) AS hs
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4 THEN
+           list_distinct(list_transform(range(1, len(hs) - 2),
+             j -> list_min(list_slice(hs, CAST(j AS INTEGER),
+                                      CAST(j + 3 AS INTEGER)))))
+         ELSE [] END AS fpl
+  FROM h
+), fps AS MATERIALIZED (
+  SELECT doc_id, unnest(fpl) AS fp FROM m
+), rare AS MATERIALIZED (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 1000
+), pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fps a
+  JOIN rare r ON a.fp = r.fp
+  JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 2
+), sym AS (
+  SELECT id_a AS doc_id, id_b AS match_id, n_shared FROM pairs
+  UNION ALL
+  SELECT id_b AS doc_id, id_a AS match_id, n_shared FROM pairs
+)
+SELECT * FROM (
+  SELECT doc_id, match_id, n_shared,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY n_shared DESC, match_id
+         ) AS BIGINT) AS rank
+  FROM sym
+) WHERE rank <= 3
+"""
+
+
+@_q("winnow_matches_topm", _WINNOW_TOPM_ORACLE)
+def winnow_matches_topm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED MOSS report (r9): each document's top-3 strongest
+    matches by shared winnowing fingerprints, (n_shared DESC,
+    match_id ASC) tie-break — O(docs · m) output where the exhaustive
+    ``winnow_matches`` is output-bound on dup-saturated corpora
+    (9.68M true pairs at sf0.1, VERDICT r8). Same candidate plan (fp
+    equi-join under the stop-fp cap), one per-doc window on top."""
+    d = load_table(spark, sf_dir, "documents")
+    return ta.winnow_matches_topm(
+        d, k=8, w=4, min_shared=2, max_fp_df=1000, m=3
+    )
+
+
 @_q("winnow_fingerprints_xx")  # no oracle, documented structural
 # class: JVM xxhash64 has no DuckDB counterpart (the simhash
 # precedent). The winnowing GUARANTEE for this form is property-
@@ -3857,23 +3913,77 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("events_approx_stats")  # no oracle: sketch outputs are estimates;
-# accuracy is bounded by tests/test_properties.py::test_approx_stats_bounds
+_APPROX_STATS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1.0 AS DOUBLE) AS users_band,
+       TRUE AS p50_in_band,
+       TRUE AS p95_in_band
+FROM events GROUP BY event_type
+"""
+
+
+@_q("events_approx_stats", _APPROX_STATS_ORACLE)
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per event type — the sub-linear-memory path
     for cardinality and quantiles at 100 TB (HLL++ and GK quantile
-    sketches; both partial-aggregatable, constant state per group)."""
+    sketches; both partial-aggregatable, constant state per group).
+
+    BANDED oracle (r9 — was rows-only): sketch values have no
+    bit-stable SQL twin, but their ACCURACY CONTRACT does. The entry
+    emits exact anchors (n_events, exact_users) plus band columns —
+    the HLL estimate/exact ratio rounded to 1dp (must be 1.0: HLL++
+    at rsd 0.01 deviates ~1%, measured <= 0.7% here at all three
+    scales, vs the band's ±5%) and booleans pinning each GK quantile
+    estimate inside the exact p±5pp rank window (GK at accuracy 10000
+    guarantees ±0.01pp — four decades of margin). The oracle asserts
+    the bands as literals: a sketch regression past its contract
+    flips the value hash red externally, which is exactly what
+    "correct" means for an estimate. Raw estimates stay visible in
+    the plain sketch aggregation (this entry's production form is the
+    agg itself; exact columns exist only to gate it)."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
-        F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
+    approx = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("users_est"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_est"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_est"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, array(0.45, 0.55, 0.93, 0.97))").alias(
+            "_b"
+        ),
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        F.round(
+            F.col("users_est") / F.col("exact_users"), 1
+        ).alias("users_band"),
+        (
+            (F.col("p50_est") >= F.col("_b")[0])
+            & (F.col("p50_est") <= F.col("_b")[1])
+        ).alias("p50_in_band"),
+        (
+            (F.col("p95_est") >= F.col("_b")[2])
+            & (F.col("p95_est") <= F.col("_b")[3])
+        ).alias("p95_in_band"),
     )
 
 
-@_q("user_sketch_rollup")  # no oracle: DataSketches HLL estimates are
-# engine-specific; merge-consistency + error bounds are test-gated
-# (tests/test_properties.py::test_hll_sketch_rollup_merges)
+_SKETCH_ROLLUP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1.0 AS DOUBLE) AS users_band
+FROM events GROUP BY event_type
+"""
+
+
+@_q("user_sketch_rollup", _SKETCH_ROLLUP_ORACLE)
 def user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (Apache DataSketches HLL): per
     (event_type, day) user sketches built once, then union-merged to
@@ -3882,20 +3992,36 @@ def user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch column per partition-day; any rollup (day->month->all
     time, any group subset) is a cheap hll_union_agg over sketches
     instead of a rescan, and distinct counts stay mergeable where
-    exact COUNT(DISTINCT) cannot be pre-aggregated."""
+    exact COUNT(DISTINCT) cannot be pre-aggregated.
+
+    BANDED oracle (r9 — was rows-only, the events_approx_stats
+    pattern): exact anchors (n_days, exact_users) replay in SQL; the
+    union-merged DataSketches estimate gates as its exact-ratio
+    rounded to 1dp, asserted 1.0 by the oracle (lgK=14 → ~0.8% rsd;
+    measured exact-equal here at all three scales). Merge-consistency
+    itself stays property-tested
+    (tests/test_properties.py::test_hll_sketch_rollup_merges)."""
     e = load_table(spark, sf_dir, "events")
     daily = (
         e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(F.hll_sketch_agg("user_id", 14).alias("user_sketch"))
     )
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(
-                F.hll_union_agg("user_sketch")
-            ).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
+            "users_est"
+        ),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        F.round(
+            F.col("users_est") / F.col("exact_users"), 1
+        ).alias("users_band"),
     )
 
 
@@ -7945,6 +8071,12 @@ _PINS: list[str] = [
     # on batch-internal duplicate ids — the served-incremental capstone
     # exercises the changed write path end-to-end.
     "bm25_served_incremental",
+    # r9: both sketch entries upgraded from rows-only to BANDED
+    # oracles (exact anchors + accuracy-band columns the SQL asserts
+    # as literals) — changed output schema AND new oracle, so both
+    # need the external gate this round.
+    "events_approx_stats",
+    "user_sketch_rollup",
 ]
 
 

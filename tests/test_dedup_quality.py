@@ -1408,6 +1408,86 @@ class TestWinnowing:
             }
             assert got == {(0, 1)}, hash_fn
 
+    def test_topm_report_is_bounded_truncation_of_full_report(self, spark):
+        """winnow_matches_topm == the symmetrized exhaustive report
+        truncated per doc at rank m under the (n_shared DESC,
+        match_id ASC) order — and at m >= #matches it IS the
+        symmetrized report. Dup-saturated corpus: one span family of
+        5 docs, so each family member has 4 matches."""
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            winnow_matches,
+            winnow_matches_topm,
+        )
+
+        span = "the quick brown fox jumps over the lazy dog tonight"
+        docs = spark.createDataFrame(
+            [(i, f"doc {i} prefix {'ab' * i} " + span) for i in range(5)]
+            + [(9, "unrelated filler body with nothing shared at all")],
+            "doc_id long, text string",
+        )
+        full = winnow_matches(docs, k=8, w=4, min_shared=2).collect()
+        sym = {}
+        for r in full:
+            sym.setdefault(r["id_a"], []).append((r["id_b"], r["n_shared"]))
+            sym.setdefault(r["id_b"], []).append((r["id_a"], r["n_shared"]))
+        for m in (2, 100):
+            got = winnow_matches_topm(
+                docs, k=8, w=4, min_shared=2, m=m
+            ).collect()
+            # per-doc bound + rank contract
+            by_doc = {}
+            for r in got:
+                by_doc.setdefault(r["doc_id"], []).append(r)
+            for doc, rows in by_doc.items():
+                rows.sort(key=lambda r: r["rank"])
+                assert len(rows) <= m
+                assert [r["rank"] for r in rows] == list(
+                    range(1, len(rows) + 1)
+                )
+                want = sorted(
+                    sym[doc], key=lambda t: (-t[1], t[0])
+                )[:m]
+                assert [(r["match_id"], r["n_shared"]) for r in rows] == want
+        # saturation check: at m=2 the family emits 5*2 rows, not 5*4
+        assert sum(1 for r in winnow_matches_topm(
+            docs, k=8, w=4, min_shared=2, m=2
+        ).collect()) == 10
+
+    def test_auto_cap_drops_boilerplate_keeps_planted(self, spark):
+        """max_fp_df='auto' derives the cap from the corpus size
+        (1% of docs, clamped to [16, 1000]): a footer shared by EVERY
+        doc (df 30, inside the static 1000 cap) is culled, the
+        planted 2-doc copy (df 2) survives — on a boilerplate-heavy
+        corpus auto is strictly tighter than the absolute default."""
+        import pytest
+
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            winnow_matches,
+        )
+
+        footer = " common legal boilerplate footer shared everywhere"
+        stolen = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [(i, f"unique body {i} {'xy' * (i + 2)}" + footer)
+                for i in range(28)]
+        rows += [(100, "alpha " + stolen + footer),
+                 (101, "omega " + stolen + footer)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        static = {
+            (r["id_a"], r["id_b"])
+            for r in winnow_matches(docs, min_shared=2).collect()
+        }
+        auto = {
+            (r["id_a"], r["id_b"])
+            for r in winnow_matches(
+                docs, min_shared=2, max_fp_df="auto"
+            ).collect()
+        }
+        assert (100, 101) in auto           # true positive survives
+        assert auto < static                # boilerplate pairs culled
+        assert len(static) > len(rows)      # footer made everything match
+        with pytest.raises(ValueError, match="max_fp_df"):
+            winnow_matches(docs, max_fp_df="p99")
+
 
 def test_fuzzy_decontaminate_planted_leak(spark, sf_dir):
     """Near-dup decontamination: a training doc that lightly edits a
@@ -1772,6 +1852,17 @@ def test_knn_self_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+    # the dispatch DEFAULT (nprobe=8): SCALE.md r9 measured 1.000 on
+    # structured corpora at 100k-400k; the sf0.01 gate corpus is small
+    # and only weakly clustered (0.823 measured), so the in-suite
+    # tripwire pins just below that — a regression to the
+    # uniform-noise floor (~0.28) trips it loudly
+    approx8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_self_ivf(e, k=5, num_centroids=16, nprobe=8).collect()
+    }
+    recall8 = len(exact & approx8) / len(exact)
+    assert recall8 >= 0.8, recall8
 
 
 def test_knn_self_ivf_zero_norm_rows_never_rank(spark):
