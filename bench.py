@@ -167,6 +167,14 @@ HEADLINE = [
     # r9: the BOUNDED MOSS report (per-doc top-m) — winnow_matches'
     # O(docs*m) production form on dup-saturated corpora
     "winnow_matches_topm",
+    # r9 family additions: SCD2 dimension build (one exchange, two
+    # window passes inside it), content-defined chunking (per-row JVM
+    # array lambdas), hard-negative mining (label-masked GEMM), and
+    # per-source quality calibration (window rank / quantile forms)
+    "scd2_user_type",
+    "cdc_chunks",
+    "knn_hard_negatives",
+    "quality_calibrated_select",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -796,3 +796,70 @@ def write_pretrain_corpus(
         "shard", "shuffle_key"
     )
     return write_layer(sharded, path, partition_by=["shard"])
+
+
+def quality_calibrated_select(
+    df: DataFrame,
+    frac: float = 0.2,
+    score_col: str = "quality_score",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Cross-source quality calibration for selection budgets: keep
+    the top ``frac`` of each SOURCE by score, not of the pooled
+    corpus. Heuristic quality scores are not comparable across
+    sources (a web crawl's median differs from curated text's for
+    reasons that aren't quality), so a single pooled threshold
+    silently reallocates the whole token budget toward whichever
+    source's score distribution sits higher — per-source ranking is
+    the standard mixing-safe form (the domain_mix_sample discipline
+    applied to quality selection).
+
+    Two forms, one contract. ``exact=True`` (the gated, SQL-replayable
+    default): per-group row_number over (score DESC, id ASC) kept
+    while rank <= ceil(frac * group size) — deterministic to the row.
+    The window funnels each source through one task, which is exactly
+    wrong for a 100 TB source, so ``exact=False`` is the scale form:
+    one partial-aggregated pass computes each group's (1-frac)
+    score quantile (approx_percentile — mergeable sketch state, no
+    row funnel), broadcast back, then a MAP-ONLY filter keeps rows
+    at-or-above their source's threshold. Boundary ties make its kept
+    set a superset of exact's at the same threshold (property-tested
+    against exact); row counts differ only by the tie mass + sketch
+    rank error. Returns the selected rows + per-source rank (exact)
+    or the applied threshold (scale form)."""
+    if not 0 < frac <= 1:
+        raise ValueError(f"quality_calibrated_select: 0 < frac <= 1, {frac}")
+    if exact:
+        w = Window.partitionBy(group_col).orderBy(
+            F.desc(score_col), F.asc(id_col)
+        )
+        n = Window.partitionBy(group_col)
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(n))
+            .filter(
+                F.col("_rk")
+                <= F.ceil(F.lit(frac) * F.col("_n")).cast("int")
+            )
+            .select(
+                id_col,
+                group_col,
+                score_col,
+                F.col("_rk").cast("long").alias("source_rank"),
+            )
+        )
+    thresholds = df.groupBy(group_col).agg(
+        F.percentile_approx(score_col, 1.0 - frac, 10000).alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(F.col(score_col) >= F.col("_thr"))
+        .select(
+            id_col,
+            group_col,
+            score_col,
+            F.col("_thr").alias("threshold"),
+        )
+    )

@@ -308,3 +308,47 @@ def running_anomalies_batch(
         F.round(z, 4).alias("zscore"),
         ((F.abs(z) > z_threshold) & (n >= min_history)).alias("is_anomaly"),
     )
+
+
+def scd2_dimension(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build from a change stream —
+    the lakehouse dimensional-modeling staple the warehouse side of a
+    medallion architecture serves: collapse each key's event history
+    to its CHANGE POINTS (consecutive runs of an equal attribute merge
+    into one validity interval) and emit one row per version with
+    [valid_from, valid_to) interval semantics, ``valid_to`` NULL on
+    the open current version, plus ``is_current`` and a 1-based
+    ``version`` ordinal.
+
+    Scale shape: ONE hash exchange on the key; both passes (the
+    lag-based change detection and the lead-based interval close) are
+    sequential window scans inside that same partitioning — Spark
+    reuses the exchange (no second shuffle), nothing global, no
+    driver state. Same-timestamp events order deterministically by
+    ``tiebreak_col``. Timestamps are formatted to strings
+    (engine-portable, the events.py convention)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changed = (
+        events.withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+        )
+        .select(key_col, attr_col, ts_col, tiebreak_col)
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    nxt = F.lead(ts_col).over(w2)
+    return changed.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.date_format(ts_col, fmt).alias("valid_from"),
+        F.date_format(nxt, fmt).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )

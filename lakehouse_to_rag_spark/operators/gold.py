@@ -63,3 +63,80 @@ def gold_transform_fixed_stride(
     return silver.select(
         "*", F.posexplode_outer(arr).alias("chunk_index", "chunk")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    k: int = 16,
+    divisor: int = 64,
+    min_size: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CONTENT-DEFINED chunking (rolling-hash cutpoints — the
+    rsync/LBFS/restic boundary discipline applied to RAG chunking):
+    cut after every position whose k-gram hash ≡ 0 (mod ``divisor``),
+    so expected chunk length is ~``divisor`` + k and — the property
+    fixed-stride chunking lacks — boundaries REALIGN after an edit:
+    inserting a sentence shifts only the chunks containing it, every
+    later cutpoint is decided by local content and lands identically,
+    so chunk-level hashes stay stable for incremental re-embedding and
+    chunk-level dedup (fixed-stride shifts EVERY downstream chunk and
+    invalidates the whole tail; equality property-tested on a planted
+    edit).
+
+    Engine shape: per-row JVM array lambdas only (the winnowing
+    pattern — hash sequence bound to a column ONCE, then
+    filter/aggregate/transform over it), no shuffle, no Python; the
+    gram hash is the engine-portable 60-bit md5 so the whole chunking
+    replays in SQL. ``min_size`` greedily suppresses cutpoints closer
+    than min_size to the last kept one (an F.aggregate fold — the
+    sequential CDC min-size rule); the terminal chunk may be shorter,
+    as in every CDC scheme. Documents shorter than k emit one whole
+    chunk. Returns (id_col, chunk_index 0.., chunk, chunk_hash)."""
+    if k < 1 or divisor < 1 or min_size < 1:
+        raise ValueError(
+            f"cdc_chunks: k, divisor, min_size >= 1, got "
+            f"k={k} divisor={divisor} min_size={min_size}"
+        )
+    t = f"`{text_col}`"
+    gram = (
+        f"cast(conv(substr(md5(substring({t}, i, {k})), 1, 15), 16, 10) "
+        f"as bigint)"
+    )
+    # candidate cutpoints: position AFTER each boundary gram
+    cands = (
+        f"case when length({t}) >= {k} then "
+        f"filter(transform(sequence(1, length({t}) - {k - 1}), "
+        f"i -> case when pmod({gram}, {divisor}) = 0 "
+        f"then i + {k} else null end), x -> x is not null) "
+        f"else cast(array() as array<int>) end"
+    )
+    # greedy min-size fold + bounds [1, kept..., len+1]; a cutpoint
+    # past the end (last gram) and duplicates collapse via the fold
+    bounds = (
+        f"concat(aggregate(_c, array(1), (acc, b) -> "
+        f"case when b - element_at(acc, -1) >= {min_size} "
+        f"and b <= length({t}) then concat(acc, array(b)) "
+        f"else acc end), array(length({t}) + 1))"
+    )
+    chunks = (
+        f"transform(sequence(1, size(_b) - 1), "
+        f"j -> substring({t}, element_at(_b, j), "
+        f"element_at(_b, j + 1) - element_at(_b, j)))"
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(F.col(id_col), F.col(text_col), F.expr(cands).alias("_c"))
+        .select(F.col(id_col), F.col(text_col), F.expr(bounds).alias("_b"))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(chunks)).alias("chunk_index", "chunk"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_index").cast("long").alias("chunk_index"),
+            "chunk",
+            F.md5(F.col("chunk")).alias("chunk_hash"),
+        )
+    )

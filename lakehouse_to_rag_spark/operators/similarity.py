@@ -2276,3 +2276,88 @@ def knn_binary_ivf(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def knn_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for embedding/retriever training: for each
+    query, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the highest-loss negatives a contrastive objective can be
+    fed (same-label neighbors are positives and are masked out before
+    the top-k, not filtered after, so the k slots are always spent on
+    true negatives).
+
+    Engine shape = ``knn_bruteforce_numpy`` with a label mask: the
+    query matrix AND its label vector ride the broadcast; per corpus
+    batch one Arrow GEMM, same-label pairs set to -inf pre-argsort,
+    batch-local top-k, global rank over partitions x queries x k
+    candidates. Same rounding/tie-break discipline (4dp half-away,
+    neighbor_id asc), non-finite cosines dropped (the
+    ``knn_self_ivf`` isfinite convention), self-matches excluded by
+    the label mask itself. For corpus-scale query sets compose with
+    the IVF family instead — this is the exact, oracle-replayable
+    form. Returns (query_id, neighbor_id, cosine, rank 1..k)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q_rows = queries.select(id_col, vec_col, label_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_lab = np.array([r[2] for r in q_rows], dtype=np.int64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = np.nan
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            labs = pdf[label_col].to_numpy(dtype=np.int64)
+            o = np.argsort(ids, kind="stable")  # id-asc tie-break
+            ids, labs = ids[o], labs[o]
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)[o]
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = np.nan
+            sims = (mat @ q_mat.T) / norms[:, None] / q_norm[None, :]
+            sims = _round_away(sims, 4)
+            # the mask IS the negative-definition: same-label pairs
+            # (incl. self) can never enter the top-k
+            sims = np.where(labs[:, None] == q_lab[None, :], -np.inf, sims)
+            top = min(k, len(ids))
+            order = np.argsort(-sims, axis=0, kind="stable")[:top]
+            nbr = ids[order]
+            cos = np.take_along_axis(sims, order, axis=0)
+            qid = np.broadcast_to(q_ids[None, :], nbr.shape)
+            keep = np.isfinite(cos.T)
+            yield pd.DataFrame(
+                {
+                    "query_id": qid.T[keep],
+                    "neighbor_id": nbr.T[keep],
+                    "cosine": cos.T[keep],
+                }
+            )
+
+    pairs = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        score, out_schema
+    )
+    return _ranked_topk(pairs, k)

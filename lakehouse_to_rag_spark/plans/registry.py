@@ -7982,6 +7982,162 @@ def rag_read_path_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# r9 family additions: dimensional modeling (SCD2), content-defined
+# chunking, hard-negative mining, cross-source quality calibration
+# =====================================================================
+
+_SCD2_ORACLE = """
+WITH chg AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), keep AS (
+  SELECT user_id, event_type, ts, event_id FROM chg
+  WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       (LEAD(ts) OVER w IS NULL) AS is_current,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+FROM keep
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@_q("scd2_user_type", _SCD2_ORACLE)
+def scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from the event stream (r9 — the
+    dimensional-modeling family): each user's event_type history
+    collapsed to change points with [valid_from, valid_to) validity,
+    NULL-open current version, is_current flag and version ordinal.
+    One hash exchange on user_id, both window passes inside it."""
+    e = load_table(spark, sf_dir, "events")
+    return ev.scd2_dimension(e)
+
+
+_CDC_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text,
+    (list_value(1) || list_filter(
+       CASE WHEN LENGTH(text) >= 16 THEN
+         list_filter(list_transform(range(1, LENGTH(text) - 14),
+           i -> CASE WHEN (('0x' || substr(md5(substring(text,
+                  CAST(i AS INTEGER), 16)), 1, 15))::BIGINT % 64) = 0
+                THEN CAST(i + 16 AS INTEGER) END),
+           x -> x IS NOT NULL)
+       ELSE [] END,
+       b -> b <= LENGTH(text))
+     || list_value(LENGTH(text) + 1)) AS bounds
+  FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0
+), ex AS (
+  SELECT doc_id, text, bounds,
+         CAST(unnest(range(1, len(bounds))) AS INTEGER) AS j
+  FROM base
+), ch AS (
+  SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_index,
+         substring(text, CAST(bounds[j] AS INTEGER),
+                   CAST(bounds[j + 1] - bounds[j] AS INTEGER)) AS chunk
+  FROM ex
+)
+SELECT doc_id, chunk_index, chunk, md5(chunk) AS chunk_hash FROM ch
+"""
+
+
+@_q("cdc_chunks", _CDC_ORACLE)
+def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (r9): rolling-gram-hash cutpoints
+    (k=16, divisor 64 — the rsync/LBFS boundary discipline), so chunk
+    hashes REALIGN after an edit instead of shifting the whole tail
+    like fixed-stride chunking — the property that makes chunk-level
+    dedup and incremental re-embedding cheap. Pure JVM array lambdas
+    over the portable 60-bit md5 gram hash; the whole chunking
+    replays in SQL."""
+    from lakehouse_to_rag_spark.operators.gold import cdc_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(d, k=16, divisor=64)
+
+
+_HARD_NEG_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlab,
+         CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 10
+), p AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qe,
+               CAST(e.embedding AS DOUBLE[])), 4) AS cosine
+  FROM q JOIN embeddings e ON e.label <> q.qlab
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+@_q("knn_hard_negatives", _HARD_NEG_ORACLE)
+def knn_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retriever training (r9): per query
+    the top-5 most-similar vectors with a DIFFERENT label — the mask
+    is applied BEFORE the top-k so every slot is a true negative.
+    knn_bruteforce_numpy's GEMM shape with the label mask riding the
+    broadcast; same 4dp/tie-break discipline, so the SQL replay is
+    the knn oracle with one extra join predicate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return simi.knn_hard_negatives(e, queries, k=5)
+
+
+_QSEL = """
+  SELECT doc_id, source,
+       FLOOR((LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+             + (CAST(len(list_intersect(string_split(text, ' '), {sw})) AS DOUBLE)
+                / len(string_split(text, ' '))) * 0.4
+             + (1.0 - LEAST((CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                             / LENGTH(text)) * 10.0, 1.0)) * 0.1) * 10000.0 + 0.5) / 10000.0 AS quality_score
+  FROM documents
+"""
+
+_QCAL_ORACLE = f"""
+WITH s AS (
+{_QSEL.format(sw=_SW)}
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM s
+)
+SELECT doc_id, source, quality_score, CAST(rk AS BIGINT) AS source_rank
+FROM r WHERE rk <= CEIL(0.2 * n)
+"""
+
+
+@_q("quality_calibrated_select", _QCAL_ORACLE)
+def quality_calibrated_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality calibration (r9): keep the top 20% of
+    each SOURCE by composite quality score — per-source ranking, not
+    a pooled threshold, so no source's score distribution can eat the
+    whole selection budget. Gated form = exact per-group window rank
+    (SQL-replayable); the scale form (exact=False — per-group
+    approx-quantile threshold + map-only filter, no per-source row
+    funnel) is property-tested against it."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = ta.quality_scores(d, carry_cols=["source"]).select(
+        "doc_id", "source", "quality_score"
+    )
+    return cu.quality_calibrated_select(
+        scored, frac=0.2, score_col="quality_score",
+        group_col="source", id_col="doc_id",
+    )
+
+
+# =====================================================================
 # Driver evidence-window ROTATION
 # =====================================================================
 # The round driver's correctness gate walks queries() in dict order

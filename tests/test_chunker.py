@@ -69,3 +69,84 @@ def test_regression_goldens():
     assert chunks[1] == "word7 word8 word9 word10 word11 word12 word13"
     assert chunks[-1] == "word55 word56 word57 word58 word59"
     assert len(chunks) == 10
+
+
+class TestCdcChunks:
+    """Content-defined chunking: reconstruction, edit locality (the
+    property fixed-stride lacks), min-size fold, boundary params."""
+
+    def test_chunks_reconstruct_exactly(self, spark):
+        from lakehouse_to_rag_spark.operators.gold import cdc_chunks
+
+        d = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).filter("text is not null and length(text) > 0")
+        got = cdc_chunks(d).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_index"], r["chunk"])
+            )
+        originals = {r["doc_id"]: r["text"] for r in d.collect()}
+        assert set(by_doc) == set(originals)
+        for doc, chunks in by_doc.items():
+            chunks.sort()
+            assert [i for i, _ in chunks] == list(range(len(chunks)))
+            assert "".join(c for _, c in chunks) == originals[doc]
+
+    def test_edit_locality_vs_fixed_stride(self, spark):
+        """Insert a sentence mid-document: CDC boundaries REALIGN
+        after the edit (most chunk hashes shared), fixed-stride
+        shifts every downstream chunk (tail hashes all differ)."""
+        from lakehouse_to_rag_spark.operators.gold import cdc_chunks
+
+        base = " ".join(f"w{i:04d} token filler text" for i in range(200))
+        edited = base[:500] + "AN INSERTED SENTENCE " + base[500:]
+        two = spark.createDataFrame(
+            [(1, base), (2, edited)], "doc_id long, text string"
+        )
+        got = cdc_chunks(two, k=16, divisor=32).collect()
+        h = {1: set(), 2: set()}
+        n = {1: 0, 2: 0}
+        for r in got:
+            h[r["doc_id"]].add(r["chunk_hash"])
+            n[r["doc_id"]] += 1
+        assert n[1] >= 10  # enough chunks for the property to mean much
+        shared = len(h[1] & h[2])
+        assert shared >= 0.7 * n[1], (shared, n)
+        # fixed-stride control: everything after the edit point shifts
+        stride_shared = 0
+        for s in range(0, len(base), 100):
+            if base[s:s + 100] == edited[s:s + 100]:
+                stride_shared += 1
+        assert stride_shared <= 5  # only the prefix before the edit
+
+    def test_min_size_fold_suppresses_close_cutpoints(self, spark):
+        from lakehouse_to_rag_spark.operators.gold import cdc_chunks
+
+        d = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(50)
+        small = cdc_chunks(d, k=8, divisor=16, min_size=1).collect()
+        merged = cdc_chunks(d, k=8, divisor=16, min_size=80).collect()
+        assert len(merged) < len(small)
+        lens = [len(r["chunk"]) for r in merged]
+        # every chunk except possibly each doc's terminal one >= min
+        by_doc = {}
+        for r in merged:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_index"], len(r["chunk"]))
+            )
+        for doc, rows in by_doc.items():
+            rows.sort()
+            assert all(ln >= 80 for _, ln in rows[:-1]), (doc, rows)
+
+    def test_rejects_bad_params(self, spark):
+        import pytest
+
+        from lakehouse_to_rag_spark.operators.gold import cdc_chunks
+
+        d = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        for kw in ({"k": 0}, {"divisor": 0}, {"min_size": 0}):
+            with pytest.raises(ValueError, match="cdc_chunks"):
+                cdc_chunks(d, **kw)

@@ -1239,3 +1239,87 @@ class TestTokenBudgetSelect:
             .toString()
         )
         assert "SinglePartition" not in plan
+
+
+class TestQualityCalibratedSelect:
+    def test_per_source_budget_and_determinism(self, spark, sf_dir):
+        from lakehouse_to_rag_spark.operators.curation import (
+            quality_calibrated_select,
+        )
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            quality_scores,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scored = quality_scores(d, carry_cols=["source"]).select(
+            "doc_id", "source", "quality_score"
+        )
+        sel = quality_calibrated_select(scored, frac=0.2).collect()
+        # each source keeps exactly ceil(0.2 * its size) rows
+        import math
+
+        sizes = {
+            r["source"]: r["n"]
+            for r in scored.groupBy("source").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        got = {}
+        for r in sel:
+            got[r["source"]] = got.get(r["source"], 0) + 1
+        for src, n in sizes.items():
+            assert got.get(src, 0) == math.ceil(0.2 * n), src
+        # kept rows really are each source's top by (score desc, id)
+        by_src = {}
+        for r in scored.collect():
+            by_src.setdefault(r["source"], []).append(
+                (-r["quality_score"], r["doc_id"])
+            )
+        kept = {(r["source"], r["doc_id"]) for r in sel}
+        for src, rows in by_src.items():
+            rows.sort()
+            want = {(src, i) for _, i in rows[: math.ceil(0.2 * len(rows))]}
+            assert {p for p in kept if p[0] == src} == want
+
+    def test_scale_form_superset_of_exact_at_threshold(self, spark, sf_dir):
+        """exact=False (per-group quantile threshold + map filter)
+        must keep every exact-form row whose score clears the
+        threshold, i.e. its kept set is a superset of exact's minus
+        boundary-tie rounding — pinned as: every exact row with score
+        strictly above the scale threshold is kept by both."""
+        from lakehouse_to_rag_spark.operators.curation import (
+            quality_calibrated_select,
+        )
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            quality_scores,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scored = quality_scores(d, carry_cols=["source"]).select(
+            "doc_id", "source", "quality_score"
+        )
+        exact = quality_calibrated_select(scored, frac=0.2).collect()
+        scale = quality_calibrated_select(
+            scored, frac=0.2, exact=False
+        ).collect()
+        thr = {r["source"]: r["threshold"] for r in scale}
+        scale_kept = {(r["source"], r["doc_id"]) for r in scale}
+        for r in exact:
+            if r["quality_score"] > thr[r["source"]]:
+                assert (r["source"], r["doc_id"]) in scale_kept
+        # and the scale form never keeps a row below its threshold
+        for r in scale:
+            assert r["quality_score"] >= r["threshold"]
+
+    def test_rejects_bad_frac(self, spark):
+        import pytest
+
+        from lakehouse_to_rag_spark.operators.curation import (
+            quality_calibrated_select,
+        )
+
+        d = spark.createDataFrame(
+            [(0, "a", 1.0)], "doc_id long, source string, quality_score double"
+        )
+        for frac in (0.0, 1.5):
+            with pytest.raises(ValueError, match="frac"):
+                quality_calibrated_select(d, frac=frac)

@@ -683,3 +683,114 @@ def test_source_vocab_overlap_planted(spark):
     assert got[("a", "b")] == (1, 0.25)    # 1 / (3 + 2 - 1)
     assert ("a", "c") not in got and ("b", "c") not in got
     assert set(got) == {("a", "a"), ("b", "b"), ("c", "c"), ("a", "b")}
+
+
+def test_scd2_dimension_invariants(spark, sf_dir):
+    """SCD2 contract on the real event stream: per key exactly one
+    open (is_current) version; intervals tile the key's history
+    contiguously (valid_to == next valid_from); consecutive versions
+    never repeat the attribute (runs collapse); version ordinals are
+    dense from 1."""
+    from lakehouse_to_rag_spark.operators.events import scd2_dimension
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = scd2_dimension(e).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["user_id"], []).append(r)
+    assert by_key
+    for uid, vs in by_key.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [v["version"] for v in vs] == list(range(1, len(vs) + 1))
+        assert sum(1 for v in vs if v["is_current"]) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"], uid
+            assert a["event_type"] != b["event_type"], uid
+
+
+def test_scd2_collapses_runs_hand_case(spark):
+    from lakehouse_to_rag_spark.operators.events import scd2_dimension
+
+    from datetime import datetime
+
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    e = spark.createDataFrame(
+        [
+            (1, t(0), 7, "a"),
+            (2, t(1), 7, "a"),   # same run: merges
+            (3, t(2), 7, "b"),
+            (4, t(3), 7, "a"),   # a returns: NEW version
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = sorted(
+        (r["version"], r["event_type"], r["valid_from"], r["valid_to"])
+        for r in scd2_dimension(e).collect()
+    )
+    assert got == [
+        (1, "a", "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+        (2, "b", "2024-01-01 02:00:00", "2024-01-01 03:00:00"),
+        (3, "a", "2024-01-01 03:00:00", None),
+    ]
+
+
+def test_knn_hard_negatives_mask_before_topk(spark):
+    """The label mask applies BEFORE the top-k: with k same-label
+    vectors strictly closer than any cross-label one, a filter-after
+    approach would return < k rows — the miner must still fill all k
+    slots with cross-label negatives, none of them same-label."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        knn_hard_negatives,
+    )
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0], 0)]
+    # 5 near-identical same-label vectors (the would-be top-5)
+    rows += [(i, [1.0, 0.001 * i, 0.0, 0.0], 0) for i in range(1, 6)]
+    # cross-label vectors, strictly farther
+    rows += [(10 + j, [0.5, 1.0, 0.1 * j, 0.0], 1) for j in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = knn_hard_negatives(
+        df, df.filter("vec_id = 0"), k=5
+    ).collect()
+    assert len(got) == 5
+    assert all(r["neighbor_id"] >= 10 for r in got)
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [
+        1, 2, 3, 4, 5
+    ]
+
+
+def test_knn_hard_negatives_matches_bruteforce_on_cross_label(spark, sf_dir):
+    """Equivalence anchor: restricting brute-force top-k to
+    cross-label pairs computed the expensive way (k=corpus, filter,
+    re-rank) equals the miner's output on real embeddings."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        knn_bruteforce_numpy,
+        knn_hard_negatives,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    queries = e.filter("vec_id < 10")
+    labels = {r["vec_id"]: r["label"] for r in e.collect()}
+    full = knn_bruteforce_numpy(e, queries, k=n).collect()
+    want = {}
+    for r in sorted(
+        full, key=lambda r: (r["query_id"], -r["cosine"], r["neighbor_id"])
+    ):
+        if labels[r["neighbor_id"]] == labels[r["query_id"]]:
+            continue
+        want.setdefault(r["query_id"], [])
+        if len(want[r["query_id"]]) < 5:
+            want[r["query_id"]].append((r["neighbor_id"], r["cosine"]))
+    got = {}
+    for r in sorted(
+        knn_hard_negatives(e, queries, k=5).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    ):
+        got.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["cosine"])
+        )
+    assert got == want
