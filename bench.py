@@ -175,6 +175,11 @@ HEADLINE = [
     "cdc_chunks",
     "knn_hard_negatives",
     "quality_calibrated_select",
+    # r9: SCD2 interval enrichment, CDF snapshot diff, deterministic
+    # hash-rank sampling (TakeOrdered shape)
+    "scd2_enrich_events",
+    "events_snapshot_diff",
+    "docs_uniform_sample",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -863,3 +863,31 @@ def quality_calibrated_select(
             F.col("_thr").alias("threshold"),
         )
     )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic uniform n-sample without an RNG: rank every row
+    by md5(seed || id) and keep the lowest ``n`` — the hash is a
+    fixed pseudo-random permutation of the ids, so the sample is
+    uniform over any id structure, REPRODUCIBLE across engines and
+    runs (no sample()/rand() nondeterminism), and a different
+    ``seed`` is an independent redraw. The plan is the top-k shape
+    (TakeOrderedAndProject: per-partition partial top-n, single
+    bounded merge — never a global sort), so it scales like every
+    top-k here while ``df.sample()`` would scan-and-keep
+    probabilistically without an exact count. Returns the sampled
+    rows + the rank key for downstream determinism."""
+    if n < 1:
+        raise ValueError(f"deterministic_sample: n >= 1, got {n}")
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("_sk", key)
+        .orderBy("_sk")
+        .limit(n)
+        .withColumnRenamed("_sk", "sample_key")
+    )

@@ -352,3 +352,51 @@ def scd2_dimension(
         nxt.isNull().alias("is_current"),
         F.row_number().over(w2).cast("long").alias("version"),
     )
+
+
+def scd2_enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Fact-to-SCD2 enrichment — the interval join every Type-2
+    dimension exists to serve: each fact row picks the dimension
+    version whose [valid_from, valid_to) contains its timestamp.
+    ``dim`` is ``scd2_dimension`` output; the formatted-string
+    timestamps compare lexicographically (the format is
+    zero-padded, so string order == time order), and the half-open
+    interval makes the match EXACTLY one version per fact (a fact at
+    a change point belongs to the version it opened).
+
+    Scale shape: one equi-join on the key with the interval predicate
+    as a residual filter — per-key version counts are small (change
+    points, not events), so the join fan-out is bounded; no range
+    partitioning needed. Returns the fact keys + the matched
+    version's attribute/ordinal."""
+    f = facts.select(
+        "event_id",
+        F.col(key_col),
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("_fts"),
+    )
+    d = dim.select(
+        F.col(key_col),
+        F.col("event_type").alias("active_type"),
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    return (
+        f.join(d, key_col)
+        .filter(
+            (F.col("_fts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("_fts") < F.col("valid_to")))
+        )
+        .select(
+            "event_id",
+            key_col,
+            F.col("_fts").alias("ts"),
+            "active_type",
+            "version",
+        )
+    )

@@ -144,3 +144,53 @@ def run_medallion_incremental(
         # (crash-replay tested in tests/test_pipeline.py).
         upsert_by_key(spark, paths["bronze"], bronze_b, ["doc_id"])
     return {k: read_layer(spark, p) for k, p in paths.items()}
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data-feed emission between two snapshots — the diff a
+    MERGE/CDF-less lakehouse computes by hand: full outer join on the
+    key, each row classified ``insert`` (key only in new), ``delete``
+    (only in old), ``update`` (both sides, any compare column
+    differs, NULL-safe), or ``unchanged``. This is the generic
+    building block for incremental downstream refresh (ship only
+    insert/update/delete rows) and snapshot reconciliation/audit.
+
+    Scale shape: ONE shuffle per side on the key (the full outer
+    join); classification is a map over the joined row — no windows,
+    no collect. NULL-safe comparison via the <=> operator so a NULL
+    -> value transition classifies as update, not unchanged. Returns
+    key_cols + change_type + old_/new_ prefixed compare columns."""
+    from pyspark.sql import functions as F
+
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *key_cols,
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    joined = o.join(n, key_cols, "full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *key_cols,
+        change.alias("change_type"),
+        *[f"old_{c}" for c in compare_cols],
+        *[f"new_{c}" for c in compare_cols],
+    )

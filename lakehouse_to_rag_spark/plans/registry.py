@@ -8137,6 +8137,122 @@ def quality_calibrated_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_ENRICH_ORACLE = """
+WITH chg AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), keep AS (
+  SELECT user_id, event_type, ts, event_id FROM chg
+  WHERE prev IS NULL OR event_type <> prev
+), dim AS (
+  SELECT user_id, event_type AS active_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+  FROM keep
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), f AS (
+  SELECT event_id, user_id,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS fts
+  FROM events
+)
+SELECT f.event_id, f.user_id, f.fts AS ts, d.active_type, d.version
+FROM f JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.fts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.fts < d.valid_to)
+"""
+
+
+@_q("scd2_enrich_events", _SCD2_ENRICH_ORACLE)
+def scd2_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-SCD2 interval enrichment (r9) — the join a Type-2
+    dimension exists to serve: every event picks the version active
+    at its timestamp (half-open intervals, so each fact matches
+    EXACTLY one version; row count == fact count, checked by the
+    oracle). One equi-join on the key with the interval predicate as
+    a residual filter — per-key version counts are change points, so
+    fan-out is bounded."""
+    from lakehouse_to_rag_spark.operators.events import scd2_enrich
+
+    e = load_table(spark, sf_dir, "events")
+    return scd2_enrich(e, ev.scd2_dimension(e))
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH o AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_micros
+  FROM events WHERE ts < TIMESTAMP '2024-01-04' GROUP BY user_id
+), n AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_micros
+  FROM events WHERE ts >= TIMESTAMP '2024-01-04' GROUP BY user_id
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN n.user_id IS NULL THEN 'delete'
+            WHEN o.n_events IS DISTINCT FROM n.n_events
+              OR o.sum_micros IS DISTINCT FROM n.sum_micros THEN 'update'
+            ELSE 'unchanged' END AS change_type,
+       o.n_events AS old_n_events, o.sum_micros AS old_sum_micros,
+       n.n_events AS new_n_events, n.sum_micros AS new_sum_micros
+FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+"""
+
+
+@_q("events_snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed emission between two snapshots (r9): per-user
+    aggregates before vs after a cutoff, classified
+    insert/delete/update/unchanged by a NULL-safe full outer join —
+    the generic incremental-refresh building block when MERGE/CDF
+    isn't available. Values compare in exact integer micros (the
+    repo-wide discipline), so classification can't flip on a
+    last-ulp double difference between engines."""
+    from lakehouse_to_rag_spark.operators.pipeline import snapshot_diff
+
+    e = load_table(spark, sf_dir, "events")
+    micros = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+
+    def snap(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micros).alias("sum_micros"),
+        )
+
+    old = snap(e.filter(F.col("ts") < F.lit("2024-01-04").cast("timestamp")))
+    new = snap(e.filter(F.col("ts") >= F.lit("2024-01-04").cast("timestamp")))
+    return snapshot_diff(
+        old, new, key_cols=["user_id"], compare_cols=["n_events", "sum_micros"]
+    )
+
+
+_UNIFORM_SAMPLE_ORACLE = """
+SELECT doc_id, source,
+       md5('s0' || CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents
+ORDER BY sample_key
+LIMIT 100
+"""
+
+
+@_q("docs_uniform_sample", _UNIFORM_SAMPLE_ORACLE)
+def docs_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sampling (r9): exact-size n-sample by
+    ranking on md5(seed || id) — a fixed pseudo-random permutation,
+    reproducible across engines/runs/partitionings where
+    sample()/rand() are not, seeded for independent redraws. Plan is
+    the top-k shape (TakeOrderedAndProject — per-partition partial
+    top-n, bounded merge, never a global sort)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cu.deterministic_sample(d, n=100, id_col="doc_id", seed="s0")
+
+
 # =====================================================================
 # Driver evidence-window ROTATION
 # =====================================================================

@@ -794,3 +794,75 @@ def test_knn_hard_negatives_matches_bruteforce_on_cross_label(spark, sf_dir):
             (r["neighbor_id"], r["cosine"])
         )
     assert got == want
+
+
+def test_scd2_enrich_exactly_one_version_per_fact(spark, sf_dir):
+    from lakehouse_to_rag_spark.operators.events import (
+        scd2_dimension,
+        scd2_enrich,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = scd2_enrich(e, scd2_dimension(e))
+    assert got.count() == e.count()  # half-open intervals: exactly one
+    assert got.select("event_id").distinct().count() == e.count()
+    # a fact AT a change point belongs to the version it opened
+    sample = got.filter("version >= 2").first()
+    assert sample is not None
+
+
+def test_snapshot_diff_all_four_classes_and_null_safety(spark):
+    from lakehouse_to_rag_spark.operators.pipeline import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10, None), (2, 20, 5), (3, 30, 7), (4, None, 1)],
+        "k long, a int, b int",
+    )
+    new = spark.createDataFrame(
+        [(2, 20, 5), (3, 31, 7), (4, 99, 1), (5, 50, 0)],
+        "k long, a int, b int",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+    }
+    assert got == {
+        1: "delete",
+        2: "unchanged",
+        3: "update",
+        4: "update",      # NULL -> 99 must be update (NULL-safe compare)
+        5: "insert",
+    }
+
+
+def test_deterministic_sample_reproducible_and_plan_shape(spark, sf_dir):
+    """Same seed -> identical set regardless of partitioning;
+    different seed -> an independent redraw; plan is top-k
+    (TakeOrderedAndProject), never a global Sort."""
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.curation import (
+        deterministic_sample,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    a = {r["doc_id"] for r in deterministic_sample(d, 50).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(d.repartition(7), 50).collect()
+    }
+    c = {
+        r["doc_id"]
+        for r in deterministic_sample(d, 50, seed="other").collect()
+    }
+    assert a == b and len(a) == 50
+    assert a != c  # independent redraw
+    plan = (
+        deterministic_sample(d, 50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError, match="deterministic_sample"):
+        deterministic_sample(d, 0)
