@@ -153,7 +153,11 @@ HEADLINE = [
     # broadcast-free self-kNN that de-quadratized doc_pagerank
     "winnow_fingerprints",
     "winnow_fingerprints_xx",
-    "winnow_matches",
+    # winnow_matches itself left the list in r9: it and the bounded
+    # topm form below share the whole candidate/aggregate plan and
+    # differ only in the final window, so benching both paid ~50s/pass
+    # twice for one signal (r8 p50 31.0s / r9 min 24.8s on record);
+    # topm is the production report form and keeps the family's row
     "token_budget_select",
     "decontaminate_fuzzy",
     "bm25_served_incremental",
@@ -180,6 +184,7 @@ HEADLINE = [
     "scd2_enrich_events",
     "events_snapshot_diff",
     "docs_uniform_sample",
+    "scd2_user_type_snapshots",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -400,3 +400,45 @@ def scd2_enrich(
             "version",
         )
     )
+
+
+def scd2_from_snapshots(
+    snapshots: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    snap_col: str = "snap_day",
+) -> DataFrame:
+    """SCD2 build from PERIODIC FULL SNAPSHOTS — the other way
+    dimensions arrive in a lakehouse (a daily dump of current state
+    rather than a change stream): per key, consecutive snapshots with
+    an unchanged attribute collapse into one validity interval;
+    ``valid_from`` is the first snapshot showing the value,
+    ``valid_to`` the first snapshot showing a different one
+    (half-open, NULL-open current — identical contract to
+    ``scd2_dimension``, so the same ``scd2_enrich`` consumes both).
+    A key ABSENT from later snapshots keeps its last version open:
+    full-snapshot absence means deletion in some models — compose
+    with ``snapshot_diff`` when deletes must close intervals.
+
+    The change detection is the identical lag-window collapse as the
+    change-stream form — one hash exchange on the key, both window
+    passes inside it; snapshot grain (the ``snap_col`` values) is
+    whatever the caller materialized, no calendar assumption."""
+    w = Window.partitionBy(key_col).orderBy(snap_col)
+    changed = (
+        snapshots.withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+        )
+        .select(key_col, attr_col, snap_col)
+    )
+    w2 = Window.partitionBy(key_col).orderBy(snap_col)
+    nxt = F.lead(snap_col).over(w2)
+    return changed.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(snap_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )

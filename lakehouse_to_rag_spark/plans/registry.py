@@ -8232,6 +8232,59 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_SNAP_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS snap_day,
+         event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), snaps AS (
+  SELECT user_id, snap_day, event_type FROM ranked WHERE rn = 1
+), chg AS (
+  SELECT user_id, event_type, snap_day,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY snap_day) AS prev
+  FROM snaps
+), keep AS (
+  SELECT user_id, event_type, snap_day FROM chg
+  WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type,
+       snap_day AS valid_from,
+       LEAD(snap_day) OVER w AS valid_to,
+       (LEAD(snap_day) OVER w IS NULL) AS is_current,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+FROM keep
+WINDOW w AS (PARTITION BY user_id ORDER BY snap_day)
+"""
+
+
+@_q("scd2_user_type_snapshots", _SCD2_SNAP_ORACLE)
+def scd2_user_type_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 from periodic snapshots (r9): daily last-state snapshots
+    (per user the latest event_type that day, (ts, event_id)-argmax
+    deterministic) collapsed to validity intervals — the
+    full-dump-arrival twin of the change-stream ``scd2_user_type``,
+    same interval contract, same one-exchange window plan. The
+    snapshot materialization itself is one partial-aggregatable
+    max_by groupBy."""
+    from lakehouse_to_rag_spark.operators.events import scd2_from_snapshots
+
+    e = load_table(spark, sf_dir, "events")
+    snaps = e.groupBy(
+        "user_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "snap_day"
+        ),
+    ).agg(
+        F.max_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("event_type")
+    )
+    return scd2_from_snapshots(snaps)
+
+
 _UNIFORM_SAMPLE_ORACLE = """
 SELECT doc_id, source,
        md5('s0' || CAST(doc_id AS VARCHAR)) AS sample_key

@@ -866,3 +866,31 @@ def test_deterministic_sample_reproducible_and_plan_shape(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     with pytest.raises(ValueError, match="deterministic_sample"):
         deterministic_sample(d, 0)
+
+
+def test_scd2_from_snapshots_collapses_and_keeps_absent_open(spark):
+    """Snapshot-form SCD2: unchanged consecutive snapshots merge; a
+    key absent from later snapshots keeps its last version OPEN (the
+    documented full-snapshot semantic — deletes are snapshot_diff's
+    job); output contract identical to the change-stream form."""
+    from lakehouse_to_rag_spark.operators.events import scd2_from_snapshots
+
+    snaps = spark.createDataFrame(
+        [
+            (7, "2024-01-01", "a"),
+            (7, "2024-01-02", "a"),   # unchanged: merges
+            (7, "2024-01-03", "b"),
+            (8, "2024-01-01", "x"),   # absent later: stays open
+        ],
+        "user_id long, snap_day string, event_type string",
+    )
+    got = sorted(
+        (r["user_id"], r["version"], r["event_type"],
+         r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_from_snapshots(snaps).collect()
+    )
+    assert got == [
+        (7, 1, "a", "2024-01-01", "2024-01-03", False),
+        (7, 2, "b", "2024-01-03", None, True),
+        (8, 1, "x", "2024-01-01", None, True),
+    ]
