@@ -442,3 +442,60 @@ def scd2_from_snapshots(
         nxt.isNull().alias("is_current"),
         F.row_number().over(w2).cast("long").alias("version"),
     )
+
+
+def sessionize_capped(
+    events: DataFrame,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    max_duration_seconds: int = 4 * 3600,
+) -> DataFrame:
+    """Gap-based sessionization with a MAX-DURATION cap — the
+    production refinement plain gap sessions lack: a bot or
+    long-lived tab that never pauses ``gap_seconds`` produces one
+    unbounded session; here a session also splits at fixed
+    ``max_duration_seconds`` epochs from its own start. Epochs are
+    FIXED from the session start (split at start+cap, start+2·cap,
+    ...), not rolling-restart — the rolling form re-anchors the clock
+    at each split, a sequential recurrence no window expresses; the
+    fixed-epoch form is the standard scalable choice and is stated so
+    a consumer knows which contract they get.
+
+    Plan: the gap sessionize's running-sum window, then the session
+    start via one more window over the SAME (user, ts) partitioning —
+    Spark reuses the single exchange. session_id embeds the sub-epoch
+    so downstream group-bys need one key. Returns events +
+    (session_seq, session_id)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = (
+        F.when(prev_ts.isNull(), F.lit(1))
+        .when(
+            F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+            > gap_seconds,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    sess = events.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    ws = Window.partitionBy("user_id", "session_seq")
+    start = F.min(F.unix_timestamp("ts")).over(ws)
+    epoch = (
+        (F.unix_timestamp("ts") - start) / F.lit(max_duration_seconds)
+    ).cast("long")
+    return sess.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "session_seq",
+        F.concat_ws(
+            "-",
+            F.col("user_id").cast("string"),
+            F.col("session_seq").cast("string"),
+            epoch.cast("string"),
+        ).alias("session_id"),
+    )

@@ -2361,3 +2361,70 @@ def knn_hard_negatives(
         score, out_schema
     )
     return _ranked_topk(pairs, k)
+
+
+def embedding_diversity(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus diversity metric WITHOUT pairs: the mean pairwise cosine
+    within each group via the resultant-vector identity — for unit
+    vectors u_i, ||Σu||² = n + Σ_{i≠j} u_i·u_j, so
+
+        mean_{i≠j} cos = (||Σu||² − n) / (n·(n−1))
+
+    — the O(n²) statistic every curation report wants ("how redundant
+    is this source/cluster?") computed in ONE partial-aggregatable
+    pass: normalize, per-dimension sums, one closed-form. At 100 TB
+    this is the difference between a groupBy and an impossible
+    self-join; it is also the SemDeDup-style redundancy signal at
+    corpus granularity.
+
+    Determinism discipline (the IVF-PQ parity-anchor scheme, taken
+    one step further): raw components quantize FIRST to exact 6dp
+    integer micros, the squared norm is then an exact BIGINT sum of
+    their squares (order-free), its sqrt is one IEEE double from one
+    exact integer — identical on any engine — and the unit components
+    re-quantize to micros from that. Per-dimension sums of those are
+    again exact BIGINTs in any summation order; the squares
+    accumulate in exact DECIMAL/HUGEINT micros², and only the final
+    exact integer converts to double. No step anywhere depends on
+    float summation order. Zero vectors are excluded (undefined
+    direction); groups with n < 2 report NULL. Returns (group_col,
+    n_vectors, mean_pairwise_cosine 4dp)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = F.transform(
+        v, lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+    )
+    ss = F.aggregate(
+        q, F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    micros = F.transform(
+        q,
+        lambda x: F.floor(
+            x / F.sqrt(ss.cast("double")) * 1e6 + F.lit(0.5)
+        ).cast("long"),
+    )
+    rows = (
+        df.withColumn("_ss", ss)
+        .filter(F.col("_ss") > 0)
+        .select(F.col(group_col), F.posexplode(micros).alias("dim", "u"))
+        .groupBy(group_col, "dim")
+        .agg(F.sum("u").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    s_dec = F.col("s").cast("decimal(38,0)")
+    per_group = rows.groupBy(group_col).agg(
+        F.max("n").alias("n_vectors"),  # identical across dims
+        F.sum(s_dec * s_dec).alias("r2i"),  # exact integer micros²
+    )
+    n = F.col("n_vectors")
+    r2 = F.col("r2i").cast("double") / F.lit(1e12)
+    mean_cos = (r2 - n) / (n * (n - F.lit(1)))
+    return per_group.select(
+        group_col,
+        n.cast("long").alias("n_vectors"),
+        F.when(
+            n >= 2, F.floor(mean_cos * 1e4 + F.lit(0.5)) / 1e4
+        ).alias("mean_pairwise_cosine"),
+    )

@@ -8306,6 +8306,92 @@ def docs_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.deterministic_sample(d, n=100, id_col="doc_id", seed="s0")
 
 
+_SESS_CAPPED_ORACLE = """
+WITH lagged AS (
+  SELECT event_id, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), s AS (
+  SELECT event_id, user_id, ts,
+         SUM(CASE WHEN prev IS NULL
+                    OR EPOCH(ts) - EPOCH(prev) > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+  FROM lagged
+), capped AS (
+  SELECT *, MIN(CAST(EPOCH(ts) AS BIGINT))
+              OVER (PARTITION BY user_id, session_seq) AS start
+  FROM s
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       user_id || '-' || session_seq || '-'
+         || ((CAST(EPOCH(ts) AS BIGINT) - start) // 3600) AS session_id
+FROM capped
+"""
+
+
+@_q("events_sessionize_capped", _SESS_CAPPED_ORACLE)
+def events_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-duration-capped sessionization (r9): gap sessions (30 min)
+    additionally split at fixed 1-hour epochs from the session start
+    — the bound plain gap sessions lack when a client never pauses.
+    Fixed-epoch (not rolling-restart) split, stated in the operator
+    contract; the session-start window rides the same exchange as the
+    gap window."""
+    e = load_table(spark, sf_dir, "events")
+    return ev.sessionize_capped(
+        e, gap_seconds=1800, max_duration_seconds=3600
+    )
+
+
+_EMB_DIVERSITY_ORACLE = """
+WITH qv AS (
+  SELECT label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+), nv AS (
+  SELECT label, q, list_dot_product(q, q) AS ss FROM qv
+  WHERE list_dot_product(q, q) > 0
+), um AS (
+  SELECT label,
+         list_transform(q, x -> CAST(FLOOR(
+           x / sqrt(CAST(ss AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS u
+  FROM nv
+), ex AS (
+  SELECT label, CAST(unnest(range(1, len(u) + 1)) AS INTEGER) AS dim, u
+  FROM um
+), dims AS (
+  SELECT label, dim, SUM(u[dim]) AS s, COUNT(*) AS n
+  FROM ex GROUP BY label, dim
+), g AS (
+  SELECT label, MAX(n) AS n_vectors,
+         SUM(CAST(s AS HUGEINT) * s) AS r2i
+  FROM dims GROUP BY label
+)
+SELECT label, CAST(n_vectors AS BIGINT) AS n_vectors,
+       CASE WHEN n_vectors >= 2 THEN
+         FLOOR(((CAST(r2i AS DOUBLE) / 1e12) - n_vectors)
+               / (n_vectors * (n_vectors - 1)) * 10000.0 + 0.5) / 10000.0
+       END AS mean_pairwise_cosine
+FROM g
+"""
+
+
+@_q("embedding_diversity", _EMB_DIVERSITY_ORACLE)
+def embedding_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean pairwise cosine WITHOUT pairs (r9): the
+    resultant-vector identity ||Σu||² = n + Σ_{i≠j} u_i·u_j turns the
+    O(n²) redundancy statistic into one partial-aggregatable pass —
+    the curation-report redundancy signal that stays a groupBy at
+    100 TB. Every arithmetic step is exact-integer or
+    one-conversion-IEEE (no float summation order anywhere), so the
+    SQL replay is bit-stable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return simi.embedding_diversity(e, group_col="label")
+
+
 # =====================================================================
 # Driver evidence-window ROTATION
 # =====================================================================

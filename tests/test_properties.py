@@ -112,11 +112,25 @@ def test_approx_stats_bounds(spark, sf_dir):
     from lakehouse_to_rag_spark.plans.registry import QUERIES
     from lakehouse_to_rag_spark.sources.tables import load_table
 
-    approx = {
+    banded = {
         r["event_type"]: r
         for r in QUERIES["events_approx_stats"](spark, SF_DIR).collect()
     }
+    for r in banded.values():  # r9 entry form: bands must hold
+        assert r["users_band"] == 1.0 and r["p50_in_band"] and r["p95_in_band"]
     e = load_table(spark, SF_DIR, "events")
+    approx = {
+        r["event_type"]: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias(
+                "approx_users"
+            ),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+            F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
+        )
+        .collect()
+    }
     # GK guarantees RANK error (<= n/accuracy), not value error: the
     # estimate must be an actual data point whose rank is within eps
     # of the target. Check against exact rank-bracket percentiles.
@@ -210,11 +224,24 @@ def test_hll_sketch_rollup_merges(spark, sf_dir):
     from lakehouse_to_rag_spark.plans.registry import QUERIES
     from lakehouse_to_rag_spark.sources.tables import load_table
 
+    # the registry entry now gates the estimate as a BANDED ratio (r9)
+    # rather than exposing the raw value; merge consistency is checked
+    # on the same daily->union composition directly
+    e = load_table(spark, SF_DIR, "events")
     merged = {
         r["event_type"]: r["approx_users"]
-        for r in QUERIES["user_sketch_rollup"](spark, SF_DIR).collect()
+        for r in e.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_users"
+            )
+        )
+        .collect()
     }
-    e = load_table(spark, SF_DIR, "events")
     direct = {
         r["event_type"]: r["approx"]
         for r in e.groupBy("event_type")
@@ -894,3 +921,81 @@ def test_scd2_from_snapshots_collapses_and_keeps_absent_open(spark):
         (7, 2, "b", "2024-01-03", None, True),
         (8, 1, "x", "2024-01-01", None, True),
     ]
+
+
+def test_sessionize_capped_splits_at_gap_and_duration(spark):
+    """A user active continuously (never a 30-min gap) splits at the
+    fixed 1h epochs from session start; a >gap pause starts a new
+    session whose epoch clock re-anchors."""
+    from datetime import datetime, timedelta
+
+    from lakehouse_to_rag_spark.operators.events import sessionize_capped
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=25 * i), 1, "click", 0.0, "{}")
+        for i in range(6)  # 0..125 min continuous: epochs 0,0,0,1,1,2
+    ]
+    rows.append((9, t0 + timedelta(minutes=300), 1, "click", 0.0, "{}"))
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["event_id"]: (r["session_seq"], r["session_id"])
+        for r in sessionize_capped(
+            e, gap_seconds=1800, max_duration_seconds=3600
+        ).collect()
+    }
+    assert [got[i][1] for i in range(6)] == [
+        "1-1-0", "1-1-0", "1-1-0", "1-1-1", "1-1-1", "1-1-2",
+    ]
+    assert got[9] == (2, "1-2-0")  # gap split re-anchors the epoch
+
+
+def test_embedding_diversity_matches_pairwise_and_edge_cases(spark):
+    from lakehouse_to_rag_spark.operators.similarity import (
+        embedding_diversity,
+    )
+
+    rows = [
+        # label 0: three identical directions -> mean pairwise cos 1.0
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [2.0, 0.0, 0.0], 0),
+        (2, [0.5, 0.0, 0.0], 0),
+        # label 1: orthogonal pair -> 0.0
+        (3, [1.0, 0.0, 0.0], 1),
+        (4, [0.0, 1.0, 0.0], 1),
+        # label 2: n=1 -> NULL; label 3: only a zero vector -> absent
+        (5, [0.0, 0.0, 1.0], 2),
+        (6, [0.0, 0.0, 0.0], 3),
+        # label 4: mixed, checked against the explicit pairwise mean
+        (7, [1.0, 0.0, 0.0], 4),
+        (8, [1.0, 1.0, 0.0], 4),
+        (9, [0.0, 1.0, 1.0], 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r["label"]: (r["n_vectors"], r["mean_pairwise_cosine"])
+        for r in embedding_diversity(df).collect()
+    }
+    assert got[0] == (3, 1.0)
+    assert got[1] == (2, 0.0)
+    assert got[2][0] == 1 and got[2][1] is None
+    assert 3 not in got
+    import itertools
+    import math
+
+    vs = [v for _, v, lab in rows if lab == 4]
+    cos = lambda a, b: (  # noqa: E731
+        sum(x * y for x, y in zip(a, b))
+        / math.sqrt(sum(x * x for x in a))
+        / math.sqrt(sum(y * y for y in b))
+    )
+    want = sum(
+        cos(a, b) for a, b in itertools.combinations(vs, 2)
+    ) / len(list(itertools.combinations(vs, 2)))
+    assert abs(got[4][1] - want) < 1e-3, (got[4], want)
