@@ -422,3 +422,49 @@ def test_pagerank_hoists_loop_invariant_degree_join(spark):
         tuple(r) for r in pagerank_micro(edges, iterations=iters).collect()
     )
     assert sorted(tuple(r) for r in flat.collect()) == prod
+
+
+def test_scd2_single_exchange_both_window_passes(spark, sf_dir):
+    """SCD2's two window passes (lag change detection + lead interval
+    close) share one (key) partitioning — Catalyst must plan exactly
+    ONE Exchange and a column-pruned scan; a second exchange means
+    the dimension build shuffles the fact history twice at 100 TB."""
+    from lakehouse_to_rag_spark.operators.events import scd2_dimension
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        scd2_dimension(e)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 2
+    # pruned scan: value/props never leave the file
+    assert "value" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_sessionize_capped_single_exchange(spark, sf_dir):
+    """The session-start window partitions by (user, session_seq) — a
+    SUBSET-satisfying clustering of the gap window's user_id hash, so
+    the whole operator must ride ONE Exchange."""
+    from lakehouse_to_rag_spark.operators.events import sessionize_capped
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        sessionize_capped(e)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_embedding_diversity_two_partial_aggregates_no_pairs(spark, sf_dir):
+    """The pair-free diversity statistic must plan as partial-agg
+    groupBys (HashAggregate pairs) with NO join anywhere — a join in
+    this plan means someone reintroduced the O(n²) pair form."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        embedding_diversity,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = (
+        embedding_diversity(e)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
