@@ -499,3 +499,94 @@ def sessionize_capped(
             epoch.cast("string"),
         ).alias("session_id"),
     )
+
+
+def scd2_apply_changes(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    check_order: bool = True,
+) -> DataFrame:
+    """Incremental SCD2 maintenance — the dimensional twin of the
+    index appends: fold a NEW change batch into an existing Type-2
+    dimension without rebuilding history. Closed versions pass
+    through untouched; each affected key's OPEN version seeds the
+    collapse of the new events (so a batch whose first change repeats
+    the open attribute creates NO new version — the run merges across
+    the batch boundary exactly as a full rebuild would); version
+    ordinals continue from the open version's. The defining property,
+    equality-tested AND the basis of the gated entry's oracle:
+
+        apply_changes(scd2(history < t), events >= t)
+            == scd2(full history)   row for row.
+
+    CONTRACT: batch events must be strictly later than every affected
+    open version's valid_from (the suffix property a CDC feed
+    provides). ``check_order=True`` fail-closes with one bounded
+    aggregate join BEFORE any output; pass False only when the feed
+    guarantees ordering upstream. At 100 TB the batch is bounded and
+    history is touched only on affected keys (one semi/anti join
+    pair) — the dimension is never rebuilt."""
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    affected = changes.select(F.col(key_col)).distinct()
+    untouched = dim.join(affected, key_col, "left_anti")
+    d_aff = dim.join(affected, key_col, "left_semi")
+    closed = d_aff.filter(~F.col("is_current"))
+    open_v = d_aff.filter(F.col("is_current"))
+    ev = changes.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.date_format(ts_col, fmt).alias("_ts"),
+        F.col(tiebreak_col).cast("long").alias("_tb"),
+        F.lit(1).alias("_is_new"),
+    )
+    if check_order:
+        bad = (
+            ev.groupBy(key_col).agg(F.min("_ts").alias("_first"))
+            .join(open_v.select(key_col, "valid_from"), key_col)
+            .filter(F.col("_first") <= F.col("valid_from"))
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"scd2_apply_changes: {bad} key(s) have batch events at "
+                "or before their open version's valid_from — the batch "
+                "is not a strict suffix of history. Rebuild with "
+                "scd2_dimension, or fix the feed ordering."
+            )
+    seed = open_v.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col("valid_from").alias("_ts"),
+        F.lit(-1).cast("long").alias("_tb"),  # sorts before any event
+        F.lit(0).alias("_is_new"),
+        F.col("version").alias("_base"),
+    )
+    ev = ev.withColumn("_base", F.lit(None).cast("long"))
+    merged = seed.unionByName(ev)
+    w = Window.partitionBy(key_col).orderBy("_ts", "_is_new", "_tb")
+    kept = (
+        merged.withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy("_ts", "_is_new", "_tb")
+    base = Window.partitionBy(key_col)
+    nxt = F.lead("_ts").over(w2)
+    rebuilt = kept.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col("_ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        (
+            F.row_number().over(w2)
+            # keys with a seed continue its ordinal; new keys start at 1
+            + F.coalesce(F.max("_base").over(base), F.lit(1)) - F.lit(1)
+        ).cast("long").alias("version"),
+    )
+    return untouched.unionByName(closed).unionByName(rebuilt)

@@ -2397,18 +2397,25 @@ def embedding_diversity(
     q = F.transform(
         v, lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
     )
-    ss = F.aggregate(
-        q, F.lit(0).cast("long"), lambda a, x: a + x * x
+    # q and ss BIND TO COLUMNS before the unit transform references
+    # them: an inlined aggregate() inside the transform lambda
+    # re-evaluates the whole O(dim) fold PER ELEMENT (O(dim²)/row —
+    # the winnowing-draft pitfall; measured 11.7s -> sub-second at
+    # sf0.1 when bound)
+    bound = df.select(F.col(group_col), q.alias("_q")).withColumn(
+        "_ss",
+        F.aggregate(
+            F.col("_q"), F.lit(0).cast("long"), lambda a, x: a + x * x
+        ),
     )
     micros = F.transform(
-        q,
+        F.col("_q"),
         lambda x: F.floor(
-            x / F.sqrt(ss.cast("double")) * 1e6 + F.lit(0.5)
+            x / F.sqrt(F.col("_ss").cast("double")) * 1e6 + F.lit(0.5)
         ).cast("long"),
     )
     rows = (
-        df.withColumn("_ss", ss)
-        .filter(F.col("_ss") > 0)
+        bound.filter(F.col("_ss") > 0)
         .select(F.col(group_col), F.posexplode(micros).alias("dim", "u"))
         .groupBy(group_col, "dim")
         .agg(F.sum("u").alias("s"), F.count(F.lit(1)).alias("n"))

@@ -8306,6 +8306,25 @@ def docs_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.deterministic_sample(d, n=100, id_col="doc_id", seed="s0")
 
 
+@_q("scd2_incremental", _SCD2_ORACLE)
+def scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (r9) — the dimensional twin of
+    the index-append story: the dimension built from history before
+    2024-01-04, then ONE ``scd2_apply_changes`` batch folds in the
+    rest. The oracle is the FULL-HISTORY SCD2 SQL verbatim
+    (``_SCD2_ORACLE``): incremental maintenance must be
+    indistinguishable from a rebuild, row for row — runs merging
+    across the batch boundary, version ordinals continuing, closed
+    history untouched. Affected keys only are touched (semi/anti
+    join pair); the batch is bounded; history is never rebuilt."""
+    from lakehouse_to_rag_spark.operators.events import scd2_apply_changes
+
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-04").cast("timestamp")
+    dim = ev.scd2_dimension(e.filter(F.col("ts") < cut))
+    return scd2_apply_changes(dim, e.filter(F.col("ts") >= cut))
+
+
 _SESS_CAPPED_ORACLE = """
 WITH lagged AS (
   SELECT event_id, user_id, ts,

@@ -999,3 +999,83 @@ def test_embedding_diversity_matches_pairwise_and_edge_cases(spark):
         cos(a, b) for a, b in itertools.combinations(vs, 2)
     ) / len(list(itertools.combinations(vs, 2)))
     assert abs(got[4][1] - want) < 1e-3, (got[4], want)
+
+
+def test_scd2_apply_changes_equals_full_rebuild(spark, sf_dir):
+    """The defining property of incremental SCD2 maintenance:
+    apply_changes(scd2(history < t), events >= t) == scd2(full
+    history) row for row — runs merge across the batch boundary,
+    version ordinals continue, closed history passes through."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_to_rag_spark.operators.events import (
+        scd2_apply_changes,
+        scd2_dimension,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = F.lit("2024-01-04").cast("timestamp")
+    dim = scd2_dimension(e.filter(F.col("ts") < cut))
+    inc = sorted(
+        map(
+            str,
+            (
+                tuple(r)
+                for r in scd2_apply_changes(
+                    dim, e.filter(F.col("ts") >= cut)
+                ).collect()
+            ),
+        )
+    )
+    full = sorted(
+        map(str, (tuple(r) for r in scd2_dimension(e).collect()))
+    )
+    assert inc == full and len(inc) > 0
+
+
+def test_scd2_apply_changes_boundary_run_merge_and_new_key(spark):
+    """Hand case: a batch whose first change repeats the open
+    attribute creates NO new version (run merges across the
+    boundary); a brand-new key starts at version 1; out-of-order
+    batches fail closed."""
+    from datetime import datetime
+
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.events import (
+        scd2_apply_changes,
+        scd2_dimension,
+    )
+
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    hist = spark.createDataFrame(
+        [(1, t(0), 7, "a"), (2, t(1), 7, "b")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    dim = scd2_dimension(hist)
+    batch = spark.createDataFrame(
+        [
+            (3, t(2), 7, "b"),   # repeats open attr: merges, no version
+            (4, t(3), 7, "a"),   # real change: version 3
+            (5, t(2), 9, "x"),   # new key: version 1
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = sorted(
+        (r["user_id"], r["version"], r["event_type"],
+         r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_apply_changes(dim, batch).collect()
+    )
+    assert got == [
+        (7, 1, "a", "2024-01-01 00:00:00", "2024-01-01 01:00:00", False),
+        (7, 2, "b", "2024-01-01 01:00:00", "2024-01-01 03:00:00", False),
+        (7, 3, "a", "2024-01-01 03:00:00", None, True),
+        (9, 1, "x", "2024-01-01 02:00:00", None, True),
+    ]
+    # fail-closed on a non-suffix batch (event at the open valid_from)
+    stale = spark.createDataFrame(
+        [(6, t(1), 7, "c")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    with pytest.raises(ValueError, match="strict suffix"):
+        scd2_apply_changes(dim, stale)
