@@ -188,6 +188,7 @@ HEADLINE = [
     "events_sessionize_capped",
     "embedding_diversity",
     "scd2_incremental",
+    "chunk_refresh_plan",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -140,3 +140,48 @@ def cdc_chunks(
             F.md5(F.col("chunk")).alias("chunk_hash"),
         )
     )
+
+
+def chunk_refresh_plan(
+    old: DataFrame,
+    new: DataFrame,
+    k: int = 16,
+    divisor: int = 64,
+    min_size: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental re-embedding driver — the composition ``cdc_chunks``
+    exists for: given two corpus versions, emit ONLY the chunk-level
+    work a refresh needs: ``embed`` rows (chunk hashes present in new
+    but not old — new or edited content) and ``delete`` rows (hashes
+    present in old but not new — superseded index entries). Because
+    CDC boundaries realign after an edit, an insertion into a
+    document re-embeds only the chunks it touched; under fixed-stride
+    chunking the same edit would invalidate the document's whole
+    tail (the cdc_chunks edit-locality property, here doing its
+    actual job).
+
+    Plan shape: two map-only chunkings + two hash-partitioned
+    anti-joins on (id, chunk_hash) — work scales with the CHANGED
+    corpus fraction at the join output, never with corpus size in
+    the result. Identical params must be used on both sides (the
+    cutpoint function is the identity of the scheme). Returns
+    (id_col, chunk_index, chunk_hash, action) — chunk text is
+    deliberately dropped (the refresh consumer re-reads it by
+    (id, chunk_index) from the NEW corpus; hashes travel, bodies
+    don't)."""
+    keys = [id_col, "chunk_hash"]
+    o = cdc_chunks(old, k, divisor, min_size, id_col, text_col).select(
+        id_col, "chunk_index", "chunk_hash"
+    )
+    n = cdc_chunks(new, k, divisor, min_size, id_col, text_col).select(
+        id_col, "chunk_index", "chunk_hash"
+    )
+    embed = n.join(o.select(*keys), keys, "left_anti").withColumn(
+        "action", F.lit("embed")
+    )
+    delete = o.join(n.select(*keys), keys, "left_anti").withColumn(
+        "action", F.lit("delete")
+    )
+    return embed.unionByName(delete)

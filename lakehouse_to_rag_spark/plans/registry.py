@@ -8060,6 +8060,95 @@ def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(d, k=16, divisor=64)
 
 
+_CHUNK_REFRESH_ORACLE = """
+WITH oldd AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND LENGTH(text) > 0
+), newd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN substring(text, 1, 40) || ' EDITED SPAN INSERTED '
+                   || substring(text, 41)
+              ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0
+), ob AS (
+  SELECT doc_id, text,
+    (list_value(1) || list_filter(
+       CASE WHEN LENGTH(text) >= 16 THEN
+         list_filter(list_transform(range(1, LENGTH(text) - 14),
+           i -> CASE WHEN (('0x' || substr(md5(substring(text,
+                  CAST(i AS INTEGER), 16)), 1, 15))::BIGINT % 64) = 0
+                THEN CAST(i + 16 AS INTEGER) END),
+           x -> x IS NOT NULL)
+       ELSE [] END,
+       b -> b <= LENGTH(text))
+     || list_value(LENGTH(text) + 1)) AS bounds
+  FROM oldd
+), nb AS (
+  SELECT doc_id, text,
+    (list_value(1) || list_filter(
+       CASE WHEN LENGTH(text) >= 16 THEN
+         list_filter(list_transform(range(1, LENGTH(text) - 14),
+           i -> CASE WHEN (('0x' || substr(md5(substring(text,
+                  CAST(i AS INTEGER), 16)), 1, 15))::BIGINT % 64) = 0
+                THEN CAST(i + 16 AS INTEGER) END),
+           x -> x IS NOT NULL)
+       ELSE [] END,
+       b -> b <= LENGTH(text))
+     || list_value(LENGTH(text) + 1)) AS bounds
+  FROM newd
+), oc AS (
+  SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_index,
+         md5(substring(text, CAST(bounds[j] AS INTEGER),
+             CAST(bounds[j + 1] - bounds[j] AS INTEGER))) AS chunk_hash
+  FROM (SELECT doc_id, text, bounds,
+               CAST(unnest(range(1, len(bounds))) AS INTEGER) AS j
+        FROM ob) t
+), nc AS (
+  SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_index,
+         md5(substring(text, CAST(bounds[j] AS INTEGER),
+             CAST(bounds[j + 1] - bounds[j] AS INTEGER))) AS chunk_hash
+  FROM (SELECT doc_id, text, bounds,
+               CAST(unnest(range(1, len(bounds))) AS INTEGER) AS j
+        FROM nb) t
+)
+SELECT n.doc_id, n.chunk_index, n.chunk_hash, 'embed' AS action
+FROM nc n ANTI JOIN oc o
+  ON n.doc_id = o.doc_id AND n.chunk_hash = o.chunk_hash
+UNION ALL
+SELECT o.doc_id, o.chunk_index, o.chunk_hash, 'delete' AS action
+FROM oc o ANTI JOIN nc n
+  ON o.doc_id = n.doc_id AND o.chunk_hash = n.chunk_hash
+"""
+
+
+@_q("chunk_refresh_plan", _CHUNK_REFRESH_ORACLE)
+def chunk_refresh_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-embedding plan (r9): old corpus vs an edited
+    version (every 10th doc gets a span inserted at char 40), CDC
+    chunk hashes anti-joined both ways — emitted work is ONLY the
+    edited chunks (+ their superseded index entries), which is the
+    whole point of content-defined boundaries: the 100 TB refresh
+    scales with the edit mass, not the corpus."""
+    from lakehouse_to_rag_spark.operators.gold import chunk_refresh_plan
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    edited = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.substring("text", 1, 40),
+                F.lit(" EDITED SPAN INSERTED "),
+                F.expr("substring(text, 41)"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return chunk_refresh_plan(d.select("doc_id", "text"), edited)
+
+
 _HARD_NEG_ORACLE = """
 WITH q AS (
   SELECT vec_id AS query_id, label AS qlab,

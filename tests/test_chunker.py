@@ -150,3 +150,51 @@ class TestCdcChunks:
         for kw in ({"k": 0}, {"divisor": 0}, {"min_size": 0}):
             with pytest.raises(ValueError, match="cdc_chunks"):
                 cdc_chunks(d, **kw)
+
+
+def test_chunk_refresh_plan_touches_only_edited_docs(spark):
+    """The refresh plan must scale with the EDIT MASS: unedited
+    documents emit zero rows, and an edited doc re-embeds only the
+    chunks its edit touched (strictly fewer than its chunk count —
+    the fixed-stride scheme would invalidate the whole tail)."""
+    from lakehouse_to_rag_spark.operators.gold import (
+        cdc_chunks,
+        chunk_refresh_plan,
+    )
+
+    old = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter("text is not null and length(text) > 0").select(
+        "doc_id", "text"
+    )
+    from pyspark.sql import functions as F
+
+    new = old.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.substring("text", 1, 40),
+                F.lit(" XX "),
+                F.expr("substring(text, 41)"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    plan = chunk_refresh_plan(old, new).collect()
+    assert plan
+    assert all(r["doc_id"] % 10 == 0 for r in plan)
+    n_old_chunks = {
+        r["doc_id"]: r["cnt"]
+        for r in cdc_chunks(old.filter("doc_id % 10 = 0"))
+        .groupBy("doc_id").count().withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    from collections import Counter
+
+    emb = Counter(r["doc_id"] for r in plan if r["action"] == "embed")
+    # strictly local: on average far fewer chunks touched than exist
+    touched = sum(emb.values())
+    total = sum(n_old_chunks.values())
+    assert touched < 0.6 * total, (touched, total)
+    # identical corpora -> empty plan
+    assert chunk_refresh_plan(old, old).count() == 0
