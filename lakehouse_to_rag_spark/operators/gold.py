@@ -72,6 +72,7 @@ def cdc_chunks(
     min_size: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """CONTENT-DEFINED chunking (rolling-hash cutpoints — the
     rsync/LBFS/restic boundary discipline applied to RAG chunking):
@@ -89,7 +90,15 @@ def cdc_chunks(
     pattern — hash sequence bound to a column ONCE, then
     filter/aggregate/transform over it), no shuffle, no Python; the
     gram hash is the engine-portable 60-bit md5 so the whole chunking
-    replays in SQL. ``min_size`` greedily suppresses cutpoints closer
+    replays in SQL — or ``hash_fn="xxhash64"``, the winnowing
+    precedent's PRODUCTION knob: the identical plan with the native
+    JVM hash in place of the md5+conv chain (the md5 chain is the
+    whole cost of this operator at scale — one hash per character);
+    cutpoints differ between the two hashes by construction, but
+    every CDC property (reconstruction, edit locality, min-size) is
+    hash-agnostic and property-tested for both. A corpus must stick
+    to ONE hash_fn: ``chunk_refresh_plan`` across hashes would
+    re-embed everything. ``min_size`` greedily suppresses cutpoints closer
     than min_size to the last kept one (an F.aggregate fold — the
     sequential CDC min-size rule); the terminal chunk may be shorter,
     as in every CDC scheme. Documents shorter than k emit one whole
@@ -100,10 +109,18 @@ def cdc_chunks(
             f"k={k} divisor={divisor} min_size={min_size}"
         )
     t = f"`{text_col}`"
-    gram = (
-        f"cast(conv(substr(md5(substring({t}, i, {k})), 1, 15), 16, 10) "
-        f"as bigint)"
-    )
+    if hash_fn == "md5":
+        gram = (
+            f"cast(conv(substr(md5(substring({t}, i, {k})), 1, 15), "
+            f"16, 10) as bigint)"
+        )
+    elif hash_fn == "xxhash64":
+        gram = f"xxhash64(substring({t}, i, {k}))"
+    else:
+        raise ValueError(
+            f"cdc_chunks: hash_fn must be 'md5' (SQL-replayable oracle "
+            f"form) or 'xxhash64' (production form), got {hash_fn!r}"
+        )
     # candidate cutpoints: position AFTER each boundary gram
     cands = (
         f"case when length({t}) >= {k} then "
@@ -150,6 +167,7 @@ def chunk_refresh_plan(
     min_size: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Incremental re-embedding driver — the composition ``cdc_chunks``
     exists for: given two corpus versions, emit ONLY the chunk-level
@@ -172,12 +190,12 @@ def chunk_refresh_plan(
     (id, chunk_index) from the NEW corpus; hashes travel, bodies
     don't)."""
     keys = [id_col, "chunk_hash"]
-    o = cdc_chunks(old, k, divisor, min_size, id_col, text_col).select(
-        id_col, "chunk_index", "chunk_hash"
-    )
-    n = cdc_chunks(new, k, divisor, min_size, id_col, text_col).select(
-        id_col, "chunk_index", "chunk_hash"
-    )
+    o = cdc_chunks(
+        old, k, divisor, min_size, id_col, text_col, hash_fn
+    ).select(id_col, "chunk_index", "chunk_hash")
+    n = cdc_chunks(
+        new, k, divisor, min_size, id_col, text_col, hash_fn
+    ).select(id_col, "chunk_index", "chunk_hash")
     embed = n.join(o.select(*keys), keys, "left_anti").withColumn(
         "action", F.lit("embed")
     )

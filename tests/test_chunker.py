@@ -81,18 +81,19 @@ class TestCdcChunks:
         d = spark.read.parquet(
             "/root/testdata/sf0.001/documents.parquet"
         ).filter("text is not null and length(text) > 0")
-        got = cdc_chunks(d).collect()
-        by_doc = {}
-        for r in got:
-            by_doc.setdefault(r["doc_id"], []).append(
-                (r["chunk_index"], r["chunk"])
-            )
         originals = {r["doc_id"]: r["text"] for r in d.collect()}
-        assert set(by_doc) == set(originals)
-        for doc, chunks in by_doc.items():
-            chunks.sort()
-            assert [i for i, _ in chunks] == list(range(len(chunks)))
-            assert "".join(c for _, c in chunks) == originals[doc]
+        for hash_fn in ("md5", "xxhash64"):  # oracle + production forms
+            got = cdc_chunks(d, hash_fn=hash_fn).collect()
+            by_doc = {}
+            for r in got:
+                by_doc.setdefault(r["doc_id"], []).append(
+                    (r["chunk_index"], r["chunk"])
+                )
+            assert set(by_doc) == set(originals), hash_fn
+            for doc, chunks in by_doc.items():
+                chunks.sort()
+                assert [i for i, _ in chunks] == list(range(len(chunks)))
+                assert "".join(c for _, c in chunks) == originals[doc]
 
     def test_edit_locality_vs_fixed_stride(self, spark):
         """Insert a sentence mid-document: CDC boundaries REALIGN
@@ -105,15 +106,18 @@ class TestCdcChunks:
         two = spark.createDataFrame(
             [(1, base), (2, edited)], "doc_id long, text string"
         )
-        got = cdc_chunks(two, k=16, divisor=32).collect()
-        h = {1: set(), 2: set()}
-        n = {1: 0, 2: 0}
-        for r in got:
-            h[r["doc_id"]].add(r["chunk_hash"])
-            n[r["doc_id"]] += 1
-        assert n[1] >= 10  # enough chunks for the property to mean much
-        shared = len(h[1] & h[2])
-        assert shared >= 0.7 * n[1], (shared, n)
+        for hash_fn in ("md5", "xxhash64"):  # the property is hash-agnostic
+            got = cdc_chunks(
+                two, k=16, divisor=32, hash_fn=hash_fn
+            ).collect()
+            h = {1: set(), 2: set()}
+            n = {1: 0, 2: 0}
+            for r in got:
+                h[r["doc_id"]].add(r["chunk_hash"])
+                n[r["doc_id"]] += 1
+            assert n[1] >= 10, hash_fn  # enough chunks to mean much
+            shared = len(h[1] & h[2])
+            assert shared >= 0.7 * n[1], (hash_fn, shared, n)
         # fixed-stride control: everything after the edit point shifts
         stride_shared = 0
         for s in range(0, len(base), 100):
@@ -147,7 +151,12 @@ class TestCdcChunks:
         from lakehouse_to_rag_spark.operators.gold import cdc_chunks
 
         d = spark.createDataFrame([(0, "x")], "doc_id long, text string")
-        for kw in ({"k": 0}, {"divisor": 0}, {"min_size": 0}):
+        for kw in (
+            {"k": 0},
+            {"divisor": 0},
+            {"min_size": 0},
+            {"hash_fn": "sha1"},
+        ):
             with pytest.raises(ValueError, match="cdc_chunks"):
                 cdc_chunks(d, **kw)
 
