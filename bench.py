@@ -189,6 +189,8 @@ HEADLINE = [
     "embedding_diversity",
     "scd2_incremental",
     "chunk_refresh_plan",
+    "events_asof_nearest",
+    "dedup_ngram_containment",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -2264,3 +2264,68 @@ def semdedup(
     return assigned.groupBy("grp").applyInPandas(
         _dedup_cluster, schema=schema
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs — the asymmetric near-dup metric
+    Jaccard structurally misses: containment(a in b) = |A∩B| / |A|,
+    so a short document quoted wholesale inside a long one scores 1.0
+    where its Jaccard is |A|/|B| (arbitrarily small). This is the
+    quote/excerpt/subset-duplicate detector (Broder's original
+    resemblance-vs-containment distinction) a crawl corpus needs
+    alongside symmetric dedup: boilerplate-wrapped reposts, quoted
+    articles, documents assembled from other documents.
+
+    Same engine shape as ``ngram_jaccard_pairs`` (one exchange on the
+    shingle for the self-join, intersection counts by partial-agg
+    groupBy, integer arithmetic end to end so the 4dp containments
+    are bit-deterministic), same opt-in ``max_shingle_df`` stop-
+    shingle cap with the same filtered-universe semantics. Emits BOTH
+    directions' scores on one row (containment is asymmetric; the
+    pair is still emitted once, id_a < id_b) and keeps a pair when
+    EITHER direction clears ``threshold``. Returns (id_a, id_b,
+    containment_a_in_b, containment_b_in_a)."""
+    if not 0 < threshold <= 1:
+        raise ValueError(
+            f"ngram_containment_pairs: 0 < threshold <= 1, {threshold}"
+        )
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
+    sh = sh.localCheckpoint(eager=False)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    c_ab = F.col("n_inter") / F.col("n_a")
+    c_ba = F.col("n_inter") / F.col("n_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter((c_ab >= threshold) | (c_ba >= threshold))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(c_ab, 4).alias("containment_a_in_b"),
+            F.round(c_ba, 4).alias("containment_b_in_a"),
+        )
+    )

@@ -595,3 +595,100 @@ def scd2_apply_changes(
         ).cast("long").alias("version"),
     )
     return untouched.unionByName(closed).unionByName(rebuilt)
+
+
+def asof_nearest(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    direction: str = "nearest",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """As-of join with DIRECTION and TOLERANCE — the full pandas
+    ``merge_asof`` surface over the union-and-carry shape
+    (``asof_latest_prior`` is the backward special case): for each
+    ``left_type`` event, the matched ``right_type`` event is the
+    latest at-or-before (``backward``), earliest at-or-after
+    (``forward``), or the closer of the two with backward winning
+    exact-distance ties (``nearest`` — the pandas convention).
+    ``tolerance_seconds`` NULLs the match beyond the bound instead of
+    dropping the row (merge_asof parity: every left row survives).
+
+    Scale shape: ONE shuffle on user_id; backward and forward carries
+    are two window passes over the SAME tagged union and the same
+    partitioning (exchange reused — the quadratic join+filter+rank
+    formulation never appears). Returns (event_id, user_id, right_id
+    nullable, gap_us signed: right ts minus left ts)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_nearest: direction must be backward|forward|nearest, "
+            f"got {direction!r}"
+        )
+    r = events.filter(F.col("event_type") == right_type).select(
+        "user_id", "ts", "event_id",
+        F.col("event_id").alias("right_id"),
+        F.lit(0).alias("tag"),
+    )
+    left = events.filter(F.col("event_type") == left_type).select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("long").alias("right_id"),
+        F.lit(1).alias("tag"),
+    )
+    u = r.unionByName(left)
+    # backward: last right at-or-before (right sorts first on ts ties
+    # via tag asc). forward: first right at-or-after — same pass over
+    # the reverse order (tag desc puts the left row first on ties so a
+    # same-ts right still counts as "after", matching >= / <=).
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        # tag ASC inside the desc scan: a same-ts right must sort
+        # BEFORE the left row so equal timestamps count as "at-or-
+        # after" (>= semantics), mirroring the backward window
+        .orderBy(F.desc("ts"), F.asc("tag"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rstruct = F.when(F.col("tag") == 0, F.struct("ts", "right_id"))
+    prior = F.last(rstruct, ignorenulls=True).over(wb)
+    nxt = F.last(rstruct, ignorenulls=True).over(wf)
+    lm = F.col("_l")
+    gap_b = F.unix_micros("prior.ts") - lm      # <= 0
+    gap_f = F.unix_micros("nxt.ts") - lm        # >= 0
+    if direction == "backward":
+        rid, gap = F.col("prior.right_id"), gap_b
+    elif direction == "forward":
+        rid, gap = F.col("nxt.right_id"), gap_f
+    else:  # nearest: closer wins, backward breaks exact ties; a null
+        # side must NOT fall through to the other in the pure-
+        # direction forms (only nearest may substitute)
+        pick_b = F.col("prior").isNotNull() & (
+            F.col("nxt").isNull() | (-gap_b <= gap_f)
+        )
+        rid = F.when(pick_b, F.col("prior.right_id")).otherwise(
+            F.col("nxt.right_id")
+        )
+        gap = F.when(pick_b, gap_b).otherwise(gap_f)
+    if tolerance_seconds is not None:
+        # long arithmetic: 3600 * 1e6 overflows int32 under ANSI mode
+        within = (
+            F.abs(gap)
+            <= F.lit(tolerance_seconds).cast("long") * F.lit(1_000_000)
+        )
+        rid = F.when(within, rid)
+        gap = F.when(within, gap)
+    return (
+        u.withColumn("_l", F.unix_micros("ts"))
+        .withColumn("prior", prior)
+        .withColumn("nxt", nxt)
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            rid.alias("right_id"),
+            gap.alias("gap_us"),
+        )
+    )

@@ -8226,6 +8226,99 @@ def quality_calibrated_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_NEAREST_ORACLE = """
+WITH u AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag
+  FROM events WHERE event_type IN ('click', 'purchase')
+), carried AS (
+  SELECT *,
+    last_value(CASE WHEN tag = 0 THEN {'ts': ts, 'rid': event_id} END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+            ROWS UNBOUNDED PRECEDING) AS prior,
+    last_value(CASE WHEN tag = 0 THEN {'ts': ts, 'rid': event_id} END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts DESC, tag ASC, event_id DESC
+            ROWS UNBOUNDED PRECEDING) AS nxt
+  FROM u
+), lefts AS (
+  SELECT event_id, user_id,
+         epoch_us(prior.ts) - epoch_us(ts) AS gap_b, prior.rid AS rid_b,
+         epoch_us(nxt.ts) - epoch_us(ts) AS gap_f, nxt.rid AS rid_f
+  FROM carried WHERE tag = 1
+), picked AS (
+  SELECT event_id, user_id,
+         CASE WHEN rid_b IS NOT NULL AND (rid_f IS NULL OR -gap_b <= gap_f)
+              THEN rid_b ELSE rid_f END AS rid,
+         CASE WHEN rid_b IS NOT NULL AND (rid_f IS NULL OR -gap_b <= gap_f)
+              THEN gap_b ELSE gap_f END AS gap
+  FROM lefts
+)
+SELECT event_id, user_id,
+       CASE WHEN ABS(gap) <= 3600000000 THEN rid END AS right_id,
+       CASE WHEN ABS(gap) <= 3600000000 THEN gap END AS gap_us
+FROM picked
+"""
+
+
+@_q("events_asof_nearest", _ASOF_NEAREST_ORACLE)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direction+tolerance as-of join (r9) — the full pandas
+    merge_asof surface: for each purchase the NEAREST click of the
+    same user (backward wins exact-distance ties), NULLed beyond a
+    1-hour tolerance but never dropped. Union-and-carry over ONE
+    user_id exchange, two window passes; the oracle replays the
+    carries with explicit windows (deterministic tie-breaks) rather
+    than DuckDB ASOF, whose equal-ts tie choice is unspecified —
+    scale-independent parity by construction."""
+    e = load_table(spark, sf_dir, "events")
+    return ev.asof_nearest(
+        e, direction="nearest", tolerance_seconds=3600
+    )
+
+
+_CONTAINMENT_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, GREATEST(len(words) - 1, 1)),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+  FROM w
+), sizes AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / sa.n, 4) AS containment_a_in_b,
+       ROUND(CAST(c AS DOUBLE) / sb.n, 4) AS containment_b_in_a
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / sa.n >= 0.8
+   OR CAST(c AS DOUBLE) / sb.n >= 0.8
+"""
+
+
+@_q("dedup_ngram_containment", _CONTAINMENT_ORACLE)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (r9): |A∩B|/|A| — the
+    quote/excerpt/subset-duplicate detector Jaccard structurally
+    misses (a short doc quoted inside a long one has containment 1.0
+    and arbitrarily small Jaccard — Broder's resemblance-vs-
+    containment distinction). Same one-exchange shingle self-join
+    shape as dedup_ngram_jaccard; uncapped at the gate for the same
+    scale-independence reason."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8
+    )
+
+
 _SCD2_ENRICH_ORACLE = """
 WITH chg AS (
   SELECT user_id, event_type, ts, event_id,

@@ -1943,3 +1943,44 @@ def test_semantic_decontaminate_planted_and_guards(spark, sf_dir):
 
     with pytest.raises(ValueError, match="max_broadcast_rows"):
         semantic_decontaminate(train, bench, max_broadcast_rows=1)
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a long one: containment
+    (short in long) = 1.0 while Jaccard is far below any useful
+    threshold — the asymmetric metric's whole reason to exist. Also:
+    asymmetry is real (long in short << 1), unrelated docs emit
+    nothing, and the Jaccard operator at the same threshold misses
+    the pair."""
+    from lakehouse_to_rag_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    filler = " ".join(f"tok{i} filler word" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (0, quote),                       # the short original
+            (1, filler + " " + quote),        # quotes it wholesale
+            (2, "totally unrelated body of text about spark shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["containment_a_in_b"], r["containment_b_in_a"]
+        )
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert set(got) == {(0, 1)}
+    c_ab, c_ba = got[(0, 1)]
+    assert c_ab == 1.0          # the quote is fully contained
+    assert c_ba < 0.2           # and the reverse direction is tiny
+    # symmetric Jaccard at the same bar misses it entirely
+    jac = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8
+    ).collect()
+    assert jac == []

@@ -1079,3 +1079,77 @@ def test_scd2_apply_changes_boundary_run_merge_and_new_key(spark):
     )
     with pytest.raises(ValueError, match="strict suffix"):
         scd2_apply_changes(dim, stale)
+
+
+def test_asof_nearest_directions_tolerance_hand_case(spark):
+    """merge_asof parity: backward/forward/nearest picks, backward
+    wins exact-distance ties, tolerance NULLs (never drops) the
+    match, and a same-timestamp right counts for BOTH directions."""
+    from datetime import datetime, timedelta
+
+    from lakehouse_to_rag_spark.operators.events import asof_nearest
+
+    t0 = datetime(2024, 1, 1)
+    m = lambda mins: t0 + timedelta(minutes=mins)  # noqa: E731
+    rows = [
+        # user 1: clicks at 0 and 10; purchases at 3 (nearest=0),
+        # 7 (nearest=10), 5 (tie -> backward=0)
+        (100, m(0), 1, "click", 0.0, "{}"),
+        (101, m(10), 1, "click", 0.0, "{}"),
+        (1, m(3), 1, "purchase", 0.0, "{}"),
+        (2, m(7), 1, "purchase", 0.0, "{}"),
+        (3, m(5), 1, "purchase", 0.0, "{}"),
+        # user 2: same-ts click and purchase (counts both directions)
+        (200, m(0), 2, "click", 0.0, "{}"),
+        (4, m(0), 2, "purchase", 0.0, "{}"),
+        # user 3: click far outside tolerance
+        (300, m(0), 3, "click", 0.0, "{}"),
+        (5, m(600), 3, "purchase", 0.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    near = {
+        r["event_id"]: (r["right_id"], r["gap_us"])
+        for r in asof_nearest(
+            e, direction="nearest", tolerance_seconds=3600
+        ).collect()
+    }
+    assert near[1] == (100, -3 * 60 * 1_000_000)
+    assert near[2] == (101, 3 * 60 * 1_000_000)
+    assert near[3] == (100, -5 * 60 * 1_000_000)  # tie -> backward
+    assert near[4] == (200, 0)
+    assert near[5] == (None, None)   # out of tolerance: NULLed, kept
+    assert len(near) == 5            # every purchase survives
+    fwd = {
+        r["event_id"]: r["right_id"]
+        for r in asof_nearest(e, direction="forward").collect()
+    }
+    assert fwd[1] == 101 and fwd[2] == 101 and fwd[4] == 200
+    assert fwd[5] is None  # no click after user 3's purchase
+
+
+def test_asof_nearest_backward_equals_latest_prior(spark, sf_dir):
+    """direction='backward' must reproduce asof_latest_prior on real
+    data (same union-carry, same tie-breaks) with the sign flipped
+    (gap_us here is right minus left)."""
+    from lakehouse_to_rag_spark.operators.events import (
+        asof_latest_prior,
+        asof_nearest,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = {
+        r["event_id"]: (r["right_id"], r["gap_us"])
+        for r in asof_nearest(e, direction="backward").collect()
+    }
+    b = {
+        r["event_id"]: (
+            r["prior_click_id"],
+            None if r["gap_us"] is None else -r["gap_us"],
+        )
+        for r in asof_latest_prior(e).collect()
+    }
+    assert a == b and len(a) > 0
