@@ -468,3 +468,39 @@ def test_embedding_diversity_two_partial_aggregates_no_pairs(spark, sf_dir):
     )
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+
+
+def test_r9_window_operators_never_single_partition(spark, sf_dir):
+    """The 100 TB window discipline, applied to every r9 operator
+    that ranks or carries with a Window: each executed plan's Window
+    must run PARTITIONED (by doc/user/source), never over
+    SinglePartition — a global window funnels the corpus through one
+    task."""
+    from lakehouse_to_rag_spark.operators.curation import (
+        quality_calibrated_select,
+    )
+    from lakehouse_to_rag_spark.operators.events import (
+        asof_nearest,
+        scd2_dimension,
+        sessionize_capped,
+    )
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        quality_scores,
+        winnow_matches_topm,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    scored = quality_scores(d, carry_cols=["source"]).select(
+        "doc_id", "source", "quality_score"
+    )
+    plans = {
+        "winnow_topm": winnow_matches_topm(d, m=2),
+        "qcal_exact": quality_calibrated_select(scored, frac=0.2),
+        "scd2": scd2_dimension(e),
+        "sess_capped": sessionize_capped(e),
+        "asof_nearest": asof_nearest(e),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, name
