@@ -2315,7 +2315,10 @@ def knn_hard_negatives(
     q_rows = queries.select(id_col, vec_col, label_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_lab = np.array([r[2] for r in q_rows], dtype=np.int64)
+    # object dtype: labels may be ints OR strings — elementwise ==
+    # broadcasting works for both (an int64 cast would reject string
+    # labels outright)
+    q_lab = np.array([r[2] for r in q_rows], dtype=object)
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_norm[q_norm == 0] = np.nan
 
@@ -2332,7 +2335,7 @@ def knn_hard_negatives(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            labs = pdf[label_col].to_numpy(dtype=np.int64)
+            labs = pdf[label_col].to_numpy(dtype=object)
             o = np.argsort(ids, kind="stable")  # id-asc tie-break
             ids, labs = ids[o], labs[o]
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)[o]

@@ -1664,9 +1664,13 @@ def winnow_matches_topm(
     Returns (doc_id, match_id, n_shared, rank 1..m)."""
     if m < 1:
         raise ValueError(f"winnow_matches_topm: m >= 1, got {m}")
+    # two consumers (both union branches of the symmetrize) — one
+    # materialization of the bounded pair table instead of leaving
+    # the whole candidate join's re-execution to AQE's runtime
+    # exchange reuse
     pairs = winnow_matches(
         df, k, w, min_shared, max_fp_df, id_col, text_col, hash_fn
-    )
+    ).localCheckpoint(eager=False)
     sym = pairs.select(
         F.col("id_a").alias("doc_id"),
         F.col("id_b").alias("match_id"),
