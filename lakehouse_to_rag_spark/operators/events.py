@@ -359,46 +359,63 @@ def scd2_enrich(
     dim: DataFrame,
     key_col: str = "user_id",
     ts_col: str = "ts",
+    fact_id_col: str = "event_id",
+    attr_col: str = "event_type",
+    how: str = "inner",
 ) -> DataFrame:
     """Fact-to-SCD2 enrichment — the interval join every Type-2
     dimension exists to serve: each fact row picks the dimension
     version whose [valid_from, valid_to) contains its timestamp.
-    ``dim`` is ``scd2_dimension`` output; the formatted-string
+    ``dim`` is ``scd2_dimension`` output (``attr_col`` names the
+    attribute column it was built with); the formatted-string
     timestamps compare lexicographically (the format is
     zero-padded, so string order == time order), and the half-open
     interval makes the match EXACTLY one version per fact (a fact at
     a change point belongs to the version it opened).
 
+    ``how`` is the unmatched-fact policy: ``"inner"`` (default, the
+    gated form) drops facts whose key has no covering dimension
+    version; ``"left"`` keeps them with NULL attribute/version — the
+    merge_asof-parity choice a production fact table with
+    LATE-ARRIVING dimension keys needs, where the inner form would
+    silently lose rows (ADVICE r9: the interval predicate lives in
+    the join condition, not a post-filter, so left rows survive).
+
     Scale shape: one equi-join on the key with the interval predicate
-    as a residual filter — per-key version counts are small (change
-    points, not events), so the join fan-out is bounded; no range
-    partitioning needed. Returns the fact keys + the matched
+    as a residual join condition — per-key version counts are small
+    (change points, not events), so the join fan-out is bounded; no
+    range partitioning needed. Returns the fact id/key + the matched
     version's attribute/ordinal."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"scd2_enrich: how must be 'inner' or 'left', got {how!r}"
+        )
     f = facts.select(
-        "event_id",
+        F.col(fact_id_col),
         F.col(key_col),
         F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("_fts"),
-    )
+    ).alias("f")
     d = dim.select(
-        F.col(key_col),
-        F.col("event_type").alias("active_type"),
+        F.col(key_col).alias("_dkey"),
+        F.col(attr_col).alias("active_type"),
         "valid_from",
         "valid_to",
         "version",
+    ).alias("d")
+    cond = (
+        (F.col(f"f.{key_col}") == F.col("d._dkey"))
+        & (F.col("f._fts") >= F.col("d.valid_from"))
+        & (
+            F.col("d.valid_to").isNull()
+            | (F.col("f._fts") < F.col("d.valid_to"))
+        )
     )
-    return (
-        f.join(d, key_col)
-        .filter(
-            (F.col("_fts") >= F.col("valid_from"))
-            & (F.col("valid_to").isNull() | (F.col("_fts") < F.col("valid_to")))
-        )
-        .select(
-            "event_id",
-            key_col,
-            F.col("_fts").alias("ts"),
-            "active_type",
-            "version",
-        )
+    return f.join(d, cond, how).select(
+        F.col(f"f.{fact_id_col}").alias(fact_id_col),
+        F.col(f"f.{key_col}").alias(key_col),
+        F.col("f._fts").alias("ts"),
+        "active_type",
+        "version",
     )
 
 
@@ -527,7 +544,20 @@ def scd2_apply_changes(
     open version's valid_from (the suffix property a CDC feed
     provides). ``check_order=True`` fail-closes with one bounded
     aggregate join BEFORE any output; pass False only when the feed
-    guarantees ordering upstream. At 100 TB the batch is bounded and
+    guarantees ordering upstream. Ordering inside the merge uses the
+    RAW timestamp and the RAW tiebreak column (any orderable type —
+    never cast), formatting to the interval strings only at output:
+    the formatted-string ordering an earlier draft used silently
+    broke the apply==rebuild invariant on sub-second feeds (two
+    same-second events whose raw order differs from id order) and
+    made same-ts ordering nondeterministic for non-numeric ids (the
+    long cast NULLed them) — ADVICE r9. One residual precision limit
+    is inherent to the string-interval contract itself: the dim
+    stores second-truncated valid_from, so an out-of-order batch
+    event landing in the SAME second as (but before) the open
+    version's true change point is undetectable by ``check_order`` —
+    exactly as undetectable as it is in the full rebuild's output.
+    At 100 TB the batch is bounded and
     history is touched only on affected keys (one semi/anti join
     pair) — the dimension is never rebuilt. The advantage is
     I/O-shaped and BATCH-PROPORTIONAL (probed, SCALE.md r9): with a
@@ -536,6 +566,7 @@ def scd2_apply_changes(
     cost more than the rebuild's single window pass — for backfills,
     rebuild with ``scd2_dimension``."""
     fmt = "yyyy-MM-dd HH:mm:ss"
+    tb_type = changes.schema[tiebreak_col].dataType
     affected = changes.select(F.col(key_col)).distinct()
     untouched = dim.join(affected, key_col, "left_anti")
     d_aff = dim.join(affected, key_col, "left_semi")
@@ -544,15 +575,15 @@ def scd2_apply_changes(
     ev = changes.select(
         F.col(key_col),
         F.col(attr_col),
-        F.date_format(ts_col, fmt).alias("_ts"),
-        F.col(tiebreak_col).cast("long").alias("_tb"),
+        F.col(ts_col).alias("_rts"),
+        F.col(tiebreak_col).alias("_tb"),
         F.lit(1).alias("_is_new"),
     )
     if check_order:
         bad = (
-            ev.groupBy(key_col).agg(F.min("_ts").alias("_first"))
+            ev.groupBy(key_col).agg(F.min("_rts").alias("_first"))
             .join(open_v.select(key_col, "valid_from"), key_col)
-            .filter(F.col("_first") <= F.col("valid_from"))
+            .filter(F.col("_first") <= F.to_timestamp("valid_from"))
             .count()
         )
         if bad:
@@ -565,28 +596,32 @@ def scd2_apply_changes(
     seed = open_v.select(
         F.col(key_col),
         F.col(attr_col),
-        F.col("valid_from").alias("_ts"),
-        F.lit(-1).cast("long").alias("_tb"),  # sorts before any event
+        F.to_timestamp("valid_from").alias("_rts"),
+        # NULL (asc = NULLS FIRST) — the seed already sorts before any
+        # batch event via _is_new; the tiebreak never compares across
+        # the seed/event boundary, so no sentinel value (and no cast
+        # of the caller's id type) is needed
+        F.lit(None).cast(tb_type).alias("_tb"),
         F.lit(0).alias("_is_new"),
         F.col("version").alias("_base"),
     )
     ev = ev.withColumn("_base", F.lit(None).cast("long"))
     merged = seed.unionByName(ev)
-    w = Window.partitionBy(key_col).orderBy("_ts", "_is_new", "_tb")
+    w = Window.partitionBy(key_col).orderBy("_rts", "_is_new", "_tb")
     kept = (
         merged.withColumn("_prev", F.lag(attr_col).over(w))
         .filter(
             F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
         )
     )
-    w2 = Window.partitionBy(key_col).orderBy("_ts", "_is_new", "_tb")
+    w2 = Window.partitionBy(key_col).orderBy("_rts", "_is_new", "_tb")
     base = Window.partitionBy(key_col)
-    nxt = F.lead("_ts").over(w2)
+    nxt = F.lead("_rts").over(w2)
     rebuilt = kept.select(
         F.col(key_col),
         F.col(attr_col),
-        F.col("_ts").alias("valid_from"),
-        nxt.alias("valid_to"),
+        F.date_format("_rts", fmt).alias("valid_from"),
+        F.date_format(nxt, fmt).alias("valid_to"),
         nxt.isNull().alias("is_current"),
         (
             F.row_number().over(w2)
@@ -623,6 +658,14 @@ def asof_nearest(
         raise ValueError(
             f"asof_nearest: direction must be backward|forward|nearest, "
             f"got {direction!r}"
+        )
+    if left_type == right_type:
+        # degenerate: every event lands in BOTH union branches, so
+        # each left row trivially matches itself at gap 0 — fail loud
+        # instead of returning meaningless output (ADVICE r9)
+        raise ValueError(
+            f"asof_nearest: left_type == right_type ({left_type!r}) — "
+            "every row would match itself at gap 0; pick distinct types"
         )
     r = events.filter(F.col("event_type") == right_type).select(
         "user_id", "ts", "event_id",

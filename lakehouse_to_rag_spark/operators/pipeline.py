@@ -178,10 +178,13 @@ def snapshot_diff(
         F.lit(True).alias("_in_new"),
     )
     joined = o.join(n, key_cols, "full_outer")
-    differs = None
+    # lit(False) seed: an empty compare_cols list is a legitimate
+    # keys-only presence diff (insert/delete/unchanged, never update)
+    # — a None seed made F.when raise at plan-build time (ADVICE r9)
+    differs = F.lit(False)
     for c in compare_cols:
         d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-        differs = d if differs is None else (differs | d)
+        differs = differs | d
     change = (
         F.when(F.col("_in_old").isNull(), F.lit("insert"))
         .when(F.col("_in_new").isNull(), F.lit("delete"))

@@ -8311,11 +8311,12 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses (a short doc quoted inside a long one has containment 1.0
     and arbitrarily small Jaccard — Broder's resemblance-vs-
     containment distinction). Same one-exchange shingle self-join
-    shape as dedup_ngram_jaccard; uncapped at the gate for the same
-    scale-independence reason."""
+    shape as dedup_ngram_jaccard; uncapped at the gate (explicit
+    max_shingle_df=None since the r10 "auto" default flip) for the
+    same scale-independence reason."""
     d = load_table(spark, sf_dir, "documents")
     return dd.ngram_containment_pairs(
-        d, "doc_id", "text", n=3, threshold=0.8
+        d, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
     )
 
 
@@ -8668,27 +8669,36 @@ _CANARIES: list[str] = [
 # Remove a pin once its fresh green row is recorded; new registry
 # entries need no pin (never-checked == stalest == auto-included).
 _PINS: list[str] = [
-    # The r8 pin (doc_pagerank, dispatch cutover) recorded its green
-    # row (CORRECTNESS_r08) — but r9 changed implementations again,
-    # so these three face the gate now:
-    # r9: doc_pagerank pins cutover_rows=sys.maxsize in the registry
-    # fn (ADVICE: the size dispatch made oracle parity scale-fragile);
-    # same oracle, changed composition.
-    "doc_pagerank",
-    # r9: knn_self_ivf gained the isfinite candidate guard in
-    # _score_cluster (NaN cosines no longer emitted); no-op on the
-    # zero-norm-free gate corpus, but that claim needs a driver row.
-    "knn_self_ivf",
-    # r9: append_to_bm25_index's check_disjoint now also fail-closes
-    # on batch-internal duplicate ids — the served-incremental capstone
-    # exercises the changed write path end-to-end.
-    "bm25_served_incremental",
-    # r9: both sketch entries upgraded from rows-only to BANDED
-    # oracles (exact anchors + accuracy-band columns the SQL asserts
-    # as literals) — changed output schema AND new oracle, so both
-    # need the external gate this round.
-    "events_approx_stats",
-    "user_sketch_rollup",
+    # All five r9 pins recorded their green rows (CORRECTNESS_r09) and
+    # are dropped per the growth policy — a pin is a one-round
+    # artifact. This round's changed gated implementations:
+    #
+    # r10: scd2_apply_changes now orders the merge by the RAW
+    # timestamp and the RAW (uncast) tiebreak column, formatting only
+    # at output (ADVICE r9 medium — the formatted-string ordering
+    # broke apply==rebuild on sub-second feeds and NULLed non-numeric
+    # tiebreaks); check_order also compares raw timestamps. Same
+    # oracle, changed merge internals.
+    "scd2_incremental",
+    # r10: scd2_enrich moved the interval predicate from a post-filter
+    # into the join CONDITION (required for the new how="left"
+    # unmatched-fact policy) and parameterized fact_id_col/attr_col —
+    # inner-join output is provably identical, but the gated plan
+    # changed shape.
+    "scd2_enrich_events",
+    # r10: ngram_containment_pairs / ngram_jaccard_pairs default
+    # max_shingle_df flipped None -> "auto" (VERDICT task 4); the gate
+    # calls pin None explicitly so gated output is unchanged by
+    # construction, but the function bodies changed — one faces the
+    # gate for the family.
+    "dedup_ngram_containment",
+    #
+    # NOT pinned though touched this round (rationale on record):
+    # events_asof_nearest (new invalid-parameter guard only — cannot
+    # alter output for any valid call) and events_snapshot_diff
+    # (differs seeded lit(False); identical boolean for non-empty
+    # compare_cols, which every gated call uses). Both stay covered by
+    # the full local oracle suite and normal rotation.
 ]
 
 

@@ -20,7 +20,11 @@ def _pair_set(df):
 
 def test_minhash_recall_vs_exact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    exact = _pair_set(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5))
+    exact = _pair_set(
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.5, max_shingle_df=None
+        )
+    )
     lsh = _pair_set(minhash_lsh_pairs(docs, "doc_id", "text", 3, threshold=0.5))
     assert exact, "testdata should contain planted near-dups"
     # LSH verification is exact-jaccard, so no false positives possible
@@ -32,7 +36,11 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
 
 def test_simhash_flags_planted_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    exact = _pair_set(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.9))
+    exact = _pair_set(
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.9, max_shingle_df=None
+        )
+    )
     sim = _pair_set(simhash_pairs(docs, "doc_id", "text", max_hamming=10))
     if exact:  # very-near dups must collide within 10 bits
         hit = len(sim & exact) / len(exact)
@@ -186,7 +194,11 @@ def test_minhash_ml_variant_recall(spark, sf_dir):
     from lakehouse_to_rag_spark.operators.dedup import minhash_lsh_pairs_ml
 
     docs = load_table(spark, sf_dir, "documents")
-    exact = _pair_set(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5))
+    exact = _pair_set(
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.5, max_shingle_df=None
+        )
+    )
     ml = _pair_set(minhash_lsh_pairs_ml(docs, "doc_id", "text", 3))
     assert ml <= exact  # exact re-verification: no false positives
     if exact:
@@ -527,11 +539,17 @@ class TestIvfPq:
 
 
 def test_ngram_jaccard_df_cap_equals_uncapped_when_under_cap(spark, sf_dir):
-    """Default cap (100k) drops nothing at test scale, so the capped
-    form must be bit-identical to max_shingle_df=None."""
+    """An explicit cap no shingle reaches (100k) drops nothing, so
+    the capped form must be bit-identical to max_shingle_df=None —
+    the equality-under-the-cap property the gated uncapped pin relies
+    on. (The "auto" default's cull behavior is covered separately in
+    TestShingleDfCapDefault.)"""
     docs = load_table(spark, sf_dir, "documents")
     capped = {
-        tuple(r) for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.5, max_shingle_df=100_000
+        ).collect()
     }
     uncapped = {
         tuple(r)
@@ -830,15 +848,80 @@ class TestZeroNormCentroidGuard:
 
 
 class TestShingleDfCapDefault:
-    """ngram_jaccard_pairs' DF cap is opt-in (ADVICE r4): the default
-    must be uncapped so existing callers keep exact whole-corpus
-    Jaccard semantics."""
+    """ngram_jaccard_pairs' DF cap default is "auto" since r10
+    (VERDICT r9 task 4, superseding the ADVICE-r4 opt-in this class
+    used to pin): an unbounded shingle self-join was the one
+    remaining quadratic-by-default path in the dedup family. The
+    fraction-of-corpus cap clamp(ceil(1% of docs), 16, 1000) is a
+    no-op below 17 documents (the floor exceeds any possible df), so
+    hand-sized exactness tests keep whole-corpus semantics by
+    construction; gated oracle entries pin max_shingle_df=None."""
 
-    def test_default_is_uncapped(self):
+    def test_default_is_auto(self):
         import inspect
 
-        sig = inspect.signature(ngram_jaccard_pairs)
-        assert sig.parameters["max_shingle_df"].default is None
+        from lakehouse_to_rag_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        for fn in (ngram_jaccard_pairs, ngram_containment_pairs):
+            sig = inspect.signature(fn)
+            assert sig.parameters["max_shingle_df"].default == "auto"
+
+    def test_auto_culls_planted_boilerplate_true_pairs_survive(self, spark):
+        """A boilerplate trigram shared by ALL 40 docs contributes
+        C(40,2)=780 join rows uncapped; at 40 docs the auto cap is 16,
+        so it is dropped BEFORE the self-join — while a planted true
+        near-dup pair (distinctive shared shingles, df=2) survives
+        with its jaccard computed over the filtered universe."""
+        boiler = "copyright footer boilerplate text"
+        rows = [
+            (i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d")
+            for i in range(38)
+        ]
+        # a true near-dup pair: same distinctive body, one token off
+        body = "quantum flux capacitor alignment manifold resonance"
+        rows += [(100, f"{boiler} {body} alpha"),
+                 (101, f"{boiler} {body} omega")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", 3, 0.3
+            ).collect()
+        }
+        assert got == {(100, 101)}
+        # uncapped, the boilerplate shingles glue unrelated docs into
+        # candidate pairs (none clear the threshold here, but the pair
+        # VOLUME is the scale hazard the default now bounds)
+        uncapped_pairs = ngram_jaccard_pairs(
+            df, "doc_id", "text", 3, 0.3, max_shingle_df=None
+        )
+        assert (100, 101) in {
+            (r["id_a"], r["id_b"]) for r in uncapped_pairs.collect()
+        }
+
+    def test_auto_equals_uncapped_below_floor(self, spark):
+        """<= 16 docs: df can never exceed the floor-16 cap, so the
+        auto default is bit-identical to None."""
+        rows = [
+            (i, f"shared prefix words here tail{i} tok{i}")
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        auto = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", 3, 0.1
+            ).collect()
+        }
+        unc = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", 3, 0.1, max_shingle_df=None
+            ).collect()
+        }
+        assert auto == unc and auto
 
 
 class TestAnnRecall:
@@ -1529,7 +1612,9 @@ def test_fuzzy_decontaminate_planted_leak(spark, sf_dir):
             docs.filter("doc_id % 17 != 0"), docs.filter("doc_id % 17 = 0")
         ).collect()
     }
-    exact_pairs = ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
+    exact_pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", 3, 0.5, max_shingle_df=None
+    )
     exact = {
         (a, b) if a % 17 != 0 else (b, a)
         for a, b in (

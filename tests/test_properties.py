@@ -1081,6 +1081,145 @@ def test_scd2_apply_changes_boundary_run_merge_and_new_key(spark):
         scd2_apply_changes(dim, stale)
 
 
+def test_scd2_apply_changes_subsecond_and_string_tiebreaks(spark):
+    """ADVICE r9 (medium): the merge must order by the RAW timestamp
+    and the RAW tiebreak column. Two same-second events whose raw-ts
+    order DISAGREES with id order, plus non-numeric string ids (the
+    old cast('long') NULLed them), must still satisfy
+    apply_changes(scd2(history < t), batch) == scd2(full history)."""
+    from datetime import datetime
+
+    from lakehouse_to_rag_spark.operators.events import (
+        scd2_apply_changes,
+        scd2_dimension,
+    )
+
+    ts = lambda h, m, s, us=0: datetime(2024, 1, 1, h, m, s, us)  # noqa: E731
+    # string ids chosen so id order CONTRADICTS raw-ts order within
+    # the same second: "zz" (earlier raw ts) vs "aa" (later raw ts)
+    hist = [
+        ("e1", ts(0, 0, 0), 7, "a"),
+        ("e2", ts(1, 0, 0), 7, "b"),
+    ]
+    batch = [
+        ("zz", ts(2, 0, 0, 200_000), 7, "c"),   # 02:00:00.2
+        ("aa", ts(2, 0, 0, 700_000), 7, "d"),   # 02:00:00.7 — later,
+        # but id-ordered FIRST; string-ordering or cast('long') both
+        # got this wrong
+    ]
+    schema = "event_id string, ts timestamp, user_id long, event_type string"
+    full = scd2_dimension(spark.createDataFrame(hist + batch, schema))
+    dim = scd2_dimension(spark.createDataFrame(hist, schema))
+    inc = scd2_apply_changes(dim, spark.createDataFrame(batch, schema))
+    f = sorted(map(str, (tuple(r) for r in full.collect())))
+    i = sorted(map(str, (tuple(r) for r in inc.collect())))
+    assert f == i and len(f) == 4
+    # and the open version is "d" (raw order), not "c" (id order)
+    cur = [r for r in inc.collect() if r["is_current"]]
+    assert len(cur) == 1 and cur[0]["event_type"] == "d"
+
+
+def test_scd2_apply_changes_no_false_reject_same_second_later(spark):
+    """ADVICE r9: check_order compares RAW timestamps — a batch event
+    genuinely later than the open valid_from but within the SAME
+    second must NOT trip the strict-suffix fail-close (the truncated-
+    string comparison used to spuriously raise)."""
+    from datetime import datetime
+
+    from lakehouse_to_rag_spark.operators.events import (
+        scd2_apply_changes,
+        scd2_dimension,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    hist = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0, 0, 100_000), 7, "a")], schema
+    )
+    dim = scd2_dimension(hist)
+    batch = spark.createDataFrame(
+        [(2, datetime(2024, 1, 1, 0, 0, 0, 900_000), 7, "b")], schema
+    )
+    got = sorted(
+        (r["version"], r["event_type"], r["is_current"])
+        for r in scd2_apply_changes(dim, batch).collect()
+    )
+    assert got == [(1, "a", False), (2, "b", True)]
+
+
+def test_scd2_enrich_left_keeps_late_arriving_keys(spark):
+    """scd2_enrich how="left": a fact whose key has NO dimension row
+    (late-arriving key) survives with NULL attribute/version instead
+    of silently vanishing; how="inner" (the gated default) drops it;
+    fact_id_col/attr_col parameterize the hardcoded columns away."""
+    from datetime import datetime
+
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.events import (
+        scd2_dimension,
+        scd2_enrich,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    hist = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0), 7, "a")], schema
+    )
+    dim = scd2_dimension(hist)
+    facts = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 2, 0), 7, "x"),
+            (11, datetime(2024, 1, 2, 0), 9, "x"),  # key 9: not in dim
+        ],
+        schema,
+    )
+    inner = scd2_enrich(facts, dim)
+    assert [r["event_id"] for r in inner.collect()] == [10]
+    left = {
+        r["event_id"]: (r["active_type"], r["version"])
+        for r in scd2_enrich(facts, dim, how="left").collect()
+    }
+    assert left == {10: ("a", 1), 11: (None, None)}
+    with pytest.raises(ValueError, match="inner.*left|left.*inner"):
+        scd2_enrich(facts, dim, how="full")
+    # parameterized fact id / attribute columns
+    dim2 = scd2_dimension(
+        hist.withColumnRenamed("event_type", "tier"), attr_col="tier"
+    )
+    f2 = facts.withColumnRenamed("event_id", "fact_id")
+    got = scd2_enrich(
+        f2, dim2, fact_id_col="fact_id", attr_col="tier", how="left"
+    )
+    assert {r["fact_id"] for r in got.collect()} == {10, 11}
+    assert "fact_id" in got.columns
+
+
+def test_asof_nearest_rejects_same_type(spark, sf_dir):
+    """ADVICE r9: left_type == right_type is degenerate (every row
+    matches itself at gap 0) — must raise, not return garbage."""
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.events import asof_nearest
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError, match="left_type == right_type"):
+        asof_nearest(e, left_type="click", right_type="click")
+
+
+def test_snapshot_diff_empty_compare_cols_presence_diff(spark):
+    """ADVICE r9: compare_cols=[] is a legitimate keys-only presence
+    diff — insert/delete/unchanged, never update (the None-seeded
+    boolean used to raise at plan-build time)."""
+    from lakehouse_to_rag_spark.operators.pipeline import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"], []).collect()
+    }
+    assert got == {1: "delete", 2: "unchanged", 3: "insert"}
+
+
 def test_asof_nearest_directions_tolerance_hand_case(spark):
     """merge_asof parity: backward/forward/nearest picks, backward
     wins exact-distance ties, tolerance NULLs (never drops) the
