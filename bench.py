@@ -19,6 +19,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from lakehouse_to_rag_spark.session import get_spark  # noqa: E402
 from lakehouse_to_rag_spark.plans.registry import QUERIES  # noqa: E402
 
+# BENCH ROW POLICY (r10 — VERDICT r9 task 6). At 107 rows the driver's
+# interleaved passes inflated p50s up to 5x over standalone mins
+# (cdc_chunks 17.0 s driver vs 3.1 s standalone, r9), so HEADLINE
+# membership is now budgeted, not append-only:
+#   1. Every operator FAMILY keeps at least one row; a family's row is
+#      never retired while it is the family's only perf signal.
+#   2. Oracle/production HASH TWINS (md5 vs xxhash64 — identical plan,
+#      different gram hash) bench side-by-side for ONE round to put
+#      the ratio on record, then only the PRODUCTION (xx) row stays;
+#      the md5 twin's cost is derivable from the recorded ratio.
+#   3. Variant forms sharing the whole plan except one stage keep one
+#      row (the winnow_matches/topm precedent, r9) — the kept row is
+#      the production parameterization.
+#   4. Budget: ~110 rows / ~12 min driver wall at sf0.1. Past it,
+#      retire in order: hash-twin duplicates (rule 2), then covered
+#      variants (rule 3) — never a family's last row. Record every
+#      retirement as a comment at its old position with the final
+#      recorded numbers, so BENCH files stay interpretable.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -151,7 +169,11 @@ HEADLINE = [
     # VERDICT r7 flagged), plus winnowing's xxhash64 production form
     # benched side-by-side with its md5 oracle twin, and the
     # broadcast-free self-kNN that de-quadratized doc_pagerank
-    "winnow_fingerprints",
+    # winnow_fingerprints (md5 oracle twin) retired r10 under policy
+    # rule 2 after two recorded side-by-side rounds (r8 4.26 s / r9
+    # 4.59 s vs the xx production row's 2.89 / 3.09 — ratio ~1.5x on
+    # record); the md5 form stays fully oracle-gated in the registry
+    # rotation
     "winnow_fingerprints_xx",
     # winnow_matches itself left the list in r9: it and the bounded
     # topm form below share the whole candidate/aggregate plan and
@@ -171,6 +193,12 @@ HEADLINE = [
     # r9: the BOUNDED MOSS report (per-doc top-m) — winnow_matches'
     # O(docs*m) production form on dup-saturated corpora
     "winnow_matches_topm",
+    # r10: the same report under the adaptive fraction-of-corpus cap
+    # (max_fp_df="auto") — now externally gated with a SQL-derived cap
+    # oracle; benched NEXT TO the static row this round to put the
+    # measured ~4x saving on the record, after which the static row
+    # retires under the twin rule (BENCH ROW POLICY below)
+    "winnow_matches_topm_auto",
     # r9 family additions: SCD2 dimension build (one exchange, two
     # window passes inside it), content-defined chunking (per-row JVM
     # array lambdas), hard-negative mining (label-masked GEMM), and

@@ -1216,6 +1216,77 @@ def winnow_matches_topm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The PRODUCTION form's oracle: the adaptive stop-fingerprint cap is
+# itself SQL-computable — clamp(ceil(count(*)/100), 16, 1000) over the
+# non-null-text docs — so the 145x-cheaper "auto" path (VERDICT r9:
+# 10.08M -> 69k pairs, 4.6x faster on the dup-saturated harness corpus)
+# gets its own external hash instead of hiding behind the static-1000
+# gate twin. Identical plan otherwise; only the rare-CTE threshold is
+# derived instead of pinned.
+_WINNOW_TOPM_AUTO_ORACLE = r"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, GREATEST(LENGTH(text) - 7, 0) + 1),
+           i -> ('0x' || substr(md5(substring(text, CAST(i AS INTEGER), 8)),
+                 1, 15))::BIGINT) AS hs
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4 THEN
+           list_distinct(list_transform(range(1, len(hs) - 2),
+             j -> list_min(list_slice(hs, CAST(j AS INTEGER),
+                                      CAST(j + 3 AS INTEGER)))))
+         ELSE [] END AS fpl
+  FROM h
+), fps AS MATERIALIZED (
+  SELECT doc_id, unnest(fpl) AS fp FROM m
+), cap AS MATERIALIZED (
+  SELECT CAST(LEAST(1000, GREATEST(16, CEIL(COUNT(*) / 100.0))) AS BIGINT)
+         AS cap
+  FROM documents WHERE text IS NOT NULL
+), rare AS MATERIALIZED (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING COUNT(*) <= (SELECT cap FROM cap)
+), pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fps a
+  JOIN rare r ON a.fp = r.fp
+  JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 2
+), sym AS (
+  SELECT id_a AS doc_id, id_b AS match_id, n_shared FROM pairs
+  UNION ALL
+  SELECT id_b AS doc_id, id_a AS match_id, n_shared FROM pairs
+)
+SELECT * FROM (
+  SELECT doc_id, match_id, n_shared,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY n_shared DESC, match_id
+         ) AS BIGINT) AS rank
+  FROM sym
+) WHERE rank <= 3
+"""
+
+
+@_q("winnow_matches_topm_auto", _WINNOW_TOPM_AUTO_ORACLE)
+def winnow_matches_topm_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded MOSS report in its PRODUCTION parameterization
+    (r10, VERDICT r9 task 2): ``max_fp_df="auto"`` — the adaptive
+    fraction-of-corpus stop-fingerprint cap, clamp(ceil(1% of docs),
+    16, 1000), which the oracle derives in SQL rather than pinning,
+    so the form a 100 TB corpus would actually run faces the external
+    hash directly (the static-1000 twin above stays for parameter-
+    stable continuity). Measured r9: the auto cap cut the pair
+    aggregate 10.08M -> 69k (145x) and wall 4.6x on the dup-saturated
+    harness corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return ta.winnow_matches_topm(
+        d, k=8, w=4, min_shared=2, max_fp_df="auto", m=3
+    )
+
+
 @_q("winnow_fingerprints_xx")  # no oracle, documented structural
 # class: JVM xxhash64 has no DuckDB counterpart (the simhash
 # precedent). The winnowing GUARANTEE for this form is property-
