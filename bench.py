@@ -216,6 +216,9 @@ HEADLINE = [
     "events_sessionize_capped",
     "embedding_diversity",
     "scd2_incremental",
+    # r10: tombstone SCD2 (absence closes the interval) — broadcast
+    # grid array + one key exchange carrying three window passes
+    "scd2_snapshots_deletes",
     "chunk_refresh_plan",
     "events_asof_nearest",
     "dedup_ngram_containment",

@@ -434,8 +434,9 @@ def scd2_from_snapshots(
     (half-open, NULL-open current — identical contract to
     ``scd2_dimension``, so the same ``scd2_enrich`` consumes both).
     A key ABSENT from later snapshots keeps its last version open:
-    full-snapshot absence means deletion in some models — compose
-    with ``snapshot_diff`` when deletes must close intervals.
+    full-snapshot absence means deletion in some models — use
+    ``scd2_from_snapshots_with_deletes`` when absence must close the
+    interval (tombstone semantics).
 
     The change detection is the identical lag-window collapse as the
     change-stream form — one hash exchange on the key, both window
@@ -458,6 +459,88 @@ def scd2_from_snapshots(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
         F.row_number().over(w2).cast("long").alias("version"),
+    )
+
+
+def scd2_from_snapshots_with_deletes(
+    snapshots: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    snap_col: str = "snap_day",
+) -> DataFrame:
+    """SCD2 from periodic full snapshots with TOMBSTONE semantics —
+    the delete-closing completion of the dimensional family's
+    contract (``scd2_from_snapshots`` documents "absent key stays
+    open"; many models read full-snapshot absence as DELETION): a key
+    missing from a later snapshot has its open interval CLOSED at the
+    first snapshot it is absent from, and a key that REAPPEARS after
+    absence opens a brand-new version (version ordinals keep
+    counting), leaving an uncovered hole between — the interval
+    tiling matches observed presence exactly, property-tested: every
+    (key, snapshot) present in the input is covered by exactly one
+    version's [valid_from, valid_to), every absent grid snapshot by
+    none.
+
+    Engine shape: the global snapshot GRID (the distinct ``snap_col``
+    values — bounded by calendar cadence, never by data volume) is
+    collapsed to ONE sorted-array row and broadcast, so each row
+    finds the grid snapshot after its own with ``try_element_at``
+    (NULL past the end — no single-partition window, no ANSI
+    out-of-bounds trap); then one hash exchange on the key carries
+    all three window passes (change/gap marking, running version +
+    valid_from carry, run-end detection) — the
+    ``scd2_dimension`` discipline. A version run ends at an attribute
+    change, a presence gap, or end of history; in the first two cases
+    ``valid_to`` IS the run-end row's next grid snapshot (the change
+    point / the deletion point), in the third it is NULL-open —
+    which also means ``is_current`` is true only for keys present at
+    the FINAL snapshot."""
+    grid = snapshots.select(
+        F.sort_array(F.collect_set(snap_col)).alias("_grid")
+    )
+    s = snapshots.join(F.broadcast(grid))
+    nxt_snap = F.try_element_at(
+        "_grid",
+        (F.array_position("_grid", F.col(snap_col)) + F.lit(1)).cast("int"),
+    )
+    s = s.select(
+        F.col(key_col), F.col(attr_col), F.col(snap_col),
+        nxt_snap.alias("_nxt_snap"),
+    )
+    w = Window.partitionBy(key_col).orderBy(snap_col)
+    prev_snap = F.lag(snap_col).over(w)
+    prev_attr = F.lag(attr_col).over(w)
+    prev_nxt = F.lag("_nxt_snap").over(w)
+    marked = s.withColumn(
+        "_new",
+        F.when(
+            prev_snap.isNull()
+            | (F.col(attr_col) != prev_attr)
+            | (prev_nxt != F.col(snap_col)),  # presence gap: deletion
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    runs = marked.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(snap_col),
+        F.col("_nxt_snap"),
+        F.sum("_new").over(wc).cast("long").alias("_version"),
+        F.last(
+            F.when(F.col("_new") == 1, F.col(snap_col)), ignorenulls=True
+        ).over(wc).alias("_valid_from"),
+        F.lead("_new").over(w).alias("_nxt_new"),
+    )
+    return runs.filter(
+        F.col("_nxt_new").isNull() | (F.col("_nxt_new") == 1)
+    ).select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col("_valid_from").alias("valid_from"),
+        F.col("_nxt_snap").alias("valid_to"),
+        F.col("_nxt_snap").isNull().alias("is_current"),
+        F.col("_version").alias("version"),
     )
 
 

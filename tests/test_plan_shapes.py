@@ -470,6 +470,45 @@ def test_embedding_diversity_two_partial_aggregates_no_pairs(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
 
 
+def test_scd2_snapshots_deletes_one_key_exchange(spark, sf_dir):
+    """Tombstone SCD2 (r10): all window passes (lag marking, running
+    version/valid_from carry, lead run-end) must share ONE
+    hashpartitioning(user_id) exchange; the snapshot grid rides a
+    1-row aggregate + BroadcastExchange (bounded by calendar cadence,
+    never data volume) — its SinglePartition exchange is the only one
+    allowed, and no Window may run single-partition."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_to_rag_spark.operators.events import (
+        scd2_from_snapshots_with_deletes,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    snaps = e.groupBy(
+        "user_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "snap_day"
+        ),
+    ).agg(
+        F.max_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("event_type")
+    )
+    plan = (
+        scd2_from_snapshots_with_deletes(snaps)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly one key-only hash exchange feeds every window pass
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id#\d+L, \d+\)", plan)) == 1, plan
+    assert plan.count("Window") >= 2
+    assert "BroadcastExchange" in plan
+    # windows are keyed, never global: every windowspec names user_id
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all(s.startswith("user_id#") for s in specs), specs
+
+
 def test_r9_window_operators_never_single_partition(spark, sf_dir):
     """The 100 TB window discipline, applied to every r9 operator
     that ranks or carries with a Window: each executed plan's Window

@@ -1205,6 +1205,104 @@ def test_asof_nearest_rejects_same_type(spark, sf_dir):
         asof_nearest(e, left_type="click", right_type="click")
 
 
+def test_scd2_snapshots_with_deletes_hand_case(spark):
+    """Tombstone semantics: absence closes the interval at the first
+    missing snapshot; reappearance opens a NEW version across an
+    uncovered hole; a key present at the final snapshot stays open."""
+    from lakehouse_to_rag_spark.operators.events import (
+        scd2_from_snapshots_with_deletes,
+    )
+
+    rows = [
+        # key 7: present d1 (a), d2 (a), ABSENT d3, back d4 (a), d5 (b)
+        (7, "d1", "a"), (7, "d2", "a"), (7, "d4", "a"), (7, "d5", "b"),
+        # key 9: present d1 only -> deleted at d2, never returns
+        (9, "d1", "x"),
+        # key 5: defines the grid at d3 and stays through d5
+        (5, "d3", "z"), (5, "d4", "z"), (5, "d5", "z"),
+    ]
+    snaps = spark.createDataFrame(
+        rows, "user_id long, snap_day string, event_type string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in scd2_from_snapshots_with_deletes(snaps).collect()
+    )
+    assert got == sorted(
+        [
+            (7, "a", "d1", "d3", False, 1),   # closed by absence at d3
+            (7, "a", "d4", "d5", False, 2),   # reappearance: new version
+            (7, "b", "d5", None, True, 3),
+            (9, "x", "d1", "d2", False, 1),   # deleted, never current
+            (5, "z", "d3", None, True, 1),
+        ]
+    )
+
+
+def test_scd2_snapshots_with_deletes_interval_tiling(spark, sf_dir):
+    """The tiling property on real churny data: per key, intervals
+    are disjoint and ordered; EVERY present (key, snap) is covered by
+    exactly one version whose attribute matches the snapshot's; every
+    ABSENT grid snapshot between a key's first and last presence is
+    covered by none."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_to_rag_spark.operators.events import (
+        scd2_from_snapshots_with_deletes,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    snaps = e.groupBy(
+        "user_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "snap_day"
+        ),
+    ).agg(
+        F.max_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("event_type")
+    )
+    dim = scd2_from_snapshots_with_deletes(snaps)
+    grid = sorted(
+        r["snap_day"] for r in snaps.select("snap_day").distinct().collect()
+    )
+    by_key: dict = {}
+    for r in snaps.collect():
+        by_key.setdefault(r["user_id"], {})[r["snap_day"]] = r["event_type"]
+    ivs: dict = {}
+    for r in dim.collect():
+        ivs.setdefault(r["user_id"], []).append(
+            (r["valid_from"], r["valid_to"], r["event_type"],
+             r["is_current"], r["version"])
+        )
+    assert set(ivs) == set(by_key)
+    for k, intervals in ivs.items():
+        intervals.sort()
+        # disjoint + ordered, version ordinals 1..n in valid_from order
+        for (f1, t1, *_), (f2, _, *_) in zip(intervals, intervals[1:]):
+            assert t1 is not None and t1 <= f2, (k, intervals)
+        assert sorted(v for *_, v in intervals) == list(
+            range(1, len(intervals) + 1)
+        )
+        # exactly the present snaps are covered, with the right attr
+        for day in grid:
+            cover = [
+                (f, t, a)
+                for f, t, a, *_ in intervals
+                if f <= day and (t is None or day < t)
+            ]
+            if day in by_key[k]:
+                assert len(cover) == 1 and cover[0][2] == by_key[k][day], (
+                    k, day, cover
+                )
+            else:
+                assert cover == [], (k, day, cover)
+        # open interval iff present at the final grid snapshot
+        assert (grid[-1] in by_key[k]) == any(
+            t is None for _, t, *_ in intervals
+        )
+
+
 def test_snapshot_diff_empty_compare_cols_presence_diff(spark):
     """ADVICE r9: compare_cols=[] is a legitimate keys-only presence
     diff — insert/delete/unchanged, never update (the None-seeded
