@@ -8217,7 +8217,12 @@ def chunk_refresh_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.col("text")).alias("text"),
     )
-    return chunk_refresh_plan(d.select("doc_id", "text"), edited)
+    # divisor pinned to the oracle's parameterization — the library
+    # default moved to the RAG production value 256 in r10 (probe in
+    # SCALE.md); the gate must not drift with it
+    return chunk_refresh_plan(
+        d.select("doc_id", "text"), edited, k=16, divisor=64
+    )
 
 
 _HARD_NEG_ORACLE = """
