@@ -222,6 +222,12 @@ HEADLINE = [
     "chunk_refresh_plan",
     "events_asof_nearest",
     "dedup_ngram_containment",
+    # r10 curation additions: quality-aware dedup survivor (components
+    # + one window), shingle novelty (one shingle exchange + id
+    # groupBy), corpus-relative OOV rate (TakeOrdered vocab broadcast)
+    "dedup_keep_best",
+    "shingle_novelty",
+    "docs_oov_rate",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -891,3 +891,61 @@ def deterministic_sample(
         .limit(n)
         .withColumnRenamed("_sk", "sample_key")
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document OUT-OF-VOCABULARY rate against the corpus's own
+    top-``vocab_size`` token vocabulary — the drift/gibberish signal a
+    tokenizer-bound pipeline wants before paying for subword encoding:
+    documents whose token mass falls outside the corpus head are
+    foreign-language, encoding-mangled, or template noise, and the
+    rate is the standard feature for routing them (compare
+    ``lang_id``'s n-gram heuristic, which this complements with a
+    vocabulary-relative measure).
+
+    Vocabulary selection is deterministic: frequency DESC, token ASC
+    on ties — reproducible across engines, the property every corpus
+    artifact here pins. Scale shape: one token explode feeding a
+    partial-agg vocab count whose top-k is the TakeOrdered shape,
+    broadcast of the bounded vocab back onto the token stream (never
+    a shuffle of the corpus against itself), one groupBy(id). Integer
+    flag sums, one final IEEE division, 4dp — bit-stable. Documents
+    with no non-empty tokens are absent (the word_freq convention).
+
+    Returns (id_col, n_tokens, n_oov, oov_rate 0..1)."""
+    if vocab_size < 1:
+        raise ValueError(f"oov_rate: vocab_size >= 1, got {vocab_size}")
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ", -1)).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.desc("_cnt"), F.asc("word"))
+        .limit(vocab_size)
+        .select("word", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("_in_vocab").isNull().cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.col("_in_vocab").isNull().cast("long"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_rate"),
+        )
+    )

@@ -2303,6 +2303,87 @@ def semdedup(
     )
 
 
+def dedup_keep_best(
+    docs_scored: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """QUALITY-AWARE survivor selection for near-dup clusters — the
+    curation-grade refinement of ``dedup_clusters``' min-id policy:
+    inside each duplicate cluster the KEPT document is the
+    highest-``score_col`` member (min id on exact score ties —
+    deterministic), so deduplication stops throwing away the best
+    copy of a duplicated page (the min-id keeper is arbitrary; on web
+    crawls it systematically keeps whatever was crawled first, often
+    the boilerplate-wrapped repost rather than the clean original).
+    Documents in no pair are singleton clusters and keep themselves.
+
+    Scale shape: connected components over the pair graph (the
+    ``dedup_clusters`` engines, O(log^2 n) rounds available for chain
+    graphs), one left join of the corpus onto the bounded member
+    labeling, one per-cluster window rank — exchanges on cluster_root
+    only; no text moves, only (id, root, score).
+
+    Returns (id_col, cluster_root, score_col, is_kept)."""
+    from lakehouse_to_rag_spark.operators.graph import dedup_clusters
+
+    cc = dedup_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), "cluster_root"
+    )
+    labeled = docs_scored.select(F.col(id_col), F.col(score_col)).join(
+        cc, id_col, "left"
+    )
+    labeled = labeled.withColumn(
+        "cluster_root", F.coalesce("cluster_root", F.col(id_col))
+    )
+    w = Window.partitionBy("cluster_root").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return labeled.select(
+        F.col(id_col),
+        F.col("cluster_root"),
+        F.col(score_col),
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a document's distinct
+    word n-gram shingles that appear in NO other document (corpus
+    df == 1) — the cheap originality signal dual to the stop-shingle
+    cap: boilerplate-heavy or templated documents score near 0, and
+    documents quoted/duplicated elsewhere lose exactly the shared
+    spans' shingles. Useful as a curation feature (novelty-weighted
+    sampling) and as a dedup-pressure gauge per source.
+
+    Scale shape: one exchange on the shingle (the df count window —
+    the same pre-clustered form the pair operators use), one
+    partial-agg groupBy on the id; integer flag sums with a single
+    final IEEE division, so the 4dp ratio is bit-stable. Documents
+    with fewer than ``n`` words have no shingles and are absent from
+    the output (the ``word_shingles`` contract).
+
+    Returns (id_col, n_shingles, n_unique, novelty 0..1)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    w = Window.partitionBy("shingle")
+    flagged = sh.withColumn(
+        "_uniq", (F.count(F.lit(1)).over(w) == 1).cast("long")
+    )
+    return flagged.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("_uniq").cast("long").alias("n_unique"),
+        F.round(
+            F.sum("_uniq") / F.count(F.lit(1)), 4
+        ).alias("novelty"),
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str,

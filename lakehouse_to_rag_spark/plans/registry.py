@@ -2160,6 +2160,142 @@ def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, backend="star")
 
 
+_KEEP_BEST_ORACLE = """
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, GREATEST(len(words) - 1, 1)),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+      FROM w
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+  )
+), sym AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+), reach(id, r) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u
+), comp AS MATERIALIZED (
+  SELECT id AS doc_id, CAST(LEAST(id, MIN(r)) AS BIGINT) AS cluster_root
+  FROM reach GROUP BY id
+), scored AS (
+  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS score FROM documents
+), lab AS (
+  SELECT s.doc_id,
+         COALESCE(c.cluster_root, s.doc_id) AS cluster_root,
+         s.score
+  FROM scored s LEFT JOIN comp c ON s.doc_id = c.doc_id
+)
+SELECT doc_id, CAST(cluster_root AS BIGINT) AS cluster_root, score,
+       (ROW_NUMBER() OVER (PARTITION BY cluster_root
+                           ORDER BY score DESC, doc_id) = 1) AS is_kept
+FROM lab
+"""
+
+
+@_q("dedup_keep_best", _KEEP_BEST_ORACLE)
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection (r10): inside each
+    near-dup cluster the kept doc is the highest-scoring member
+    (content length here — the 'keep the longest version' policy;
+    min-id on ties), singletons keep themselves — the curation-grade
+    upgrade over dedup_clusters' arbitrary min-id keeper. Components
+    + one left join + one per-cluster window; oracle replays the
+    closure recursively and ranks in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        d, "doc_id", "text", 3, 0.5, max_shingle_df=None
+    )
+    scored = d.select(
+        "doc_id", F.length("text").cast("long").alias("score")
+    )
+    return dd.dedup_keep_best(scored, pairs, score_col="score")
+
+
+_NOVELTY_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, GREATEST(len(words) - 1, 1)),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+  FROM w
+), dfc AS MATERIALIZED (
+  SELECT shingle, COUNT(*) AS c FROM sh GROUP BY shingle
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS novelty
+FROM sh JOIN dfc USING (shingle)
+GROUP BY doc_id
+"""
+
+
+@_q("shingle_novelty", _NOVELTY_ORACLE)
+def shingle_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty (r10): fraction of a doc's
+    distinct trigram shingles with corpus df == 1 — the originality
+    signal dual to the stop-shingle cap (boilerplate/templated docs
+    score ~0, heavily-quoted docs lose the shared spans). One shingle
+    exchange + one id groupBy; integer flag sums, one IEEE division,
+    4dp."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.shingle_novelty(d)
+
+
+_OOV_ORACLE = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE LENGTH(word) > 0
+), vocab AS MATERIALIZED (
+  SELECT word FROM (
+    SELECT word, COUNT(*) AS c FROM toks GROUP BY word
+    ORDER BY c DESC, word LIMIT 1000
+  )
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.word = v.word
+GROUP BY t.doc_id
+"""
+
+
+@_q("docs_oov_rate", _OOV_ORACLE)
+def docs_oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus's own top-1000 token
+    vocabulary (r10): the vocabulary-relative drift/gibberish signal
+    complementing lang_id. Deterministic vocab (freq DESC, token ASC),
+    TakeOrdered top-k, bounded-vocab broadcast back onto the token
+    stream, one groupBy(id)."""
+    from lakehouse_to_rag_spark.operators.curation import oov_rate
+
+    d = load_table(spark, sf_dir, "documents")
+    return oov_rate(d, vocab_size=1000)
+
+
 _Q6_ORACLE = """
 SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue_delta,
        CAST(COUNT(*) AS BIGINT) AS n_items

@@ -1323,3 +1323,30 @@ class TestQualityCalibratedSelect:
         for frac in (0.0, 1.5):
             with pytest.raises(ValueError, match="frac"):
                 quality_calibrated_select(d, frac=frac)
+
+
+def test_oov_rate_vocab_relative(spark):
+    """OOV: the top-V vocab is frequency DESC / token ASC
+    deterministic; rates count token OCCURRENCES outside it; empty
+    docs are absent; vocab_size < 1 raises."""
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.curation import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa bb zz"),    # aa,bb in vocab; zz out -> 1/4
+            (2, "aa bb bb"),       # all in -> 0
+            (3, "qq ww ee"),       # all out -> 1
+            (4, ""),               # no tokens: absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in oov_rate(docs, vocab_size=2).collect()
+    }
+    # corpus counts: aa=3, bb=3, ee=1, qq=1, ww=1, zz=1 -> vocab {aa, bb}
+    assert got == {1: (4, 1, 0.25), 2: (3, 0, 0.0), 3: (3, 3, 1.0)}
+    with pytest.raises(ValueError, match="vocab_size"):
+        oov_rate(docs, vocab_size=0)

@@ -2069,3 +2069,58 @@ def test_containment_catches_quote_jaccard_misses(spark):
         docs, "doc_id", "text", threshold=0.8
     ).collect()
     assert jac == []
+
+
+def test_dedup_keep_best_quality_aware_survivor(spark):
+    """Keep-best: the cluster keeper is the highest-score member (min
+    id on ties), not the min id; singletons keep themselves."""
+    from lakehouse_to_rag_spark.operators.dedup import dedup_keep_best
+
+    scored = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7), (4, 3), (5, 9)],
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_root"], r["is_kept"])
+        for r in dedup_keep_best(scored, pairs, score_col="score").collect()
+    }
+    # cluster {1,2,3}: keeper is 2 (score 9) — min-id policy kept 1
+    assert got == {
+        1: (1, False), 2: (1, True), 3: (1, False),
+        4: (4, True), 5: (5, True),   # singletons
+    }
+    # exact-score tie -> min id wins
+    pairs2 = spark.createDataFrame([(2, 5)], "id_a long, id_b long")
+    got2 = {
+        r["doc_id"]: r["is_kept"]
+        for r in dedup_keep_best(scored, pairs2, score_col="score").collect()
+    }
+    assert got2[2] and not got2[5]
+
+
+def test_shingle_novelty_boilerplate_scores_low(spark):
+    """Novelty: shared shingles drag the ratio down; a fully unique
+    doc scores 1.0; docs shorter than n words are absent."""
+    from lakehouse_to_rag_spark.operators.dedup import shingle_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z a b"),          # shingles {xyz, yza, zab}
+            (2, "x y z q r"),          # shares xyz -> 2/3 unique
+            (3, "p q"),                # < 3 words: no shingles
+            (4, "u v w t s"),          # fully unique -> 1.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_unique"], r["novelty"])
+        for r in shingle_novelty(docs).collect()
+    }
+    assert got == {
+        1: (3, 2, 0.6667),
+        2: (3, 2, 0.6667),
+        4: (3, 3, 1.0),
+    }
