@@ -48,7 +48,12 @@ HEADLINE = [
     "events_hourly",
     "events_sessionize",
     "dedup_exact_groups",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard (uncapped pin) replaced r10 by the library-
+    # default auto-capped form under policy rule 3 (same plan + one
+    # window filter; r10 standalone sf0.1 mins 1.76 s uncapped vs
+    # 1.66 s auto — the harness corpus has no >cap shingles, so the
+    # forms differ only at the planted-boilerplate probe scale)
+    "dedup_ngram_jaccard_auto",
     "dedup_minhash",
     "dedup_embedding",
     "knn_bruteforce",

@@ -705,6 +705,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The r10 "auto" DEFAULT's own gate (the winnow_matches_topm_auto
+# precedent): the fraction-of-corpus stop-shingle cap is SQL-computable
+# — clamp(ceil(1% of non-null docs), 16, 1000) — so the filtered-
+# universe Jaccard the library now runs by default faces an external
+# hash with the cap DERIVED, not pinned. Both intersections and set
+# sizes use the capped universe (the documented semantics).
+_NGRAM_JACCARD_AUTO_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh0 AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, GREATEST(len(words) - 1, 1)),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+  FROM w
+), cap AS MATERIALIZED (
+  SELECT CAST(LEAST(1000, GREATEST(16, CEIL(COUNT(*) / 100.0))) AS BIGINT)
+         AS cap
+  FROM documents WHERE text IS NOT NULL
+), sh AS MATERIALIZED (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS dfc
+    FROM sh0
+  ) WHERE dfc <= (SELECT cap FROM cap)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+@_q("dedup_ngram_jaccard_auto", _NGRAM_JACCARD_AUTO_ORACLE)
+def dedup_ngram_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The library DEFAULT form of ngram_jaccard_pairs since r10
+    (max_shingle_df="auto"): Jaccard over the stop-shingle-filtered
+    universe, cap = clamp(ceil(1% of docs), 16, 1000) derived in the
+    oracle SQL itself — gating the parameterization a 100 TB corpus
+    actually runs (the uncapped pin above stays for whole-corpus
+    semantics continuity)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
 _TF_COSINE_ORACLE = """
 WITH tf AS (
   SELECT doc_id AS id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
@@ -8574,6 +8625,57 @@ def scd2_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return scd2_enrich(e, ev.scd2_dimension(e))
+
+
+# The left-join unmatched-fact policy, gated with PLANTED late-arriving
+# keys: the dimension is built from events excluding user_id % 10 == 0,
+# so ~10% of facts have no covering version and must SURVIVE with NULL
+# attribute/version (the inner form would silently drop them — the r9
+# ADVICE scenario, now externally hashed).
+_SCD2_ENRICH_LEFT_ORACLE = """
+WITH src AS MATERIALIZED (
+  SELECT * FROM events WHERE user_id % 10 <> 0
+), chg AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM src
+), keep AS (
+  SELECT user_id, event_type, ts, event_id FROM chg
+  WHERE prev IS NULL OR event_type <> prev
+), dim AS (
+  SELECT user_id, event_type AS active_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+  FROM keep
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), f AS (
+  SELECT event_id, user_id,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS fts
+  FROM events
+)
+SELECT f.event_id, f.user_id, f.fts AS ts, d.active_type, d.version
+FROM f LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.fts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.fts < d.valid_to)
+"""
+
+
+@_q("scd2_enrich_left", _SCD2_ENRICH_LEFT_ORACLE)
+def scd2_enrich_left_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scd2_enrich how="left" (r10): the unmatched-fact policy for
+    late-arriving dimension keys, gated with a dimension deliberately
+    built WITHOUT user_id % 10 == 0 — those facts must survive as
+    NULL-version rows (row count == fact count even though ~10% of
+    keys have no dimension), where the inner default would silently
+    drop them. The interval predicate lives in the join condition."""
+    from lakehouse_to_rag_spark.operators.events import scd2_enrich
+
+    e = load_table(spark, sf_dir, "events")
+    dim = ev.scd2_dimension(e.filter(F.col("user_id") % 10 != 0))
+    return scd2_enrich(e, dim, how="left")
 
 
 _SNAPSHOT_DIFF_ORACLE = """
