@@ -440,6 +440,88 @@ def stream_bm25_sink(
     )
 
 
+def stream_scd2_sink(
+    events: DataFrame,
+    dim_path: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    trigger_available_now: bool = True,
+):
+    """Streaming Type-2 dimension maintenance — the cadence twin of
+    ``scd2_apply_changes`` (whose batch form is the gated
+    ``scd2_incremental``): each micro-batch of change events folds
+    into the persisted dimension parquet (first batch bootstraps via
+    ``scd2_dimension``), so the dimension is always current without
+    ever rebuilding history.
+
+    Replay safety is STRICTER than the ledgered index sinks'
+    one-batch crash window, because re-applying a batch to SCD2 is
+    not absorbable (it trips the strict-suffix fail-close instead of
+    duplicating rows): the applied-batch ledger lives INSIDE the
+    dimension directory (``_ledger.json`` — underscore-prefixed, so
+    the parquet reader ignores it) and the new dimension + updated
+    ledger land in one atomic directory rename. Any crash leaves
+    either the old consistent (dim, ledger) pair — replay re-applies
+    — or the new one — replay skips; a whole-stream rerun from a
+    fresh checkpoint is likewise a no-op. The upstream contract is
+    the CDC one ``scd2_apply_changes`` documents: batches arrive in
+    event-time order per key. Returns the started StreamingQuery."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from lakehouse_to_rag_spark.operators.events import (
+        scd2_apply_changes,
+        scd2_dimension,
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        applied: set[int] = set()
+        lpath = os.path.join(dim_path, "_ledger.json")
+        if os.path.exists(lpath):
+            with open(lpath) as f:
+                applied = set(json.load(f))
+        if int(batch_id) in applied:
+            return  # replayed (or whole-stream-rerun) batch: no-op
+        if os.path.exists(dim_path):
+            dim = spark.read.parquet(dim_path)
+            new_dim = scd2_apply_changes(
+                dim, batch, key_col, attr_col, ts_col, tiebreak_col
+            )
+        else:
+            new_dim = scd2_dimension(
+                batch, key_col, attr_col, ts_col, tiebreak_col
+            )
+        tmp = f"{dim_path}__v_{uuid.uuid4().hex[:8]}"
+        # the write ACTION reads the old files (still in place), so
+        # the read-modify-write never overlaps its own input
+        new_dim.write.parquet(tmp)
+        with open(os.path.join(tmp, "_ledger.json"), "w") as f:
+            json.dump(sorted(applied | {int(batch_id)}), f)
+        if os.path.exists(dim_path):
+            old = f"{dim_path}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(dim_path, old)
+            os.rename(tmp, dim_path)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, dim_path)
+
+    writer = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _ledgered_index_sink(
     docs_stream: DataFrame,
     index_path: str,

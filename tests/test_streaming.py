@@ -643,3 +643,59 @@ def test_stream_medallion_sink_equals_overwrite(spark, sf_dir, tmp_path):
     run("ck2")  # full replay, fresh checkpoint
     for ly, cnt in n.items():
         assert read_layer(spark, f"{state}/{ly}").count() == cnt, ly
+
+
+def test_stream_scd2_sink_equals_batch_rebuild_and_replays_safely(
+    spark, tmp_path
+):
+    """Streaming SCD2 maintenance: two micro-batches of change events
+    fold into the persisted dimension and the result equals the batch
+    scd2_dimension over the full history row for row; a whole-stream
+    rerun from a FRESH checkpoint is a ledger-guarded no-op (replay
+    would otherwise trip the strict-suffix fail-close, not duplicate
+    silently)."""
+    import os
+    from datetime import datetime
+
+    from lakehouse_to_rag_spark.operators.events import scd2_dimension
+    from lakehouse_to_rag_spark.streaming.pipeline import stream_scd2_sink
+
+    src = str(tmp_path / "scd2_src")
+    dim = str(tmp_path / "scd2_dim")
+    os.makedirs(src)
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    b1 = [(1, t(0), 7, "a"), (2, t(1), 7, "b"), (3, t(0), 9, "x")]
+    b2 = [(4, t(2), 7, "b"), (5, t(3), 7, "c"), (6, t(2), 11, "q")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        src + "/b2"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(src + "/*")
+    )
+    q = stream_scd2_sink(stream, dim, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    got = sorted(
+        map(str, (tuple(r) for r in spark.read.parquet(dim).collect()))
+    )
+    full = scd2_dimension(spark.createDataFrame(b1 + b2, schema))
+    want = sorted(map(str, (tuple(r) for r in full.collect())))
+    assert got == want and len(got) == 5
+    # fresh-checkpoint rerun: same batch ids re-delivered -> ledger
+    # skips every one; the dimension is unchanged
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q2 = stream_scd2_sink(stream2, dim, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    again = sorted(
+        map(str, (tuple(r) for r in spark.read.parquet(dim).collect()))
+    )
+    assert again == want
