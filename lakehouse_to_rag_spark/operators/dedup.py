@@ -2362,15 +2362,20 @@ def shingle_novelty(
     spans' shingles. Useful as a curation feature (novelty-weighted
     sampling) and as a dedup-pressure gauge per source.
 
-    Scale shape: one exchange on the shingle (the df count window —
-    the same pre-clustered form the pair operators use), one
-    partial-agg groupBy on the id; integer flag sums with a single
-    final IEEE division, so the 4dp ratio is bit-stable. Documents
-    with fewer than ``n`` words have no shingles and are absent from
-    the output (the ``word_shingles`` contract).
+    Scale shape: per-document distinctness comes FREE from the row
+    (``shingle_arrays``' array_distinct + explode — no corpus-wide
+    distinct exchange, unlike the ``word_shingles`` inverted-index
+    build), so the whole plan is exactly TWO exchanges: the shingle-df
+    count window and the partial-agg groupBy on the id
+    (plan-audited: 2 hash exchanges, shingle-keyed window). Integer
+    flag sums with a single final IEEE division, so the 4dp ratio is
+    bit-stable. Documents with fewer than ``n`` words have no
+    shingles and are absent from the output.
 
     Returns (id_col, n_shingles, n_unique, novelty 0..1)."""
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = shingle_arrays(df, id_col, text_col, n).select(
+        F.col("id"), F.explode("shingles").alias("shingle")
+    )
     w = Window.partitionBy("shingle")
     flagged = sh.withColumn(
         "_uniq", (F.count(F.lit(1)).over(w) == 1).cast("long")
