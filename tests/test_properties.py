@@ -1390,3 +1390,74 @@ def test_asof_nearest_backward_equals_latest_prior(spark, sf_dir):
         for r in asof_latest_prior(e).collect()
     }
     assert a == b and len(a) > 0
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.integers(1, 5),                       # key
+        st.dictionaries(                          # snap -> attr
+            st.integers(0, 7), st.sampled_from(["a", "b", "c"]),
+            min_size=1, max_size=8,
+        ),
+        min_size=1, max_size=5,
+    )
+)
+def test_scd2_snapshots_with_deletes_matches_python_reference(
+    spark, presence
+):
+    """Random presence/attribute patterns vs a sequential pure-Python
+    SCD2-with-tombstones reference: identical version sets."""
+    from lakehouse_to_rag_spark.operators.events import (
+        scd2_from_snapshots_with_deletes,
+    )
+
+    rows = [
+        (k, f"d{s}", a)
+        for k, snaps in presence.items()
+        for s, a in snaps.items()
+    ]
+    snaps_df = spark.createDataFrame(
+        rows, "user_id long, snap_day string, event_type string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in scd2_from_snapshots_with_deletes(snaps_df).collect()
+    )
+    # sequential reference
+    grid = sorted({d for _, d, _ in rows})
+    nxt = {g: (grid[i + 1] if i + 1 < len(grid) else None)
+           for i, g in enumerate(grid)}
+    want = []
+    for k, snaps in presence.items():
+        days = sorted(f"d{s}" for s in snaps)
+        attrs = {f"d{s}": a for s, a in snaps.items()}
+        version = 0
+        run_start = None
+        prev_day = None
+        for d in days:
+            new_run = (
+                prev_day is None
+                or attrs[d] != attrs[prev_day]
+                or nxt[prev_day] != d          # presence gap
+            )
+            if new_run:
+                if run_start is not None:
+                    want.append(
+                        (k, attrs[prev_day], run_start, prev_day)
+                    )
+                version += 1
+                run_start = d
+            prev_day = d
+        want.append((k, attrs[prev_day], run_start, prev_day))
+        # expand to full rows with valid_to/is_current/version
+    expanded = []
+    byk: dict = {}
+    for k, a, f, last in want:
+        byk.setdefault(k, []).append((f, last, a))
+    for k, runs in byk.items():
+        runs.sort()
+        for i, (f, last, a) in enumerate(runs):
+            vt = nxt[last]
+            expanded.append((k, a, f, vt, vt is None, i + 1))
+    assert got == sorted(expanded)
