@@ -522,6 +522,110 @@ def stream_scd2_sink(
     return writer.start()
 
 
+def stream_chunk_refresh_sink(
+    docs_stream: DataFrame,
+    manifest_path: str,
+    work_path: str,
+    checkpoint_dir: str,
+    k: int = 16,
+    divisor: int = 256,
+    min_size: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+    trigger_available_now: bool = True,
+):
+    """Streaming incremental RE-EMBEDDING queue — the cadence twin of
+    ``chunk_refresh_plan`` (whose batch form is the gated
+    ``chunk_refresh_plan`` entry): each micro-batch of new/edited
+    documents is CDC-chunked (map-only), diffed against the persisted
+    chunk-hash MANIFEST, and only the actual work lands in
+    ``work_path``: ``embed`` rows for chunk hashes the manifest lacks,
+    ``delete`` rows for superseded manifest entries of the batch's
+    docs. Because CDC boundaries realign after an edit, an edited
+    document enqueues ~1 chunk of embedding work, not its whole tail
+    (the measured cdc_chunks property, now on a stream).
+
+    Replay semantics: a CHECKPOINT-RECOVERY replay (Spark re-delivers
+    the last uncommitted batch) is self-absorbing — its docs' chunks
+    already match the manifest, so the diff is empty and nothing is
+    enqueued; the one crash window (between the work append and the
+    manifest swap) re-enqueues one batch's rows, which consumers
+    absorb by (doc, chunk_hash, action) idempotence — the
+    `_ledgered_index_sink` contract. What this sink does NOT absorb
+    is a whole-stream rerun from a FRESH checkpoint over old data:
+    replaying a STALE doc version diffs against the newer manifest
+    and enqueues regress-then-redo work (the manifest converges, the
+    queue gets noise) — single-writer, one checkpoint per
+    manifest/work pair is the operating contract, as for every
+    ledgered sink here. The
+    manifest update itself is an atomic directory swap (the
+    ``upsert_by_key`` parquet convention). Chunk BODIES never travel:
+    the embed consumer re-reads text by (doc, chunk_index) from the
+    current corpus; hashes and indexes only. Returns the started
+    StreamingQuery."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from lakehouse_to_rag_spark.operators.gold import cdc_chunks
+    from lakehouse_to_rag_spark.sources.lakehouse import upsert_by_key
+
+    def _refresh(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        chunks = cdc_chunks(
+            batch, k, divisor, min_size, id_col, text_col, hash_fn
+        ).select(id_col, "chunk_index", "chunk_hash")
+        # two consumers (diff both ways + manifest update): one
+        # materialization of the map-only chunking
+        chunks = chunks.localCheckpoint(eager=False)
+        try:
+            manifest = spark.read.parquet(manifest_path)
+        except AnalysisException:
+            manifest = None
+        keys = [id_col, "chunk_hash"]
+        if manifest is not None:
+            batch_ids = chunks.select(id_col).distinct()
+            old = manifest.join(batch_ids, id_col, "left_semi")
+            embed = chunks.join(old, keys, "left_anti")
+            delete = old.join(chunks, keys, "left_anti")
+        else:
+            embed, delete = chunks, None
+        work = embed.select(
+            F.lit(int(batch_id)).alias("batch_id"),
+            F.col(id_col),
+            F.col("chunk_index"),
+            F.col("chunk_hash"),
+            F.lit("embed").alias("action"),
+        )
+        if delete is not None:
+            work = work.unionByName(
+                delete.select(
+                    F.lit(int(batch_id)).alias("batch_id"),
+                    F.col(id_col),
+                    F.col("chunk_index"),
+                    F.col("chunk_hash"),
+                    F.lit("delete").alias("action"),
+                )
+            )
+        work.write.mode("append").parquet(work_path)
+        # manifest: full per-doc replacement, atomic swap
+        if manifest is None and not os.path.exists(manifest_path):
+            chunks.write.parquet(manifest_path)
+        else:
+            upsert_by_key(spark, manifest_path, chunks, [id_col])
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _ledgered_index_sink(
     docs_stream: DataFrame,
     index_path: str,

@@ -699,3 +699,100 @@ def test_stream_scd2_sink_equals_batch_rebuild_and_replays_safely(
         map(str, (tuple(r) for r in spark.read.parquet(dim).collect()))
     )
     assert again == want
+
+
+def test_stream_chunk_refresh_sink_enqueues_only_changed_chunks(
+    spark, tmp_path
+):
+    """Streaming re-embedding queue: batch 0 enqueues every chunk of
+    the initial docs; batch 1 (one edited doc + one new doc) enqueues
+    exactly what the batch twin chunk_refresh_plan computes for the
+    same corpus transition; the manifest ends equal to cdc_chunks over
+    the final corpus; a checkpoint-recovery replay of the LAST batch
+    enqueues NOTHING (its chunks already match the manifest)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_to_rag_spark.operators.gold import (
+        cdc_chunks,
+        chunk_refresh_plan,
+    )
+    from lakehouse_to_rag_spark.streaming.pipeline import (
+        stream_chunk_refresh_sink,
+    )
+
+    src = str(tmp_path / "crq_src")
+    man = str(tmp_path / "crq_manifest")
+    work = str(tmp_path / "crq_work")
+    os.makedirs(src)
+    body = " ".join(f"sentence {i} of the original document text." for i in range(30))
+    b1 = [(0, body), (1, "a different second document " + body[:200])]
+    edited = body[:100] + " INSERTED SPAN " + body[100:]
+    b2 = [(0, edited), (9, "a brand new ninth document with its own words")]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream_chunk_refresh_sink(stream, man, work, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+
+    w = spark.read.parquet(work)
+    # batch 0: every chunk of b1 is embed work, nothing deleted
+    n_b1_chunks = cdc_chunks(spark.createDataFrame(b1, schema)).count()
+    w0 = w.filter("batch_id = 0")
+    assert w0.filter("action = 'embed'").count() == n_b1_chunks
+    assert w0.filter("action = 'delete'").count() == 0
+    # batch 1 == the batch twin on the same corpus transition
+    old = spark.createDataFrame(b1, schema)
+    new = spark.createDataFrame([b2[0], b1[1], b2[1]], schema)
+    twin = {
+        (r["doc_id"], r["chunk_hash"], r["action"])
+        for r in chunk_refresh_plan(old, new).collect()
+    }
+    got1 = {
+        (r["doc_id"], r["chunk_hash"], r["action"])
+        for r in w.filter("batch_id = 1").collect()
+    }
+    assert got1 == twin and any(a == "delete" for _, _, a in got1)
+    # edit locality: the edited doc re-embeds fewer chunks than it has
+    d0_chunks = cdc_chunks(spark.createDataFrame([b2[0]], schema)).count()
+    d0_embeds = sum(1 for d, _, a in got1 if d == 0 and a == "embed")
+    assert 0 < d0_embeds < d0_chunks
+    # manifest == cdc_chunks over the final corpus
+    got_man = {
+        tuple(r)
+        for r in spark.read.parquet(man)
+        .select("doc_id", "chunk_index", "chunk_hash")
+        .collect()
+    }
+    want_man = {
+        tuple(r)
+        for r in cdc_chunks(new)
+        .select("doc_id", "chunk_index", "chunk_hash")
+        .collect()
+    }
+    assert got_man == want_man
+    # checkpoint-recovery replay of the LAST batch: its docs' chunks
+    # already match the manifest -> empty diff, no new work rows
+    n_work = w.count()
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b2")          # only the last batch replays
+    )
+    q2 = stream_chunk_refresh_sink(stream2, man, work, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(work).count() == n_work
+    # and the manifest is unchanged by the replay
+    still = {
+        tuple(r)
+        for r in spark.read.parquet(man)
+        .select("doc_id", "chunk_index", "chunk_hash")
+        .collect()
+    }
+    assert still == want_man
