@@ -226,7 +226,12 @@ HEADLINE = [
     "scd2_snapshots_deletes",
     "chunk_refresh_plan",
     "events_asof_nearest",
-    "dedup_ngram_containment",
+    # dedup_ngram_containment (uncapped pin) replaced r10 by the
+    # library-default auto-capped form under policy rule 3 (r9 driver
+    # row 2.5 s; r10 uncontended bench 2.17 s — the harness corpus has
+    # no >cap shingles so the forms coincide here; they diverge on the
+    # planted-boilerplate probe corpus)
+    "dedup_ngram_containment_auto",
     # r10 curation additions: quality-aware dedup survivor (components
     # + one window), shingle novelty (one shingle exchange + id
     # groupBy), corpus-relative OOV rate (TakeOrdered vocab broadcast)

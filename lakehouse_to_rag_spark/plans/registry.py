@@ -8583,6 +8583,63 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The containment operator's r10 "auto" DEFAULT, gated like
+# dedup_ngram_jaccard_auto: filtered-universe containment with the
+# fraction-of-corpus cap derived in the oracle SQL. Containment is the
+# operator MOST exposed to unbounded stop-shingles (a boilerplate
+# wrapper makes every wrapped doc "contain" every other), so the
+# default form is the one that matters at crawl scale.
+_CONTAINMENT_AUTO_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh0 AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, GREATEST(len(words) - 1, 1)),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+  FROM w
+), cap AS MATERIALIZED (
+  SELECT CAST(LEAST(1000, GREATEST(16, CEIL(COUNT(*) / 100.0))) AS BIGINT)
+         AS cap
+  FROM documents WHERE text IS NOT NULL
+), sh AS MATERIALIZED (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS dfc
+    FROM sh0
+  ) WHERE dfc <= (SELECT cap FROM cap)
+), sizes AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / sa.n, 4) AS containment_a_in_b,
+       ROUND(CAST(c AS DOUBLE) / sb.n, 4) AS containment_b_in_a
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / sa.n >= 0.8
+   OR CAST(c AS DOUBLE) / sb.n >= 0.8
+"""
+
+
+@_q("dedup_ngram_containment_auto", _CONTAINMENT_AUTO_ORACLE)
+def dedup_ngram_containment_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The library DEFAULT form of ngram_containment_pairs since r10
+    (max_shingle_df="auto"): containment over the stop-shingle-
+    filtered universe with the cap derived in the oracle SQL — the
+    parameterization a crawl corpus runs, where unbounded boilerplate
+    shingles would make every wrapped doc 'contain' every other (the
+    quadratic-by-default path VERDICT r9 flagged)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8
+    )
+
+
 _SCD2_ENRICH_ORACLE = """
 WITH chg AS (
   SELECT user_id, event_type, ts, event_id,
