@@ -1461,3 +1461,61 @@ def test_scd2_snapshots_with_deletes_matches_python_reference(
             vt = nxt[last]
             expanded.append((k, a, f, vt, vt is None, i + 1))
     assert got == sorted(expanded)
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark, sf_dir):
+    """Full-surface parity with pandas merge_asof on real event data:
+    backward / forward / nearest, each with and without a tolerance —
+    identical matched right ids for every left row (ties made
+    deterministic by (ts, event_id) ordering on both sides)."""
+    import pandas as pd
+
+    from lakehouse_to_rag_spark.operators.events import asof_nearest
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pdf = e.select("event_id", "ts", "user_id", "event_type").toPandas()
+    left = (
+        pdf[pdf.event_type == "purchase"]
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    right = (
+        pdf[pdf.event_type == "click"]
+        .sort_values(["ts", "event_id"])
+        .rename(columns={"event_id": "right_id"})[
+            ["user_id", "ts", "right_id"]
+        ]
+        .reset_index(drop=True)
+    )
+    assert len(left) > 50 and len(right) > 50
+    for direction in ["backward", "forward", "nearest"]:
+        for tol in [None, 300]:
+            got = {
+                r["event_id"]: r["right_id"]
+                for r in asof_nearest(
+                    e,
+                    direction=direction,
+                    tolerance_seconds=tol,
+                ).collect()
+            }
+            kw = {}
+            if tol is not None:
+                kw["tolerance"] = pd.Timedelta(seconds=tol)
+            want_df = pd.merge_asof(
+                left,
+                right,
+                on="ts",
+                by="user_id",
+                direction=direction,
+                **kw,
+            )
+            want = {
+                int(r.event_id): (None if pd.isna(r.right_id)
+                                  else int(r.right_id))
+                for r in want_df.itertuples()
+            }
+            assert set(got) == set(want), (direction, tol)
+            diffs = {
+                k: (got[k], want[k]) for k in want if got[k] != want[k]
+            }
+            assert not diffs, (direction, tol, dict(list(diffs.items())[:5]))
