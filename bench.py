@@ -238,6 +238,9 @@ HEADLINE = [
     "dedup_keep_best",
     "shingle_novelty",
     "docs_oov_rate",
+    # r10: IR evaluation metrics (recall/MRR/nDCG at k) — one query
+    # exchange + bounded per-query rank lists
+    "retrieval_eval_metrics",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

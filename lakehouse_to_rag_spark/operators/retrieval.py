@@ -979,3 +979,74 @@ def build_rag_indexes(
         F.col("n_docs").cast("long").alias("n_rows"),
     )
     return ivf_counts.unionByName(bm25_total).unionByName(stats_docs)
+
+
+def retrieval_metrics(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query IR evaluation at cutoff ``k`` — the measurement half
+    a retrieval stack needs next to the serving half (BM25/kNN/RRF/
+    MMR all produce ``runs``-shaped output here): binary-relevance
+    recall@k, MRR@k, and nDCG@k against a ``qrels`` table of
+    (query, relevant doc) pairs. trec_eval conventions: only queries
+    PRESENT in qrels are scored (a query with no relevant docs has no
+    defined recall), a scored query with zero hits gets 0.0 on every
+    metric, and ranks past ``k`` are ignored.
+
+    Determinism at hash-gate standard: recall and MRR are single
+    integer divisions; DCG and IDCG are folds over SORTED rank lists
+    (collect the <= k hit ranks per query, sort, fold 1/log2(r+1)
+    left-to-right) so double summation ORDER is fixed — a plain
+    SUM() over hit rows would be partition-order-dependent in the
+    last ulp. Per-query hit lists are bounded by ``k``, so the
+    collect_list is O(k) per row, never corpus-shaped.
+
+    Scale shape: one exchange on the query for the rank filter +
+    hit join (qrels broadcast when bounded — Catalyst's choice), one
+    partial-agg groupBy per side. Returns (query_col, n_rel, n_hits,
+    recall_at_k, mrr_at_k, ndcg_at_k), all 4dp."""
+    if k < 1:
+        raise ValueError(f"retrieval_metrics: k >= 1, got {k}")
+    hits = (
+        runs.filter(F.col(rank_col) <= k)
+        .join(qrels.select(query_col, doc_col), [query_col, doc_col])
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min(rank_col).cast("long").alias("_first"),
+            F.sort_array(F.collect_list(F.col(rank_col).cast("long")))
+            .alias("_ranks"),
+        )
+    )
+    nrel = qrels.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    dcg = F.expr(
+        "aggregate(_ranks, 0D, (a, r) -> a + 1D / log2(r + 1D))"
+    )
+    idcg = F.expr(
+        f"aggregate(sequence(1, least(n_rel, {k})), 0D,"
+        " (a, i) -> a + 1D / log2(i + 1D))"
+    )
+    return (
+        nrel.join(hits, query_col, "left")
+        .select(
+            F.col(query_col),
+            F.col("n_rel"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_rel"), 4
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)), 4
+            ).alias("mrr_at_k"),
+            F.round(
+                F.coalesce(dcg, F.lit(0.0)) / idcg, 4
+            ).alias("ndcg_at_k"),
+        )
+    )

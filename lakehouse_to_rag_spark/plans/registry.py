@@ -9217,3 +9217,106 @@ def _reorder() -> None:
 
 
 _reorder()
+
+
+# --------------------------------------------------------------- r10:
+# retrieval EVALUATION — the measurement half of the RAG stack. The
+# fixture is a fixed pseudo-random run/qrel construction (md5-keyed,
+# the deterministic_sample convention) so every math path (hits,
+# zero-hit queries, rank>k cutoff, varied n_rel) is exercised and the
+# whole thing replays in SQL; the operator under test is the metrics
+# math, which serving output (bm25/knn/rrf/mmr) feeds in production.
+_RETRIEVAL_METRICS_ORACLE = """
+WITH q AS (
+  SELECT doc_id AS query_id FROM documents WHERE doc_id % 100 = 0
+), runs AS MATERIALIZED (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT q.query_id, d.doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY md5(CAST(q.query_id AS VARCHAR) || ':' ||
+                          CAST(d.doc_id AS VARCHAR))
+           ) AS BIGINT) AS rank
+    FROM q, documents d
+  ) WHERE rank <= 10
+), qrels AS MATERIALIZED (
+  SELECT q.query_id, d.doc_id
+  FROM q, documents d
+  WHERE md5('rel' || CAST(q.query_id AS VARCHAR) || ':' ||
+            CAST(d.doc_id AS VARCHAR)) < '2'
+), hits AS (
+  SELECT r.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hits,
+         MIN(r.rank) AS first_rank,
+         list_sort(list(r.rank)) AS ranks
+  FROM runs r
+  JOIN qrels x ON r.query_id = x.query_id AND r.doc_id = x.doc_id
+  GROUP BY r.query_id
+), nrel AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+  FROM qrels GROUP BY query_id
+)
+SELECT n.query_id, n.n_rel,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / n.n_rel, 4)
+         AS recall_at_k,
+       ROUND(COALESCE(1.0 / h.first_rank, 0.0), 4) AS mrr_at_k,
+       ROUND(
+         COALESCE(
+           list_reduce(list_transform(h.ranks,
+                                      r -> 1.0 / log2(r + 1.0)),
+                       (a, b) -> a + b),
+           0.0)
+         / list_reduce(list_transform(range(1, LEAST(n.n_rel, 10) + 1),
+                                      i -> 1.0 / log2(i + 1.0)),
+                       (a, b) -> a + b),
+         4) AS ndcg_at_k
+FROM nrel n LEFT JOIN hits h ON n.query_id = h.query_id
+"""
+
+
+@_q("retrieval_eval_metrics", _RETRIEVAL_METRICS_ORACLE)
+def retrieval_eval_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation metrics (r10): per-query recall@10 / MRR@10 /
+    nDCG@10 against binary qrels — trec_eval conventions (only
+    qrels queries scored, zero-hit queries 0.0, ranks past k
+    ignored), with DCG/IDCG as folds over SORTED rank lists so
+    double-summation order is fixed (hash-gate determinism). Fixture:
+    md5-keyed pseudo-random runs (top-10 per query) and ~1/8-rate
+    qrels over the documents table."""
+    from pyspark.sql import Window
+
+    from lakehouse_to_rag_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    q = d.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id")
+    )
+    pairs = q.crossJoin(d)
+    w = Window.partitionBy("query_id").orderBy(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("query_id").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    runs = (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+    qrels = pairs.filter(
+        F.md5(
+            F.concat(
+                F.lit("rel"),
+                F.col("query_id").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        < "2"
+    ).select("query_id", "doc_id")
+    return retrieval_metrics(runs, qrels, k=10)

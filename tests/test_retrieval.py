@@ -757,3 +757,44 @@ def test_rebuild_bm25_stats_reconciles_half_commit(spark, sf_dir, tmp_path):
     assert spark.read.parquet(f"{path}/_stats").collect() == stale != good
     rebuild_bm25_stats(spark, path)
     assert spark.read.parquet(f"{path}/_stats").collect() == good
+
+
+def test_retrieval_metrics_hand_case(spark):
+    """Known-answer IR metrics at k=3: recall/MRR/nDCG, zero-hit and
+    missing-from-runs queries score 0, non-qrels queries are absent,
+    ranks past k ignored, k<1 raises."""
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.retrieval import retrieval_metrics
+
+    runs = spark.createDataFrame(
+        [
+            (1, "a", 1), (1, "x", 2), (1, "b", 3), (1, "c", 4),
+            (2, "p", 1), (2, "q", 2), (2, "r", 3),
+            (4, "a", 1),                       # not in qrels: absent
+        ],
+        "query_id long, doc_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [
+            (1, "a"), (1, "b"), (1, "c"), (1, "d"),
+            (2, "z"),
+            (3, "a"),                           # never retrieved
+        ],
+        "query_id long, doc_id string",
+    )
+    got = {
+        r["query_id"]: (
+            r["n_rel"], r["n_hits"], r["recall_at_k"],
+            r["mrr_at_k"], r["ndcg_at_k"],
+        )
+        for r in retrieval_metrics(runs, qrels, k=3).collect()
+    }
+    # q1: hits at ranks 1,3 (c is rank 4 > k) -> dcg = 1 + 1/log2(4)
+    # = 1.5; idcg(3) = 1 + 1/log2(3) + 0.5 = 2.130929...
+    assert got[1] == (4, 2, 0.5, 1.0, 0.7039)
+    assert got[2] == (1, 0, 0.0, 0.0, 0.0)
+    assert got[3] == (1, 0, 0.0, 0.0, 0.0)
+    assert set(got) == {1, 2, 3}
+    with pytest.raises(ValueError, match="k >= 1"):
+        retrieval_metrics(runs, qrels, k=0)
