@@ -241,6 +241,13 @@ HEADLINE = [
     # r10: IR evaluation metrics (recall/MRR/nDCG at k) — one query
     # exchange + bounded per-query rank lists
     "retrieval_eval_metrics",
+    # r10 continuation: map-only run-length-fold entropy (a NEW perf
+    # shape — the per-row aggregate fold with zero exchanges) and the
+    # two-token-exchange PMI collocation report. source_overlap_matrix
+    # stays un-rowed under policy rule 3: its plan is dedup_minhash's
+    # banded join + an O(|pairs|) tail, already covered by that row.
+    "docs_char_entropy",
+    "docs_bigram_pmi",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the

@@ -2459,3 +2459,47 @@ def ngram_containment_pairs(
             F.round(c_ba, 4).alias("containment_b_in_a"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-source duplication matrix: how many near-duplicate pairs
+    each (source, source) combination contributes — the curation
+    report behind "which feeds plagiarize which" / "which crawl
+    overlaps which dump" licensing and mixing decisions. Built on the
+    exact-verified MinHash-LSH pair stream, so the matrix inherits its
+    no-false-positive guarantee. Emits (source_a, source_b,
+    dup_pairs) with source_a <= source_b (unordered pair canon;
+    same-source density lands on the diagonal).
+
+    Shape: the pair set is tiny relative to the corpus (it is the
+    dedup output), so the tail is two id-keyed shuffle joins to fetch
+    each side's group and one groupBy over at most |sources|² rows —
+    the banded LSH join upstream stays the only large exchange, and
+    nothing here collects or broadcasts corpus-sized state."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n=n, threshold=threshold
+    )
+    meta = df.select(F.col(id_col), F.col(group_col))
+    ga = meta.select(
+        F.col(id_col).alias("id_a"), F.col(group_col).alias("_ga")
+    )
+    gb = meta.select(
+        F.col(id_col).alias("id_b"), F.col(group_col).alias("_gb")
+    )
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.least("_ga", "_gb").alias("source_a"),
+            F.greatest("_ga", "_gb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_pairs"))
+    )

@@ -1920,3 +1920,158 @@ def embed_hashed_tf(
             ).alias("embedding"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the character stream (bits per
+    char) — the gibberish / low-diversity signal complementing
+    `compression_ratio` (reference quality intent:
+    /root/reference/airflow/dags/etl.py silver filters): key-mash and
+    single-char spam land near 0, base64/random noise near log2(64),
+    English prose ~4.1-4.4.  Emits (id, n_chars, entropy_bits).
+
+    H = log2(n) - (Σ_c cnt_c·log2(cnt_c)) / n over per-doc char counts.
+
+    Shape: MAP-ONLY — sort the char array per row and fold run-lengths
+    with `F.aggregate`, so there is no explode, no shuffle, and no
+    aggregation state beyond one row: the 100 TB cost is one linear
+    pass per document (same plan class as cdc_chunks).
+
+    Float discipline: log2(cnt) is quantized to integer MICRO-BITS
+    (cast(round(log2(cnt)·1e6) as bigint) — verified bit-identical
+    Spark vs DuckDB for cnt 1..200000 in tests), so the per-class sum
+    is exact BIGINT arithmetic in any order and the oracle may use a
+    plain SQL SUM over an explode+groupBy replay. The final expression
+    is one exact BIGINT numerator (n·micro(n) − Σ cnt·micro(cnt)) and
+    ONE IEEE division, rounded to 4dp.  Empty/NULL text → NULL
+    entropy (and n_chars 0), kept so the operator is a projection."""
+    t = F.col(text_col)
+    # split('') yields [''] for the empty string — filter the empties
+    # so n == length(text) exactly and runs never see the sentinel
+    cs = F.array_sort(F.filter(F.split(t, ""), lambda x: x != F.lit("")))
+
+    def _micro(run):
+        return F.round(F.log2(run.cast("double")) * F.lit(1000000.0)) \
+            .cast("long")
+
+    def _close(acc):
+        # contribution of the open run; 0 while no run is open
+        return F.when(acc["run"] == 0, F.lit(0).cast("long")).otherwise(
+            acc["run"] * _micro(acc["run"])
+        )
+
+    def _merge(acc, ch):
+        same = ch == acc["prev"]
+        return F.struct(
+            ch.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(same, acc["s"]).otherwise(acc["s"] + _close(acc))
+            .alias("s"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("s"),
+    )
+    tot = F.aggregate(cs, init, _merge, lambda acc: acc["s"] + _close(acc))
+    n = F.size(cs).cast("long")
+    ent = F.when(
+        n > 0,
+        F.round(
+            (n * _micro(n) - tot).cast("double") / (F.lit(1000000.0) * n), 4
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.coalesce(n, F.lit(0).cast("long")).alias("n_chars"),
+        ent.alias("entropy_bits"),
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-level collocation extraction: pointwise mutual
+    information over adjacent word bigrams (Church & Hanks 1990) —
+    the "which word pairs travel together" report behind phrase
+    mining, tokenizer-merge candidates, and boilerplate discovery.
+    Emits the top_k (w1, w2, pair_count, pmi) with deterministic
+    (pmi DESC, w1, w2) order.
+
+    PMI(x,y) = log2( c_xy·N / (c_x·c_y) ) with counts over the whole
+    corpus; pairs below min_count are dropped first (PMI's classic
+    small-count instability).
+
+    Shape: bigrams are built PER ROW with JVM array lambdas (slice +
+    transform — no self-join, no posexplode join), then ONE groupBy
+    for pair counts and one for unigram counts; N rides a 1-row
+    broadcast cross join. Everything partial-aggregates map-side, so
+    the 100 TB cost is two token-keyed exchanges — the same shape as
+    word_freq. Two shuffle joins stitch c_x/c_y back (token-keyed,
+    AQE-handled; the unigram side is Zipf-skewed but the bigram side
+    arrives pre-aggregated so no row explosion).
+
+    Float discipline: the log2 argument is computed with one fixed
+    parenthesization ((c_xy·N) / (c_x·c_y), all four casts explicit)
+    and the transcendental result is rounded to 6dp, the tfidf/idf
+    convention, so libm-vs-JVM last-ulp drift cannot reach the hash."""
+    words = df.select(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " ", -1),
+            lambda x: x != F.lit(""),
+        ).alias("ws")
+    )
+    uni = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    )
+    big = (
+        pairs.select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    scored = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("pair_count"),
+            F.round(
+                F.log2(
+                    (F.col("c_xy").cast("double")
+                     * F.col("n_tok").cast("double"))
+                    / (F.col("c_x").cast("double")
+                       * F.col("c_y").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(top_k)

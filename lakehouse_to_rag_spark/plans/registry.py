@@ -9216,7 +9216,11 @@ def _reorder() -> None:
         d.update({n: snap[n] for n in order if n in snap})
 
 
-_reorder()
+# NB: _reorder() is invoked ONCE at the very END of this module — it
+# must run after every @_q registration or late-registered entries
+# could never rotate into the driver's first-50 window (caught r10:
+# retrieval_eval_metrics was briefly registered below the old call
+# site, leaving a never-checked entry invisible to the gate).
 
 
 # --------------------------------------------------------------- r10:
@@ -9320,3 +9324,139 @@ def retrieval_eval_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         < "2"
     ).select("query_id", "doc_id")
     return retrieval_metrics(runs, qrels, k=10)
+
+
+# --------------------------------------------------------------- r10:
+# character-entropy quality signal — the ORACLE-GATED twin of the
+# rows-only zlib compression_ratio (same curation purpose: gibberish /
+# key-mash / template detection), feasible because Shannon entropy is
+# pure counting + one quantized transcendental, unlike DEFLATE's
+# stateful LZ77 stream. The Spark side is the MAP-ONLY run-length fold
+# (no explode, no shuffle); the oracle replays it as explode + groupBy
+# + plain SUM, legal because the per-class terms are exact BIGINT
+# micro-bits (order-free addition).
+_CHAR_ENTROPY_ORACLE = """
+WITH cs AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0
+), cnt AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM cs GROUP BY 1, 2
+), s AS (
+  SELECT doc_id, SUM(c) AS n,
+         SUM(c * CAST(ROUND(log2(CAST(c AS DOUBLE)) * 1000000.0)
+                      AS BIGINT)) AS tot
+  FROM cnt GROUP BY 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       ROUND(CAST(n * CAST(ROUND(log2(CAST(n AS DOUBLE)) * 1000000.0)
+                           AS BIGINT) - tot AS DOUBLE)
+             / (1000000.0 * n), 4) AS entropy_bits
+FROM s
+"""
+
+
+@_q("docs_char_entropy", _CHAR_ENTROPY_ORACLE)
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the character stream (r10): the
+    gibberish/low-diversity curation signal, computed map-only (sorted
+    char array + run-length F.aggregate fold — zero shuffle). The gate
+    filters empty/NULL text on both sides so the operator's projection
+    contract (NULL entropy for empty docs) stays out of the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    return ta.char_entropy(d)
+
+
+# --------------------------------------------------------------- r10:
+# bigram PMI collocations — corpus-level phrase mining (Church & Hanks
+# 1990): tokenizer-merge candidates, multiword expressions, and
+# boilerplate discovery. Bigrams are built per row with array lambdas
+# (slice+transform, 0-based in Spark; the oracle uses DuckDB's 1-based
+# list ops with a chr(30) pair separator — text is printable ASCII so
+# the control char cannot collide).
+_BIGRAM_PMI_ORACLE = """
+WITH w AS (
+  SELECT list_filter(string_split(LOWER(text), ' '), x -> x != '') AS ws
+  FROM documents
+), uni AS (
+  SELECT word, COUNT(*) AS c
+  FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1
+), n AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n_tok FROM uni
+), big AS (
+  SELECT string_split(p, chr(30))[1] AS w1,
+         string_split(p, chr(30))[2] AS w2,
+         COUNT(*) AS c_xy
+  FROM (
+    SELECT unnest(list_transform(range(1, GREATEST(len(ws), 1)),
+                                 i -> ws[i] || chr(30) || ws[i + 1])) AS p
+    FROM w
+  ) GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+), scored AS (
+  SELECT b.w1, b.w2, CAST(b.c_xy AS BIGINT) AS pair_count,
+         ROUND(LOG2((CAST(b.c_xy AS DOUBLE) * n.n_tok)
+                    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))),
+               6) AS pmi6
+  FROM big b
+  JOIN uni u1 ON u1.word = b.w1
+  JOIN uni u2 ON u2.word = b.w2
+  CROSS JOIN n
+)
+SELECT w1, w2, pair_count, ROUND(pmi6, 4) AS pmi
+FROM scored ORDER BY pmi6 DESC, w1, w2 LIMIT 50
+"""
+
+
+@_q("docs_bigram_pmi", _BIGRAM_PMI_ORACLE)
+def docs_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-bigram collocations by PMI (r10), min pair
+    count 5, (pmi DESC, w1, w2) deterministic order. The 6dp-quantized
+    log2 drives the ORDER and the emitted value is its 4dp re-round,
+    the tfidf idf convention (transcendental last-ulp drift cannot
+    reach the hash or flip the top-k boundary)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = ta.bigram_pmi(d, min_count=5, top_k=50)
+    # bigram_pmi emits pmi at 6dp (it orders on it); re-round to the
+    # 4dp output convention without disturbing the already-applied
+    # top-k selection
+    return scored.select(
+        "w1", "w2", "pair_count", F.round("pmi", 4).alias("pmi")
+    )
+
+
+# --------------------------------------------------------------- r10:
+# cross-source duplication matrix — the "which feeds overlap which"
+# curation report over the exact-verified MinHash pair stream. The
+# oracle wraps the uncapped exact-Jaccard pair oracle (the
+# dedup_minhash gate) as a CTE and adds only the group/canonicalize
+# tail, so this entry transitively re-proves the LSH pair set too.
+_SOURCE_OVERLAP_ORACLE = (
+    "WITH pairs AS (" + _NGRAM_JACCARD_ORACLE + """)
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS dup_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+)
+
+
+@_q("source_overlap_matrix", _SOURCE_OVERLAP_ORACLE)
+def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair counts per unordered source pair (r10):
+    joins the MinHash-LSH exact-verified pairs back to each side's
+    source and groups on the (least, greatest) canon — the licensing /
+    mix-weighting report a 100 TB curation run reads before choosing
+    per-source sampling rates."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.source_overlap_matrix(
+        d, "doc_id", "text", "source", n=3, threshold=0.5
+    )
+
+
+# Must stay the LAST statement: orders QUERIES/ORACLES so the driver's
+# first-50 window = canaries + pins + stalest (see the rotation block).
+_reorder()

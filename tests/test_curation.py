@@ -1350,3 +1350,165 @@ def test_oov_rate_vocab_relative(spark):
     assert got == {1: (4, 1, 0.25), 2: (3, 0, 0.0), 3: (3, 3, 1.0)}
     with pytest.raises(ValueError, match="vocab_size"):
         oov_rate(docs, vocab_size=0)
+
+
+class TestCharEntropy:
+    """r10 char_entropy: map-only Shannon entropy in micro-bit
+    integer arithmetic (the oracle-gated twin of compression_ratio)."""
+
+    def test_known_answers(self, spark):
+        import math
+
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            char_entropy,
+        )
+
+        docs = [
+            (1, "aaaa"),            # one class -> exactly 0 bits
+            (2, "abab"),            # two equal classes -> exactly 1 bit
+            (3, "abcd"),            # four equal classes -> exactly 2
+            (4, "hello world"),     # mixed, vs direct computation
+            (5, ""),                # empty -> NULL entropy, n 0
+            (6, None),              # NULL  -> NULL entropy, n 0
+        ]
+        out = {
+            r["doc_id"]: (r["n_chars"], r["entropy_bits"])
+            for r in char_entropy(
+                spark.createDataFrame(docs, ["doc_id", "text"])
+            ).collect()
+        }
+        assert out[1] == (4, 0.0)
+        assert out[2] == (4, 1.0)
+        assert out[3] == (4, 2.0)
+        assert out[5] == (0, None)
+        assert out[6] == (0, None)
+        # direct reference with the same micro-bit quantization
+        t = "hello world"
+        n = len(t)
+        cnt: dict[str, int] = {}
+        for ch in t:
+            cnt[ch] = cnt.get(ch, 0) + 1
+        micro = lambda c: round(math.log2(c) * 1e6)  # noqa: E731
+        tot = sum(c * micro(c) for c in cnt.values())
+        want = round((n * micro(n) - tot) / (1e6 * n), 4)
+        assert out[4] == (n, want)
+
+    def test_log2_micro_quantization_matches_duckdb(self, spark):
+        """The oracle legality claim: cast(round(log2(c)*1e6) as
+        bigint) is bit-identical Spark vs DuckDB for every count a
+        document of reasonable size can produce."""
+        import duckdb
+        from pyspark.sql import functions as F
+
+        hi = 200_000
+        sp = dict(
+            spark.range(1, hi + 1)
+            .select(
+                "id",
+                F.round(F.log2(F.col("id").cast("double")) * 1_000_000.0)
+                .cast("long")
+                .alias("m"),
+            )
+            .collect()
+        )
+        dk = dict(
+            duckdb.sql(
+                f"SELECT i, CAST(ROUND(log2(CAST(i AS DOUBLE)) * 1000000.0)"
+                f" AS BIGINT) FROM range(1, {hi + 1}) t(i)"
+            ).fetchall()
+        )
+        assert sp == dk
+
+    def test_map_only_plan(self, spark, sf_dir):
+        """No exchange anywhere: the fold replaces explode+groupBy."""
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            char_entropy,
+        )
+        from lakehouse_to_rag_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        plan = (
+            char_entropy(d)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestBigramPmi:
+    def test_hand_case(self, spark):
+        import math
+
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            bigram_pmi,
+        )
+
+        # "new york" always adjacent (PMI high); "the the" frequent but
+        # independent-ish. 6 docs, min_count=2.
+        docs = [
+            (1, "new york is big"),
+            (2, "new york won"),
+            (3, "the cat saw the dog"),
+            (4, "the dog saw the cat"),
+            (5, "big cat"),
+            (6, "York New"),  # case folds; reversed order not counted
+        ]
+        out = {
+            (r["w1"], r["w2"]): (r["pair_count"], r["pmi"])
+            for r in bigram_pmi(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                min_count=2,
+                top_k=10,
+            ).collect()
+        }
+        n_tok = sum(len(t.split()) for _, t in docs if t)
+        assert ("new", "york") in out
+        c_xy, pmi = out[("new", "york")]
+        assert c_xy == 2
+        # unigrams: new=3 (two lowercase + one folded), york=3; the
+        # operator emits the 6dp ordering value (the registry entry
+        # applies the 4dp output re-round)
+        want = round(math.log2((2 * n_tok) / (3 * 3)), 6)
+        assert pmi == want
+        # adjacency is ordered: (york, new) from doc 6 has count 1 < 2
+        assert ("york", "new") not in out
+
+    def test_min_count_floor(self, spark):
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            bigram_pmi,
+        )
+
+        docs = [(1, "rare pair"), (2, "common x common x common x")]
+        out = bigram_pmi(
+            spark.createDataFrame(docs, ["doc_id", "text"]), min_count=2
+        ).collect()
+        assert all((r["w1"], r["w2"]) != ("rare", "pair") for r in out)
+
+
+def test_source_overlap_matrix_counts(spark):
+    """Two exact-dup clusters across sources + one intra-source pair:
+    the matrix canonicalizes unordered source pairs and counts every
+    verified near-dup pair exactly once."""
+    from lakehouse_to_rag_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        source_overlap_matrix,
+    )
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    docs = [
+        (1, body, "srcA"),
+        (2, body, "srcB"),        # A-B pair
+        (3, other, "srcA"),
+        (4, other, "srcA"),       # A-A pair
+        (5, "totally different words here nothing shared", "srcC"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    m = {
+        (r["source_a"], r["source_b"]): r["dup_pairs"]
+        for r in source_overlap_matrix(df, "doc_id", "text", "source").collect()
+    }
+    pairs = minhash_lsh_pairs(df, "doc_id", "text")
+    assert m == {("srcA", "srcB"): 1, ("srcA", "srcA"): 1}
+    assert sum(m.values()) == pairs.count()
