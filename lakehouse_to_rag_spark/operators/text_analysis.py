@@ -2031,10 +2031,17 @@ def bigram_pmi(
             lambda x: x != F.lit(""),
         ).alias("ws")
     )
+    # uni feeds THREE consumers (the N scalar and both count-stitch
+    # joins); without materialization each consumer would re-tokenize
+    # the whole corpus (4 scan+split passes incl. the bigram pass).
+    # The checkpoint is vocab-sized — tiny next to the corpus — and
+    # caps the plan at two corpus passes (unigram agg, bigram agg),
+    # the minhash `sets` precedent.
     uni = (
         words.select(F.explode("ws").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     n_tok = uni.agg(F.sum("c").alias("n_tok"))
     pairs = words.select(
