@@ -1519,3 +1519,90 @@ def test_asof_nearest_matches_pandas_merge_asof(spark, sf_dir):
                 k: (got[k], want[k]) for k in want if got[k] != want[k]
             }
             assert not diffs, (direction, tol, dict(list(diffs.items())[:5]))
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcXY .,!01", min_size=0, max_size=60),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_char_entropy_matches_python_reference(spark, texts):
+    """r10 char_entropy vs a sequential Python reference with the same
+    micro-bit quantization, for ANY ascii corpus incl. empty docs —
+    plus the analytic bounds 0 <= H <= log2(n)."""
+    import math
+
+    from lakehouse_to_rag_spark.operators.text_analysis import char_entropy
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["entropy_bits"])
+        for r in char_entropy(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        n = len(t)
+        if n == 0:
+            assert got[i] == (0, None)
+            continue
+        cnt: dict[str, int] = {}
+        for ch in t:
+            cnt[ch] = cnt.get(ch, 0) + 1
+        micro = lambda c: round(math.log2(c) * 1e6)  # noqa: E731
+        tot = sum(c * micro(c) for c in cnt.values())
+        want = round((n * micro(n) - tot) / (1e6 * n), 4)
+        assert got[i] == (n, want)
+        # 4dp output rounding can sit half a unit above the analytic
+        # bound (round(1.58496, 4) = 1.585 > log2(3))
+        assert -5e-5 <= got[i][1] <= math.log2(n) + 5e-5
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(1, 3),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bigram_pmi_matches_python_reference(spark, texts, min_count):
+    """r10 bigram_pmi vs a sequential Python reference (ordered
+    adjacent pairs, per-doc boundaries, case-fold, min-count floor,
+    (pmi DESC, w1, w2) top-k) for ANY tiny corpus."""
+    import math
+    from collections import Counter
+
+    from lakehouse_to_rag_spark.operators.text_analysis import bigram_pmi
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [
+        (r["w1"], r["w2"], r["pair_count"], r["pmi"])
+        for r in bigram_pmi(docs, min_count=min_count, top_k=10).collect()
+    ]
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for t in texts:
+        ws = [w for w in t.lower().split(" ") if w]
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    n_tok = sum(uni.values())
+    scored = [
+        (
+            w1,
+            w2,
+            c,
+            round(math.log2((c * n_tok) / (uni[w1] * uni[w2])), 6),
+        )
+        for (w1, w2), c in big.items()
+        if c >= min_count
+    ]
+    scored.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == scored[:10]
