@@ -465,8 +465,12 @@ def stream_scd2_sink(
     the parquet reader ignores it) and the new dimension + updated
     ledger land in one atomic directory rename. Any crash leaves
     either the old consistent (dim, ledger) pair — replay re-applies
-    — or the new one — replay skips; a whole-stream rerun from a
-    fresh checkpoint is likewise a no-op. The upstream contract is
+    — or the new one — replay skips; the one between-renames window
+    where neither is at ``dim_path`` is repaired by the remnant
+    recovery pass at the start of every batch (the
+    ``_recover_compact_remnants`` contract — without it a crash
+    there would silently re-bootstrap from one batch). A
+    whole-stream rerun from a fresh checkpoint is likewise a no-op. The upstream contract is
     the CDC one ``scd2_apply_changes`` documents: batches arrive in
     event-time order per key. Returns the started StreamingQuery."""
     import json
@@ -479,10 +483,37 @@ def stream_scd2_sink(
         scd2_dimension,
     )
 
+    def _recover_swap_remnants() -> None:
+        """Crash recovery for the two-rename swap below — the
+        `_recover_compact_remnants` contract (similarity.py) applied
+        to the dimension directory. Three unambiguous states:
+        ``__v_*`` partials died before their first rename (old dim
+        intact → discard); ``dim_path`` missing with ``__old_*``
+        present is the between-renames window (the old dir is
+        byte-complete → rename back — without this, a restart in that
+        window would silently BOOTSTRAP from one batch and lose all
+        history); both present is death before cleanup (new dim
+        serves → delete old)."""
+        import glob
+
+        base = dim_path.rstrip("/")
+        pat = glob.escape(base)
+        for t in glob.glob(f"{pat}__v_*"):
+            shutil.rmtree(t, ignore_errors=True)
+        olds = sorted(glob.glob(f"{pat}__old_*"))
+        if olds:
+            if not os.path.exists(base):
+                # single-writer: at most one __old_ can exist here
+                os.rename(olds[0], base)
+            else:
+                for o in olds:
+                    shutil.rmtree(o, ignore_errors=True)
+
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        _recover_swap_remnants()
         applied: set[int] = set()
         lpath = os.path.join(dim_path, "_ledger.json")
         if os.path.exists(lpath):
@@ -575,6 +606,25 @@ def stream_chunk_refresh_sink(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        # Batch-INTERNAL duplicate doc ids are manifest corruption
+        # (two versions of one doc in a micro-batch would both land
+        # in the per-doc replacement upsert, interleaving two chunk
+        # sets) — the append_to_bm25_index/_ivf_index fail-close
+        # (r9), applied to the doc stream. countDistinct excludes
+        # nulls so a null id trips it too. One bounded aggregate.
+        card = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.col(id_col)).alias("nd"),
+        ).collect()[0]
+        if int(card["n"]) != int(card["nd"]):
+            raise ValueError(
+                f"stream_chunk_refresh_sink: batch {batch_id} has "
+                f"{int(card['n'])} rows but only {int(card['nd'])} "
+                f"distinct non-null {id_col} value(s) — multiple "
+                "versions of one document within a micro-batch would "
+                "corrupt the chunk manifest. Deliver at most one "
+                "version per doc per batch (collapse upstream)."
+            )
         chunks = cdc_chunks(
             batch, k, divisor, min_size, id_col, text_col, hash_fn
         ).select(id_col, "chunk_index", "chunk_hash")

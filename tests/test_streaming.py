@@ -796,3 +796,95 @@ def test_stream_chunk_refresh_sink_enqueues_only_changed_chunks(
         .collect()
     }
     assert still == want_man
+
+
+def test_stream_scd2_sink_recovers_between_renames_crash(spark, tmp_path):
+    """The two-rename swap's only no-dim-at-path window: simulate a
+    crash that left the dimension under ``__old_*`` (plus a dead
+    ``__v_*`` partial) and verify the next run repairs it and folds
+    the remaining batch — instead of silently re-bootstrapping from
+    one batch and losing history."""
+    import os
+    import shutil
+    from datetime import datetime
+
+    from lakehouse_to_rag_spark.operators.events import scd2_dimension
+    from lakehouse_to_rag_spark.streaming.pipeline import stream_scd2_sink
+
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    os.makedirs(src)
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    b1 = [(1, t(0), 7, "a"), (2, t(1), 7, "b")]
+    b2 = [(3, t(2), 7, "c"), (4, t(2), 9, "x")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+
+    stream1 = spark.readStream.schema(schema).parquet(src + "/*")
+    stream_scd2_sink(stream1, dim, str(tmp_path / "ck1")).awaitTermination(120)
+
+    # simulate death between the two renames + a dead write partial
+    os.rename(dim, dim + "__old_deadbeef")
+    os.makedirs(dim + "__v_dead")
+    with open(dim + "__v_dead/part-junk.parquet", "w") as f:
+        f.write("junk")
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b2")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    stream_scd2_sink(stream2, dim, str(tmp_path / "ck2")).awaitTermination(120)
+
+    got = sorted(
+        map(str, (tuple(r) for r in spark.read.parquet(dim).collect()))
+    )
+    want = sorted(
+        map(
+            str,
+            (
+                tuple(r)
+                for r in scd2_dimension(
+                    spark.createDataFrame(b1 + b2, schema)
+                ).collect()
+            ),
+        )
+    )
+    assert got == want
+    assert not os.path.exists(dim + "__old_deadbeef")
+    assert not os.path.exists(dim + "__v_dead")
+    shutil.rmtree(src)
+
+
+def test_stream_chunk_refresh_sink_rejects_batch_internal_dup_ids(
+    spark, tmp_path
+):
+    """Two versions of one doc inside a single micro-batch must
+    fail-close (the r9 index-sink convention) — a per-doc manifest
+    replacement would otherwise interleave both versions' chunks."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from lakehouse_to_rag_spark.streaming.pipeline import (
+        stream_chunk_refresh_sink,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    rows = [(1, "alpha beta gamma delta"), (1, "alpha beta gamma EDIT")]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    q = stream_chunk_refresh_sink(
+        stream,
+        str(tmp_path / "man"),
+        str(tmp_path / "work"),
+        str(tmp_path / "ck"),
+    )
+    with pytest.raises(StreamingQueryException, match="distinct non-null"):
+        q.awaitTermination(120)
