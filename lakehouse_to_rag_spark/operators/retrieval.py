@@ -1012,6 +1012,24 @@ def retrieval_metrics(
     recall_at_k, mrr_at_k, ndcg_at_k), all 4dp."""
     if k < 1:
         raise ValueError(f"retrieval_metrics: k >= 1, got {k}")
+    # qrels must be a SET of (query, doc) — a duplicated judgment row
+    # silently inflates n_rel, n_hits AND the DCG (the hit join
+    # multiplies run rows), so fail closed rather than dedup silently
+    # (the index-sink convention; trec_eval treats dup qrels lines as
+    # malformed input too). One bounded aggregate; `runs` need no
+    # guard — rank uniqueness per query is the producer's contract
+    # (every serving operator here emits row_number output).
+    card = qrels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(query_col, doc_col).alias("nd"),
+    ).collect()[0]
+    if int(card["n"]) != int(card["nd"]):
+        raise ValueError(
+            f"retrieval_metrics: qrels has {int(card['n'])} rows but "
+            f"only {int(card['nd'])} distinct ({query_col}, {doc_col}) "
+            "pairs — duplicate judgments would inflate n_rel/n_hits/"
+            "nDCG. Dedup the qrels upstream."
+        )
     hits = (
         runs.filter(F.col(rank_col) <= k)
         .join(qrels.select(query_col, doc_col), [query_col, doc_col])

@@ -9141,7 +9141,12 @@ _PINS: list[str] = [
     # alter output for any valid call) and events_snapshot_diff
     # (differs seeded lit(False); identical boolean for non-empty
     # compare_cols, which every gated call uses). Both stay covered by
-    # the full local oracle suite and normal rotation.
+    # the full local oracle suite and normal rotation. Continuation:
+    # retrieval_eval_metrics (retrieval_metrics gained a fail-close on
+    # duplicate qrels rows — previously-undefined malformed input now
+    # raises instead of silently inflating; cannot alter output for
+    # any valid call, and the entry's md5 fixture is dup-free by
+    # construction).
 ]
 
 

@@ -798,3 +798,22 @@ def test_retrieval_metrics_hand_case(spark):
     assert set(got) == {1, 2, 3}
     with pytest.raises(ValueError, match="k >= 1"):
         retrieval_metrics(runs, qrels, k=0)
+
+
+def test_retrieval_metrics_rejects_duplicate_qrels(spark):
+    """A duplicated judgment row would inflate n_rel, n_hits and the
+    DCG via the hit join — malformed input fails closed."""
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    runs = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10), (1, 10)], "query_id long, doc_id long"
+    )
+    with pytest.raises(ValueError, match="duplicate judgments"):
+        retrieval_metrics(runs, qrels, k=10)
