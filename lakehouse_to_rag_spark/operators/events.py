@@ -443,8 +443,23 @@ def scd2_from_snapshots(
     passes inside it; snapshot grain (the ``snap_col`` values) is
     whatever the caller materialized, no calendar assumption."""
     w = Window.partitionBy(key_col).orderBy(snap_col)
+    # same lazy duplicate-(key, snap) fail-close as the tombstone
+    # form: a doubled snapshot row makes the window order (hence the
+    # collapse) nondeterministic — raise at execution instead
+    dup = F.when(
+        F.lag(snap_col).over(w) == F.col(snap_col),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "scd2_from_snapshots: duplicate "
+                    f"({key_col}, {snap_col}) row for key "
+                ),
+                F.col(key_col).cast("string"),
+            )
+        ).cast("string"),
+    ).otherwise(F.lag(attr_col).over(w))
     changed = (
-        snapshots.withColumn("_prev", F.lag(attr_col).over(w))
+        snapshots.withColumn("_prev", dup)
         .filter(
             F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
         )
@@ -513,12 +528,30 @@ def scd2_from_snapshots_with_deletes(
     prev_nxt = F.lag("_nxt_snap").over(w)
     marked = s.withColumn(
         "_new",
+        # a duplicated (key, snap) row is a malformed "full snapshot"
+        # (two states for one key at one instant) whose window order —
+        # and therefore the whole tiling — would be nondeterministic:
+        # fail closed LAZILY via raise_error on adjacent duplicates,
+        # which rides the existing lag and costs nothing on valid data
         F.when(
+            prev_snap == F.col(snap_col),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "scd2_from_snapshots_with_deletes: duplicate "
+                        f"({key_col}, {snap_col}) row for key "
+                    ),
+                    F.col(key_col).cast("string"),
+                )
+            ).cast("int"),
+        )
+        .when(
             prev_snap.isNull()
             | (F.col(attr_col) != prev_attr)
             | (prev_nxt != F.col(snap_col)),  # presence gap: deletion
             F.lit(1),
-        ).otherwise(F.lit(0)),
+        )
+        .otherwise(F.lit(0)),
     )
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
     runs = marked.select(

@@ -1606,3 +1606,33 @@ def test_bigram_pmi_matches_python_reference(spark, texts, min_count):
     ]
     scored.sort(key=lambda r: (-r[3], r[0], r[1]))
     assert got == scored[:10]
+
+
+def test_scd2_snapshot_builders_reject_duplicate_key_snap(spark):
+    """A doubled (key, snap) row is a malformed full snapshot (two
+    states at one instant) — both builders fail closed at execution
+    via the lazy window-riding raise_error, and stay silent on valid
+    input with repeated VALUES (same attr twice on different days is
+    legal and collapses)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from lakehouse_to_rag_spark.operators.events import (
+        scd2_from_snapshots,
+        scd2_from_snapshots_with_deletes,
+    )
+
+    bad = spark.createDataFrame(
+        [(7, "a", "d1"), (7, "b", "d1"), (7, "a", "d2")],
+        "user_id long, event_type string, snap_day string",
+    )
+    good = spark.createDataFrame(
+        [(7, "a", "d1"), (7, "a", "d2"), (9, "x", "d2")],
+        "user_id long, event_type string, snap_day string",
+    )
+    for fn in (scd2_from_snapshots, scd2_from_snapshots_with_deletes):
+        with pytest.raises(SparkRuntimeException, match="duplicate"):
+            fn(bad).collect()
+        out = fn(good).collect()
+        assert {r["user_id"] for r in out} == {7, 9}
+        assert sum(1 for r in out if r["user_id"] == 7) == 1  # collapsed
