@@ -18,6 +18,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _recover_dir_swap(path: str) -> None:
+    """Crash recovery for this module's two-rename directory swaps
+    (``upsert_by_key``'s ``__upsert_``/``__old_`` and
+    ``compact_layer``'s ``._compact_``/``._old_`` remnants) — the
+    ``_recover_compact_remnants`` contract (operators/similarity.py):
+    pre-first-rename partials are discarded (the source layer is
+    intact), a missing ``path`` with an old-dir present is the
+    between-renames window (the old dir is byte-complete — rename it
+    back; without this, a crash there LOSES the layer: ``upsert_by_key``
+    would treat the next upsert as a fresh write of only the update
+    rows), and both present means death before cleanup (the new layer
+    already serves; delete the old). Runs at the start of every swap
+    operation; safe and O(1) when there is nothing to repair."""
+    import glob
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    pat = glob.escape(base)
+    for t in glob.glob(f"{pat}__upsert_*") + glob.glob(f"{pat}._compact_*"):
+        shutil.rmtree(t, ignore_errors=True)
+    olds = sorted(glob.glob(f"{pat}__old_*") + glob.glob(f"{pat}._old_*"))
+    if olds:
+        if not os.path.exists(base):
+            # single-writer: at most one old dir can exist here
+            os.rename(olds[0], base)
+        else:
+            for o in olds:
+                shutil.rmtree(o, ignore_errors=True)
+
+
 def _delta_available(spark: SparkSession) -> bool:
     try:
         # py4j resolves attribute chains lazily, so probe the actual
@@ -72,6 +103,7 @@ def upsert_by_key(
     import shutil
     import uuid
 
+    _recover_dir_swap(path)
     fmt = fmt or ("delta" if _delta_available(spark) else "parquet")
     if fmt == "delta":
         from delta.tables import DeltaTable  # type: ignore
@@ -253,6 +285,7 @@ def compact_layer(
     import shutil
     import uuid
 
+    _recover_dir_swap(path)
     fmt = fmt or ("delta" if _delta_available(spark) else "parquet")
     df = spark.read.format(fmt).load(path)
     if target_files is None:

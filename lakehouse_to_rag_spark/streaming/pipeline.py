@@ -631,6 +631,15 @@ def stream_chunk_refresh_sink(
         # two consumers (diff both ways + manifest update): one
         # materialization of the map-only chunking
         chunks = chunks.localCheckpoint(eager=False)
+        # repair a half-finished manifest swap BEFORE reading: in the
+        # between-renames window the read would raise, this batch
+        # would treat the manifest as absent, and the fresh write
+        # would orphan (then lose) every other doc's rows
+        from lakehouse_to_rag_spark.sources.lakehouse import (
+            _recover_dir_swap,
+        )
+
+        _recover_dir_swap(manifest_path)
         try:
             manifest = spark.read.parquet(manifest_path)
         except AnalysisException:

@@ -654,3 +654,51 @@ class TestLayoutMaintenance:
         assert avg(z_v) < 0.5 * avg(s_v)
         assert avg(z_v) < 0.4 * vspan
         assert avg(z_u) < 0.5 * uspan
+
+
+def test_dir_swap_recovery_restores_between_renames_crash(spark, tmp_path):
+    """upsert_by_key / compact_layer two-rename swaps: simulate the
+    crash window where the layer sits under ``__old_*`` (plus a dead
+    ``__upsert_*`` partial) and verify the next swap operation repairs
+    it instead of treating the layer as absent — which would have
+    reduced the layer to just the update rows."""
+    import os
+
+    from lakehouse_to_rag_spark.sources.lakehouse import (
+        compact_layer,
+        upsert_by_key,
+    )
+
+    path = str(tmp_path / "layer")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).write.parquet(path)
+
+    # between-renames crash remnants
+    os.rename(path, path + "__old_deadbeef")
+    os.makedirs(path + "__upsert_dead")
+    with open(path + "__upsert_dead/part-junk.parquet", "w") as f:
+        f.write("junk")
+
+    upsert_by_key(
+        spark,
+        path,
+        spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"),
+        ["k"],
+        fmt="parquet",
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    assert not os.path.exists(path + "__old_deadbeef")
+    assert not os.path.exists(path + "__upsert_dead")
+
+    # same window ahead of a compaction (._old_ naming)
+    os.rename(path, path + "._old_cafe")
+    compact_layer(spark, path, target_files=1, fmt="parquet")
+    again = sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert again == got
+    assert not os.path.exists(path + "._old_cafe")
