@@ -2373,8 +2373,19 @@ def shingle_novelty(
     shingles and are absent from the output.
 
     Returns (id_col, n_shingles, n_unique, novelty 0..1)."""
-    sh = shingle_arrays(df, id_col, text_col, n).select(
-        F.col("id"), F.explode("shingles").alias("shingle")
+    # explode_OUTER, not explode: for plain explode Catalyst infers a
+    # size>0 AND isnotnull filter on the array and pushes it below the
+    # parallelizing repartition with the WHOLE shingle expression
+    # inlined — the shingling then runs twice per row inside the
+    # single-split scan stage (measured 7.5 s vs 0.8 s at sf0.1; the
+    # minhash NB documents the same trap for a hand-written filter).
+    # explode_outer infers nothing; the post-explode NULL filter is
+    # one cheap row predicate on the parallel side and restores the
+    # "docs with < n words are absent" contract.
+    sh = (
+        shingle_arrays(df, id_col, text_col, n)
+        .select(F.col("id"), F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
     w = Window.partitionBy("shingle")
     flagged = sh.withColumn(

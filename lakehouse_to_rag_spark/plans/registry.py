@@ -9146,7 +9146,17 @@ _PINS: list[str] = [
     # duplicate qrels rows — previously-undefined malformed input now
     # raises instead of silently inflating; cannot alter output for
     # any valid call, and the entry's md5 fixture is dup-free by
-    # construction).
+    # construction). scd2_user_type_snapshots / scd2_snapshots_deletes
+    # (lazy raise_error branch on duplicate (key, snap) rows riding
+    # the existing lag window — fires only on malformed full
+    # snapshots, identical output and exchange count otherwise;
+    # plan pins re-run green, both entries re-verified hash-green at
+    # sf0.01 in-session). shingle_novelty (explode -> explode_outer +
+    # post-explode NULL filter: provably the same rows — the rewrite
+    # exists to stop InferFiltersFromGenerate pushing the shingle
+    # expression into the scan stage, a 7x regression; parity
+    # re-verified in-session, and as an r10-new entry it has no
+    # driver evidence yet so it enters the window automatically).
 ]
 
 
