@@ -350,9 +350,17 @@ def minhash_lsh_pairs_distinct(
     if threshold > 1.0:
         return cross
     shingled = (
-        shingle_arrays(rep_df, "id", "t", n)
-        .filter(F.size("shingles") > 0)
-        .select(F.col("id").alias("rep"))
+        # NOT filter(size(shingles) > 0): that predicate pushes down
+        # to the scan with the WHOLE shingle expression inlined (t is
+        # a grouping key, so nothing stops it) and every document
+        # shingles once in the single-split scan filter — the trap
+        # _minhash band NB documents, measured 6.6 s vs 2.9 s at
+        # sf0.1. shingles is non-empty IFF the text has >= n words
+        # (the _shingle_expr CASE guard), so the cheap equivalent
+        # predicate keeps the scan stage split+size only.
+        rep_df.filter(
+            F.size(F.split(F.col("t"), " ", -1)) >= n
+        ).select(F.col("id").alias("rep"))
     )
     mm = m.join(shingled, "rep")
     w1 = mm.select("rep", F.col("id").alias("a"))

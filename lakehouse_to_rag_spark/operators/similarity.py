@@ -2405,11 +2405,25 @@ def embedding_diversity(
     # re-evaluates the whole O(dim) fold PER ELEMENT (O(dim²)/row —
     # the winnowing-draft pitfall; measured 11.7s -> sub-second at
     # sf0.1 when bound)
-    bound = df.select(F.col(group_col), q.alias("_q")).withColumn(
-        "_ss",
-        F.aggregate(
-            F.col("_q"), F.lit(0).cast("long"), lambda a, x: a + x * x
-        ),
+    # zero-vector exclusion happens HERE on the raw column, not as a
+    # filter(_ss > 0) downstream: that filter pushes into the scan
+    # with the q-transform AND the whole norm fold inlined, doubling
+    # the map pass that IS this operator's 100 TB cost. ss > 0 iff
+    # some component quantizes non-zero, so one early-exit exists()
+    # over the same per-element quantizer is provably equivalent.
+    nonzero = F.exists(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)) != 0,
+    )
+    bound = (
+        df.filter(nonzero)
+        .select(F.col(group_col), q.alias("_q"))
+        .withColumn(
+            "_ss",
+            F.aggregate(
+                F.col("_q"), F.lit(0).cast("long"), lambda a, x: a + x * x
+            ),
+        )
     )
     micros = F.transform(
         F.col("_q"),
@@ -2418,7 +2432,7 @@ def embedding_diversity(
         ).cast("long"),
     )
     rows = (
-        bound.filter(F.col("_ss") > 0)
+        bound
         .select(F.col(group_col), F.posexplode(micros).alias("dim", "u"))
         .groupBy(group_col, "dim")
         .agg(F.sum("u").alias("s"), F.count(F.lit(1)).alias("n"))

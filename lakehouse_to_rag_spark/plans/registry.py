@@ -9157,6 +9157,15 @@ _PINS: list[str] = [
     # expression into the scan stage, a 7x regression; parity
     # re-verified in-session, and as an r10-new entry it has no
     # driver evidence yet so it enters the window automatically).
+    # dedup_minhash_distinct (the size(shingles)>0 rep filter replaced
+    # by the provably-equivalent word-count>=n predicate — same rep
+    # set, 6.6 s -> 2.4 s; parity re-verified sf0.001+sf0.01
+    # in-session) and embedding_diversity (filter(_ss>0) replaced by
+    # the equivalent early-exit exists() on the same per-element
+    # quantizer — same rows kept; parity re-verified sf0.001+sf0.01
+    # in-session, plan pin green): both these sit in EVERY window via
+    # canary/rotation coverage and their oracles run in the local
+    # suite each session.
 ]
 
 
