@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Inferred-filter / expression-inlining plan audit over EVERY
+registry entry — the sweep that caught the r10-continuation class of
+silent plan regressions:
+
+- `shingle_novelty`: plain explode() made InferFiltersFromGenerate
+  synthesize a size/notnull filter over the whole shingle expression
+  and push it below the parallelizing repartition — the shingling ran
+  twice per row inside the single-split scan stage (7.5 s vs 0.8 s at
+  sf0.1);
+- `dedup_minhash_distinct`: a hand-written filter(size(shingles) > 0)
+  on a grouping key pushed all the way to the scan (6.6 s -> 2.4 s
+  after replacing it with the equivalent cheap predicate);
+- `embedding_diversity`: filter(_ss > 0) re-inlined the quantize+norm
+  fold, doubling the operator's dominant map pass.
+
+The shared mechanism: Catalyst pushes predicates through projects by
+SUBSTITUTING the projected expressions, so a filter over a derived
+column of an expensive array expression re-evaluates that expression
+wherever the filter lands — usually the scan stage, often on the
+single-split side of a repartition. Binding expressions to columns
+(the fold-inlining rule) does NOT protect against this; only cheap
+predicates or explode_outer do.
+
+This audit flags Filter nodes whose predicate inlines
+transform/array_distinct/aggregate. Flags are LEADS, not verdicts:
+a dim-bounded literal transform in a filter (embed_hashed_tf) is
+fine; an O(doc)/O(corpus) expression is not — time the row before
+rewriting anything, and re-verify oracle parity after (both fixes
+above changed gated plans and were re-gated in-session).
+
+Usage: python tools/plan_audit.py [sf_dir]   (default sf0.001 — plans
+only build, nothing executes, so the smallest data is fine)
+Exits 0 always; the output is for a human (or the next round's
+session) to triage.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry  # noqa: E402
+from lakehouse_to_rag_spark.session import get_spark  # noqa: E402
+
+MARKERS = ("transform(", "array_distinct(", "aggregate(")
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    flagged: list[tuple[str, str]] = []
+    for name, fn in entry.queries().items():
+        try:
+            plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 - report, keep sweeping
+            flagged.append((name, f"PLAN-ERR {str(exc)[:100]}"))
+            continue
+        for line in plan.split("\n"):
+            s = line.strip().lstrip(":+- ")
+            if s.startswith("Filter") and any(m in s for m in MARKERS):
+                flagged.append((name, s[:160]))
+                break
+    print(f"flagged {len(flagged)} of {len(entry.queries())} entries")
+    for n, s in flagged:
+        print(f"  {n} :: {s}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
