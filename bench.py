@@ -195,14 +195,17 @@ HEADLINE = [
     "leakage_safe_split",
     # cross-source vocabulary matrix: distinct-reduce + bounded join
     "source_vocab_overlap",
-    # r9: the BOUNDED MOSS report (per-doc top-m) — winnow_matches'
-    # O(docs*m) production form on dup-saturated corpora
-    "winnow_matches_topm",
-    # r10: the same report under the adaptive fraction-of-corpus cap
-    # (max_fp_df="auto") — now externally gated with a SQL-derived cap
-    # oracle; benched NEXT TO the static row this round to put the
-    # measured ~4x saving on the record, after which the static row
-    # retires under the twin rule (BENCH ROW POLICY below)
+    # winnow_matches_topm (static fraction-of-corpus cap) retired r11
+    # under policy rule 3 after the one mandated side-by-side round:
+    # r10 driver p50 34.7 s static vs 5.1 s for the auto-capped form
+    # below (ratio ~6.8x on record in BENCH_r10 + SCALE.md); the
+    # static parameterization stays fully oracle-gated in the registry
+    # rotation (it is the cap-parameter-stability gate), only its
+    # bench row retires — the auto form is the production report and
+    # keeps the family's row
+    # r10: the bounded MOSS report under the adaptive
+    # fraction-of-corpus cap (max_fp_df="auto"), externally gated with
+    # a SQL-derived cap oracle
     "winnow_matches_topm_auto",
     # r9 family additions: SCD2 dimension build (one exchange, two
     # window passes inside it), content-defined chunking (per-row JVM

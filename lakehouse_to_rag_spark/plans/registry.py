@@ -9054,18 +9054,22 @@ def embedding_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          + the STALEST remaining entries, oldest driver evidence
 #            first (registration order breaks ties), filling to 50.
 #
-# "Evidence" for an entry is any driver row where the query RAN —
-# hash-green, or rows-only for the structurally no-oracle entries;
-# a real `err` row is NOT evidence, so a failing entry rotates back
-# in immediately. Never-checked entries have evidence round 0, i.e.
-# they are stalest by construction and enter the next window
-# automatically — the startup assertion below still verifies that
-# mechanically. The staleness bound is ARITHMETIC, not aspirational:
-# with F fixed slots (canaries+pins) and N registered entries, the
-# stalest-first fill re-confirms every non-fixed entry within
-# ceil((N - F) / (50 - F)) rounds — ~4 at N=169, F=8 — and the
-# startup test pins exactly that bound (a fixed "3" became impossible
-# the moment the registry outgrew 50 * 3 entries).
+# "Evidence" for an entry is a hash-green driver row; a real `err`
+# row is NOT evidence, so a failing entry rotates back in
+# immediately. Since r11 ONLY ORACLE-BACKED entries rotate: the
+# structurally no-oracle rows-only class could only ever produce
+# `err: no_oracle` rows, so its members are excluded from the window
+# (each is covered by a hash-green oracled twin in rotation plus
+# local property tests; see _driver_window). Never-checked
+# oracle-backed entries have evidence round 0, i.e. they are stalest
+# by construction and enter the next window automatically — the
+# startup assertion below still verifies that mechanically. The
+# staleness bound is ARITHMETIC, not aspirational: with F fixed slots
+# (canaries+pins) and N oracle-backed entries, the stalest-first fill
+# re-confirms every non-fixed entry within ceil((N - F) / (50 - F))
+# rounds — ~4 at N=169, F=8 — and the startup test pins exactly that
+# bound (a fixed "3" became impossible the moment the registry
+# outgrew 50 * 3 entries).
 #
 # Entries outside a given round's window remain fully oracle-checked
 # by the local suite every session (tests/test_oracle_parity.py runs
@@ -9076,7 +9080,9 @@ def embedding_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-confirmation cycle is FIVE rounds (test_pipeline.py pins
 # bound <= 5), so with F fixed slots the registry may hold at most
 #   N_max = F + 5 * (50 - F)
-# entries (F=9 -> 214, F=6 -> 226, F=4 -> 234). Before ANY
+# ORACLE-BACKED entries (F=9 -> 214, F=6 -> 226, F=4 -> 234; the
+# rows-only class sits outside the rotation and doesn't consume
+# cycle capacity). Before ANY
 # registration that would push N past N_max, apply in order:
 #   1. drop pins — a pin is a one-round artifact by definition; a pin
 #      carried two rounds is a bug in this file;
@@ -9112,60 +9118,13 @@ _CANARIES: list[str] = [
 # Remove a pin once its fresh green row is recorded; new registry
 # entries need no pin (never-checked == stalest == auto-included).
 _PINS: list[str] = [
-    # All five r9 pins recorded their green rows (CORRECTNESS_r09) and
-    # are dropped per the growth policy — a pin is a one-round
-    # artifact. This round's changed gated implementations:
-    #
-    # r10: scd2_apply_changes now orders the merge by the RAW
-    # timestamp and the RAW (uncast) tiebreak column, formatting only
-    # at output (ADVICE r9 medium — the formatted-string ordering
-    # broke apply==rebuild on sub-second feeds and NULLed non-numeric
-    # tiebreaks); check_order also compares raw timestamps. Same
-    # oracle, changed merge internals.
-    "scd2_incremental",
-    # r10: scd2_enrich moved the interval predicate from a post-filter
-    # into the join CONDITION (required for the new how="left"
-    # unmatched-fact policy) and parameterized fact_id_col/attr_col —
-    # inner-join output is provably identical, but the gated plan
-    # changed shape.
-    "scd2_enrich_events",
-    # r10: ngram_containment_pairs / ngram_jaccard_pairs default
-    # max_shingle_df flipped None -> "auto" (VERDICT task 4); the gate
-    # calls pin None explicitly so gated output is unchanged by
-    # construction, but the function bodies changed — one faces the
-    # gate for the family.
-    "dedup_ngram_containment",
-    #
-    # NOT pinned though touched this round (rationale on record):
-    # events_asof_nearest (new invalid-parameter guard only — cannot
-    # alter output for any valid call) and events_snapshot_diff
-    # (differs seeded lit(False); identical boolean for non-empty
-    # compare_cols, which every gated call uses). Both stay covered by
-    # the full local oracle suite and normal rotation. Continuation:
-    # retrieval_eval_metrics (retrieval_metrics gained a fail-close on
-    # duplicate qrels rows — previously-undefined malformed input now
-    # raises instead of silently inflating; cannot alter output for
-    # any valid call, and the entry's md5 fixture is dup-free by
-    # construction). scd2_user_type_snapshots / scd2_snapshots_deletes
-    # (lazy raise_error branch on duplicate (key, snap) rows riding
-    # the existing lag window — fires only on malformed full
-    # snapshots, identical output and exchange count otherwise;
-    # plan pins re-run green, both entries re-verified hash-green at
-    # sf0.01 in-session). shingle_novelty (explode -> explode_outer +
-    # post-explode NULL filter: provably the same rows — the rewrite
-    # exists to stop InferFiltersFromGenerate pushing the shingle
-    # expression into the scan stage, a 7x regression; parity
-    # re-verified in-session, and as an r10-new entry it has no
-    # driver evidence yet so it enters the window automatically).
-    # dedup_minhash_distinct (the size(shingles)>0 rep filter replaced
-    # by the provably-equivalent word-count>=n predicate — same rep
-    # set, 6.6 s -> 2.4 s; parity re-verified sf0.001+sf0.01
-    # in-session) and embedding_diversity (filter(_ss>0) replaced by
-    # the equivalent early-exit exists() on the same per-element
-    # quantizer — same rows kept; parity re-verified sf0.001+sf0.01
-    # in-session, plan pin green): both these sit in EVERY window via
-    # canary/rotation coverage and their oracles run in the local
-    # suite each session.
+    # All three r10 pins (scd2_incremental, scd2_enrich_events,
+    # dedup_ngram_containment) recorded their green rows
+    # (CORRECTNESS_r10: all PASS) and are dropped per the growth
+    # policy — a pin is a one-round artifact. r11 pins are added below
+    # as this round's gated implementations change; each carries its
+    # rationale, and "NOT pinned though touched" rationales are kept
+    # on record here as in prior rounds.
 ]
 
 
@@ -9207,8 +9166,20 @@ def _driver_window() -> list[str]:
     assert len(fixed) == len(set(fixed)) <= 50
     ev = _evidence_rounds()
     reg_order = {n: i for i, n in enumerate(QUERIES)}
+    # r11 (VERDICT r10 task 2): the structurally no-oracle entries
+    # (zlib compression_ratio, JVM-xxhash64 dedup_simhash /
+    # winnow_fingerprints_xx) are EXCLUDED from rotation — they can
+    # only ever produce a rows-only `err: no_oracle` row, which burns
+    # a window slot without yielding hash evidence and surfaces as the
+    # window's lone non-green row (r10's only such row). Each has a
+    # hash-green oracled twin in rotation (docs_char_entropy,
+    # dedup_simhash_md5, winnow_fingerprints) plus local property
+    # tests pinning the production hash forms against those twins, so
+    # every rotated slot can now be hash-green. They remain registered
+    # (queries() still exposes them) and fully covered by the local
+    # suite each session.
     rest = sorted(
-        (n for n in QUERIES if n not in set(fixed)),
+        (n for n in ORACLES if n not in set(fixed)),
         key=lambda n: (ev.get(n, 0), reg_order[n]),
     )
     return fixed + rest[: 50 - len(fixed)]
@@ -9223,7 +9194,10 @@ def _reorder() -> None:
     # possible if pins+canaries+never-checked exceed 50 slots).
     ev = _evidence_rounds()
     if ev:
-        never = [n for n in QUERIES if n not in ev]
+        # Only oracle-backed entries rotate (r11) — a never-checked
+        # rows-only entry is by design outside the window and is
+        # instead covered by its oracled twin + local tests.
+        never = [n for n in ORACLES if n not in ev]
         missing = [n for n in never if n not in window]
         if missing:
             raise AssertionError(

@@ -321,15 +321,18 @@ def test_driver_window_bounds_staleness_to_arithmetic_cycle():
         | {p for p in registry._PINS if p in registry.QUERIES}
     )
     free = 50 - n_fixed
-    bound = max(3, math.ceil((len(registry.QUERIES) - n_fixed) / free))
+    # r11: only oracle-backed entries rotate (the structurally
+    # no-oracle rows-only class is excluded from the window — VERDICT
+    # r10 task 2), so the cycle arithmetic runs over ORACLES.
+    bound = max(3, math.ceil((len(registry.ORACLES) - n_fixed) / free))
     assert bound <= 5, (
         f"re-confirmation cycle has grown to {bound} rounds "
-        f"({len(registry.QUERIES)} entries, {free} free slots) — trim "
+        f"({len(registry.ORACLES)} entries, {free} free slots) — trim "
         "fixed slots or accept and document the longer cycle"
     )
     window = set(registry._driver_window())
     stale = [
-        n for n in registry.QUERIES
+        n for n in registry.ORACLES
         if ev.get(n, 0) <= newest - bound
     ]
     left_out = [n for n in stale if n not in window]
