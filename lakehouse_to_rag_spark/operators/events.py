@@ -445,7 +445,12 @@ def scd2_from_snapshots(
     w = Window.partitionBy(key_col).orderBy(snap_col)
     # same lazy duplicate-(key, snap) fail-close as the tombstone
     # form: a doubled snapshot row makes the window order (hence the
-    # collapse) nondeterministic — raise at execution instead
+    # collapse) nondeterministic — raise at execution instead. The
+    # raise branch casts to the ATTRIBUTE's own type (ADVICE r10): a
+    # "string" cast here forced when/otherwise common-type resolution
+    # to string, silently coercing lag(attr) — changing the typing of
+    # the attr != _prev change detection for non-string attrs and
+    # failing analysis outright for array/struct attrs.
     dup = F.when(
         F.lag(snap_col).over(w) == F.col(snap_col),
         F.raise_error(
@@ -456,7 +461,7 @@ def scd2_from_snapshots(
                 ),
                 F.col(key_col).cast("string"),
             )
-        ).cast("string"),
+        ).cast(snapshots.schema[attr_col].dataType),
     ).otherwise(F.lag(attr_col).over(w))
     changed = (
         snapshots.withColumn("_prev", dup)

@@ -1008,28 +1008,14 @@ def retrieval_metrics(
 
     Scale shape: one exchange on the query for the rank filter +
     hit join (qrels broadcast when bounded — Catalyst's choice), one
-    partial-agg groupBy per side. Returns (query_col, n_rel, n_hits,
-    recall_at_k, mrr_at_k, ndcg_at_k), all 4dp."""
+    partial-agg groupBy per side; the duplicate-qrels fail-close is a
+    LAZY raise_error riding the n_rel aggregate (count vs distinct-doc
+    count per query — no driver-side collect, no extra evaluation of
+    the qrels lineage; fires at first execution like the SCD2
+    builders' guards). Returns (query_col, n_rel, n_hits, recall_at_k,
+    mrr_at_k, ndcg_at_k), all 4dp."""
     if k < 1:
         raise ValueError(f"retrieval_metrics: k >= 1, got {k}")
-    # qrels must be a SET of (query, doc) — a duplicated judgment row
-    # silently inflates n_rel, n_hits AND the DCG (the hit join
-    # multiplies run rows), so fail closed rather than dedup silently
-    # (the index-sink convention; trec_eval treats dup qrels lines as
-    # malformed input too). One bounded aggregate; `runs` need no
-    # guard — rank uniqueness per query is the producer's contract
-    # (every serving operator here emits row_number output).
-    card = qrels.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct(query_col, doc_col).alias("nd"),
-    ).collect()[0]
-    if int(card["n"]) != int(card["nd"]):
-        raise ValueError(
-            f"retrieval_metrics: qrels has {int(card['n'])} rows but "
-            f"only {int(card['nd'])} distinct ({query_col}, {doc_col}) "
-            "pairs — duplicate judgments would inflate n_rel/n_hits/"
-            "nDCG. Dedup the qrels upstream."
-        )
     hits = (
         runs.filter(F.col(rank_col) <= k)
         .join(qrels.select(query_col, doc_col), [query_col, doc_col])
@@ -1041,8 +1027,40 @@ def retrieval_metrics(
             .alias("_ranks"),
         )
     )
+    # qrels must be a SET of (query, doc) — a duplicated judgment row
+    # silently inflates n_rel, n_hits AND the DCG (the hit join
+    # multiplies run rows), so fail closed rather than dedup silently
+    # (the index-sink convention; trec_eval treats dup qrels lines as
+    # malformed input too). LAZY per the SCD2 builders' pattern
+    # (ADVICE r10: the previous eager .collect() made the operator a
+    # non-transform, evaluated the qrels lineage an extra time per
+    # call, and broke plan_audit's plans-only-build invariant): the
+    # raise_error rides the n_rel aggregate itself — count vs
+    # count(distinct doc) per query inside the groupBy the operator
+    # already pays for, firing at first execution. Every output row
+    # flows through nrel, so malformed qrels can never yield metrics.
+    # `runs` need no guard — rank uniqueness per query is the
+    # producer's contract (every serving operator here emits
+    # row_number output).
     nrel = qrels.groupBy(query_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_rel")
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.countDistinct(doc_col).cast("long").alias("_nd"),
+    ).select(
+        F.col(query_col),
+        F.when(F.col("_n") == F.col("_nd"), F.col("_n"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "retrieval_metrics: duplicate judgments — "
+                        f"qrels has repeated ({query_col}, {doc_col}) "
+                        "rows for query "
+                    ),
+                    F.col(query_col).cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("n_rel"),
     )
     dcg = F.expr(
         "aggregate(_ranks, 0D, (a, r) -> a + 1D / log2(r + 1D))"

@@ -2408,13 +2408,19 @@ def embedding_diversity(
     # zero-vector exclusion happens HERE on the raw column, not as a
     # filter(_ss > 0) downstream: that filter pushes into the scan
     # with the q-transform AND the whole norm fold inlined, doubling
-    # the map pass that IS this operator's 100 TB cost. ss > 0 iff
-    # some component quantizes non-zero, so one early-exit exists()
-    # over the same per-element quantizer is provably equivalent.
+    # the map pass that IS this operator's 100 TB cost. The old
+    # _ss > 0 filter was true iff (a) some component quantizes
+    # non-zero AND (b) no component is NULL (a NULL element nulls the
+    # fold, and a NULL predicate drops the row) — so the equivalent
+    # early-exit form is exists(quantizes-nonzero) AND
+    # forall(isNotNull); both are cheap per-element short-circuit
+    # predicates, no O(dim) fold reaches the scan filter. (ADVICE r10:
+    # exists() alone kept mixed null/non-zero vectors the old filter
+    # dropped, corrupting the group mean via null micros.)
     nonzero = F.exists(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)) != 0,
-    )
+    ) & F.forall(F.col(vec_col), lambda x: x.isNotNull())
     bound = (
         df.filter(nonzero)
         .select(F.col(group_col), q.alias("_q"))

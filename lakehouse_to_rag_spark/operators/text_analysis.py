@@ -1948,7 +1948,18 @@ def char_entropy(
     plain SQL SUM over an explode+groupBy replay. The final expression
     is one exact BIGINT numerator (n·micro(n) − Σ cnt·micro(cnt)) and
     ONE IEEE division, rounded to 4dp.  Empty/NULL text → NULL
-    entropy (and n_chars 0), kept so the operator is a projection."""
+    entropy (and n_chars 0), kept so the operator is a projection.
+
+    Character unit: Spark's split(text, "") yields UNICODE CODE
+    POINTS, so a combining-mark sequence or emoji ZWJ cluster counts
+    one unit per code point — a reasonable entropy alphabet, but NOT
+    what DuckDB's string_split(text, '') produces (grapheme
+    clusters). The gated oracle (docs_char_entropy) therefore holds
+    only for text where the two coincide — ASCII and any
+    precomposed-only text — and the gate fixture asserts that
+    property (the bigram_pmi chr(30)-separator convention). Entropy
+    on combining-heavy corpora is still well-defined here, just
+    measured in code points."""
     t = F.col(text_col)
     # split('') yields [''] for the empty string — filter the empties
     # so n == length(text) exactly and runs never see the sentinel

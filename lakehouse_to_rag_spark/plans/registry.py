@@ -9121,10 +9121,29 @@ _PINS: list[str] = [
     # All three r10 pins (scd2_incremental, scd2_enrich_events,
     # dedup_ngram_containment) recorded their green rows
     # (CORRECTNESS_r10: all PASS) and are dropped per the growth
-    # policy — a pin is a one-round artifact. r11 pins are added below
-    # as this round's gated implementations change; each carries its
-    # rationale, and "NOT pinned though touched" rationales are kept
-    # on record here as in prior rounds.
+    # policy — a pin is a one-round artifact. This round's changed
+    # gated implementations:
+    #
+    # r11 (ADVICE r10): embedding_diversity's zero-vector exclusion
+    # gained the forall(isNotNull) conjunct restoring the original
+    # _ss > 0 semantics for mixed null/non-zero vectors — identical
+    # output on the null-free gated fixture, but the gated plan
+    # changed shape (new scan predicate).
+    "embedding_diversity",
+    # r11 (ADVICE r10): retrieval_metrics' duplicate-qrels fail-close
+    # moved from an eager driver-side .collect() to a lazy
+    # raise_error riding the n_rel aggregate — same metrics for valid
+    # input, but the gated plan gained a per-query distinct-doc count.
+    "retrieval_eval_metrics",
+    #
+    # NOT pinned though touched this round (rationale on record):
+    # scd2_user_type_snapshots (scd2_from_snapshots' duplicate-row
+    # raise branch now casts to the attribute's OWN type instead of
+    # "string" — for the gated entry's string attr the expression is
+    # literally identical; the fix only changes typing for non-string
+    # attrs, covered by a new property test). docs_char_entropy
+    # (documentation-only: the code-point/grapheme caveat; fixture
+    # ASCII-pin added in tests, no plan or output change).
 ]
 
 
@@ -9332,7 +9351,12 @@ def retrieval_eval_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stateful LZ77 stream. The Spark side is the MAP-ONLY run-length fold
 # (no explode, no shuffle); the oracle replays it as explode + groupBy
 # + plain SUM, legal because the per-class terms are exact BIGINT
-# micro-bits (order-free addition).
+# micro-bits (order-free addition). Character-unit caveat (ADVICE
+# r10): Spark's split(text, '') emits CODE POINTS while DuckDB's
+# string_split(text, '') emits GRAPHEME CLUSTERS — the two coincide
+# exactly on ASCII / precomposed-only text, which the harness corpus
+# is (tests/test_oracle_parity.py pins the fixture ASCII-only so the
+# gate cannot silently drift onto combining-mark input).
 _CHAR_ENTROPY_ORACLE = """
 WITH cs AS (
   SELECT doc_id, unnest(string_split(text, '')) AS ch

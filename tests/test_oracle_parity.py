@@ -14,7 +14,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_001, SF_DIR_01
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -146,3 +146,21 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_char_entropy_fixture_is_ascii_only():
+    """docs_char_entropy's oracle equates Spark's split(text, '')
+    (code points) with DuckDB's string_split(text, '') (grapheme
+    clusters) — exact only when text has no combining sequences.
+    Pin the harness corpus ASCII-only at both gate scales so the
+    parity claim cannot silently drift onto input where the two
+    units diverge (ADVICE r10)."""
+    import duckdb
+
+    for sf in (SF_DIR_001, SF_DIR_01):
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf}/documents.parquet' "
+            "WHERE text IS NOT NULL AND text != "
+            "regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} non-ASCII documents"

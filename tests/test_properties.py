@@ -923,6 +923,44 @@ def test_scd2_from_snapshots_collapses_and_keeps_absent_open(spark):
     ]
 
 
+def test_scd2_from_snapshots_non_string_attr_types(spark):
+    """The duplicate-row raise branch casts to the ATTRIBUTE's own
+    type (ADVICE r10): a 'string' cast forced common-type resolution
+    to string, coercing lag(attr) in the change detection for
+    non-string attrs and failing analysis for array attrs. Integer
+    attrs must change-detect numerically; array attrs must be legal
+    input at all."""
+    from lakehouse_to_rag_spark.operators.events import scd2_from_snapshots
+
+    ints = spark.createDataFrame(
+        [
+            (7, "2024-01-01", 1),
+            (7, "2024-01-02", 1),    # unchanged: merges
+            (7, "2024-01-03", 10),
+        ],
+        "user_id long, snap_day string, event_type int",
+    )
+    got = sorted(
+        (r["user_id"], r["version"], r["event_type"], r["valid_to"])
+        for r in scd2_from_snapshots(ints).collect()
+    )
+    assert got == [(7, 1, 1, "2024-01-03"), (7, 2, 10, None)]
+
+    arrs = spark.createDataFrame(
+        [
+            (7, "2024-01-01", ["a"]),
+            (7, "2024-01-02", ["a"]),  # unchanged: merges
+            (7, "2024-01-03", ["a", "b"]),
+        ],
+        "user_id long, snap_day string, event_type array<string>",
+    )
+    got = sorted(
+        (r["user_id"], r["version"], tuple(r["event_type"]))
+        for r in scd2_from_snapshots(arrs).collect()
+    )
+    assert got == [(7, 1, ("a",)), (7, 2, ("a", "b"))]
+
+
 def test_sessionize_capped_splits_at_gap_and_duration(spark):
     """A user active continuously (never a 30-min gap) splits at the
     fixed 1h epochs from session start; a >gap pause starts a new
@@ -974,6 +1012,16 @@ def test_embedding_diversity_matches_pairwise_and_edge_cases(spark):
         (7, [1.0, 0.0, 0.0], 4),
         (8, [1.0, 1.0, 0.0], 4),
         (9, [0.0, 1.0, 1.0], 4),
+        # label 5: a NULL element alongside a non-zero one must be
+        # EXCLUDED like the original _ss > 0 filter excluded it (the
+        # null nulls the norm fold) — ADVICE r10: the exists()-only
+        # rewrite kept it, yielding null micros that corrupt the
+        # group mean; its identical-direction partner keeps n=1->NULL
+        (10, [1.0, None, 0.0], 5),
+        (11, [1.0, 0.0, 0.0], 5),
+        # label 6: a NULL vector and only-null elements -> absent
+        (12, None, 6),
+        (13, [None, None], 6),
     ]
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, label int"
@@ -999,6 +1047,8 @@ def test_embedding_diversity_matches_pairwise_and_edge_cases(spark):
         cos(a, b) for a, b in itertools.combinations(vs, 2)
     ) / len(list(itertools.combinations(vs, 2)))
     assert abs(got[4][1] - want) < 1e-3, (got[4], want)
+    assert got[5] == (1, None), got.get(5)  # null-element row excluded
+    assert 6 not in got
 
 
 def test_scd2_apply_changes_equals_full_rebuild(spark, sf_dir):

@@ -802,8 +802,12 @@ def test_retrieval_metrics_hand_case(spark):
 
 def test_retrieval_metrics_rejects_duplicate_qrels(spark):
     """A duplicated judgment row would inflate n_rel, n_hits and the
-    DCG via the hit join — malformed input fails closed."""
+    DCG via the hit join — malformed input fails closed, LAZILY at
+    first execution (the raise_error rides the n_rel aggregate; the
+    operator stays a pure transform — building the plan runs no
+    job)."""
     import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     from lakehouse_to_rag_spark.operators.retrieval import (
         retrieval_metrics,
@@ -815,5 +819,6 @@ def test_retrieval_metrics_rejects_duplicate_qrels(spark):
     qrels = spark.createDataFrame(
         [(1, 10), (1, 10)], "query_id long, doc_id long"
     )
-    with pytest.raises(ValueError, match="duplicate judgments"):
-        retrieval_metrics(runs, qrels, k=10)
+    out = retrieval_metrics(runs, qrels, k=10)  # plan builds fine
+    with pytest.raises(SparkRuntimeException, match="duplicate judgments"):
+        out.collect()
