@@ -564,3 +564,40 @@ def test_shingle_novelty_keeps_shingling_out_of_the_scan_stage(spark, sf_dir):
     below_scan = plan.split("RoundRobinPartitioning", 1)[1]
     assert "array_distinct" not in below_scan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_plan_audit_tripwire_rc_semantics(spark, sf_dir, capsys):
+    """tools/plan_audit.py is a GATE, not just a report (VERDICT r10
+    task 5): a deliberately regressed plan (filter over a derived
+    expensive-array column, which Catalyst inlines into the scan
+    Filter) must flag; a cheap-predicate plan must not; and classify()
+    must return rc=1 for any new flag or stale allowlist row, rc=0
+    only when flags match the allowlist exactly."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_to_rag_spark.sources.tables import load_table
+    from tools.plan_audit import ALLOWLIST, classify, flag_for
+
+    d = load_table(spark, sf_dir, "documents")
+    regressed = (
+        d.withColumn(
+            "sh",
+            F.transform(
+                F.split(F.col("text"), " ", -1), lambda x: F.upper(x)
+            ),
+        )
+        .filter(F.size("sh") > 1)
+        .select("doc_id", "sh")
+    )
+    plan = regressed._jdf.queryExecution().executedPlan().toString()
+    assert flag_for(plan) is not None, "regressed plan did not flag"
+
+    clean = d.filter(F.length("text") > 10).select("doc_id")
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert flag_for(plan) is None
+
+    allowed = [(n, "Filter transform(...)") for n in ALLOWLIST]
+    assert classify(allowed) == 0
+    assert classify(allowed + [("new_entry", "Filter transform(...)")]) == 1
+    assert classify([]) == 1  # every allowlist row is now stale
+    capsys.readouterr()
