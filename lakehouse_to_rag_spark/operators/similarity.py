@@ -2285,6 +2285,7 @@ def knn_hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Hard-negative mining for embedding/retriever training: for each
     query, the top-k most-similar corpus vectors with a DIFFERENT
@@ -2302,7 +2303,11 @@ def knn_hard_negatives(
     ``knn_self_ivf`` isfinite convention), self-matches excluded by
     the label mask itself. For corpus-scale query sets compose with
     the IVF family instead — this is the exact, oracle-replayable
-    form. Returns (query_id, neighbor_id, cosine, rank 1..k)."""
+    form, and the broadcast-queries assumption is GUARDED by the
+    ``semantic_decontaminate`` convention: a fail-closed raise past
+    ``max_broadcast_rows`` (a stated bound instead of a silent driver
+    or executor OOM when a caller passes a corpus-sized query table).
+    Returns (query_id, neighbor_id, cosine, rank 1..k)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -2312,7 +2317,18 @@ def knn_hard_negatives(
         StructType,
     )
 
-    q_rows = queries.select(id_col, vec_col, label_col).collect()
+    q_narrow = queries.select(id_col, vec_col, label_col).localCheckpoint(
+        eager=True
+    )
+    n_q = q_narrow.count()
+    if n_q > max_broadcast_rows:
+        raise ValueError(
+            f"knn_hard_negatives: query set has {n_q} rows > "
+            f"max_broadcast_rows={max_broadcast_rows}; the broadcast-"
+            "queries GEMM contract is bounded. Use the IVF family for "
+            "corpus-scale query sets or raise the bound deliberately."
+        )
+    q_rows = q_narrow.collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     # object dtype: labels may be ints OR strings — elementwise ==

@@ -9144,6 +9144,10 @@ _PINS: list[str] = [
     # attrs, covered by a new property test). docs_char_entropy
     # (documentation-only: the code-point/grapheme caveat; fixture
     # ASCII-pin added in tests, no plan or output change).
+    # knn_hard_negatives (new fail-closed max_broadcast_rows guard on
+    # the query set — cannot alter output for any call under the
+    # bound, which every gated/benched call is; covered by a property
+    # test).
 ]
 
 

@@ -787,6 +787,13 @@ def test_knn_hard_negatives_mask_before_topk(spark):
     assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [
         1, 2, 3, 4, 5
     ]
+    # broadcast-queries contract is bounded (VERDICT r10 task 8): a
+    # corpus-sized query table fails closed with the stated bound,
+    # not a silent driver OOM
+    import pytest
+
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        knn_hard_negatives(df, df, k=5, max_broadcast_rows=3)
 
 
 def test_knn_hard_negatives_matches_bruteforce_on_cross_label(spark, sf_dir):
