@@ -71,12 +71,54 @@ def _with_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _char_shingle_expr(n: int):
+    """Array of character n-gram shingles from a materialized `_text`
+    column — one substring per position, code-point semantics on both
+    Spark and DuckDB (substring/length count code points in both
+    engines, unlike split('') — so char-shingle oracles hold beyond
+    ASCII). substr is O(n) per element against the bound column; no
+    expensive expression is re-evaluated per element (the fold-
+    inlining rule)."""
+    t = F.col("_text")
+    idx = F.sequence(F.lit(1), F.length(t) - (n - 1))
+    return F.when(
+        F.length(t) >= n, F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingle_unit(unit: str, op_name: str) -> None:
+    if unit not in ("word", "char"):
+        raise ValueError(
+            f"{op_name}: unit must be 'word' or 'char', got {unit!r}"
+        )
+
+
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    unit: str = "word",
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle) —
-    the exploded inverted-index form. Documents shorter than n words
-    produce no shingles."""
+    """Distinct n-gram shingles per document: (id, shingle) — the
+    exploded inverted-index form. ``unit="word"`` (default): word
+    n-grams from the whitespace split; documents shorter than n words
+    produce no shingles. ``unit="char"`` (r11 — VERDICT r10 task 4):
+    character n-grams via a substring sequence, the shingle unit that
+    works on UNSEGMENTED scripts (CJK, Thai) where the whitespace
+    split yields one giant token and word mode silently produces zero
+    shingles — exactly the documents that would otherwise escape
+    near-dup detection in a multilingual corpus. Same banding/capping
+    downstream; only the shingle universe changes."""
+    _shingle_unit(unit, "word_shingles")
+    if unit == "char":
+        from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+        narrow = maybe_parallelize(
+            df.select(F.col(id_col), F.col(text_col))
+        ).select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+        return (
+            narrow
+            .select(F.col("id"), F.explode(_char_shingle_expr(n)).alias("shingle"))
+            .distinct()
+        )
     return (
         _with_words(df, id_col, text_col)
         .select(F.col("id"), F.explode(_shingle_expr(n)).alias("shingle"))
@@ -122,6 +164,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | str | None = "auto",
+    unit: str = "word",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
@@ -154,10 +197,11 @@ def ngram_jaccard_pairs(
     distinct pipeline once instead of re-running it per consumer
     (plan sweep showed 4 document scans / 14 exchanges without it).
     """
+    _shingle_unit(unit, "ngram_jaccard_pairs")
     cap = _resolve_shingle_cap(
         df, text_col, max_shingle_df, "ngram_jaccard_pairs"
     )
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(df, id_col, text_col, n, unit=unit)
     if cap is not None:
         w = Window.partitionBy("shingle")
         sh = (
@@ -190,14 +234,29 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------- MinHash + LSH
 
 def shingle_arrays(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    unit: str = "word",
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document as ONE array column:
+    """Distinct n-gram shingles per document as ONE array column:
     (id, shingles: array<string>). Unlike ``word_shingles`` (the
     exploded inverted-index form), this keeps the set per row — zero
     shuffles to build, and set ops (size, intersect) become array
     expressions. Documents are bounded, so per-row arrays stay small
-    even at 100 TB corpus scale."""
+    even at 100 TB corpus scale. ``unit="char"`` shingles by
+    character n-gram (the unsegmented-script mode — see
+    ``word_shingles``); the MinHash/LSH pipeline downstream is
+    unit-agnostic."""
+    _shingle_unit(unit, "shingle_arrays")
+    if unit == "char":
+        from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+        narrow = maybe_parallelize(
+            df.select(F.col(id_col), F.col(text_col))
+        ).select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+        return narrow.select(
+            F.col("id"),
+            F.array_distinct(_char_shingle_expr(n)).alias("shingles"),
+        )
     return _with_words(df, id_col, text_col).select(
         F.col("id"), F.array_distinct(_shingle_expr(n)).alias("shingles")
     )
@@ -2415,6 +2474,7 @@ def ngram_containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | str | None = "auto",
+    unit: str = "word",
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT pairs — the asymmetric near-dup metric
     Jaccard structurally misses: containment(a in b) = |A∩B| / |A|,
@@ -2442,10 +2502,11 @@ def ngram_containment_pairs(
         raise ValueError(
             f"ngram_containment_pairs: 0 < threshold <= 1, {threshold}"
         )
+    _shingle_unit(unit, "ngram_containment_pairs")
     cap = _resolve_shingle_cap(
         df, text_col, max_shingle_df, "ngram_containment_pairs"
     )
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(df, id_col, text_col, n, unit=unit)
     if cap is not None:
         w = Window.partitionBy("shingle")
         sh = (

@@ -756,6 +756,59 @@ def dedup_ngram_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+# r11 (VERDICT r10 task 4): the CHARACTER-shingle unit — near-dup
+# detection for unsegmented scripts (CJK/Thai), where the whitespace
+# split yields one giant token, word mode produces zero shingles, and
+# duplicates silently escape every word-shingle operator. Char k-grams
+# are built by substring sequence; substring/length count CODE POINTS
+# in both Spark and DuckDB (unlike split('')), so this oracle holds
+# beyond ASCII. Same auto cap (derived in SQL), same banding
+# downstream; only the shingle universe changes.
+_NGRAM_JACCARD_CHAR_ORACLE = """
+WITH sh0 AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, GREATEST(length(text) - 3, 1)),
+                               i -> substring(text, i, 5))) AS shingle
+  FROM documents
+), cap AS MATERIALIZED (
+  SELECT CAST(LEAST(1000, GREATEST(16, CEIL(COUNT(*) / 100.0))) AS BIGINT)
+         AS cap
+  FROM documents WHERE text IS NOT NULL
+), sh AS MATERIALIZED (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS dfc
+    FROM sh0
+  ) WHERE dfc <= (SELECT cap FROM cap)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+@_q("dedup_ngram_jaccard_char", _NGRAM_JACCARD_CHAR_ORACLE)
+def dedup_ngram_jaccard_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram Jaccard near-dup pairs under the library-default
+    auto cap (r11) — the unit="char" mode that closes the
+    unsegmented-script gap (VERDICT r10 'What's missing'). The planted
+    CJK-dup test (tests/test_dedup_quality.py) proves word mode
+    misses what this catches; this entry pins the char universe's
+    exact filtered-space Jaccard against SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=5, threshold=0.5, unit="char"
+    )
+
+
 _TF_COSINE_ORACLE = """
 WITH tf AS (
   SELECT doc_id AS id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (

@@ -2124,3 +2124,74 @@ def test_shingle_novelty_boilerplate_scores_low(spark):
         2: (3, 2, 0.6667),
         4: (3, 3, 1.0),
     }
+
+
+def test_char_shingle_unit_catches_cjk_dups_word_mode_misses(spark):
+    """The unsegmented-script gap (VERDICT r10): whitespace-split
+    shingling gives a CJK document ONE giant token, so word mode
+    produces zero shingles and the planted near-dup pair silently
+    escapes. unit='char' must catch it; word mode must provably miss
+    it; an unrelated CJK doc must not pair. Also pins exclusivity of
+    the unit values and array/exploded form agreement."""
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+        shingle_arrays,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "深度学习模型训练需要大量高质量语料数据支撑"),
+            (2, "深度学习模型训练需要大量高质量语料数据支持"),  # 1-char edit
+            (3, "完全不同的另一段文字内容与前两者毫无相似之处"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    word = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, max_shingle_df=None
+    ).collect()
+    assert word == []  # the miss is real, not hypothetical
+    char = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=5, threshold=0.3,
+            max_shingle_df=None, unit="char",
+        ).collect()
+    }
+    assert set(char) == {(1, 2)}
+    # 21 chars -> 17 5-grams each; only the single gram containing
+    # the edited final char differs: 16 shared / 18 union = 0.8889
+    assert char[(1, 2)] == pytest.approx(16 / 18, abs=1e-4)
+
+    # containment: doc 2 quoted inside a longer wrapper
+    wrapped = spark.createDataFrame(
+        [
+            (2, "深度学习模型训练需要大量高质量语料数据支持"),
+            (9, "前言部分深度学习模型训练需要大量高质量语料数据支持结尾附注"),
+        ],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(
+        wrapped, "doc_id", "text", n=5, threshold=0.9,
+        max_shingle_df=None, unit="char",
+    ).collect()
+    assert len(cont) == 1 and cont[0]["containment_a_in_b"] == 1.0
+
+    # exploded and array forms agree on the char universe
+    exploded = {
+        (r["id"], r["shingle"])
+        for r in word_shingles(docs, "doc_id", "text", n=5, unit="char").collect()
+    }
+    arrays = {
+        (r["id"], s)
+        for r in shingle_arrays(docs, "doc_id", "text", n=5, unit="char").collect()
+        for s in r["shingles"]
+    }
+    assert exploded == arrays and len(exploded) > 0
+
+    with pytest.raises(ValueError, match="unit"):
+        ngram_jaccard_pairs(docs, "doc_id", "text", unit="byte")
