@@ -16,6 +16,22 @@ operators whose 100 TB story was rebuilt in round 2:
 Usage: python tools/scale_probe.py [factor] [sf_dir]
 Prints one line per operator: seconds + output rows (stderr noise from
 Spark; stdout is the result lines only).
+
+EXPONENT MODE (r11 — VERDICT r10 task 6, the formalized form of the
+ad-hoc 10x/100x SCALE.md probes): replicate the sf dir's
+documents/events/embeddings FACTOR times with shifted ids into a
+temp catalog dir, run each named REGISTRY ENTRY against the 1x and
+the Nx replica dirs (min of two runs each — same parquet layout both
+sides, so the ratio isolates the operator), and print the fitted
+scaling exponent  e = log(t_N / t_1) / log(N)  per entry. e ~ 1 is
+linear, e ~ 2 quadratic, e ~ 0 replication-invariant (driver-bound
+or non-scaling input). The r10 regressions (shingle_novelty 9x,
+minhash_distinct 2.8x) hid behind small sf0.1 constants — an
+exponent report catches the class even when the constant is small.
+
+Usage: python tools/scale_probe.py exponent [factor] [sf_dir] [entry ...]
+Default entries: the heaviest driver-bench rows that scale with the
+replicated tables (curated from BENCH_r10).
 """
 
 from __future__ import annotations
@@ -501,5 +517,113 @@ def main() -> None:
     spark.stop()
 
 
+# ------------------------------------------------------ exponent mode
+
+# Heaviest bench rows that scale with documents/events/embeddings
+# (BENCH_r10 p50 order, write-path capstones included — their file
+# I/O scales with the corpus too). TPC-H rows are excluded: their
+# tables are not replicated, so their exponent is 0 by construction.
+EXPONENT_DEFAULT_ENTRIES = [
+    "winnow_matches_topm_auto",
+    "doc_pagerank",
+    "bm25_served_incremental",
+    "rag_index_manifest",
+    "rag_read_path_served",
+    "chunk_refresh_plan",
+    "cdc_chunks",
+    "dedup_keep_best",
+    "dedup_minhash_distinct",
+    "dedup_ngram_containment_auto",
+]
+
+_REPLICATED = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    # shift user_id too: replicating events under ONE user id set
+    # would multiply per-user window sizes (a skew change, not a
+    # scale change) — id-shifted replicas keep per-key cardinality
+    # and grow the key space, which is what corpus growth does
+    "events": ["event_id", "user_id"],
+}
+
+
+def build_replica_dir(spark, sf_dir: str, factor: int, out_dir: str) -> None:
+    """Materialize a catalog dir with documents/events/embeddings
+    replicated ``factor`` times (ids shifted per replica) and every
+    other table copied verbatim, so registry entries — which take
+    (spark, sf_dir) — run against it unchanged."""
+    import shutil
+
+    from lakehouse_to_rag_spark.sources.tables import TABLES
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for t in TABLES:
+        src = Path(sf_dir) / f"{t}.parquet"
+        dst = out / f"{t}.parquet"
+        if t in _REPLICATED:
+            df = load_table(spark, sf_dir, t)
+            k = F.explode(
+                F.sequence(F.lit(0), F.lit(factor - 1))
+            ).alias("_k")
+            rep = df.select("*", k)
+            for c in _REPLICATED[t]:
+                rep = rep.withColumn(
+                    c, F.col(c) + F.col("_k") * F.lit(ID_STRIDE)
+                )
+            rep.drop("_k").repartition(32).write.mode("overwrite").parquet(
+                str(dst)
+            )
+        elif not dst.exists():
+            shutil.copyfile(src, dst)
+
+
+def exponent_main(argv: list[str]) -> None:
+    import math
+
+    from lakehouse_to_rag_spark.plans import registry as _reg
+
+    factor = int(argv[0]) if argv else 10
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+    entries = argv[2:] or EXPONENT_DEFAULT_ENTRIES
+    spark = get_spark("scale-exponent")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = Path(__file__).resolve().parent.parent / ".tmp" / "scale_probe"
+    dirs = {}
+    for f in (1, factor):
+        d = str(base / f"x{f}")
+        build_replica_dir(spark, sf_dir, f, d)
+        dirs[f] = d
+    print(f"# exponent probe: factor={factor}, sf={sf_dir}")
+
+    def _time(name: str, d: str) -> float:
+        best = math.inf
+        for _ in range(2):  # min-of-2: drop plan build / JIT warmup
+            t0 = time.perf_counter()
+            _reg.QUERIES[name](spark, d).count()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    for name in entries:
+        if name not in _reg.QUERIES:
+            print(f"{name}: UNKNOWN entry")
+            continue
+        try:
+            t1 = _time(name, dirs[1])
+            tn = _time(name, dirs[factor])
+            e = math.log(tn / t1) / math.log(factor)
+            print(
+                f"{name}: t1={t1:.2f}s t{factor}={tn:.2f}s "
+                f"exponent={e:.2f}"
+            )
+        except Exception as exc:  # noqa: BLE001 - report, keep probing
+            print(f"{name}: ERR {str(exc)[:120]}")
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "exponent":
+        exponent_main(sys.argv[2:])
+    else:
+        main()
