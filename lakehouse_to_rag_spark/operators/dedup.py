@@ -296,8 +296,13 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    unit: str = "word",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    ``unit="char"`` shingles by character n-gram (the
+    unsegmented-script mode — see ``word_shingles``); signatures,
+    banding, and exact verification are unit-agnostic downstream, so
+    this IS the 100 TB scale path for CJK/Thai near-dup detection.
 
     Banding: b = num_hashes / rows_per_band bands; a pair collides if
     any band signature matches. Defaults (b=32, r=2) give ~99.99%
@@ -320,7 +325,9 @@ def minhash_lsh_pairs(
     # one shingling pass, materialized: signatures explode these same
     # arrays and verification joins back to them — without the
     # checkpoint the text would be split+shingled twice (once per use)
-    sets = shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sets = shingle_arrays(
+        df, id_col, text_col, n, unit=unit
+    ).localCheckpoint(eager=False)
 
     # signature + band construction is the SHARED _minhash_band_rows
     # (also the two-table decontamination form); see its notes on the

@@ -2181,6 +2181,18 @@ def test_char_shingle_unit_catches_cjk_dups_word_mode_misses(spark):
     ).collect()
     assert len(cont) == 1 and cont[0]["containment_a_in_b"] == 1.0
 
+    # the banded scale path catches the same pair: MinHash+LSH over
+    # char shingles (signatures/banding/verification unit-agnostic)
+    from lakehouse_to_rag_spark.operators.dedup import minhash_lsh_pairs
+
+    banded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=5, threshold=0.3, unit="char"
+        ).collect()
+    }
+    assert banded == char  # identical pair set AND exact jaccards
+
     # exploded and array forms agree on the char universe
     exploded = {
         (r["id"], r["shingle"])
