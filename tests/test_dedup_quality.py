@@ -2207,3 +2207,14 @@ def test_char_shingle_unit_catches_cjk_dups_word_mode_misses(spark):
 
     with pytest.raises(ValueError, match="unit"):
         ngram_jaccard_pairs(docs, "doc_id", "text", unit="byte")
+
+    # winnowing needs no unit knob: its fingerprints are character
+    # k-grams by construction (Schleimer et al.), so the MOSS report
+    # already catches the CJK copied span word-shingling misses —
+    # pinned here so the family's no-gap claim stays tested
+    from lakehouse_to_rag_spark.operators.text_analysis import (
+        winnow_matches,
+    )
+
+    wm = winnow_matches(docs, k=8, w=4, min_shared=1)
+    assert {(r["id_a"], r["id_b"]) for r in wm.collect()} >= {(1, 2)}
