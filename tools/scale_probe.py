@@ -525,7 +525,12 @@ def main() -> None:
 # tables are not replicated, so their exponent is 0 by construction.
 EXPONENT_DEFAULT_ENTRIES = [
     "winnow_matches_topm_auto",
-    "doc_pagerank",
+    # doc_pagerank deliberately ABSENT: its registry entry pins the
+    # exact all-pairs edge build (cutover_rows=maxsize, the
+    # oracle-replayable gate form) — quadratic BY DESIGN, so probing
+    # it at 10x is 100x work that measures the pin, not the
+    # production path; knn_self_ivf IS that production graph path
+    "knn_self_ivf",
     "bm25_served_incremental",
     "rag_index_manifest",
     "rag_read_path_served",
