@@ -849,6 +849,46 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+# Uncapped exact char-5-gram Jaccard: the oracle for the banded char
+# path (minhash has no shingle cap; the capped char oracle above
+# belongs to the exact pair operator's auto default).
+_NGRAM_JACCARD_CHAR_UNCAPPED_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, GREATEST(length(text) - 3, 1)),
+                               i -> substring(text, i, 5))) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+@_q("dedup_minhash_char", _NGRAM_JACCARD_CHAR_UNCAPPED_ORACLE)
+def dedup_minhash_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash over CHARACTER 5-gram shingles (r11) — the
+    scale path for unsegmented-script (CJK/Thai) near-dup detection,
+    gated end-to-end: signatures/banding/exact-verification are
+    unit-agnostic, and the oracle is the uncapped exact char Jaccard
+    (the dedup_minhash convention — at b=32/r=2 the miss probability
+    for j>=0.5 is ~(1-j^2)^32 < 1e-4; verified equal to the exact
+    pair set at sf0.001/sf0.01)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        d, "doc_id", "text", n=5, threshold=0.5, unit="char"
+    )
+
+
 @_q("dedup_minhash_distinct", _NGRAM_JACCARD_ORACLE)
 def dedup_minhash_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup-first MinHash: signatures/banding/verification run
