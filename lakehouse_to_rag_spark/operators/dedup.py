@@ -93,6 +93,18 @@ def _shingle_unit(unit: str, op_name: str) -> None:
         )
 
 
+def _with_chars(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The char-mode twin of ``_with_words``: narrow projection with
+    the text bound to ``_text`` (one shared shape for the exploded
+    and array shingle forms — tests assert those agree)."""
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    narrow = maybe_parallelize(df.select(F.col(id_col), F.col(text_col)))
+    return narrow.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+    )
+
+
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
     unit: str = "word",
@@ -109,13 +121,8 @@ def word_shingles(
     downstream; only the shingle universe changes."""
     _shingle_unit(unit, "word_shingles")
     if unit == "char":
-        from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
-
-        narrow = maybe_parallelize(
-            df.select(F.col(id_col), F.col(text_col))
-        ).select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
         return (
-            narrow
+            _with_chars(df, id_col, text_col)
             .select(F.col("id"), F.explode(_char_shingle_expr(n)).alias("shingle"))
             .distinct()
         )
@@ -248,12 +255,7 @@ def shingle_arrays(
     unit-agnostic."""
     _shingle_unit(unit, "shingle_arrays")
     if unit == "char":
-        from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
-
-        narrow = maybe_parallelize(
-            df.select(F.col(id_col), F.col(text_col))
-        ).select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
-        return narrow.select(
+        return _with_chars(df, id_col, text_col).select(
             F.col("id"),
             F.array_distinct(_char_shingle_expr(n)).alias("shingles"),
         )

@@ -9246,12 +9246,15 @@ _PINS: list[str] = [
 
 def _evidence_rounds() -> dict[str, int]:
     """Latest round in which each entry produced PASSING driver
-    evidence: a hash-green row, or a rows-only row for the
-    structurally no-oracle entries. A real `err` row — or a row whose
-    value hash DIVERGED (`hash_match` false) — is NOT evidence, so a
-    failing or regressed entry sorts as maximally stale and rotates
-    back into the window immediately. Entries absent from every
-    CORRECTNESS file map to 0."""
+    evidence — a HASH-GREEN row, nothing less (r11: the
+    `err: no_oracle` clause is gone along with rows-only rotation;
+    for an oracle-backed entry such a row would mean the hash gate
+    never ran, and counting it as evidence would DEFER the entry from
+    the next window exactly when it must rotate back in). A real
+    `err` row or a diverged hash is NOT evidence, so a failing or
+    regressed entry sorts as maximally stale and re-enters the window
+    immediately. Entries absent from every CORRECTNESS file map
+    to 0."""
     import json
     from pathlib import Path
 
@@ -9266,7 +9269,7 @@ def _evidence_rounds() -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            green = row.get("err") == "no_oracle" or (
+            green = (
                 row.get("err") is None and row.get("hash_match") is True
             )
             if green:

@@ -260,10 +260,13 @@ def test_observed_medallion_metrics_match_direct_aggregates(spark, sf_dir):
 
 
 def test_evidence_rounds_ignores_failing_rows(tmp_path, monkeypatch):
-    """The driver-window staleness metric must count only PASSING
-    evidence: a real `err` row or a hash-diverged row (`hash_match`
-    false, err null) rotates the entry back in as maximally stale
-    instead of parking it out of the window for a full cycle."""
+    """The driver-window staleness metric must count only HASH-GREEN
+    evidence: a real `err` row, a hash-diverged row (`hash_match`
+    false, err null), AND — since r11 — an `err: no_oracle` row all
+    rotate the entry back in as maximally stale instead of parking it
+    out of the window for a full cycle (for an oracle-backed entry a
+    no_oracle row means the hash gate never ran; rows-only entries no
+    longer rotate at all, so the clause protected nothing)."""
     import json
 
     from lakehouse_to_rag_spark.plans import registry
@@ -292,7 +295,7 @@ def test_evidence_rounds_ignores_failing_rows(tmp_path, monkeypatch):
     monkeypatch.setattr(pathlib.Path, "glob", fake_glob)
     ev = registry._evidence_rounds()
     assert ev.get("green") == 7
-    assert ev.get("rows_only") == 7
+    assert "rows_only" not in ev
     assert "hash_diverged" not in ev
     assert "hard_error" not in ev
 

@@ -596,8 +596,14 @@ def test_plan_audit_tripwire_rc_semantics(spark, sf_dir, capsys):
     plan = clean._jdf.queryExecution().executedPlan().toString()
     assert flag_for(plan) is None
 
-    allowed = [(n, "Filter transform(...)") for n in ALLOWLIST]
+    allowed = [(n, f"{marker}...)") for n, (marker, _) in ALLOWLIST.items()]
     assert classify(allowed) == 0
     assert classify(allowed + [("new_entry", "Filter transform(...)")]) == 1
     assert classify([]) == 1  # every allowlist row is now stale
+    # an allowlisted NAME does not launder a different problem (r11
+    # self-review): PLAN-ERR and a filter WITHOUT the triaged marker
+    # are both NEW, and both also leave the allowlist row stale
+    name = next(iter(ALLOWLIST))
+    assert classify([(name, "PLAN-ERR boom")]) == 1
+    assert classify([(name, "Filter (aggregate(other_expr))")]) == 1
     capsys.readouterr()

@@ -53,43 +53,62 @@ from lakehouse_to_rag_spark.session import get_spark  # noqa: E402
 
 MARKERS = ("transform(", "array_distinct(", "aggregate(")
 
-# entry -> why the flag is benign (triaged with a timed A/B on record)
-ALLOWLIST: dict[str, str] = {
+# entry -> (must_contain marker, why the flag is benign). The marker
+# is a distinctive substring of the triaged flag line: a PLAN-ERR or
+# a DIFFERENT expensive filter appearing in an allowlisted entry must
+# NOT ride the name-only match through the gate (caught in the r11
+# self-review — name-only matching silently passed both cases).
+ALLOWLIST: dict[str, tuple[str, str]] = {
     "embed_hashed_tf": (
+        "Filter (size(transform(",
         "dim-bounded (64-element) literal transform in the filter — "
         "~constant per row, 1.7 s warm at sf0.1 (r10 triage); a "
-        "contract-risking rewrite buys nothing"
+        "contract-risking rewrite buys nothing",
     ),
 }
 
 
-def flag_for(plan: str) -> str | None:
-    """First Filter line in an executed-plan string that inlines an
-    expensive array expression, or None. Pure; unit-tested directly
-    against deliberately regressed and clean plans."""
+def flags_for(plan: str) -> list[str]:
+    """EVERY Filter line in an executed-plan string that inlines an
+    expensive array expression (deduped, order kept) — all of them,
+    so a second regression in an entry that already carries one
+    triaged flag still surfaces as its own line. Pure; unit-tested
+    directly against deliberately regressed and clean plans."""
+    out: list[str] = []
     for line in plan.split("\n"):
         s = line.strip().lstrip(":+- ")
         if s.startswith("Filter") and any(m in s for m in MARKERS):
-            return s[:160]
-    return None
+            if s[:160] not in out:
+                out.append(s[:160])
+    return out
+
+
+def flag_for(plan: str) -> str | None:
+    fl = flags_for(plan)
+    return fl[0] if fl else None
 
 
 def classify(flagged: list[tuple[str, str]]) -> int:
     """Tripwire rc: 0 iff flags == allowlist exactly (new flag -> 1,
-    stale allowlist row -> 1). Printing lives here too so main() and
-    tests share the one code path."""
+    stale allowlist row -> 1). A flag only matches its allowlist row
+    when the LINE carries the row's triaged marker — a PLAN-ERR or a
+    different expensive filter in an allowlisted entry is NEW, not
+    allowed. Printing lives here too so main() and tests share the
+    one code path."""
     rc = 0
-    names = {n for n, _ in flagged}
+    allowed_seen: set[str] = set()
     for n, s in flagged:
-        if n in ALLOWLIST:
+        marker = ALLOWLIST.get(n, (None,))[0]
+        if marker is not None and marker in s:
+            allowed_seen.add(n)
             print(f"  [allowed] {n} :: {s}")
         else:
             print(f"  [NEW]     {n} :: {s}")
             rc = 1
-    for n in sorted(set(ALLOWLIST) - names):
+    for n in sorted(set(ALLOWLIST) - allowed_seen):
         print(
-            f"  [STALE allowlist] {n} — no longer flags; its plan "
-            "changed, remove or re-triage the allowlist row"
+            f"  [STALE allowlist] {n} — its triaged flag no longer "
+            "appears; the plan changed, remove or re-triage the row"
         )
         rc = 1
     return rc
@@ -106,8 +125,7 @@ def audit(sf: str) -> tuple[list[tuple[str, str]], int]:
         except Exception as exc:  # noqa: BLE001 - report, keep sweeping
             flagged.append((name, f"PLAN-ERR {str(exc)[:100]}"))
             continue
-        s = flag_for(plan)
-        if s is not None:
+        for s in flags_for(plan):
             flagged.append((name, s))
     spark.stop()
     return flagged, total

@@ -579,7 +579,10 @@ def build_replica_dir(spark, sf_dir: str, factor: int, out_dir: str) -> None:
             rep.drop("_k").repartition(32).write.mode("overwrite").parquet(
                 str(dst)
             )
-        elif not dst.exists():
+        else:
+            # unconditional copy: an exists() skip kept tables from a
+            # PREVIOUS sf_dir when the probe was re-pointed, silently
+            # producing a mixed-scale catalog (r11 self-review)
             shutil.copyfile(src, dst)
 
 
@@ -594,10 +597,13 @@ def exponent_main(argv: list[str]) -> None:
     spark = get_spark("scale-exponent")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # dirs keyed by SOURCE sf name as well as factor, so re-pointing
+    # the probe at another sf_dir can never reuse the wrong replicas
     base = Path(__file__).resolve().parent.parent / ".tmp" / "scale_probe"
+    tag = Path(sf_dir.rstrip("/")).name
     dirs = {}
     for f in (1, factor):
-        d = str(base / f"x{f}")
+        d = str(base / f"{tag}_x{f}")
         build_replica_dir(spark, sf_dir, f, d)
         dirs[f] = d
     print(f"# exponent probe: factor={factor}, sf={sf_dir}")
