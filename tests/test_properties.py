@@ -1693,3 +1693,47 @@ def test_scd2_snapshot_builders_reject_duplicate_key_snap(spark):
         out = fn(good).collect()
         assert {r["user_id"] for r in out} == {7, 9}
         assert sum(1 for r in out if r["user_id"] == 7) == 1  # collapsed
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab 深度学習xヴ")), max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_shingle_units_match_python_reference(spark, texts, n):
+    """Both shingle units == the obvious sequential Python set, on
+    random mixed ASCII/CJK text including empties, runs, and
+    below-n documents (which must be ABSENT, not empty-row): char
+    n-grams are consecutive code-point substrings; word n-grams are
+    single-space-split joins. Exploded and array forms agree by the
+    shared-projection construction (also pinned in the CJK test)."""
+    from lakehouse_to_rag_spark.operators.dedup import word_shingles
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def ref(unit):
+        out = set()
+        for i, t in rows:
+            if unit == "char":
+                grams = {t[j:j + n] for j in range(len(t) - n + 1)}
+            else:
+                ws = t.split(" ")
+                grams = {
+                    " ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)
+                }
+            out |= {(i, g) for g in grams}
+        return out
+
+    for unit in ("word", "char"):
+        got = {
+            (r["id"], r["shingle"])
+            for r in word_shingles(df, "doc_id", "text", n, unit=unit).collect()
+        }
+        assert got == ref(unit), (unit, n, texts)
