@@ -2429,9 +2429,12 @@ def shingle_novelty(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    unit: str = "word",
 ) -> DataFrame:
     """Per-document NOVELTY: the fraction of a document's distinct
-    word n-gram shingles that appear in NO other document (corpus
+    n-gram shingles (``unit="word"`` or ``"char"`` — the char mode
+    scores unsegmented scripts, which word mode silently omits: see
+    ``word_shingles``) that appear in NO other document (corpus
     df == 1) — the cheap originality signal dual to the stop-shingle
     cap: boilerplate-heavy or templated documents score near 0, and
     documents quoted/duplicated elsewhere lose exactly the shared
@@ -2445,8 +2448,9 @@ def shingle_novelty(
     count window and the partial-agg groupBy on the id
     (plan-audited: 2 hash exchanges, shingle-keyed window). Integer
     flag sums with a single final IEEE division, so the 4dp ratio is
-    bit-stable. Documents with fewer than ``n`` words have no
-    shingles and are absent from the output.
+    bit-stable. Documents with fewer than ``n`` units (words, or
+    characters in char mode) have no shingles and are absent from
+    the output.
 
     Returns (id_col, n_shingles, n_unique, novelty 0..1)."""
     # explode_OUTER, not explode: for plain explode Catalyst infers a
@@ -2459,7 +2463,7 @@ def shingle_novelty(
     # one cheap row predicate on the parallel side and restores the
     # "docs with < n words are absent" contract.
     sh = (
-        shingle_arrays(df, id_col, text_col, n)
+        shingle_arrays(df, id_col, text_col, n, unit=unit)
         .select(F.col("id"), F.explode_outer("shingles").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
     )

@@ -2208,6 +2208,21 @@ def test_char_shingle_unit_catches_cjk_dups_word_mode_misses(spark):
     with pytest.raises(ValueError, match="unit"):
         ngram_jaccard_pairs(docs, "doc_id", "text", unit="byte")
 
+    # novelty in char mode scores the CJK docs word mode omits: the
+    # near-identical pair loses its shared shingles (novelty << 1),
+    # the unrelated doc keeps all of its own (novelty 1.0); in word
+    # mode all three CJK docs are absent (one giant "word" < n=3)
+    from lakehouse_to_rag_spark.operators.dedup import shingle_novelty
+
+    nov_w = {r["doc_id"] for r in shingle_novelty(docs).collect()}
+    assert nov_w == {4}
+    nov_c = {
+        r["doc_id"]: r["novelty"]
+        for r in shingle_novelty(docs, n=5, unit="char").collect()
+    }
+    assert set(nov_c) == {1, 2, 3, 4}
+    assert nov_c[3] == 1.0 and nov_c[1] < 0.2 and nov_c[2] < 0.2
+
     # winnowing needs no unit knob: its fingerprints are character
     # k-grams by construction (Schleimer et al.), so the MOSS report
     # already catches the CJK copied span word-shingling misses —
