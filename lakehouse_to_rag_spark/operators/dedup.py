@@ -496,6 +496,7 @@ def fuzzy_decontaminate(
     num_hashes: int = 64,
     rows_per_band: int = 2,
     max_broadcast_rows: int = 2_000_000,
+    unit: str = "word",
 ) -> DataFrame:
     """NEAR-DUPLICATE decontamination — the fuzzy form of
     ``bloom_decontaminate`` (which catches only exact n-gram overlap):
@@ -522,12 +523,18 @@ def fuzzy_decontaminate(
     joins fall back to shuffle hash/sort-merge on the SAME plan
     shape, instead of silently building an executor-OOM broadcast
     from a 10M-row "benchmark". Results are identical either way
-    (hint-only change; fallback-equality tested)."""
-    tsets = shingle_arrays(train, id_col, text_col, n).localCheckpoint(
-        eager=False
-    )
+    (hint-only change; fallback-equality tested).
+
+    ``unit="char"`` shingles both sides by character n-gram (see
+    ``word_shingles``) — a multilingual benchmark's unsegmented-script
+    items produce ZERO word shingles and would sail through word-mode
+    decontamination undetected."""
+    _shingle_unit(unit, "fuzzy_decontaminate")
+    tsets = shingle_arrays(
+        train, id_col, text_col, n, unit=unit
+    ).localCheckpoint(eager=False)
     bsets = shingle_arrays(
-        bench, bench_id_col, bench_text_col, n
+        bench, bench_id_col, bench_text_col, n, unit=unit
     ).localCheckpoint(eager=True)
     small = bsets.count() <= max_broadcast_rows
     maybe_bcast = F.broadcast if small else (lambda d: d)

@@ -2208,6 +2208,19 @@ def test_char_shingle_unit_catches_cjk_dups_word_mode_misses(spark):
     with pytest.raises(ValueError, match="unit"):
         ngram_jaccard_pairs(docs, "doc_id", "text", unit="byte")
 
+    # decontamination: a CJK benchmark item near-duplicated in the
+    # training set is INVISIBLE to word-mode fuzzy decontamination
+    # (zero word shingles on both sides) and caught in char mode
+    from lakehouse_to_rag_spark.operators.dedup import fuzzy_decontaminate
+
+    train = docs.filter("doc_id != 2")
+    bench = docs.filter("doc_id = 2")
+    assert fuzzy_decontaminate(train, bench, threshold=0.3).collect() == []
+    hits = fuzzy_decontaminate(
+        train, bench, n=5, threshold=0.3, unit="char"
+    ).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in hits] == [(1, 2)]
+
     # novelty in char mode scores the CJK docs word mode omits: the
     # near-identical pair loses its shared shingles (novelty << 1),
     # the unrelated doc keeps all of its own (novelty 1.0); in word
