@@ -178,6 +178,11 @@ def test_headline_plan_count_regression(spark, sf_dir):
         "domain_mix": (2, 4),
         "dedup_incremental": (2, 3),
         "knn_int8": (2, 3),
+        # r11 char-shingle entries: plan shape must stay EXACTLY the
+        # word twins' (6/4 exchanges, broadcast band/verify joins) —
+        # only the shingle expression differs
+        "dedup_ngram_jaccard_char": (2, 6),
+        "dedup_minhash_char": (2, 4),
     }
     for name, (max_scans, max_ex) in bounds.items():
         c = plan_counts(QUERIES[name](spark, sf_dir))
