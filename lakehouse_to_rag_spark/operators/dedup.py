@@ -825,14 +825,50 @@ def simhash_pairs(
     pair within hamming d < num_bands must agree on >= 1 block, so an
     equi-join on (block_idx, block_value) finds all candidates without
     an all-pairs product. Verification = bit_count(xor) on candidates.
+    Since r11 an INCOMPLETE banding (num_bands <= max_hamming) fails
+    closed instead of silently scanning approximately — pass
+    num_bands="auto" for the minimal-complete d+1 bands.
     """
     # localCheckpoint materializes the tiny (docs × 1 long) hash table
     # once; without it the self-join can recompute the full
     # explode+64-bit-sum pipeline for both sides when broadcast breaks
     # exchange reuse (same fix as minhash_lsh_pairs above)
+    num_bands = _resolve_bands(num_bands, max_hamming, "simhash_pairs")
     sim_fn = simhash_numpy if use_numpy else simhash
     sh = sim_fn(df, id_col, text_col).localCheckpoint(eager=False)
     return _banded_hamming_pairs(sh, 64, num_bands, max_hamming)
+
+
+def _resolve_bands(
+    num_bands: int | str, max_hamming: int, op_name: str
+) -> int:
+    """Resolve the pigeonhole band count. ``"auto"`` (the media-op
+    default since r11) = ``max_hamming + 1`` — the FEWEST bands that
+    keep the pigeonhole guarantee (d differing bits over d+1 blocks
+    leave >= 1 block clean), hence the WIDEST blocks and the highest
+    per-band selectivity. The r11 10x replication probe measured why
+    this matters: at 50k signatures the old 16-band/4-bit scheme put
+    a random pair in >= 1 common bucket with probability
+    1-(15/16)^16 ~ 64% — a near-quadratic candidate floor — while
+    7 bands x 9-bit blocks cut the same join 54.7 s -> 3.9 s (14x)
+    with an IDENTICAL pair set (any complete banding yields the same
+    verified output; equality is pinned in tests). An explicit int
+    must itself be complete: num_bands <= max_hamming would silently
+    MISS true pairs, so it fails closed."""
+    if num_bands == "auto":
+        return max_hamming + 1
+    if isinstance(num_bands, int):
+        if num_bands <= max_hamming:
+            raise ValueError(
+                f"{op_name}: num_bands={num_bands} is incomplete for "
+                f"max_hamming={max_hamming} — the pigeonhole guarantee "
+                f"needs num_bands > max_hamming (d diffs over d+1 "
+                "blocks); pairs would be silently missed."
+            )
+        return num_bands
+    raise ValueError(
+        f"{op_name}: num_bands must be an int or 'auto', got {num_bands!r}"
+    )
 
 
 def _banded(sh: DataFrame, n_bits: int, num_bands: int) -> DataFrame:
@@ -842,6 +878,11 @@ def _banded(sh: DataFrame, n_bits: int, num_bands: int) -> DataFrame:
     it; a banding change in one place cannot silently break the
     pigeonhole-completeness guarantee of the other."""
     bits_per = n_bits // num_bands
+    # trailing n_bits % num_bands bits are UNCOVERED by any block:
+    # harmless for completeness (diffs there break no block, so the
+    # pigeonhole count only improves) and for candidates (they can
+    # only ADD matches, which verification filters)
+    assert bits_per >= 1, (n_bits, num_bands)
     mask = (1 << bits_per) - 1
     blocks = F.array(
         *[
@@ -935,7 +976,11 @@ def simhash_pairs_md5(
     oracle-checkable variant (pigeonhole guarantee identical: hamming
     <= num_bands-1 pairs agree on >= 1 of the 15-bit blocks)."""
     sh = simhash_md5(df, id_col, text_col).localCheckpoint(eager=False)
-    return _banded_hamming_pairs(sh, 60, num_bands, max_hamming)
+    return _banded_hamming_pairs(
+        sh, 60,
+        _resolve_bands(num_bands, max_hamming, "simhash_pairs_md5"),
+        max_hamming,
+    )
 
 
 # -------------------------------------------- perceptual image dedup
@@ -946,7 +991,7 @@ def image_hash_pairs(
     payload_col: str = "payload",
     method: str = "phash",
     max_hamming: int = 6,
-    num_bands: int = 16,
+    num_bands: int | str = "auto",
 ) -> DataFrame:
     """Perceptual IMAGE near-dup pairs — content dedup for the
     multimodal column (crawl corpora are full of re-encoded/
@@ -967,6 +1012,7 @@ def image_hash_pairs(
     must be quarantined upstream, not silently skipped into a
     missed-duplicate.
     """
+    num_bands = _resolve_bands(num_bands, max_hamming, "image_hash_pairs")
     sh = image_signatures(images, id_col, payload_col, method)
     return _banded_hamming_pairs(sh, 64, num_bands, max_hamming)
 
@@ -1023,7 +1069,7 @@ def audio_fingerprint_pairs(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     max_hamming: int = 8,
-    num_bands: int = 16,
+    num_bands: int | str = "auto",
     n_frames: int = 64,
 ) -> DataFrame:
     """Perceptual AUDIO near-dup pairs — the audio leg of multimodal
@@ -1035,6 +1081,9 @@ def audio_fingerprint_pairs(
     fingerprints channel 0. Same scale shape as image_hash_pairs:
     one Arrow decode+hash pass, the join moves 8-byte signatures,
     never samples; decode failures fail closed."""
+    num_bands = _resolve_bands(
+        num_bands, max_hamming, "audio_fingerprint_pairs"
+    )
     sh = audio_signatures(audio, id_col, payload_col, n_frames)
     return _banded_hamming_pairs(sh, 64, num_bands, max_hamming)
 
@@ -1090,7 +1139,7 @@ def video_keyframe_pairs(
     every_n: int = 1,
     method: str = "phash",
     max_hamming: int = 6,
-    num_bands: int = 16,
+    num_bands: int | str = "auto",
     min_matching_frames: int = 2,
 ) -> DataFrame:
     """Perceptual VIDEO near-dup pairs by keyframe voting — the video
@@ -1149,7 +1198,11 @@ def video_keyframe_pairs(
         F.col("frame_payload").alias("payload"),
     )
     sigs = image_signatures(keyed, "doc_id", "payload", method)
-    pairs = _banded_hamming_pairs(sigs, 64, num_bands, max_hamming)
+    pairs = _banded_hamming_pairs(
+        sigs, 64,
+        _resolve_bands(num_bands, max_hamming, "video_keyframe_pairs"),
+        max_hamming,
+    )
     # the vote counts DISTINCT matched frames on the WEAKER side, not
     # matched pairs: a static clip whose frames all share one
     # signature would otherwise inflate a single visual coincidence
@@ -1222,7 +1275,7 @@ def incremental_media_dedup(
     incoming_sigs: DataFrame,
     snapshot_sigs: DataFrame,
     max_hamming: int = 6,
-    num_bands: int = 16,
+    num_bands: int | str = "auto",
 ) -> DataFrame:
     """Admit only the incoming media whose perceptual signature is
     NEW — the continuous-ingest companion to the one-shot
@@ -1251,6 +1304,9 @@ def incremental_media_dedup(
     roots. Inputs are (id, simhash) tables from
     ``image_signatures``/``audio_signatures``; output is the admitted
     (id, simhash) rows."""
+    num_bands = _resolve_bands(
+        num_bands, max_hamming, "incremental_media_dedup"
+    )
     fresh = incoming_sigs.join(
         _banded_hamming_matches(
             incoming_sigs, snapshot_sigs, 64, num_bands, max_hamming
@@ -1275,7 +1331,7 @@ def admit_media_batch(
     media: str = "image",
     method: str = "phash",
     max_hamming: int = 6,
-    num_bands: int = 16,
+    num_bands: int | str = "auto",
 ) -> DataFrame:
     """One turn of the continuous perceptual-ingest loop: hash the
     incoming media, dedup against the signature table at

@@ -3307,11 +3307,15 @@ def image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.mapInPandas(_synth, schema=payload_schema), "doc_id", "payload"
     )
     base_mod = F.expr("(id div 2) % 3")
+    # num_bands rides the r11 "auto" default (minimal-complete
+    # d+1 bands): output is banding-invariant for any complete
+    # banding — the oracle's own 16-band SQL replay emits the same
+    # verified pair set — and the 10x probe measured 14x off this
+    # join (54.7 s -> 3.9 s at 50k signatures; SCALE.md r11)
     return incremental_media_dedup(
         sigs.filter(base_mod.isin(1, 2)),
         sigs.filter(base_mod.isin(0, 1)),
         max_hamming=6,
-        num_bands=16,
     )
 
 
@@ -3414,8 +3418,9 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     audio = d.mapInPandas(_synth, schema=payload_schema)
+    # auto bands (r11): complete banding => banding-invariant output
     return audio_fingerprint_pairs(
-        audio, "doc_id", "payload", max_hamming=8, num_bands=16
+        audio, "doc_id", "payload", max_hamming=8
     )
 
 
@@ -3456,9 +3461,10 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     images = d.mapInPandas(_synth, schema=payload_schema)
+    # auto bands (r11): complete banding => banding-invariant output
     return image_hash_pairs(
         images, "doc_id", "payload", method="phash",
-        max_hamming=6, num_bands=16,
+        max_hamming=6,
     )
 
 
@@ -9228,6 +9234,17 @@ _PINS: list[str] = [
     # raise_error riding the n_rel aggregate — same metrics for valid
     # input, but the gated plan gained a per-query distinct-doc count.
     "retrieval_eval_metrics",
+    # r11: the media banded-hamming joins moved from 16 bands x 4-bit
+    # blocks to the minimal-complete d+1 bands (the 10x probe's 14x
+    # find) — output is provably banding-invariant (equality-tested
+    # vs the 16-band scheme) and ALL THREE media entries
+    # (image_dedup_incremental, audio_fingerprint_dedup,
+    # image_phash_dedup) re-gated hash-green at sf0.001+sf0.01
+    # in-session. One pin faces the gate for the shared-_banded
+    # change (the r10 dedup_ngram_containment precedent — pinning all
+    # three would push the cycle bound past 5); this one exercises
+    # BOTH the two-table and self-join banded forms.
+    "image_dedup_incremental",
     #
     # NOT pinned though touched this round (rationale on record):
     # scd2_user_type_snapshots (scd2_from_snapshots' duplicate-row

@@ -41,7 +41,12 @@ def test_simhash_flags_planted_dups(spark, sf_dir):
             docs, "doc_id", "text", 3, 0.9, max_shingle_df=None
         )
     )
-    sim = _pair_set(simhash_pairs(docs, "doc_id", "text", max_hamming=10))
+    # num_bands=11: complete banding for hamming 10 (r11 — the old
+    # default-4-band call was silently incomplete past hamming 3 and
+    # now fails closed)
+    sim = _pair_set(
+        simhash_pairs(docs, "doc_id", "text", max_hamming=10, num_bands=11)
+    )
     if exact:  # very-near dups must collide within 10 bits
         hit = len(sim & exact) / len(exact)
         assert hit >= 0.5, (hit, exact - sim)

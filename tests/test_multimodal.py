@@ -1906,3 +1906,51 @@ class TestVideoKeyframeDedup:
             video_keyframe_pairs(lone, every_n=1, min_matching_frames=1)
             .count() == 0
         )
+
+
+class TestBandingInvariance:
+    def test_complete_bandings_agree_and_incomplete_fails_closed(
+        self, spark
+    ):
+        """r11 minimal-complete banding: ANY complete banding (bands >
+        max_hamming) yields the IDENTICAL verified pair set — pinned
+        by equality of the auto default (d+1 bands, the 14x-cheaper
+        join at 50k sigs) against the old 16-band scheme on synthetic
+        signatures with planted near/far pairs; an incomplete band
+        count would silently MISS pairs, so it raises instead."""
+        import pytest
+
+        from lakehouse_to_rag_spark.operators.dedup import (
+            _banded_hamming_pairs,
+            incremental_media_dedup,
+        )
+
+        # planted: pairs (2k, 2k+1) differ in <= 6 bits; bases far
+        base = [((i * 0x9E3779B97F4A7C15) & 0x7FFFFFFFFFFFFFFF)
+                for i in range(200)]
+        rows = []
+        for i, b in enumerate(base):
+            rows.append((2 * i, b))
+            rows.append((2 * i + 1, b ^ (0b101 << (i % 60))))  # 2-bit flip
+        sigs = spark.createDataFrame(rows, "id long, simhash long")
+
+        outs = {}
+        for nb in (7, 8, 16):
+            outs[nb] = sorted(
+                (r["id_a"], r["id_b"], r["hamming"])
+                for r in _banded_hamming_pairs(sigs, 64, nb, 6).collect()
+            )
+        assert outs[7] == outs[8] == outs[16]
+        assert len(outs[7]) >= 200  # every planted pair found
+
+        inc = sigs.filter("id % 4 < 2")
+        snap = sigs.filter("id % 4 >= 2")
+        a = sorted(map(tuple, incremental_media_dedup(inc, snap).collect()))
+        b = sorted(map(tuple, incremental_media_dedup(
+            inc, snap, num_bands=16).collect()))
+        assert a == b
+
+        with pytest.raises(ValueError, match="incomplete"):
+            incremental_media_dedup(inc, snap, max_hamming=6, num_bands=6)
+        with pytest.raises(ValueError, match="num_bands"):
+            incremental_media_dedup(inc, snap, num_bands="many")

@@ -403,7 +403,7 @@ def main() -> None:
     n_media = 500 * factor
     imgs = spark.range(n_media).repartition(32).mapInPandas(_img, schema=pay_schema)
     t0 = time.perf_counter()
-    n = image_hash_pairs(imgs, method="phash", max_hamming=6, num_bands=16).count()
+    n = image_hash_pairs(imgs, method="phash", max_hamming=6).count()
     print(f"image_hash_pairs({n_media}): {time.perf_counter() - t0:.1f}s pairs={n}")
 
     def _aud(batches):
@@ -416,7 +416,7 @@ def main() -> None:
 
     auds = spark.range(n_media).repartition(32).mapInPandas(_aud, schema=pay_schema)
     t0 = time.perf_counter()
-    n = audio_fingerprint_pairs(auds, max_hamming=8, num_bands=16).count()
+    n = audio_fingerprint_pairs(auds, max_hamming=8).count()
     print(f"audio_fingerprint_pairs({n_media}): {time.perf_counter() - t0:.1f}s pairs={n}")
 
     # r6: unigram-LM — trainer is sample-bounded (invariant to corpus
