@@ -840,7 +840,10 @@ def simhash_pairs(
 
 
 def _resolve_bands(
-    num_bands: int | str, max_hamming: int, op_name: str
+    num_bands: int | str,
+    max_hamming: int,
+    op_name: str,
+    n_bits: int = 64,
 ) -> int:
     """Resolve the pigeonhole band count. ``"auto"`` (the media-op
     default since r11) = ``max_hamming + 1`` — the FEWEST bands that
@@ -856,8 +859,8 @@ def _resolve_bands(
     must itself be complete: num_bands <= max_hamming would silently
     MISS true pairs, so it fails closed."""
     if num_bands == "auto":
-        return max_hamming + 1
-    if isinstance(num_bands, int):
+        num_bands = max_hamming + 1
+    elif isinstance(num_bands, int):
         if num_bands <= max_hamming:
             raise ValueError(
                 f"{op_name}: num_bands={num_bands} is incomplete for "
@@ -865,10 +868,25 @@ def _resolve_bands(
                 f"needs num_bands > max_hamming (d diffs over d+1 "
                 "blocks); pairs would be silently missed."
             )
-        return num_bands
-    raise ValueError(
-        f"{op_name}: num_bands must be an int or 'auto', got {num_bands!r}"
-    )
+    else:
+        raise ValueError(
+            f"{op_name}: num_bands must be an int or 'auto', "
+            f"got {num_bands!r}"
+        )
+    # feasibility (ADVICE r11): num_bands > n_bits makes bits_per == 0
+    # in _banded — under `python -O` the assert there is stripped, the
+    # mask becomes 0, every row shares one bucket per band, and the
+    # join silently degenerates to a full cross product. Fail closed
+    # here with the operator named.
+    if num_bands > n_bits:
+        raise ValueError(
+            f"{op_name}: num_bands={num_bands} exceeds the signature "
+            f"width n_bits={n_bits} — blocks would be under one bit "
+            "wide and the banded join would degenerate to a cross "
+            "product. Hamming radii >= n_bits admit every pair; use a "
+            "direct verification scan instead of banding."
+        )
+    return num_bands
 
 
 def _banded(sh: DataFrame, n_bits: int, num_bands: int) -> DataFrame:
@@ -882,7 +900,12 @@ def _banded(sh: DataFrame, n_bits: int, num_bands: int) -> DataFrame:
     # harmless for completeness (diffs there break no block, so the
     # pigeonhole count only improves) and for candidates (they can
     # only ADD matches, which verification filters)
-    assert bits_per >= 1, (n_bits, num_bands)
+    if bits_per < 1:  # not assert: `python -O` strips asserts and a
+        # 0-bit mask degenerates the join to a cross product
+        raise ValueError(
+            f"_banded: num_bands={num_bands} > n_bits={n_bits}; "
+            "callers must resolve bands via _resolve_bands"
+        )
     mask = (1 << bits_per) - 1
     blocks = F.array(
         *[
@@ -978,7 +1001,7 @@ def simhash_pairs_md5(
     sh = simhash_md5(df, id_col, text_col).localCheckpoint(eager=False)
     return _banded_hamming_pairs(
         sh, 60,
-        _resolve_bands(num_bands, max_hamming, "simhash_pairs_md5"),
+        _resolve_bands(num_bands, max_hamming, "simhash_pairs_md5", 60),
         max_hamming,
     )
 

@@ -2317,17 +2317,22 @@ def knn_hard_negatives(
         StructType,
     )
 
-    q_narrow = queries.select(id_col, vec_col, label_col).localCheckpoint(
-        eager=True
-    )
-    n_q = q_narrow.count()
-    if n_q > max_broadcast_rows:
+    # bound check BEFORE the eager checkpoint (ADVICE r11): the
+    # limit(N+1).count() probe stops scanning past the bound, so an
+    # over-bound corpus-sized query table is refused without first
+    # materializing it to executor storage — the expensive work the
+    # guard exists to avoid
+    q_plain = queries.select(id_col, vec_col, label_col)
+    probe = q_plain.limit(max_broadcast_rows + 1).count()
+    if probe > max_broadcast_rows:
         raise ValueError(
-            f"knn_hard_negatives: query set has {n_q} rows > "
-            f"max_broadcast_rows={max_broadcast_rows}; the broadcast-"
-            "queries GEMM contract is bounded. Use the IVF family for "
-            "corpus-scale query sets or raise the bound deliberately."
+            f"knn_hard_negatives: query set has > "
+            f"max_broadcast_rows={max_broadcast_rows} rows; the "
+            "broadcast-queries GEMM contract is bounded. Use the IVF "
+            "family for corpus-scale query sets or raise the bound "
+            "deliberately."
         )
+    q_narrow = q_plain.localCheckpoint(eager=True)
     q_rows = q_narrow.collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)

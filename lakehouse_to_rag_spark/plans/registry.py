@@ -9217,47 +9217,22 @@ _CANARIES: list[str] = [
 # Remove a pin once its fresh green row is recorded; new registry
 # entries need no pin (never-checked == stalest == auto-included).
 _PINS: list[str] = [
-    # All three r10 pins (scd2_incremental, scd2_enrich_events,
-    # dedup_ngram_containment) recorded their green rows
-    # (CORRECTNESS_r10: all PASS) and are dropped per the growth
-    # policy — a pin is a one-round artifact. This round's changed
-    # gated implementations:
-    #
-    # r11 (ADVICE r10): embedding_diversity's zero-vector exclusion
-    # gained the forall(isNotNull) conjunct restoring the original
-    # _ss > 0 semantics for mixed null/non-zero vectors — identical
-    # output on the null-free gated fixture, but the gated plan
-    # changed shape (new scan predicate).
-    "embedding_diversity",
-    # r11 (ADVICE r10): retrieval_metrics' duplicate-qrels fail-close
-    # moved from an eager driver-side .collect() to a lazy
-    # raise_error riding the n_rel aggregate — same metrics for valid
-    # input, but the gated plan gained a per-query distinct-doc count.
-    "retrieval_eval_metrics",
-    # r11: the media banded-hamming joins moved from 16 bands x 4-bit
-    # blocks to the minimal-complete d+1 bands (the 10x probe's 14x
-    # find) — output is provably banding-invariant (equality-tested
-    # vs the 16-band scheme) and ALL THREE media entries
-    # (image_dedup_incremental, audio_fingerprint_dedup,
-    # image_phash_dedup) re-gated hash-green at sf0.001+sf0.01
-    # in-session. One pin faces the gate for the shared-_banded
-    # change (the r10 dedup_ngram_containment precedent — pinning all
-    # three would push the cycle bound past 5); this one exercises
-    # BOTH the two-table and self-join banded forms.
-    "image_dedup_incremental",
+    # All three r11 pins (embedding_diversity, retrieval_eval_metrics,
+    # image_dedup_incremental) recorded their green rows
+    # (CORRECTNESS_r11: all PASS, first 50/50 hash-green window) and
+    # are dropped per the one-round policy (VERDICT r11 task 1).
+    # This round's changed gated implementations are pinned below as
+    # they land.
     #
     # NOT pinned though touched this round (rationale on record):
-    # scd2_user_type_snapshots (scd2_from_snapshots' duplicate-row
-    # raise branch now casts to the attribute's OWN type instead of
-    # "string" — for the gated entry's string attr the expression is
-    # literally identical; the fix only changes typing for non-string
-    # attrs, covered by a new property test). docs_char_entropy
-    # (documentation-only: the code-point/grapheme caveat; fixture
-    # ASCII-pin added in tests, no plan or output change).
-    # knn_hard_negatives (new fail-closed max_broadcast_rows guard on
-    # the query set — cannot alter output for any call under the
-    # bound, which every gated/benched call is; covered by a property
-    # test).
+    # knn_hard_negatives (ADVICE r11: the max_broadcast_rows probe
+    # moved BEFORE the eager checkpoint via limit(N+1).count() —
+    # cannot alter output for any call under the bound, which every
+    # gated/benched call is). The banded-hamming family
+    # (_resolve_bands gained the num_bands <= n_bits feasibility
+    # check, ADVICE r11 — pure added validation; every previously
+    # valid call resolves to the identical band count, covered by a
+    # unit test).
 ]
 
 

@@ -1954,3 +1954,19 @@ class TestBandingInvariance:
             incremental_media_dedup(inc, snap, max_hamming=6, num_bands=6)
         with pytest.raises(ValueError, match="num_bands"):
             incremental_media_dedup(inc, snap, num_bands="many")
+        # feasibility (ADVICE r11): more bands than signature bits
+        # would make zero-bit blocks — fail closed instead of an
+        # opaque assert (stripped under -O -> silent cross product)
+        with pytest.raises(ValueError, match="signature"):
+            incremental_media_dedup(inc, snap, max_hamming=64,
+                                    num_bands="auto")
+        with pytest.raises(ValueError, match="signature"):
+            incremental_media_dedup(inc, snap, max_hamming=6,
+                                    num_bands=65)
+        # every previously valid call resolves identically: the added
+        # check only rejects, never re-bands (registry NOT-pinned
+        # rationale)
+        from lakehouse_to_rag_spark.operators.dedup import _resolve_bands
+        assert _resolve_bands("auto", 6, "t") == 7
+        assert _resolve_bands(16, 6, "t") == 16
+        assert _resolve_bands("auto", 3, "t", 60) == 4

@@ -582,7 +582,16 @@ def build_replica_dir(spark, sf_dir: str, factor: int, out_dir: str) -> None:
         else:
             # unconditional copy: an exists() skip kept tables from a
             # PREVIOUS sf_dir when the probe was re-pointed, silently
-            # producing a mixed-scale catalog (r11 self-review)
+            # producing a mixed-scale catalog (r11 self-review).
+            # A stale Spark-written DIRECTORY at dst (earlier run with
+            # a different _REPLICATED set) would make copyfile raise
+            # IsADirectoryError — remove whatever is there first
+            # (ADVICE r11), mirroring the overwrite semantics of the
+            # replicated branch.
+            if dst.is_dir():
+                shutil.rmtree(dst)
+            elif dst.exists():
+                dst.unlink()
             shutil.copyfile(src, dst)
 
 
