@@ -86,6 +86,85 @@ def _char_shingle_expr(n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+_CHAR_SLICE_LEN = 4096
+_CHAR_ARRAY_MAX_TEXT_LEN = 100_000
+
+
+def _char_slices_expr(n: int, slice_len: int = _CHAR_SLICE_LEN):
+    """Array of overlapping fixed-size slices of `_text` — the
+    bounded-memory form of char shingling (VERDICT r11 task 5): the
+    naive ``transform(sequence(1, len-n+1), substr)`` materializes an
+    O(len * n) array of n-char strings per ROW before explode, so a
+    1 MB document becomes tens of MB of string objects inside a single
+    row — the executor-OOM shape the family otherwise avoids. Slices
+    of ``slice_len + n - 1`` chars starting every ``slice_len``
+    positions (n-1 overlap) cover every global shingle position
+    EXACTLY once: position p (1-based, p <= len-n+1) falls in slice
+    k = floor((p-1)/slice_len) at local offset p - k*slice_len in
+    [1, slice_len], and the overlap guarantees the full n chars are
+    inside the slice. The slices array is O(len) CHARS but only
+    ceil(len/slice_len) strings (object overhead amortized 4096x);
+    after explode each row holds one 4 KB slice and the per-slice
+    shingle array is O(slice_len * n) — bounded regardless of
+    document length. Last slice index = floor((len-n)/slice_len):
+    later slices could hold no complete shingle start."""
+    t = F.col("_text")
+    last = F.floor((F.length(t) - F.lit(n)) / F.lit(slice_len)).cast("int")
+    return F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), last),
+            lambda k: t.substr(k * slice_len + 1, F.lit(slice_len + n - 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _slice_shingle_expr(n: int):
+    """Char n-gram shingles WITHIN a materialized `_slice` column —
+    same substring/code-point semantics as ``_char_shingle_expr``,
+    bounded by the slice width. Local positions run to
+    length(slice) - n + 1, which never exceeds slice_len (slices are
+    slice_len + n - 1 wide), so no position is double-counted across
+    the n-1 overlap."""
+    s = F.col("_slice")
+    idx = F.sequence(F.lit(1), F.length(s) - (n - 1))
+    return F.when(
+        F.length(s) >= n, F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _guarded_char_text(max_text_len: int | None, op_name: str):
+    """`_text` with a LAZY fail-closed length bound (the
+    ``max_broadcast_rows`` convention, riding the row like
+    retrieval_metrics' qrels guard — no extra action, no extra pass):
+    the per-row char-shingle ARRAY form is O(len) strings in ONE row,
+    so past the bound the correct move is the exploded chunked form
+    (``word_shingles(unit='char')``), not a silent multi-MB row."""
+    t = F.col("_text")
+    if max_text_len is None:
+        return t
+    if max_text_len < 1:
+        raise ValueError(
+            f"{op_name}: max_text_len must be >= 1 or None, "
+            f"got {max_text_len}"
+        )
+    return F.when(F.length(t) <= max_text_len, t).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op_name}: document of "),
+                F.length(t).cast("string"),
+                F.lit(
+                    f" code points exceeds max_text_len={max_text_len}; "
+                    "the per-row char-shingle array is O(len) strings in "
+                    "one row (executor-OOM shape). Use the exploded "
+                    "chunked form (word_shingles unit='char') for long "
+                    "documents, or raise the bound deliberately."
+                ),
+            )
+        )
+    )
+
+
 def _shingle_unit(unit: str, op_name: str) -> None:
     if unit not in ("word", "char"):
         raise ValueError(
@@ -118,12 +197,35 @@ def word_shingles(
     split yields one giant token and word mode silently produces zero
     shingles — exactly the documents that would otherwise escape
     near-dup detection in a multilingual corpus. Same banding/capping
-    downstream; only the shingle universe changes."""
+    downstream; only the shingle universe changes.
+
+    Char mode is CHUNKED (r12 — VERDICT r11 task 5): explode the text
+    into 4 KB slices with n-1 overlap first, then shingle within each
+    slice — per-row memory is O(slice), not O(document), so a 1 MB
+    document never materializes a multi-MB shingle array in one row.
+    The produced (id, shingle) SET is identical to the naive form
+    (each global position covered exactly once; equality-tested
+    across slice widths). explode_outer + null filter, not plain
+    explode, at BOTH levels: Catalyst infers size>0 on plain explode
+    and pushes it below the parallelizing repartition with the whole
+    array expression inlined (the shingle_novelty trap — the slicing
+    would run twice per row inside the single-split scan)."""
     _shingle_unit(unit, "word_shingles")
     if unit == "char":
-        return (
+        sliced = (
             _with_chars(df, id_col, text_col)
-            .select(F.col("id"), F.explode(_char_shingle_expr(n)).alias("shingle"))
+            .select(
+                F.col("id"),
+                F.explode_outer(_char_slices_expr(n)).alias("_slice"),
+            )
+            .filter(F.col("_slice").isNotNull())
+        )
+        return (
+            sliced.select(
+                F.col("id"),
+                F.explode_outer(_slice_shingle_expr(n)).alias("shingle"),
+            )
+            .filter(F.col("shingle").isNotNull())
             .distinct()
         )
     return (
@@ -243,6 +345,7 @@ def ngram_jaccard_pairs(
 def shingle_arrays(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
     unit: str = "word",
+    max_text_len: int | None = _CHAR_ARRAY_MAX_TEXT_LEN,
 ) -> DataFrame:
     """Distinct n-gram shingles per document as ONE array column:
     (id, shingles: array<string>). Unlike ``word_shingles`` (the
@@ -252,10 +355,26 @@ def shingle_arrays(
     even at 100 TB corpus scale. ``unit="char"`` shingles by
     character n-gram (the unsegmented-script mode — see
     ``word_shingles``); the MinHash/LSH pipeline downstream is
-    unit-agnostic."""
+    unit-agnostic.
+
+    The "documents are bounded" assumption is a GUARDED CONTRACT for
+    char mode (r12 — VERDICT r11 task 5): the per-row char-shingle
+    array is O(len) strings in ONE row, so a document longer than
+    ``max_text_len`` code points (default 100k) raises lazily at
+    first execution (the retrieval_metrics convention — the check
+    rides the row, no extra action) instead of silently building a
+    multi-MB single-row array. ``None`` = unbounded (caller accepts
+    the memory shape); long-document corpora should use the exploded
+    CHUNKED form instead. Word mode is not bounded here: the split
+    array is already materialized one word per element and the
+    shingle array is the same order of size."""
     _shingle_unit(unit, "shingle_arrays")
     if unit == "char":
-        return _with_chars(df, id_col, text_col).select(
+        guarded = _with_chars(df, id_col, text_col).select(
+            F.col("id"),
+            _guarded_char_text(max_text_len, "shingle_arrays").alias("_text"),
+        )
+        return guarded.select(
             F.col("id"),
             F.array_distinct(_char_shingle_expr(n)).alias("shingles"),
         )
@@ -299,6 +418,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     unit: str = "word",
+    max_text_len: int | None = _CHAR_ARRAY_MAX_TEXT_LEN,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
     ``unit="char"`` shingles by character n-gram (the
@@ -328,7 +448,7 @@ def minhash_lsh_pairs(
     # arrays and verification joins back to them — without the
     # checkpoint the text would be split+shingled twice (once per use)
     sets = shingle_arrays(
-        df, id_col, text_col, n, unit=unit
+        df, id_col, text_col, n, unit=unit, max_text_len=max_text_len
     ).localCheckpoint(eager=False)
 
     # signature + band construction is the SHARED _minhash_band_rows
@@ -497,6 +617,7 @@ def fuzzy_decontaminate(
     rows_per_band: int = 2,
     max_broadcast_rows: int = 2_000_000,
     unit: str = "word",
+    max_text_len: int | None = _CHAR_ARRAY_MAX_TEXT_LEN,
 ) -> DataFrame:
     """NEAR-DUPLICATE decontamination — the fuzzy form of
     ``bloom_decontaminate`` (which catches only exact n-gram overlap):
@@ -531,10 +652,11 @@ def fuzzy_decontaminate(
     decontamination undetected."""
     _shingle_unit(unit, "fuzzy_decontaminate")
     tsets = shingle_arrays(
-        train, id_col, text_col, n, unit=unit
+        train, id_col, text_col, n, unit=unit, max_text_len=max_text_len
     ).localCheckpoint(eager=False)
     bsets = shingle_arrays(
-        bench, bench_id_col, bench_text_col, n, unit=unit
+        bench, bench_id_col, bench_text_col, n, unit=unit,
+        max_text_len=max_text_len,
     ).localCheckpoint(eager=True)
     small = bsets.count() <= max_broadcast_rows
     maybe_bcast = F.broadcast if small else (lambda d: d)
@@ -2516,6 +2638,7 @@ def shingle_novelty(
     text_col: str = "text",
     n: int = 3,
     unit: str = "word",
+    max_text_len: int | None = _CHAR_ARRAY_MAX_TEXT_LEN,
 ) -> DataFrame:
     """Per-document NOVELTY: the fraction of a document's distinct
     n-gram shingles (``unit="word"`` or ``"char"`` — the char mode
@@ -2549,7 +2672,8 @@ def shingle_novelty(
     # one cheap row predicate on the parallel side and restores the
     # "docs with < n words are absent" contract.
     sh = (
-        shingle_arrays(df, id_col, text_col, n, unit=unit)
+        shingle_arrays(df, id_col, text_col, n, unit=unit,
+                       max_text_len=max_text_len)
         .select(F.col("id"), F.explode_outer("shingles").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
     )

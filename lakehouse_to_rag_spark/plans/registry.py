@@ -9224,6 +9224,18 @@ _PINS: list[str] = [
     # This round's changed gated implementations are pinned below as
     # they land.
     #
+    # r12 (VERDICT r11 task 5): char shingling's exploded form is now
+    # CHUNKED (4 KB slices with n-1 overlap — per-row memory O(slice)
+    # instead of O(document)); identical shingle set (boundary-
+    # parametrized equality test) but the gated plan changed shape
+    # (two-level explode_outer).
+    "dedup_ngram_jaccard_char",
+    # r12 (VERDICT r11 task 5): the ARRAY shingle form gained the
+    # lazy fail-closed max_text_len bound (100k code points — the
+    # per-row char-shingle array is O(len) strings in one row); the
+    # guard CASE WHEN rides the gated minhash-char plan.
+    "dedup_minhash_char",
+    #
     # NOT pinned though touched this round (rationale on record):
     # knn_hard_negatives (ADVICE r11: the max_broadcast_rows probe
     # moved BEFORE the eager checkpoint via limit(N+1).count() —

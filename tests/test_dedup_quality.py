@@ -2251,3 +2251,101 @@ def test_char_shingle_unit_catches_cjk_dups_word_mode_misses(spark):
 
     wm = winnow_matches(docs, k=8, w=4, min_shared=1)
     assert {(r["id_a"], r["id_b"]) for r in wm.collect()} >= {(1, 2)}
+
+
+def test_chunked_char_shingles_equal_naive_and_long_docs_bounded(spark):
+    """r12 (VERDICT r11 task 5): char shingling is CHUNKED in the
+    exploded form (4 KB slices with n-1 overlap — per-row memory
+    O(slice), not O(document)) and BOUNDED in the array form (lazy
+    fail-closed max_text_len). The chunked set must equal the naive
+    all-positions set at every slice-boundary length, and a long doc
+    must flow through the exploded form while the array form refuses
+    it."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_to_rag_spark.operators.dedup import (
+        _char_slices_expr,
+        _slice_shingle_expr,
+        minhash_lsh_pairs,
+        shingle_arrays,
+        word_shingles,
+    )
+
+    def synth(length: int) -> str:
+        out = []
+        i = 0
+        while len("".join(out)) < length:
+            out.append(hashlib.md5(str(i).encode()).hexdigest())
+            i += 1
+        return "".join(out)[:length]
+
+    # every boundary around a small slice width S=16: empty, sub-n,
+    # exactly n, around S, around the slice width S+n-1, multi-slice
+    n, S = 5, 16
+    lengths = [0, 1, n - 1, n, S - 1, S, S + 1, S + n - 2, S + n - 1,
+               S + n, 2 * S, 2 * S + 3, 3 * S + 1]
+    rows = [(i, synth(ln)) for i, ln in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "id long, _text string")
+    sliced = (
+        df.select("id", F.explode_outer(_char_slices_expr(n, S)).alias("_slice"))
+        .filter(F.col("_slice").isNotNull())
+    )
+    got = {
+        (r["id"], r["s"])
+        for r in sliced.select(
+            "id", F.explode_outer(_slice_shingle_expr(n)).alias("s")
+        ).filter(F.col("s").isNotNull()).collect()
+    }
+    want = {
+        (i, t[p:p + n])
+        for i, t in rows
+        for p in range(len(t) - n + 1)
+    }
+    assert got == want
+
+    # end-to-end: a "long" document through the production slice width
+    # (the 4096 default — one doc spanning several slices) yields the
+    # exact naive shingle set, and the planted near-dup pair is found
+    # by the banded scale path over chunked shingles
+    long_a = synth(13_000)
+    long_b = long_a[:6_500] + "X" + long_a[6_501:]  # 1-char edit
+    docs = spark.createDataFrame(
+        [(1, long_a), (2, long_b), (3, synth(400)[::-1])],
+        "doc_id long, text string",
+    )
+    exploded = {
+        (r["id"], r["shingle"])
+        for r in word_shingles(docs, "doc_id", "text", n=n, unit="char")
+        .collect()
+    }
+    want_long = {
+        (i, t[p:p + n])
+        for i, t in [(1, long_a), (2, long_b), (3, synth(400)[::-1])]
+        for p in range(len(t) - n + 1)
+    }
+    assert exploded == want_long
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=n, threshold=0.5, unit="char",
+            max_text_len=None,
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+
+    # the ARRAY form fails closed past max_text_len (default 100k; an
+    # explicit small bound here so the test corpus stays small), and
+    # None opts out
+    with pytest.raises(Exception, match="max_text_len"):
+        shingle_arrays(
+            docs, "doc_id", "text", n=n, unit="char", max_text_len=1000
+        ).collect()
+    ok = shingle_arrays(
+        docs, "doc_id", "text", n=n, unit="char", max_text_len=None
+    ).collect()
+    assert {r["id"] for r in ok} == {1, 2, 3}
+    with pytest.raises(ValueError, match="max_text_len"):
+        shingle_arrays(docs, "doc_id", "text", unit="char", max_text_len=0)
