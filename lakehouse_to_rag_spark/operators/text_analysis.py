@@ -405,44 +405,101 @@ def vocab_builder(
     )
 
 
+def _positional_char_grams(base: DataFrame, n: int) -> DataFrame:
+    """(id, pos, gram) char n-grams with GLOBAL 1-based positions from
+    a (id, t) frame — the char-unit gram miner shared by the span
+    detection and removal operators (VERDICT r11 task 3). Chunked per
+    the r12 shingling discipline: the text explodes into 4 KB slices
+    with n-1 overlap FIRST (posexplode carries the slice index, so
+    global pos = slice_idx * slice_len + local_pos), and the per-slice
+    gram array is O(slice), never O(document). Positions are covered
+    exactly once (the _char_slices_expr pigeonhole); repeats inside a
+    doc are PRESERVED (no distinct — occurrence counts matter to the
+    span semantics). Same substring/code-point semantics as the
+    char-shingle family, so the DuckDB oracle holds beyond ASCII."""
+    from lakehouse_to_rag_spark.operators.dedup import (
+        _CHAR_SLICE_LEN,
+        _char_slices_expr,
+    )
+
+    S = _CHAR_SLICE_LEN
+    sliced = (
+        base.select(F.col("id"), F.col("t").alias("_text"))
+        .select(
+            "id",
+            F.posexplode_outer(_char_slices_expr(n, S)).alias("_k", "_slice"),
+        )
+        .filter(F.col("_slice").isNotNull())
+    )
+    gram_structs = F.when(
+        F.length("_slice") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length("_slice") - (n - 1)),
+            lambda i: F.struct(
+                (F.col("_k") * S + i).cast("int").alias("pos"),
+                F.col("_slice").substr(i, F.lit(n)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    return (
+        sliced.select("id", F.explode_outer(gram_structs).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("id", "g.pos", "g.gram")
+    )
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
     min_docs: int = 2,
+    unit: str = "word",
 ) -> DataFrame:
     """Sequence-level duplicate spans (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better"): word n-grams (with
     positions, NOT distinct — repeats inside a doc count) that occur
     in >= min_docs distinct documents. The shuffle carries one row per
     (gram, doc) after map-side combine; grams are the join currency,
-    never full texts."""
+    never full texts. ``unit="char"`` (r12 — VERDICT r11 task 3) mines
+    character n-grams instead: the whitespace split gives an
+    unsegmented-script (CJK/Thai) document ONE giant token, so word
+    mode sees no n-grams at all and duplicated spans in those
+    documents are invisible — the same hole the shingle family closed
+    in r11, now closed for the last word-only member of the dedup
+    family."""
+    from lakehouse_to_rag_spark.operators.dedup import _shingle_unit
     from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
 
+    _shingle_unit(unit, "duplicate_ngram_spans")
     base = maybe_parallelize(
         df.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias("id"), F.col(text_col).alias("t")
         )
     )
-    words = base.select(
-        "id",
-        F.filter(F.split(F.col("t"), " ", -1), lambda w: F.length(w) > 0).alias("ws"),
-    )
-    grams = words.select(
-        "id",
-        F.explode(
-            # sequence(1, stop) runs DESCENDING when stop < 1, so docs
-            # shorter than n must take the empty-array branch explicitly
-            F.when(
-                F.size("ws") >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - (n - 1)),
-                    lambda i: F.array_join(F.slice(F.col("ws"), i, n), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
-    )
+    if unit == "char":
+        grams = _positional_char_grams(base, n).select("id", "gram")
+    else:
+        words = base.select(
+            "id",
+            F.filter(
+                F.split(F.col("t"), " ", -1), lambda w: F.length(w) > 0
+            ).alias("ws"),
+        )
+        grams = words.select(
+            "id",
+            F.explode(
+                # sequence(1, stop) runs DESCENDING when stop < 1, so docs
+                # shorter than n must take the empty-array branch explicitly
+                F.when(
+                    F.size("ws") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                        lambda i: F.array_join(F.slice(F.col("ws"), i, n), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
     per_gram_doc = grams.groupBy("gram", "id").agg(
         F.count(F.lit(1)).alias("occ")
     )
@@ -664,6 +721,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     n: int = 5,
     min_docs: int = 2,
+    unit: str = "word",
 ) -> DataFrame:
     """The removal half of Lee et al. 2021 exact-substring dedup (the
     detection half is ``duplicate_ngram_spans``): excise every word
@@ -682,14 +740,91 @@ def remove_duplicate_spans(
     groupBy(id). Rebuild is a JVM (x, i) -> filter lambda over the
     original word array; docs with no duplicated span never shuffle
     text at all (left join keeps them with a NULL covered set).
-    """
+
+    ``unit="char"`` (r12 — VERDICT r11 task 3) excises COVERED
+    CHARACTERS instead: character n-grams with global positions (the
+    chunked miner — per-row memory O(slice)), the same
+    duplicated-gram join, then a per-doc covered-index set over CHAR
+    positions. The rebuild does NOT build a per-char array (that
+    would be the O(len)-strings-in-one-row shape task 5 removed):
+    the kept text is the concatenation of the GAPS between covered
+    runs — bounds = 0 ++ covered ++ len+1, one substr per gap,
+    array_join. Columns become (id, clean_text, n_removed_chars);
+    unsegmented-script documents — invisible to word mode, which
+    sees their whole text as one token — get real span surgery."""
+    from lakehouse_to_rag_spark.operators.dedup import _shingle_unit
     from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
 
+    _shingle_unit(unit, "remove_duplicate_spans")
     base = maybe_parallelize(
         df.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias("id"), F.col(text_col).alias("t")
         )
     ).localCheckpoint(eager=False)  # feeds gram mining AND rebuild
+    if unit == "char":
+        grams = _positional_char_grams(base, n)
+        dup = (
+            grams.groupBy("gram", "id")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("gram")
+        )
+        covered = (
+            grams.join(dup, "gram")
+            .groupBy("id")
+            .agg(
+                F.array_sort(
+                    F.array_distinct(
+                        F.flatten(
+                            F.collect_list(
+                                F.sequence(
+                                    F.col("pos"), F.col("pos") + (n - 1)
+                                )
+                            )
+                        )
+                    )
+                ).alias("cov")
+            )
+        )
+        # bounds bound as a REAL column before the transform — an
+        # expression referenced inside a transform lambda re-evaluates
+        # per element (the fold-inlining rule), which would make the
+        # gap rebuild O(cov^2)
+        with_bounds = (
+            base.join(covered, "id", "left")
+            .select(
+                "id",
+                "t",
+                F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+                .alias("cov"),
+            )
+            .select(
+                "id",
+                "t",
+                F.size("cov").alias("n_cov"),
+                F.concat(
+                    F.array(F.lit(0)),
+                    F.col("cov"),
+                    F.array(F.length("t") + 1),
+                ).alias("bounds"),
+            )
+        )
+        t = F.col("t")
+        b = F.col("bounds")
+        gaps = F.transform(
+            F.sequence(F.lit(1), F.size(b) - 1),
+            lambda j: t.substr(
+                F.element_at(b, j) + 1,
+                F.element_at(b, j + 1) - F.element_at(b, j) - 1,
+            ),
+        )
+        return with_bounds.select(
+            F.col("id").alias(id_col),
+            F.array_join(gaps, "").alias("clean_text"),
+            F.col("n_cov").cast("long").alias("n_removed_chars"),
+        )
     words = base.select(
         "id",
         F.filter(

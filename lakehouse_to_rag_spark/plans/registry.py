@@ -7241,6 +7241,49 @@ def remove_duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.remove_duplicate_spans(d, n=5, min_docs=2)
 
 
+_REMOVE_SPANS_CHAR_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text AS t FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id, i AS pos, substr(t, i, 7) AS gram
+  FROM d, UNNEST(range(1, LENGTH(t) - 5)) AS u(i)
+  WHERE LENGTH(t) >= 7
+), dup AS (
+  SELECT gram FROM (SELECT gram, doc_id FROM g GROUP BY gram, doc_id)
+  GROUP BY gram HAVING COUNT(*) >= 2
+), cov AS (
+  SELECT g.doc_id,
+         list_sort(list_distinct(flatten(list(range(g.pos, g.pos + 7)))))
+           AS cov
+  FROM g JOIN dup USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(array_to_string(
+         [substr(t, i, 1) FOR i IN range(1, LENGTH(t) + 1)
+                IF cov IS NULL OR NOT list_contains(cov, i)], ''), '')
+         AS clean_text,
+       CAST(COALESCE(len(cov), 0) AS BIGINT) AS n_removed_chars
+FROM d LEFT JOIN cov USING (doc_id)
+"""
+
+
+@_q("remove_duplicate_spans_char", _REMOVE_SPANS_CHAR_ORACLE)
+def remove_duplicate_spans_char_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Char-unit exact-substring span removal (r12 — VERDICT r11
+    task 3): excise every CHARACTER covered by a 7-gram occurring in
+    >= 2 documents. The miner is the chunked positional gram pass
+    (per-row memory O(slice)); the rebuild concatenates the gaps
+    between covered runs (never a per-char array). Closes the
+    unsegmented-script hole for the span family — word mode sees a
+    CJK document as one token and never excises anything. The oracle
+    replays the same positions/cover/gap semantics per-char in SQL
+    (substr/length are code-point in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ta.remove_duplicate_spans(d, n=7, min_docs=2, unit="char")
+
+
 _SIMHASH_BITS = ", ".join(
     f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
     for b in range(60)
