@@ -809,6 +809,94 @@ def dedup_ngram_jaccard_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r12 (VERDICT r11 task 4): per-document AUTO unit dispatch — a real
+# multilingual corpus is mixed, so the operator classifies each doc by
+# the avg-whitespace-token-length heuristic (>= 20 code points/token =
+# unsegmented -> char unit, else word unit), finds pairs WITHIN each
+# regime, and returns the union tagged by unit. The gate corpus is the
+# documents table (all word-regime at every sf) PLUS three planted
+# unsegmented CJK docs appended as literal rows in BOTH engines — so
+# the driver hash proves the dispatch rule AND both planted pairs (one
+# per script) in one entry. Uncapped Jaccard (the dedup_ngram_jaccard
+# exactness-pin convention).
+_CJK_A = "深度学习模型训练需要大量高质量语料数据支撑实验结论"
+_CJK_B = "深度学习模型训练需要大量高质量语料数据支撑实验结果"
+_CJK_C = "完全不同的另一段文字内容与前两者毫无相似之处没有重复"
+
+_JACCARD_AUTO_UNIT_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(900001 AS BIGINT), '{_CJK_A}'),
+    (CAST(900002 AS BIGINT), '{_CJK_B}'),
+    (CAST(900003 AS BIGINT), '{_CJK_C}')
+  ) AS v(doc_id, text)
+), cls AS MATERIALIZED (
+  SELECT doc_id, text,
+         COALESCE(CAST(LENGTH(text) AS DOUBLE) /
+                  GREATEST(len(list_filter(string_split(text, ' '),
+                                           x -> LENGTH(x) > 0)), 1)
+                  >= 20.0, FALSE) AS is_char
+  FROM docs
+), wsh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, GREATEST(len(words) - 1, 1)),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+           AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        FROM cls WHERE NOT is_char)
+), csh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, GREATEST(LENGTH(text) - 3, 1)),
+                i -> substring(text, i, 5))) AS shingle
+  FROM cls WHERE is_char
+), wsz AS (SELECT doc_id, COUNT(*) AS n FROM wsh GROUP BY doc_id),
+csz AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY doc_id),
+wint AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM wsh a JOIN wsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), cint AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard,
+       'word' AS unit
+FROM wint JOIN wsz sa ON id_a = sa.doc_id JOIN wsz sb ON id_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+UNION ALL
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard,
+       'char' AS unit
+FROM cint JOIN csz sa ON id_a = sa.doc_id JOIN csz sb ON id_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+@_q("dedup_jaccard_auto_unit", _JACCARD_AUTO_UNIT_ORACLE)
+def dedup_jaccard_auto_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-script Jaccard dedup with per-document unit dispatch
+    (r12 — VERDICT r11 task 4): the documents table plus three
+    planted unsegmented CJK docs (a near-dup pair and a distinct
+    control — appended as the same literal rows in the oracle SQL),
+    word pairs from the space-delimited regime, char pairs from the
+    unsegmented regime, one union tagged by unit. The hash match
+    proves the SQL-replayed dispatch rule and both planted regimes'
+    pairs at once."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(900001, _CJK_A), (900002, _CJK_B), (900003, _CJK_C)],
+        "doc_id long, text string",
+    )
+    return dd.ngram_jaccard_pairs_auto_unit(
+        d.unionByName(extra), "doc_id", "text",
+        n_word=3, n_char=5, threshold=0.5, max_shingle_df=None,
+    )
+
+
 _TF_COSINE_ORACLE = """
 WITH tf AS (
   SELECT doc_id AS id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (

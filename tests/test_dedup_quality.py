@@ -2349,3 +2349,56 @@ def test_chunked_char_shingles_equal_naive_and_long_docs_bounded(spark):
     assert {r["id"] for r in ok} == {1, 2, 3}
     with pytest.raises(ValueError, match="max_text_len"):
         shingle_arrays(docs, "doc_id", "text", unit="char", max_text_len=0)
+
+
+def test_auto_unit_dispatch_finds_pairs_in_both_regimes(spark):
+    """r12 (VERDICT r11 task 4): a mixed ASCII/CJK corpus dispatches
+    per document — the planted word-regime pair and the planted
+    unsegmented-regime pair are BOTH found, each tagged with the unit
+    that found it, and neither regime's control doc pairs. Without
+    the dispatch a user must pre-split the corpus by script
+    themselves (word mode alone misses the CJK pair; char-5 mode
+    alone misses nothing here but scores a different universe)."""
+    from lakehouse_to_rag_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto_unit,
+        split_by_script,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different english words appear in this one"),
+        (4, "深度学习模型训练需要大量高质量语料数据支撑实验结论"),
+        (5, "深度学习模型训练需要大量高质量语料数据支撑实验结果"),
+        (6, "完全不同的另一段文字内容与前两者毫无相似之处没有重复"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w, c = split_by_script(docs, "doc_id", "text")
+    assert {r["doc_id"] for r in w.collect()} == {1, 2, 3}
+    assert {r["doc_id"] for r in c.collect()} == {4, 5, 6}
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["unit"], r["jaccard"])
+        for r in ngram_jaccard_pairs_auto_unit(
+            docs, "doc_id", "text", threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    assert set(got) == {(1, 2), (4, 5)}
+    assert got[(1, 2)][0] == "word" and got[(4, 5)][0] == "char"
+    # regime jaccards equal the single-unit operators run on the
+    # pre-split subsets — the dispatch adds routing, never semantics
+    jw = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            w, "doc_id", "text", 3, 0.5, None
+        ).collect()
+    }
+    jc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            c, "doc_id", "text", 5, 0.5, None, unit="char"
+        ).collect()
+    }
+    assert got[(1, 2)][1] == jw[(1, 2)]
+    assert got[(4, 5)][1] == jc[(4, 5)]
