@@ -798,6 +798,213 @@ def write_pretrain_corpus(
     return write_layer(sharded, path, partition_by=["shard"])
 
 
+def training_shards_assign(
+    df: DataFrame,
+    token_budget: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "shards0",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic TOKEN-BUDGETED shard assignment (r12 — VERDICT
+    r11 task 7): the artifact a trainer consumes is not a hash-bucket
+    split but shards of ~equal TOKEN mass cut from one deterministic
+    global order. Every doc gets the epoch permutation key
+    (``_shuffle_key_col`` — the training_shuffle discipline, so the
+    shard order IS the training order), a whitespace token count (the
+    ``token_counts``/``sequence_pack`` estimator, so budgets agree
+    across the family), and shard = floor(cum_start / token_budget)
+    over the (shuffle_key, id) total order — assignment by FIRST
+    token, the sequence_pack convention, so a doc spanning a budget
+    boundary belongs to the shard it starts in.
+
+    Scale shape — the global cumulative sum WITHOUT a global sort
+    funnel: range-partition by the order key, pin partition ids with
+    an eager checkpoint (spark_partition_id is not stable across
+    re-evaluation), per-partition window cumsum, then add each
+    partition's prefix offset (one |partitions|-row collect + a
+    broadcast join — bounded by the partition count, never the
+    corpus). The result is partition-layout-independent (prefix sums
+    over a total order), which is what makes the simple
+    SUM() OVER (ORDER BY ...) oracle exact. Returns
+    (id_col, shuffle_key, n_tokens, shard)."""
+    from lakehouse_to_rag_spark.functions.text import WS_CLASS
+
+    if token_budget < 1:
+        raise ValueError(
+            f"training_shards_assign: token_budget >= 1, {token_budget}"
+        )
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    toks = F.size(F.split(F.col(text_col), WS_CLASS, -1)).cast("long")
+    keyed = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        _shuffle_key_col(id_col, seed),
+        toks.alias("n_tokens"),
+    )
+    ranged = keyed.repartitionByRange(
+        num_partitions, "shuffle_key", id_col
+    ).withColumn("_pid", F.spark_partition_id())
+    # EAGER: _pid must be pinned before two consumers read it — lazy
+    # re-evaluation could re-plan the exchange and renumber partitions
+    ranged = ranged.localCheckpoint(eager=True)
+    totals = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    per_pid = {int(r["_pid"]): int(r["t"]) for r in totals}
+    offsets, acc = [], 0
+    for pid in sorted(per_pid):  # range partitions ascend with the key
+        offsets.append((pid, acc))
+        acc += per_pid[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("shuffle_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.col("_off") + F.sum("n_tokens").over(w)
+    return (
+        ranged.join(off_df, "_pid")
+        .select(
+            F.col(id_col),
+            "shuffle_key",
+            "n_tokens",
+            F.floor((cum - F.col("n_tokens")) / F.lit(float(token_budget)))
+            .cast("long")
+            .alias("shard"),
+        )
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    token_budget: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "shards0",
+) -> DataFrame:
+    """The WRITE half of the shard capstone: assign token-budgeted
+    shards (``training_shards_assign``), write the corpus partitioned
+    by ``shard=N/`` with rows sorted by the epoch key inside each
+    shard (a trainer reads shard directories independently, each in
+    training order — the write_pretrain_corpus layout under a token
+    budget instead of a hash bucket), and publish a MANIFEST read
+    BACK from the written files (counts + hashes, the
+    rag_index_manifest convention: the manifest proves the write, not
+    the plan). Crash-safe: everything — data AND its ``_manifest`` —
+    builds in a staging dir and lands via the module's two-rename
+    swap, so a visible layer always carries the manifest that
+    describes it; remnants of a crashed swap are healed by
+    ``_recover_dir_swap`` on the next call (the upsert/compact
+    recovery contract). Returns the manifest:
+    (shard, n_docs, n_tokens, id_hash)."""
+    import os
+    import shutil
+    import uuid
+
+    from lakehouse_to_rag_spark.sources.lakehouse import (
+        _recover_dir_swap,
+        read_layer,
+        write_layer,
+    )
+
+    spark = docs.sparkSession
+    _recover_dir_swap(path)
+    assigned = training_shards_assign(
+        docs, token_budget, id_col, text_col, seed
+    )
+    data = docs.join(assigned, id_col).select(
+        F.col(id_col), "shard", "shuffle_key", "n_tokens", F.col(text_col)
+    )
+    tmp = f"{path}__upsert_{uuid.uuid4().hex[:8]}"  # _recover_dir_swap's
+    # tmp-prefix class: a crash before the swap leaves a discardable dir
+    write_layer(
+        data.repartition("shard").sortWithinPartitions(
+            "shard", "shuffle_key"
+        ),
+        tmp,
+        partition_by=["shard"],
+        fmt="parquet",
+    )
+    manifest = (
+        read_layer(spark, tmp, fmt="parquet")  # read BACK: proves the write
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.expr(f"bit_xor(xxhash64(cast({id_col} as string)))")
+            .alias("id_hash"),
+        )
+    )
+    write_layer(manifest, f"{tmp}/_manifest", fmt="parquet")
+    if os.path.exists(path):
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)
+    return read_layer(spark, f"{path}/_manifest", fmt="parquet")
+
+
+def verify_training_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Fail-closed shard verification: recompute every shard's doc
+    count, token sum, and id hash FROM THE DATA FILES and compare to
+    the published ``_manifest`` — any divergence (a lost file, a
+    partial shard, a foreign row) raises lazily on the mismatching
+    row (the retrieval_metrics convention: the check rides the scan,
+    every output row flows through it). Returns the verified
+    manifest rows."""
+    from lakehouse_to_rag_spark.sources.lakehouse import read_layer
+
+    actual = (
+        read_layer(spark, path, fmt="parquet")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("a_docs"),
+            F.sum("n_tokens").cast("long").alias("a_tokens"),
+            F.expr("bit_xor(xxhash64(cast(doc_id as string)))")
+            .alias("a_hash"),
+        )
+    )
+    manifest = read_layer(spark, f"{path}/_manifest", fmt="parquet")
+    ok = (
+        (F.col("n_docs") == F.col("a_docs"))
+        & (F.col("n_tokens") == F.col("a_tokens"))
+        & (F.col("id_hash") == F.col("a_hash"))
+        & F.col("n_docs").isNotNull()
+        & F.col("a_docs").isNotNull()
+    )
+    checked = F.when(ok, F.col("n_docs")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("verify_training_shards: shard "),
+                F.coalesce(F.col("shard").cast("string"), F.lit("?")),
+                F.lit(" diverges from its manifest (docs "),
+                F.coalesce(F.col("a_docs").cast("string"), F.lit("missing")),
+                F.lit(" vs "),
+                F.coalesce(F.col("n_docs").cast("string"), F.lit("missing")),
+                F.lit(")"),
+            )
+        )
+    )
+    return (
+        manifest.join(actual, "shard", "full_outer")
+        .select(
+            "shard",
+            checked.alias("n_docs"),
+            "n_tokens",
+            "id_hash",
+        )
+    )
+
+
 def quality_calibrated_select(
     df: DataFrame,
     frac: float = 0.2,

@@ -1560,20 +1560,46 @@ def admit_media_batch(
     method: str = "phash",
     max_hamming: int = 6,
     num_bands: int | str = "auto",
+    compact_files_threshold: int = 64,
 ) -> DataFrame:
     """One turn of the continuous perceptual-ingest loop: hash the
     incoming media, dedup against the signature table at
-    ``sig_table_path``, and upsert the admitted signatures so the
+    ``sig_table_path``, and record the admitted signatures so the
     NEXT batch excludes this batch's admissions. First call
     bootstraps the table. Same staging discipline as
     ``curation.admit_batch`` (unique per-batch staging dir, never
-    collect, reclaim via ``curation.cleanup_staging``)."""
+    collect, reclaim via ``curation.cleanup_staging``).
+
+    The signature ledger is APPEND-ONLY (r12 — VERDICT r11 task 2):
+    the previous keyed upsert rewrote the cumulative table every
+    batch — O(cumulative) WRITE per batch, O(n²) I/O over an ingest
+    lifetime — for rows that are by construction all-new (anything
+    already in the snapshot is within hamming 0 and was dropped by
+    the dedup join). Admitted signatures now APPEND as new files (the
+    ``append_to_ivf_index``/BM25 discipline), and once the ledger
+    accretes past ``compact_files_threshold`` parquet files it is
+    compacted via ``compact_layer``'s atomic two-rename swap — whose
+    crash remnants ``_recover_dir_swap`` (run here before every read)
+    repairs. Per-batch write cost is flat in the cumulative table
+    size; only compaction ever rewrites, amortized O(log)-ly.
+
+    Crash/replay semantics are unchanged from the upsert form: a
+    batch that died mid-append re-admits exactly its not-yet-visible
+    rows on replay (the visible ones match themselves at hamming 0
+    and drop), and a replay of a fully-committed batch admits nothing
+    and appends nothing (the empty append is skipped). A same-id
+    re-ingest with DIFFERENT content far from its original signature
+    now lands as a second ledger row for that id instead of replacing
+    the first — strictly more conservative dedup (both signatures
+    guard the corpus), consistent with retained-corpus semantics."""
+    import glob
     import os
     import uuid
 
     from lakehouse_to_rag_spark.sources.lakehouse import (
+        _recover_dir_swap,
+        compact_layer,
         read_layer,
-        upsert_by_key,
         write_layer,
     )
 
@@ -1585,6 +1611,7 @@ def admit_media_batch(
         raise NotImplementedError(
             f"unknown media kind {media!r}: image | audio"
         )
+    _recover_dir_swap(sig_table_path)
     if os.path.exists(sig_table_path):
         snapshot = spark.read.parquet(sig_table_path).select(
             F.col("id"), F.col("simhash")
@@ -1595,9 +1622,17 @@ def admit_media_batch(
         sigs, snapshot, max_hamming, num_bands
     )
     staging = os.path.join(f"{sig_table_path}__staging", uuid.uuid4().hex)
-    write_layer(admitted, staging)
-    out = read_layer(spark, staging)
-    upsert_by_key(spark, sig_table_path, out, ["id"], fmt="parquet")
+    write_layer(admitted, staging, fmt="parquet")
+    out = read_layer(spark, staging, fmt="parquet")
+    if not os.path.exists(sig_table_path):
+        write_layer(out, sig_table_path, fmt="parquet")
+    elif out.limit(1).count() > 0:  # cheap post-materialization probe
+        write_layer(out, sig_table_path, mode="append", fmt="parquet")
+    n_files = len(
+        glob.glob(os.path.join(glob.escape(sig_table_path), "*.parquet"))
+    )
+    if n_files > compact_files_threshold:
+        compact_layer(spark, sig_table_path, fmt="parquet")
     return out
 
 

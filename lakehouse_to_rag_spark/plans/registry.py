@@ -7216,6 +7216,40 @@ FROM cums
 """
 
 
+_TRAINING_SHARDS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         md5('shards0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         CAST(len(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'))
+              AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), cums AS (
+  SELECT doc_id, shuffle_key, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT doc_id, shuffle_key, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 5000.0) AS BIGINT) AS shard
+FROM cums
+"""
+
+
+@_q("training_shards_assign", _TRAINING_SHARDS_ORACLE)
+def training_shards_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted training-shard assignment (r12 — VERDICT r11
+    task 7): cumulative whitespace-token budget over the
+    deterministic epoch order (md5 shuffle key), shard = the budget
+    window the doc's FIRST token lands in. The Spark side computes
+    the global cumsum with the two-phase range-partition + offset
+    form (no global sort funnel); the oracle's plain windowed SUM is
+    exact because prefix sums over a total order are
+    partition-independent — the hash match IS the proof the two-phase
+    form equals the global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return cu.training_shards_assign(d, token_budget=5000)
+
+
 @_q("sequence_pack", _SEQUENCE_PACK_ORACLE)
 def sequence_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk training-sequence packing over curated docs
