@@ -423,6 +423,115 @@ def ngram_jaccard_pairs_auto_unit(
     )
 
 
+def minhash_lsh_pairs_auto_unit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_word: int = 3,
+    n_char: int = 5,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    cutoff: float = _AVG_TOKEN_LEN_CUTOFF,
+    max_text_len: int | None = _CHAR_ARRAY_MAX_TEXT_LEN,
+) -> DataFrame:
+    """Banded MinHash over a MIXED-SCRIPT corpus with per-document
+    unit dispatch — the SCALE form of ``ngram_jaccard_pairs_auto_unit``
+    and the production answer to the r12 probe find: running char
+    5-gram MinHash on SPACE-DELIMITED text is pathological, because a
+    5-char gram spans less than one word, the background char-Jaccard
+    of unrelated prose is ~0.4, and at b=32/r=2 banding a background
+    pair collides with probability ~1-(1-j²)^32 — measured 8.6M
+    candidates among 5k sf0.1 documents (69% of ALL pairs, an
+    all-pairs scan in disguise; the 10x probe ran >55 min before its
+    timeout). Dispatching word-regime documents to word shingles —
+    where background Jaccard is near 0 — removes the floor at the
+    routing layer; char banding stays for the unsegmented regime it
+    was built for, where a 5-gram carries ~3 words of information
+    and unrelated documents share almost none (the planted CJK
+    fixture's cross-doc candidate rate is ~0). For corpora that are
+    genuinely unsegmented AND template-heavy, raise ``n_char``
+    (measured on the probe corpus: candidates 8.6M @ n=5 -> 456k
+    @ n=9 -> 15k @ n=13 with an IDENTICAL 256-pair true output);
+    ``estimate_band_candidate_rate`` is the cheap pre-flight that
+    tells you."""
+    word_df, char_df = split_by_script(df, id_col, text_col, cutoff)
+    pw = minhash_lsh_pairs(
+        word_df, id_col, text_col, n_word, num_hashes, rows_per_band,
+        threshold, unit="word",
+    )
+    pc = minhash_lsh_pairs(
+        char_df, id_col, text_col, n_char, num_hashes, rows_per_band,
+        threshold, unit="char", max_text_len=max_text_len,
+    )
+    return pw.withColumn("unit", F.lit("word")).unionByName(
+        pc.withColumn("unit", F.lit("char"))
+    )
+
+
+def estimate_band_candidate_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    unit: str = "word",
+    sample_docs: int = 256,
+    seed: str = "candrate0",
+) -> float:
+    """Cheap pre-flight for the banded MinHash scale path: the
+    estimated fraction of document pairs that the (n, unit, banding)
+    parameterization would emit as CANDIDATES, measured on a
+    deterministic hash-sample of ``sample_docs`` documents. LSH only
+    beats all-pairs when the background similarity of UNRELATED
+    documents sits far below the threshold; this returns the number
+    that says whether it does (r12 probe find: char 5-grams on
+    space-delimited prose -> 0.69, i.e. banding prunes nothing and
+    the "sub-quadratic" join is an all-pairs scan in disguise; word
+    3-grams on the same corpus -> ~0.0002). Rule of thumb: > ~0.05
+    means raise ``n``, switch unit, or dispatch by script
+    (``minhash_lsh_pairs_auto_unit``) before running at corpus
+    scale. Cost: one sampled signature build + an all-pairs count
+    over sample_docs² band rows — bounded by the sample, never the
+    corpus. This is a DIAGNOSTIC (it runs an action); keep it out of
+    transform-only pipelines (the plans-only-build invariant)."""
+    _shingle_unit(unit, "estimate_band_candidate_rate")
+    base = df.filter(F.col(text_col).isNotNull())
+    # deterministic md5 top-k sample (the stratified-sample discipline:
+    # layout-independent, engine-portable)
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    ).alias("_k")
+    sample = (
+        base.select(F.col(id_col), F.col(text_col), key)
+        .orderBy("_k")
+        .limit(sample_docs)
+        .drop("_k")
+    )
+    sets = shingle_arrays(
+        sample, id_col, text_col, n, unit=unit, max_text_len=None
+    ).localCheckpoint(eager=True)
+    n_docs = sets.count()
+    if n_docs < 2:
+        return 0.0
+    bands = _minhash_band_rows(sets, num_hashes, rows_per_band)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select("x.id", "y.id")
+        .distinct()
+        .count()
+    )
+    return cand / (n_docs * (n_docs - 1) / 2)
+
+
 # ------------------------------------------------------- MinHash + LSH
 
 def shingle_arrays(

@@ -897,6 +897,27 @@ def dedup_jaccard_auto_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("dedup_minhash_auto_unit", _JACCARD_AUTO_UNIT_ORACLE)
+def dedup_minhash_auto_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash with per-document unit dispatch (r12) — the
+    SCALE form of the mixed-script dedup: word-regime documents band
+    over word 3-grams (background Jaccard ~0 -> banding prunes),
+    unsegmented documents over char 5-grams. This routing is the fix
+    for the r12 probe find that char-5 banding on space-delimited
+    prose is an all-pairs scan in disguise (69% candidate rate at
+    sf0.1). Same mixed fixture and exact-Jaccard oracle as the
+    jaccard twin (banding miss < 1e-4 at the gate thresholds)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(900001, _CJK_A), (900002, _CJK_B), (900003, _CJK_C)],
+        "doc_id long, text string",
+    )
+    return dd.minhash_lsh_pairs_auto_unit(
+        d.unionByName(extra), "doc_id", "text",
+        n_word=3, n_char=5, threshold=0.5,
+    )
+
+
 _TF_COSINE_ORACLE = """
 WITH tf AS (
   SELECT doc_id AS id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (

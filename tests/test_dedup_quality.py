@@ -2402,3 +2402,57 @@ def test_auto_unit_dispatch_finds_pairs_in_both_regimes(spark):
     }
     assert got[(1, 2)][1] == jw[(1, 2)]
     assert got[(4, 5)][1] == jc[(4, 5)]
+
+    # the banded SCALE form routes identically and finds the same
+    # pairs with the same exact-verified jaccards
+    from lakehouse_to_rag_spark.operators.dedup import (
+        minhash_lsh_pairs_auto_unit,
+    )
+
+    banded = {
+        (r["id_a"], r["id_b"]): (r["unit"], r["jaccard"])
+        for r in minhash_lsh_pairs_auto_unit(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert banded == got
+
+
+def test_band_candidate_rate_flags_char5_on_prose(spark):
+    """r12 probe find: char 5-gram banding on space-delimited prose
+    prunes nothing (background Jaccard ~0.4 -> band collision ~j^2
+    per band over 32 bands), so the pre-flight estimator must read
+    HOT there and COLD for word mode on the same corpus — the number
+    that tells a user to dispatch by script or raise n before a
+    corpus-scale run."""
+    from lakehouse_to_rag_spark.operators.dedup import (
+        estimate_band_candidate_rate,
+    )
+
+    # prose-shaped fixture: every doc is a pseudo-random PERMUTATION
+    # of one shared vocabulary — word 3-grams are distinct sequences
+    # (near-zero word background), while char 5-grams inside the
+    # shared words are identical everywhere (high char background) —
+    # the same decoupling real templated prose shows
+    import hashlib
+
+    vocab = [hashlib.md5(str(k).encode()).hexdigest()[:8] for k in range(40)]
+    rows = []
+    for i in range(64):
+        order = sorted(
+            range(40),
+            key=lambda k: hashlib.md5(f"{i}:{k}".encode()).hexdigest(),
+        )
+        rows.append((i, " ".join(vocab[k] for k in order)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hot = estimate_band_candidate_rate(
+        docs, "doc_id", "text", n=5, unit="char", sample_docs=64
+    )
+    cold = estimate_band_candidate_rate(
+        docs, "doc_id", "text", n=3, unit="word", sample_docs=64
+    )
+    assert hot > 0.5
+    assert cold < 0.05
+    # degenerate inputs
+    one = docs.limit(1)
+    assert estimate_band_candidate_rate(one, "doc_id", "text") == 0.0
