@@ -251,6 +251,16 @@ HEADLINE = [
     # banded join + an O(|pairs|) tail, already covered by that row.
     "docs_char_entropy",
     "docs_bigram_pmi",
+    # r12: the training-shard capstone's assignment plan — a NEW perf
+    # shape (two-phase global cumsum: range exchange -> pid-pinned
+    # checkpoint -> per-partition window + broadcast prefix offsets).
+    # The write half (write_training_shards) is file I/O over this
+    # same plan + one partitioned write; not separately rowed (the
+    # medallion_incremental precedent for write-path capstones).
+    # dedup_jaccard_auto_unit / dedup_minhash_auto_unit stay un-rowed
+    # under policy rule 3: their plans are the word+char single-unit
+    # plans (both already rowed) behind one row predicate.
+    "training_shards_assign",
     # orders_monthly_spine_recursive stays out: Spark executes
     # WITH RECURSIVE one job per iteration (~0.19 s × 80 months =
     # ~15 s of pure scheduling floor regardless of data size); the
@@ -270,7 +280,14 @@ def _prior_mins() -> dict[str, float]:
     ({n, rc, tail, parsed} — "parsed" when the driver parsed the JSON
     line, else the raw stdout tail, from which the queries section is
     recovered by regex; the tail may be truncated, which at worst
-    re-warms a few entries)."""
+    re-warms a few entries). Since r12 the script also writes its own
+    COMPLETE per-query record to ``.bench_last.json`` at the end of
+    every run and prefers it here: the r12 run found the driver tail
+    truncated past 67 of 114 rows, which silently re-classified 47
+    long-benched entries as never-benched and re-warmed them (~2 min
+    of wasted driver wall). The recorded-file overlay makes warm-up
+    selection immune to tail truncation; BENCH_r*.json parsing stays
+    as the fallback for a fresh checkout."""
     import re
 
     latest: dict[str, float] = {}
@@ -305,6 +322,13 @@ def _prior_mins() -> dict[str, float]:
                 }
         if q:
             latest = {k: float(v) for k, v in q.items()}
+    own = Path(__file__).resolve().parent / ".bench_last.json"
+    try:
+        latest.update(
+            {k: float(v) for k, v in json.loads(own.read_text()).items()}
+        )
+    except (OSError, ValueError, AttributeError):
+        pass  # no own record yet: BENCH_r*.json parsing stands alone
     return latest
 
 
@@ -441,6 +465,11 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # the complete per-query record _prior_mins prefers next run (the
+    # driver wrapper truncates its recorded tail; this file does not)
+    (Path(__file__).resolve().parent / ".bench_last.json").write_text(
+        json.dumps(timings)
+    )
     print(
         json.dumps(
             {
