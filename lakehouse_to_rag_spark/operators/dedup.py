@@ -469,6 +469,51 @@ def minhash_lsh_pairs_auto_unit(
     )
 
 
+def fuzzy_decontaminate_auto_unit(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n_word: int = 3,
+    n_char: int = 5,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    max_broadcast_rows: int = 2_000_000,
+    cutoff: float = _AVG_TOKEN_LEN_CUTOFF,
+) -> DataFrame:
+    """Mixed-script train/benchmark DECONTAMINATION with per-document
+    unit dispatch (r12): a multilingual benchmark's unsegmented items
+    are invisible to word-mode fuzzy decontamination (zero word
+    shingles on both sides), and running char shingles over the whole
+    space-delimited training corpus is the quadratic candidate floor
+    the r12 probe measured — so BOTH sides split by the script
+    heuristic, word-regime train docs screen against word-regime
+    benchmark items and char against char, union tagged by unit.
+    Cross-regime leakage (an unsegmented benchmark item paraphrased
+    into space-delimited training text) has no shared shingle
+    universe in either unit and is out of scope for shingle methods —
+    ``decontaminate_semantic`` (embedding rung of the ladder) is the
+    operator that covers it."""
+    tw, tc = split_by_script(train, id_col, text_col, cutoff)
+    bw, bc = split_by_script(bench, bench_id_col, bench_text_col, cutoff)
+    hw = fuzzy_decontaminate(
+        tw, bw, id_col, text_col, bench_id_col, bench_text_col,
+        n_word, threshold, num_hashes, rows_per_band,
+        max_broadcast_rows, unit="word",
+    )
+    hc = fuzzy_decontaminate(
+        tc, bc, id_col, text_col, bench_id_col, bench_text_col,
+        n_char, threshold, num_hashes, rows_per_band,
+        max_broadcast_rows, unit="char",
+    )
+    return hw.withColumn("unit", F.lit("word")).unionByName(
+        hc.withColumn("unit", F.lit("char"))
+    )
+
+
 def estimate_band_candidate_rate(
     df: DataFrame,
     id_col: str,

@@ -1050,6 +1050,87 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
 """
 
 
+_FUZZY_DECONTAM_AUTO_UNIT_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(910001 AS BIGINT), '{_CJK_A}'),
+    (CAST(910010 AS BIGINT), '{_CJK_B}')
+  ) AS v(doc_id, text)
+), cls AS MATERIALIZED (
+  SELECT doc_id, text,
+         COALESCE(CAST(LENGTH(text) AS DOUBLE) /
+                  GREATEST(len(list_filter(string_split(text, ' '),
+                                           x -> LENGTH(x) > 0)), 1)
+                  >= 20.0, FALSE) AS is_char
+  FROM docs
+), wsh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, GREATEST(len(words) - 1, 1)),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+           AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        FROM cls WHERE NOT is_char)
+), csh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, GREATEST(LENGTH(text) - 3, 1)),
+                i -> substring(text, i, 5))) AS shingle
+  FROM cls WHERE is_char
+), wsz AS (SELECT doc_id, COUNT(*) AS n FROM wsh GROUP BY doc_id),
+csz AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY doc_id),
+wint AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS c
+  FROM wsh a JOIN wsh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+  GROUP BY 1, 2
+), cint AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS c
+  FROM csh a JOIN csh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+  GROUP BY 1, 2
+)
+SELECT i.doc_id, i.bench_id,
+       ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard,
+       'word' AS unit
+FROM wint i
+JOIN wsz sa ON sa.doc_id = i.doc_id JOIN wsz sb ON sb.doc_id = i.bench_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+UNION ALL
+SELECT i.doc_id, i.bench_id,
+       ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard,
+       'char' AS unit
+FROM cint i
+JOIN csz sa ON sa.doc_id = i.doc_id JOIN csz sb ON sb.doc_id = i.bench_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+@_q("decontaminate_fuzzy_auto_unit", _FUZZY_DECONTAM_AUTO_UNIT_ORACLE)
+def decontaminate_fuzzy_auto_unit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mixed-script fuzzy decontamination with per-document unit
+    dispatch (r12): the % 17 train/bench split over the documents
+    table PLUS a planted CJK training doc (910001, % 17 = 8) whose
+    1-char-edited twin sits in the benchmark (910010, % 17 = 0) —
+    invisible to word-mode decontamination, caught by the char
+    regime, while the word regime's hits stay identical to
+    ``decontaminate_fuzzy``. One hash proves the SQL-replayed
+    dispatch and both regimes' screens."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(910001, _CJK_A), (910010, _CJK_B)],
+        "doc_id long, text string",
+    )
+    mixed = d.unionByName(extra)
+    return dd.fuzzy_decontaminate_auto_unit(
+        mixed.filter("doc_id % 17 != 0"),
+        mixed.filter("doc_id % 17 = 0"),
+        n_word=3, n_char=5, threshold=0.5,
+    )
+
+
 @_q("decontaminate_fuzzy", _FUZZY_DECONTAM_ORACLE)
 def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate train/benchmark decontamination — the fuzzy form

@@ -2417,6 +2417,26 @@ def test_auto_unit_dispatch_finds_pairs_in_both_regimes(spark):
     }
     assert banded == got
 
+    # decontamination: a word-regime AND an unsegmented benchmark item
+    # both screened — word mode alone misses the CJK leak, char mode
+    # alone misses the word leak (its regime filter excludes prose)
+    from lakehouse_to_rag_spark.operators.dedup import (
+        fuzzy_decontaminate,
+        fuzzy_decontaminate_auto_unit,
+    )
+
+    train = docs.filter("doc_id in (1, 4)")
+    bench = docs.filter("doc_id in (2, 5)")
+    hits = {
+        (r["doc_id"], r["bench_id"]): r["unit"]
+        for r in fuzzy_decontaminate_auto_unit(
+            train, bench, threshold=0.5
+        ).collect()
+    }
+    assert hits == {(1, 2): "word", (4, 5): "char"}
+    word_only = fuzzy_decontaminate(train, bench, threshold=0.5).collect()
+    assert {(r["doc_id"], r["bench_id"]) for r in word_only} == {(1, 2)}
+
 
 def test_band_candidate_rate_flags_char5_on_prose(spark):
     """r12 probe find: char 5-gram banding on space-delimited prose
