@@ -440,6 +440,60 @@ def stream_bm25_sink(
     )
 
 
+def stream_media_dedup_sink(
+    media_stream: DataFrame,
+    sig_table_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    media: str = "image",
+    method: str = "phash",
+    max_hamming: int = 6,
+    num_bands: int | str = "auto",
+    compact_files_threshold: int = 64,
+    trigger_available_now: bool = True,
+):
+    """Streaming twin of the perceptual media-ingest loop (r12): each
+    micro-batch of (id, payload) media rows runs one turn of
+    ``dedup.admit_media_batch`` against the maintained signature
+    ledger at ``sig_table_path`` — decode+hash one Arrow pass, banded
+    dedup against every prior admission, APPEND the new signatures
+    (the r12 append-only ledger: per-batch write cost flat in
+    cumulative table size, compaction past ``compact_files_threshold``
+    files through the atomic swap).
+
+    No ``_ledger`` of batch ids is needed (unlike the index sinks):
+    the batch operator is replay-idempotent BY CONTENT — a
+    re-delivered batch's signatures match their own prior admissions
+    at hamming 0 and are dropped, a batch that died mid-append
+    re-admits exactly its not-yet-visible rows — so the signature
+    table itself is the admission record, for crash replays and for
+    consumers alike (the admitted corpus = the stream's storage
+    joined to the ledger's ids; persisting admitted PAYLOADS here
+    would reopen the data-landed/record-lost crash window the
+    content-idempotence closes). Returns the started
+    StreamingQuery."""
+    from lakehouse_to_rag_spark.operators.dedup import admit_media_batch
+
+    def _one_turn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        admit_media_batch(
+            batch.sparkSession, sig_table_path, batch,
+            id_col=id_col, payload_col=payload_col, media=media,
+            method=method, max_hamming=max_hamming, num_bands=num_bands,
+            compact_files_threshold=compact_files_threshold,
+        )
+
+    writer = (
+        media_stream.writeStream.foreachBatch(_one_turn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_scd2_sink(
     events: DataFrame,
     dim_path: str,

@@ -1000,3 +1000,76 @@ def test_stream_scd2_sink_replays_from_every_crash_boundary(
     import glob
 
     assert glob.glob(dim + "__*") == [], crash_point
+
+
+def test_stream_media_dedup_sink_equals_batch_loop_and_replays(
+    spark, tmp_path
+):
+    """r12: the streaming twin of the perceptual ingest loop. One
+    availableNow pass over a media source must leave the SAME
+    signature ledger as the batch admit loop over the same batches;
+    re-delivering everything through a fresh checkpoint must change
+    nothing (content idempotence — no batch-id ledger needed); and a
+    later file arriving on the same checkpoint dedups against every
+    prior admission."""
+    import pandas as pd
+
+    from lakehouse_to_rag_spark.multimodal.ops import encode_png
+    from lakehouse_to_rag_spark.multimodal.phash import (
+        synth_gradient_image,
+    )
+    from lakehouse_to_rag_spark.operators.dedup import admit_media_batch
+    from lakehouse_to_rag_spark.streaming.pipeline import (
+        stream_media_dedup_sink,
+    )
+
+    def _pdf(ids):
+        return pd.DataFrame(
+            [(i, encode_png(synth_gradient_image(i))) for i in ids],
+            columns=["doc_id", "payload"],
+        )
+
+    # batch 0: bases 0..4 with planted intra-batch near-dup members
+    src = str(tmp_path / "media_src")
+    spark.createDataFrame(_pdf(list(range(10)))).coalesce(1).write.parquet(
+        src
+    )
+    schema = spark.read.parquet(src).schema
+
+    stream_path = str(tmp_path / "sigs_stream")
+    ck1 = str(tmp_path / "ck1")
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_media_dedup_sink(stream, stream_path, ck1).awaitTermination(120)
+
+    batch_path = str(tmp_path / "sigs_batch")
+    admit_media_batch(
+        spark, batch_path,
+        spark.createDataFrame(_pdf(list(range(10)))),
+    )
+    stream_ids = sorted(
+        r["id"] for r in spark.read.parquet(stream_path).collect()
+    )
+    batch_ids = sorted(
+        r["id"] for r in spark.read.parquet(batch_path).collect()
+    )
+    assert stream_ids == batch_ids == [0, 2, 4, 6, 8]
+
+    # full replay through a FRESH checkpoint: content idempotence
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    stream_media_dedup_sink(
+        stream2, stream_path, str(tmp_path / "ck2")
+    ).awaitTermination(120)
+    assert sorted(
+        r["id"] for r in spark.read.parquet(stream_path).collect()
+    ) == [0, 2, 4, 6, 8]
+
+    # a later file on the ORIGINAL checkpoint: near-dups of prior
+    # admissions dropped, fresh bases admitted keep-first
+    spark.createDataFrame(_pdf([1, 3, 20, 21])).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream3 = spark.readStream.schema(schema).parquet(src)
+    stream_media_dedup_sink(stream3, stream_path, ck1).awaitTermination(120)
+    assert sorted(
+        r["id"] for r in spark.read.parquet(stream_path).collect()
+    ) == [0, 2, 4, 6, 8, 20]
