@@ -269,7 +269,7 @@ HEADLINE = [
 ]
 
 
-def _prior_mins() -> dict[str, float]:
+def _prior_mins(sf: float) -> dict[str, float]:
     """Per-query min timings from the most recent recorded BENCH
     round, used only to decide which entries get an untimed warm-up
     pass (see below). Missing file / missing entry => warm up (the
@@ -324,10 +324,20 @@ def _prior_mins() -> dict[str, float]:
             latest = {k: float(v) for k, v in q.items()}
     own = Path(__file__).resolve().parent / ".bench_last.json"
     try:
-        latest.update(
-            {k: float(v) for k, v in json.loads(own.read_text()).items()}
-        )
-    except (OSError, ValueError, AttributeError):
+        rec = json.loads(own.read_text())
+        # sf-keyed since the same session (r12): a run at another
+        # scale factor must not poison this scale's warm-up priors —
+        # an sf0.001 record would classify every sf0.1 row as
+        # sub-second and skip warm-ups that matter. Legacy flat
+        # records (pre-key) are accepted as sf0.1's.
+        if "queries" in rec:
+            if float(rec.get("sf", -1)) == sf:
+                latest.update(
+                    {k: float(v) for k, v in rec["queries"].items()}
+                )
+        elif sf == 0.1:
+            latest.update({k: float(v) for k, v in rec.items()})
+    except (OSError, ValueError, AttributeError, TypeError):
         pass  # no own record yet: BENCH_r*.json parsing stands alone
     return latest
 
@@ -352,17 +362,38 @@ def _calibrate_py() -> float:
 
 
 def _calibrate_jvm(spark) -> float:
-    """Fixed-work JVM-side figure (min of 3, after warmup): a
-    constant-size range aggregate that never touches the SF tables,
-    so it measures the same work every round regardless of data."""
-    best = float("inf")
-    for _ in range(3):
+    """Fixed-work JVM-side figure: a constant-size range aggregate
+    that never touches the SF tables, so it measures the same work
+    every round regardless of data.
+
+    Run to JIT STEADY STATE, not min-of-3 (r12): the figure keeps
+    improving across repeats as C2 compilation tiers land (measured
+    in one idle session: 0.64, 0.27, 0.28, 0.22, 0.20, 0.19, 0.19,
+    0.16, 0.16, 0.16 s), so a min-of-3 records wherever the ramp
+    happened to be — r11 recorded 0.268 and r12's re-run 0.168 on
+    the same host, a 60% phantom "drift" that poisoned every
+    calib-normalized cross-round comparison. Iterate (up to 12) until
+    the last three runs sit within 5% of the running min, then report
+    that min: the steady-state figure is the host's, not the ramp's."""
+    runs: list[float] = []
+    for _ in range(25):
         t0 = time.perf_counter()
         spark.range(200_000_000).selectExpr(
             "sum(id * 2 + 1) AS s"
         ).collect()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+        runs.append(time.perf_counter() - t0)
+        # converged when four consecutive runs stop improving on the
+        # running min by more than 3% — but never before 15 runs: the
+        # ramp has a PLATEAU (~0.12 s for several runs) before the
+        # final tier lands (~0.09 s), and any convergence test exits
+        # on the plateau (measured: 5%/3 exited at 0.126, 3%/4 at
+        # 0.125, both on sessions that reach 0.092). Total cost a few
+        # seconds, paid once per bench run.
+        if len(runs) >= 15 and all(
+            r <= min(runs) * 1.03 for r in runs[-4:]
+        ):
+            break
+    return round(min(runs), 3)
 
 
 def main() -> None:
@@ -393,7 +424,7 @@ def main() -> None:
     spark.range(100_000).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
-    prior = _prior_mins()
+    prior = _prior_mins(sf)
     # Name-drift guard: a RENAMED entry has no recorded min anywhere,
     # so it silently re-enters the always-warm class (one extra full
     # run) — fine for genuinely new entries, but worth a visible line
@@ -468,7 +499,7 @@ def main() -> None:
     # the complete per-query record _prior_mins prefers next run (the
     # driver wrapper truncates its recorded tail; this file does not)
     (Path(__file__).resolve().parent / ".bench_last.json").write_text(
-        json.dumps(timings)
+        json.dumps({"sf": sf, "queries": timings})
     )
     print(
         json.dumps(

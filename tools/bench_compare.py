@@ -5,16 +5,22 @@ recorded BENCH files as SIGNAL or NOISE so neither the builder nor
 the judge burns attribution time on contention bands.
 
 Method, per query:
-  1. normalize the newer min by the calib ratio (BASELINE.md "Bench
-     calibration": fixed-work host-speed figures recorded in each
-     file; py_spin for Python-dominated rows is indistinguishable
-     here, so the JVM figure is used for all — the two usually agree);
+  1. normalize the newer min by BOTH recorded calib ratios
+     (BASELINE.md "Bench calibration": the fixed-work py_spin and
+     jvm_fixed host-speed figures). The two usually agree; when they
+     do not (measured r12: py ratio 1.12 vs jvm 1.60 across two runs
+     on one idle host — the JVM figure swings with JIT/frequency
+     state far beyond real drift), trusting either alone manufactures
+     a wall of false regressions, so a row is SIGNAL only if its
+     delta clears the band in the SAME direction under BOTH
+     normalizations;
   2. the NOISE BAND is the larger of the two rounds' recorded
      relative spreads (p50/min - 1; older rounds without the field
      fall back to a 0.20 floor — the r11-observed small-row swing)
      plus a 0.05 measurement floor;
-  3. |normalized delta| within the band -> noise; outside -> signal,
-     printed with direction and magnitude.
+  3. anything not signal under both ratios -> noise (printed count
+     only); signal rows print with direction and the range of
+     normalized magnitudes.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json
 Both driver-wrapper files ({n, rc, tail, parsed}) and raw bench.py
@@ -77,13 +83,16 @@ def main(argv: list[str]) -> None:
         print(__doc__)
         raise SystemExit(2)
     old, new = load_bench(argv[0]), load_bench(argv[1])
-    c_old = old.get("calib", {}).get("jvm_fixed_sec")
-    c_new = new.get("calib", {}).get("jvm_fixed_sec")
-    ratio = (c_old / c_new) if (c_old and c_new) else 1.0
-    print(
-        f"# calib jvm_fixed: old={c_old} new={c_new} "
-        f"-> normalizing new mins by x{ratio:.3f}"
-    )
+    ratios = []
+    for key in ("py_spin_sec", "jvm_fixed_sec"):
+        c_old = old.get("calib", {}).get(key)
+        c_new = new.get("calib", {}).get(key)
+        r = (c_old / c_new) if (c_old and c_new) else 1.0
+        ratios.append(r)
+        print(f"# calib {key}: old={c_old} new={c_new} -> x{r:.3f}")
+    if max(ratios) / min(ratios) > 1.15:
+        print("# WARNING: the two calib ratios disagree beyond real "
+              "host drift — signal requires BOTH to agree (below)")
     qs_old, qs_new = old.get("queries", {}), new.get("queries", {})
     sp_old = old.get("queries_spread", {})
     sp_new = new.get("queries_spread", {})
@@ -91,29 +100,37 @@ def main(argv: list[str]) -> None:
     print(f"# comparable rows: {len(shared)} "
           f"(old-only {len(set(qs_old) - set(qs_new))}, "
           f"new-only {len(set(qs_new) - set(qs_old))})")
-    signal = []
+    signal, noise = [], 0
     for name in shared:
         t_old = qs_old[name]
-        t_new = qs_new[name] * ratio
         if t_old <= 0:
             continue
-        delta = t_new / t_old - 1.0
         band = max(
             sp_old.get(name, SPREAD_DEFAULT),
             sp_new.get(name, SPREAD_DEFAULT),
             SPREAD_FLOOR,
         )
-        if abs(delta) > band:
-            signal.append((name, t_old, t_new, delta, band))
+        deltas = [qs_new[name] * r / t_old - 1.0 for r in ratios]
+        clears = [d for d in deltas if abs(d) > band]
+        same_dir = len(clears) == len(deltas) and (
+            all(d > 0 for d in deltas) or all(d < 0 for d in deltas)
+        )
+        if same_dir:
+            signal.append((name, t_old, qs_new[name], deltas, band))
+        else:
+            noise += 1
+    print(f"# noise rows (inside band, or calib-ratio-dependent): {noise}")
     if not signal:
-        print("VERDICT: every shared row is inside its noise band — "
-              "no signal either direction.")
+        print("VERDICT: no row clears its noise band under both calib "
+              "normalizations — no signal either direction.")
         return
-    print(f"{'query':36s} {'old':>8s} {'new*':>8s} {'delta':>8s} "
-          f"{'band':>6s}  direction")
-    for name, a, b, d, band in sorted(signal, key=lambda r: r[3]):
-        arrow = "FASTER" if d < 0 else "SLOWER"
-        print(f"{name:36s} {a:8.2f} {b:8.2f} {d:+8.1%} {band:6.1%}  {arrow}")
+    print(f"{'query':36s} {'old':>8s} {'raw new':>8s} "
+          f"{'delta range':>16s} {'band':>6s}  direction")
+    for name, a, b, ds, band in sorted(signal, key=lambda r: min(r[3])):
+        arrow = "FASTER" if ds[0] < 0 else "SLOWER"
+        lo, hi = min(ds), max(ds)
+        print(f"{name:36s} {a:8.2f} {b:8.2f} {lo:+7.1%}..{hi:+7.1%} "
+              f"{band:6.1%}  {arrow}")
 
 
 if __name__ == "__main__":
