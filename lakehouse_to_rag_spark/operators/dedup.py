@@ -367,14 +367,24 @@ def split_by_script(
     id_col: str,
     text_col: str,
     cutoff: float = _AVG_TOKEN_LEN_CUTOFF,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(word_regime, char_regime) split of a mixed-script corpus by
     ``_is_unsegmented_expr`` — the dispatch step of the auto-unit
     operators, exposed for callers composing their own per-regime
-    pipelines. The input is lazily checkpointed so the two regime
-    scans read ONE materialization instead of re-running the upstream
-    lineage twice."""
-    base = df.localCheckpoint(eager=False)
+    pipelines.
+
+    By default the two regimes each re-scan the input: for the normal
+    case (a parquet-backed corpus with column pruning) two pushed-down
+    scans are strictly cheaper at 100 TB than ``localCheckpoint``'s
+    alternative — materializing the ENTIRE corpus to executor-local
+    storage just to read it back twice (the dispatch predicate itself
+    is one cheap row expression, re-evaluated per branch). Pass
+    ``materialize=True`` when ``df`` is an EXPENSIVE derived lineage
+    (joins/aggregations upstream) whose double evaluation would cost
+    more than one materialization — the localCheckpoint convention
+    the shingle-set pipelines use for exactly that shape."""
+    base = df.localCheckpoint(eager=False) if materialize else df
     flag = _is_unsegmented_expr(text_col, cutoff)
     return base.filter(~flag), base.filter(flag)
 
