@@ -5,22 +5,27 @@ recorded BENCH files as SIGNAL or NOISE so neither the builder nor
 the judge burns attribution time on contention bands.
 
 Method, per query:
-  1. normalize the newer min by BOTH recorded calib ratios
-     (BASELINE.md "Bench calibration": the fixed-work py_spin and
-     jvm_fixed host-speed figures). The two usually agree; when they
-     do not (measured r12: py ratio 1.12 vs jvm 1.60 across two runs
-     on one idle host — the JVM figure swings with JIT/frequency
-     state far beyond real drift), trusting either alone manufactures
-     a wall of false regressions, so a row is SIGNAL only if its
-     delta clears the band in the SAME direction under BOTH
-     normalizations;
+  1. normalize the newer min by the FLEET-MEDIAN ratio: the median of
+     t_old/t_new over all shared rows. Rationale (r12, measured):
+     across three same-day runs on one idle host the recorded
+     fixed-work calib figures swung 40-60% (py_spin 0.94 -> 0.84 ->
+     0.65; jvm_fixed 0.27 -> 0.17 -> 0.09 — JIT ramp + burst-credit
+     frequency) while the 114 per-row raw mins were stable to a few
+     percent — so a single fixed-work loop is a WORSE host estimator
+     than the benched fleet itself. The median of 114 per-row ratios
+     absorbs genuine uniform host drift (the r5 1.25x finding) with
+     114-sample support and is immune to any one row's change; both
+     calib ratios are still printed for reference and a WARNING
+     fires when they disagree with the fleet median beyond drift.
+     The corollary trade is explicit: a change that uniformly slows
+     EVERY row reads as host drift here — catching that class is
+     what the absolute BASELINE bound (2x at same SF) is for;
   2. the NOISE BAND is the larger of the two rounds' recorded
      relative spreads (p50/min - 1; older rounds without the field
      fall back to a 0.20 floor — the r11-observed small-row swing)
      plus a 0.05 measurement floor;
-  3. anything not signal under both ratios -> noise (printed count
-     only); signal rows print with direction and the range of
-     normalized magnitudes.
+  3. |median-normalized delta| within the band -> noise (printed
+     count only); signal rows print with direction and magnitude.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json
 Both driver-wrapper files ({n, rc, tail, parsed}) and raw bench.py
@@ -83,55 +88,64 @@ def main(argv: list[str]) -> None:
         print(__doc__)
         raise SystemExit(2)
     old, new = load_bench(argv[0]), load_bench(argv[1])
-    ratios = []
+    calib_ratios = {}
     for key in ("py_spin_sec", "jvm_fixed_sec"):
         c_old = old.get("calib", {}).get(key)
         c_new = new.get("calib", {}).get(key)
-        r = (c_old / c_new) if (c_old and c_new) else 1.0
-        ratios.append(r)
-        print(f"# calib {key}: old={c_old} new={c_new} -> x{r:.3f}")
-    if max(ratios) / min(ratios) > 1.15:
-        print("# WARNING: the two calib ratios disagree beyond real "
-              "host drift — signal requires BOTH to agree (below)")
+        if c_old and c_new:
+            calib_ratios[key] = c_old / c_new
+            print(f"# calib {key}: old={c_old} new={c_new} "
+                  f"-> x{calib_ratios[key]:.3f}")
     qs_old, qs_new = old.get("queries", {}), new.get("queries", {})
     sp_old = old.get("queries_spread", {})
     sp_new = new.get("queries_spread", {})
-    shared = sorted(set(qs_old) & set(qs_new))
+    shared = sorted(
+        n for n in set(qs_old) & set(qs_new)
+        if qs_old[n] > 0 and qs_new[n] > 0
+    )
     print(f"# comparable rows: {len(shared)} "
           f"(old-only {len(set(qs_old) - set(qs_new))}, "
           f"new-only {len(set(qs_new) - set(qs_old))})")
+    if not shared:
+        print("VERDICT: no comparable rows.")
+        return
+    row_ratios = sorted(qs_old[n] / qs_new[n] for n in shared)
+    r_med = row_ratios[len(row_ratios) // 2]
+    print(f"# fleet-median host ratio (old/new over {len(shared)} rows): "
+          f"x{r_med:.3f} — the normalizer (see docstring)")
+    for key, r in calib_ratios.items():
+        if max(r, r_med) / min(r, r_med) > 1.15:
+            print(f"# WARNING: calib {key} ratio x{r:.3f} disagrees with "
+                  "the fleet median — fixed-work figure untrusted here")
     signal, noise = [], 0
     for name in shared:
         t_old = qs_old[name]
-        if t_old <= 0:
-            continue
+        t_new = qs_new[name] * r_med
         band = max(
             sp_old.get(name, SPREAD_DEFAULT),
             sp_new.get(name, SPREAD_DEFAULT),
             SPREAD_FLOOR,
         )
-        deltas = [qs_new[name] * r / t_old - 1.0 for r in ratios]
-        clears = [d for d in deltas if abs(d) > band]
-        same_dir = len(clears) == len(deltas) and (
-            all(d > 0 for d in deltas) or all(d < 0 for d in deltas)
-        )
-        if same_dir:
-            signal.append((name, t_old, qs_new[name], deltas, band))
+        delta = t_new / t_old - 1.0
+        if abs(delta) > band:
+            signal.append((name, t_old, qs_new[name], delta, band))
         else:
             noise += 1
-    print(f"# noise rows (inside band, or calib-ratio-dependent): {noise}")
+    print(f"# noise rows (inside band after median normalization): {noise}")
     if not signal:
-        print("VERDICT: no row clears its noise band under both calib "
-              "normalizations — no signal either direction.")
+        print("VERDICT: no row clears its noise band after fleet-median "
+              "normalization — no per-row signal either direction.")
         return
     print(f"{'query':36s} {'old':>8s} {'raw new':>8s} "
-          f"{'delta range':>16s} {'band':>6s}  direction")
-    for name, a, b, ds, band in sorted(signal, key=lambda r: min(r[3])):
-        arrow = "FASTER" if ds[0] < 0 else "SLOWER"
-        lo, hi = min(ds), max(ds)
-        print(f"{name:36s} {a:8.2f} {b:8.2f} {lo:+7.1%}..{hi:+7.1%} "
+          f"{'delta':>8s} {'band':>6s}  direction")
+    for name, a, b, d, band in sorted(signal, key=lambda r: r[3]):
+        arrow = "FASTER" if d < 0 else "SLOWER"
+        print(f"{name:36s} {a:8.2f} {b:8.2f} {d:+8.1%} "
               f"{band:6.1%}  {arrow}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    try:
+        main(sys.argv[1:])
+    except BrokenPipeError:  # `| head` closed the pipe — not an error
+        pass
