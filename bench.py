@@ -153,8 +153,14 @@ HEADLINE = [
     # doc (pure-Python entropy coding like GIF/FLAC — compare
     # round-over-round)
     "avi_frame_stats",
-    # the ISO-BMFF twin (sample tables instead of RIFF chunks)
-    "mp4_frame_stats",
+    # mp4_frame_stats (the ISO-BMFF twin — sample tables instead of
+    # RIFF chunks, same JPEG codec core per payload) retired r13 under
+    # policy rule 3 (VERDICT r12 task 8): final recorded numbers
+    # r12 min 1.035 s vs avi_frame_stats 0.972 s (ratio ~1.06x on
+    # record since r6 — the container demux is a rounding error on the
+    # shared entropy-coding cost). The mp4 form stays fully
+    # oracle-gated in the registry rotation; only its bench row
+    # retires — avi keeps the video family's row.
     # round-7 additions: the round-6b tail that was gated but never
     # benched — the exact-dedup-first MinHash twin (crawl-shaped
     # corpora), the all-integer Hamming IVF, link-graph centrality,
@@ -275,12 +281,13 @@ def _prior_mins(sf: float) -> dict[str, float]:
     pass (see below). Missing file / missing entry => warm up (the
     conservative default for never-benched queries).
 
-    Handles BOTH formats on disk: this script's own output line
-    (top-level "queries") and the driver's recording wrapper
-    ({n, rc, tail, parsed} — "parsed" when the driver parsed the JSON
-    line, else the raw stdout tail, from which the queries section is
-    recovered by regex; the tail may be truncated, which at worst
-    re-warms a few entries). Since r12 the script also writes its own
+    Recovery of recorded BENCH_r*.json files is delegated to
+    tools/bench_record.py (r13 — VERDICT r12 task 1: the r12 tail
+    started inside the new queries_spread section and the old
+    unanchored fallback parsed noise ratios as timings; the shared
+    recovery prefers the compact names_v/mins_csv trailer, accepts a
+    sidecar ``<stem>.mins.json``, and REFUSES ambiguous legacy tails
+    instead of guessing). Since r12 the script also writes its own
     COMPLETE per-query record to ``.bench_last.json`` at the end of
     every run and prefers it here: the r12 run found the driver tail
     truncated past 67 of 114 rows, which silently re-classified 47
@@ -288,38 +295,16 @@ def _prior_mins(sf: float) -> dict[str, float]:
     of wasted driver wall). The recorded-file overlay makes warm-up
     selection immune to tail truncation; BENCH_r*.json parsing stays
     as the fallback for a fresh checkout."""
-    import re
+    from tools.bench_record import load_bench_file
 
     latest: dict[str, float] = {}
     for f in sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json")):
+        if f.name.endswith(".mins.json"):
+            continue  # sidecars are read via their main record
         try:
-            data = json.loads(f.read_text())
+            q = load_bench_file(f).get("queries")
         except (OSError, ValueError):
             continue
-        q = data.get("queries")
-        if not q and isinstance(data.get("parsed"), dict):
-            q = data["parsed"].get("queries")
-        if not q and isinstance(data.get("tail"), str):
-            # Anchor to the queries OBJECT, not everything before
-            # "queries_p50": an unanchored scan admitted every
-            # '"key": number' pair in the tail (calib entries, value,
-            # sf, ...) and relied on a hardcoded pop allowlist — any
-            # OTHER numeric field would skew warm-up selection. The
-            # driver keeps only the LAST 2000 chars, so the opener may
-            # be truncated away; the queries object is the first
-            # object-valued key in the line, so it still ENDS at the
-            # first '}' — fall back to [0, first '}') unless marker
-            # keys show the tail starts PAST the queries object.
-            t = data["tail"]
-            m = re.search(r'"queries"\s*:\s*\{', t)
-            start = m.end() if m else 0
-            end = t.find("}", start)
-            sec = t[start:end] if end != -1 else t[start:]
-            if m or not re.search(r'"(queries_p50|value_p50|calib)"', sec):
-                q = {
-                    g[0]: float(g[1])
-                    for g in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', sec)
-                }
         if q:
             latest = {k: float(v) for k, v in q.items()}
     own = Path(__file__).resolve().parent / ".bench_last.json"
@@ -372,9 +357,13 @@ def _calibrate_jvm(spark) -> float:
     0.16, 0.16, 0.16 s), so a min-of-3 records wherever the ramp
     happened to be — r11 recorded 0.268 and r12's re-run 0.168 on
     the same host, a 60% phantom "drift" that poisoned every
-    calib-normalized cross-round comparison. Iterate (up to 12) until
-    the last three runs sit within 5% of the running min, then report
-    that min: the steady-state figure is the host's, not the ramp's."""
+    calib-normalized cross-round comparison. Iterate (up to 25, never
+    fewer than 15 — the ramp has a plateau before the final C2 tier
+    lands, see the inline comment) until the last FOUR runs sit
+    within 3% of the running min, then report that min: the
+    steady-state figure is the host's, not the ramp's. (ADVICE r12:
+    this docstring previously described an older 12-run/5%/3-run rule
+    — the constants here are the implemented ones.)"""
     runs: list[float] = []
     for _ in range(25):
         t0 = time.perf_counter()
@@ -501,6 +490,17 @@ def main() -> None:
     (Path(__file__).resolve().parent / ".bench_last.json").write_text(
         json.dumps({"sf": sf, "queries": timings})
     )
+    # Self-sufficient driver artifact (r13 — VERDICT r12 task 1): the
+    # driver records only the LAST 2000 chars of this line, and the
+    # full named queries dict is ~3.2 KB at 114 rows — it can never
+    # fit. So the line ENDS with the mins as a compact values-only CSV
+    # in HEADLINE order (~700 chars, always inside the tail window)
+    # plus the version of the committed name registry
+    # (tools/bench_names.json) that decodes it. Key order is load-
+    # bearing: names_v/mins_csv must stay LAST.
+    from tools.bench_record import ensure_names_version
+
+    names_v = ensure_names_version(HEADLINE)
     print(
         json.dumps(
             {
@@ -522,6 +522,10 @@ def main() -> None:
                     "py_spin_sec": calib_py,
                     "jvm_fixed_sec": calib_jvm,
                 },
+                "names_v": names_v,
+                "mins_csv": ",".join(
+                    f"{timings[n]:.3f}" for n in HEADLINE
+                ),
             }
         )
     )

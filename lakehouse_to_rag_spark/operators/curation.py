@@ -868,13 +868,27 @@ def training_shards_assign(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.col("_off") + F.sum("n_tokens").over(w)
+    # ALL-INTEGER shard arithmetic (ADVICE r12): cum_start and the
+    # budget are non-negative longs, so `div` (integral division) IS
+    # floor division — the earlier double-precision FLOOR(x / float)
+    # could flip a boundary doc's shard once cumulative token counts
+    # approach 2^53 (~9 petatokens — reachable in a 100 TB corpus
+    # lifetime), and the DuckDB oracle shared the same float form so
+    # the gate could never catch it. Oracle now uses DuckDB's integer
+    # `//` on the same longs; both engines divide exactly.
     return (
         ranged.join(off_df, "_pid")
         .select(
             F.col(id_col),
             "shuffle_key",
             "n_tokens",
-            F.floor((cum - F.col("n_tokens")) / F.lit(float(token_budget)))
+            (cum - F.col("n_tokens")).alias("_start"),
+        )
+        .select(
+            F.col(id_col),
+            "shuffle_key",
+            "n_tokens",
+            F.expr(f"_start div {int(token_budget)}")
             .cast("long")
             .alias("shard"),
         )
@@ -941,6 +955,11 @@ def write_training_shards(
             F.expr(f"bit_xor(xxhash64(cast({id_col} as string)))")
             .alias("id_hash"),
         )
+        # the manifest names the id column it hashed (ADVICE r12): a
+        # layer written with a non-default id_col was previously
+        # unverifiable — verify_training_shards hardcoded doc_id and
+        # failed on read-back
+        .withColumn("id_col", F.lit(id_col))
     )
     write_layer(manifest, f"{tmp}/_manifest", fmt="parquet")
     if os.path.exists(path):
@@ -953,27 +972,55 @@ def write_training_shards(
     return read_layer(spark, f"{path}/_manifest", fmt="parquet")
 
 
-def verify_training_shards(spark: SparkSession, path: str) -> DataFrame:
+def verify_training_shards(
+    spark: SparkSession, path: str, id_col: str | None = None
+) -> DataFrame:
     """Fail-closed shard verification: recompute every shard's doc
     count, token sum, and id hash FROM THE DATA FILES and compare to
     the published ``_manifest`` — any divergence (a lost file, a
-    partial shard, a foreign row) raises lazily on the mismatching
-    row (the retrieval_metrics convention: the check rides the scan,
-    every output row flows through it). Returns the verified
-    manifest rows."""
+    partial shard, a foreign row) raises on the mismatching row.
+
+    The check is a FILTER predicate, not a projected column (ADVICE
+    r12, medium): the previous form routed the raise through the
+    ``n_docs`` output column only, and Catalyst prunes an unconsumed
+    projection — ``verify(...).count()`` (the exact form the
+    round-trip test used) and any projection that skipped n_docs
+    reported green on a divergent layer. A filter's predicate affects
+    cardinality, so EVERY consumption path — count(), any column
+    subset — must evaluate it for every joined row; it references
+    both join sides, so it cannot be pushed below the join either.
+
+    ``id_col`` defaults to the column name the manifest itself
+    records (written since r13; ADVICE r12 — a layer written with a
+    non-default id column was unverifiable because doc_id was
+    hardcoded here). Pass it explicitly only for pre-r13 manifests of
+    non-default layers. Returns the verified manifest rows."""
     from lakehouse_to_rag_spark.sources.lakehouse import read_layer
 
+    manifest = read_layer(spark, f"{path}/_manifest", fmt="parquet")
+    if id_col is None:
+        if "id_col" in manifest.columns:
+            # one driver-side row: the manifest is |shards| rows and
+            # the writer stamps a single literal, asserted here
+            names = {r["id_col"] for r in manifest.select("id_col").collect()}
+            if len(names) > 1:
+                raise ValueError(
+                    f"verify_training_shards: manifest names multiple "
+                    f"id columns {sorted(names)} — corrupt manifest"
+                )
+            id_col = names.pop() if names else "doc_id"
+        else:
+            id_col = "doc_id"  # pre-r13 manifest, default layer
     actual = (
         read_layer(spark, path, fmt="parquet")
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("a_docs"),
             F.sum("n_tokens").cast("long").alias("a_tokens"),
-            F.expr("bit_xor(xxhash64(cast(doc_id as string)))")
+            F.expr(f"bit_xor(xxhash64(cast({id_col} as string)))")
             .alias("a_hash"),
         )
     )
-    manifest = read_layer(spark, f"{path}/_manifest", fmt="parquet")
     ok = (
         (F.col("n_docs") == F.col("a_docs"))
         & (F.col("n_tokens") == F.col("a_tokens"))
@@ -981,7 +1028,7 @@ def verify_training_shards(spark: SparkSession, path: str) -> DataFrame:
         & F.col("n_docs").isNotNull()
         & F.col("a_docs").isNotNull()
     )
-    checked = F.when(ok, F.col("n_docs")).otherwise(
+    gate = F.when(ok, F.lit(True)).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("verify_training_shards: shard "),
@@ -992,16 +1039,12 @@ def verify_training_shards(spark: SparkSession, path: str) -> DataFrame:
                 F.coalesce(F.col("n_docs").cast("string"), F.lit("missing")),
                 F.lit(")"),
             )
-        )
+        ).cast("boolean")
     )
     return (
         manifest.join(actual, "shard", "full_outer")
-        .select(
-            "shard",
-            checked.alias("n_docs"),
-            "n_tokens",
-            "id_hash",
-        )
+        .where(gate)
+        .select("shard", "n_docs", "n_tokens", "id_hash")
     )
 
 

@@ -362,6 +362,36 @@ def _is_unsegmented_expr(text_col: str, cutoff: float = _AVG_TOKEN_LEN_CUTOFF):
     return F.coalesce(ratio >= F.lit(cutoff), F.lit(False))
 
 
+_NONDETERMINISTIC_PLAN_MARKERS = (
+    "rand(",
+    "randn(",
+    "uuid(",
+    "shuffle(",
+    "monotonically_increasing_id",
+    "current_timestamp",
+    "current_date",
+    "now()",
+)
+
+
+def _plan_nondeterminism_marker(df: DataFrame) -> str | None:
+    """Best-effort scan of the ANALYZED logical plan for expressions
+    whose value can differ between two evaluations of the same
+    lineage (random generators, id assignment, per-query clock
+    reads). Returns the first marker found, else None. String-level
+    on purpose: a py4j tree walk would be exact but version-fragile,
+    and a FALSE positive here only forces a materialization that is
+    correct anyway."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString().lower()
+    except Exception:  # non-JVM backends (Connect) — guard is advisory
+        return None
+    for m in _NONDETERMINISTIC_PLAN_MARKERS:
+        if m in plan:
+            return m
+    return None
+
+
 def split_by_script(
     df: DataFrame,
     id_col: str,
@@ -383,7 +413,30 @@ def split_by_script(
     ``materialize=True`` when ``df`` is an EXPENSIVE derived lineage
     (joins/aggregations upstream) whose double evaluation would cost
     more than one materialization — the localCheckpoint convention
-    the shingle-set pipelines use for exactly that shape."""
+    the shingle-set pipelines use for exactly that shape.
+
+    DETERMINISM CONTRACT (ADVICE r12): with ``materialize=False`` the
+    dispatch predicate runs in two INDEPENDENT scans, so ``df``'s
+    lineage must produce the same rows on both — a sampled,
+    rand-derived, or clock-derived lineage can land a document in
+    BOTH regimes (duplicate/contradictory pairs downstream) or in
+    NEITHER (silently dropped). A best-effort plan scan fails closed
+    when it spots such an expression, naming ``materialize=True`` as
+    the fix (one pinned evaluation, both branches read the same
+    rows); a re-read mutable SOURCE (a table another writer is
+    updating mid-job) is undetectable from the plan and stays the
+    caller's responsibility."""
+    if not materialize:
+        marker = _plan_nondeterminism_marker(df)
+        if marker is not None:
+            raise ValueError(
+                "split_by_script: the input lineage contains a "
+                f"non-deterministic expression ({marker!r}); two "
+                "independent regime scans could disagree on which "
+                "rows exist, landing documents in both regimes or "
+                "neither. Pass materialize=True to pin one "
+                "evaluation, or checkpoint the input yourself."
+            )
     base = df.localCheckpoint(eager=False) if materialize else df
     flag = _is_unsegmented_expr(text_col, cutoff)
     return base.filter(~flag), base.filter(flag)
@@ -398,6 +451,7 @@ def ngram_jaccard_pairs_auto_unit(
     threshold: float = 0.5,
     max_shingle_df: int | str | None = "auto",
     cutoff: float = _AVG_TOKEN_LEN_CUTOFF,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs over a MIXED-SCRIPT corpus
     (r12 — VERDICT r11 task 4): each document is dispatched to the
@@ -418,8 +472,15 @@ def ngram_jaccard_pairs_auto_unit(
     strictly cheaper than running both units over everything.
     ``max_shingle_df="auto"`` derives each regime's stop-shingle cap
     from that regime's own document count (the fraction-of-corpus
-    rule applied per shingle universe)."""
-    word_df, char_df = split_by_script(df, id_col, text_col, cutoff)
+    rule applied per shingle universe).
+
+    Determinism (ADVICE r12): the dispatch evaluates ``df`` once per
+    regime — see ``split_by_script``'s contract; a non-deterministic
+    lineage fails closed there, and ``materialize=True`` pins one
+    evaluation."""
+    word_df, char_df = split_by_script(
+        df, id_col, text_col, cutoff, materialize=materialize
+    )
     pairs_w = ngram_jaccard_pairs(
         word_df, id_col, text_col, n_word, threshold, max_shingle_df,
         unit="word",
@@ -444,6 +505,7 @@ def minhash_lsh_pairs_auto_unit(
     threshold: float = 0.5,
     cutoff: float = _AVG_TOKEN_LEN_CUTOFF,
     max_text_len: int | None = _CHAR_ARRAY_MAX_TEXT_LEN,
+    materialize: bool = False,
 ) -> DataFrame:
     """Banded MinHash over a MIXED-SCRIPT corpus with per-document
     unit dispatch — the SCALE form of ``ngram_jaccard_pairs_auto_unit``
@@ -464,8 +526,15 @@ def minhash_lsh_pairs_auto_unit(
     (measured on the probe corpus: candidates 8.6M @ n=5 -> 456k
     @ n=9 -> 15k @ n=13 with an IDENTICAL 256-pair true output);
     ``estimate_band_candidate_rate`` is the cheap pre-flight that
-    tells you."""
-    word_df, char_df = split_by_script(df, id_col, text_col, cutoff)
+    tells you.
+
+    Determinism (ADVICE r12): the dispatch evaluates ``df`` once per
+    regime — see ``split_by_script``'s contract; a non-deterministic
+    lineage fails closed there, and ``materialize=True`` pins one
+    evaluation."""
+    word_df, char_df = split_by_script(
+        df, id_col, text_col, cutoff, materialize=materialize
+    )
     pw = minhash_lsh_pairs(
         word_df, id_col, text_col, n_word, num_hashes, rows_per_band,
         threshold, unit="word",
@@ -493,6 +562,7 @@ def fuzzy_decontaminate_auto_unit(
     rows_per_band: int = 2,
     max_broadcast_rows: int = 2_000_000,
     cutoff: float = _AVG_TOKEN_LEN_CUTOFF,
+    materialize: bool = False,
 ) -> DataFrame:
     """Mixed-script train/benchmark DECONTAMINATION with per-document
     unit dispatch (r12): a multilingual benchmark's unsegmented items
@@ -502,13 +572,22 @@ def fuzzy_decontaminate_auto_unit(
     the r12 probe measured — so BOTH sides split by the script
     heuristic, word-regime train docs screen against word-regime
     benchmark items and char against char, union tagged by unit.
+    Determinism (ADVICE r12): BOTH inputs are evaluated once per
+    regime — see ``split_by_script``'s contract; a non-deterministic
+    lineage on either side fails closed there, and
+    ``materialize=True`` pins one evaluation of each.
     Cross-regime leakage (an unsegmented benchmark item paraphrased
     into space-delimited training text) has no shared shingle
     universe in either unit and is out of scope for shingle methods —
     ``decontaminate_semantic`` (embedding rung of the ladder) is the
     operator that covers it."""
-    tw, tc = split_by_script(train, id_col, text_col, cutoff)
-    bw, bc = split_by_script(bench, bench_id_col, bench_text_col, cutoff)
+    tw, tc = split_by_script(
+        train, id_col, text_col, cutoff, materialize=materialize
+    )
+    bw, bc = split_by_script(
+        bench, bench_id_col, bench_text_col, cutoff,
+        materialize=materialize,
+    )
     hw = fuzzy_decontaminate(
         tw, bw, id_col, text_col, bench_id_col, bench_text_col,
         n_word, threshold, num_hashes, rows_per_band,

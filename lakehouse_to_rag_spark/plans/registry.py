@@ -7332,7 +7332,10 @@ WITH toks AS (
   FROM toks
 )
 SELECT doc_id, shuffle_key, n_tokens,
-       CAST(FLOOR((cum - n_tokens) / 5000.0) AS BIGINT) AS shard
+       -- integer floor division (ADVICE r12): both engines now divide
+       -- exact longs — the float form could flip a boundary shard
+       -- near 2^53 cumulative tokens, identically on both sides
+       CAST((cum - n_tokens) // 5000 AS BIGINT) AS shard
 FROM cums
 """
 
@@ -9484,34 +9487,19 @@ _CANARIES: list[str] = [
 # Remove a pin once its fresh green row is recorded; new registry
 # entries need no pin (never-checked == stalest == auto-included).
 _PINS: list[str] = [
-    # All three r11 pins (embedding_diversity, retrieval_eval_metrics,
-    # image_dedup_incremental) recorded their green rows
-    # (CORRECTNESS_r11: all PASS, first 50/50 hash-green window) and
-    # are dropped per the one-round policy (VERDICT r11 task 1).
+    # Both r12 pins (dedup_ngram_jaccard_char, dedup_minhash_char)
+    # recorded their green rows (CORRECTNESS_r12: hash-green, third
+    # consecutive 50/50 window) and are dropped per the one-round
+    # policy (VERDICT r12 task 2) — F back to 6 (canaries only),
+    # N_max = 226, 9 slots of registration headroom at 217.
     # This round's changed gated implementations are pinned below as
     # they land.
     #
-    # r12 (VERDICT r11 task 5): char shingling's exploded form is now
-    # CHUNKED (4 KB slices with n-1 overlap — per-row memory O(slice)
-    # instead of O(document)); identical shingle set (boundary-
-    # parametrized equality test) but the gated plan changed shape
-    # (two-level explode_outer).
-    "dedup_ngram_jaccard_char",
-    # r12 (VERDICT r11 task 5): the ARRAY shingle form gained the
-    # lazy fail-closed max_text_len bound (100k code points — the
-    # per-row char-shingle array is O(len) strings in one row); the
-    # guard CASE WHEN rides the gated minhash-char plan.
-    "dedup_minhash_char",
-    #
-    # NOT pinned though touched this round (rationale on record):
-    # knn_hard_negatives (ADVICE r11: the max_broadcast_rows probe
-    # moved BEFORE the eager checkpoint via limit(N+1).count() —
-    # cannot alter output for any call under the bound, which every
-    # gated/benched call is). The banded-hamming family
-    # (_resolve_bands gained the num_bands <= n_bits feasibility
-    # check, ADVICE r11 — pure added validation; every previously
-    # valid call resolves to the identical band count, covered by a
-    # unit test).
+    # r13 (ADVICE r12): shard assignment moved from double-precision
+    # FLOOR(x / float) to all-integer `div` on BOTH sides (Spark
+    # `div`, DuckDB `//`) — identical output below 2^53 cumulative
+    # tokens, but the gated plan and the oracle SQL both changed.
+    "training_shards_assign",
 ]
 
 

@@ -456,6 +456,41 @@ class TestTrainingShards:
         os.remove(victim)
         with pytest.raises(Exception, match="diverges"):
             verify_training_shards(spark, path).collect()
+        # ADVICE r12 (medium): the check is a FILTER, so the forms
+        # that previously pruned it — count() (no columns consumed)
+        # and a projection skipping the checked column — must raise
+        # too; the old projected-CASE form reported green on both.
+        with pytest.raises(Exception, match="diverges"):
+            verify_training_shards(spark, path).count()
+        with pytest.raises(Exception, match="diverges"):
+            verify_training_shards(spark, path).select("shard").collect()
+
+    def test_verify_honors_custom_id_col(self, spark, tmp_path):
+        """ADVICE r12: a layer written with a non-default id column
+        was unverifiable (doc_id hardcoded in the recomputed hash).
+        The manifest now records its id column and verification reads
+        it back — no parameter needed."""
+        from lakehouse_to_rag_spark.operators.curation import (
+            verify_training_shards,
+            write_training_shards,
+        )
+
+        rows = [(f"u{i}", " ".join(f"w{j}" for j in range(4)))
+                for i in range(20)]
+        docs = spark.createDataFrame(rows, "uid string, text string")
+        path = str(tmp_path / "shards_uid")
+        man = write_training_shards(
+            docs, path, token_budget=16, id_col="uid"
+        )
+        assert man.select("id_col").distinct().collect()[0][0] == "uid"
+        verified = verify_training_shards(spark, path)
+        assert verified.count() == man.count()
+        # explicit override still works (pre-r13 manifests of
+        # non-default layers)
+        assert (
+            verify_training_shards(spark, path, id_col="uid").count()
+            == man.count()
+        )
 
     def test_crash_swap_recovery(self, spark, tmp_path):
         """A staging dir left by a pre-swap crash is discarded; the

@@ -2476,3 +2476,107 @@ def test_band_candidate_rate_flags_char5_on_prose(spark):
     # degenerate inputs
     one = docs.limit(1)
     assert estimate_band_candidate_rate(one, "doc_id", "text") == 0.0
+
+
+def test_split_by_script_nondeterministic_lineage_fails_closed(spark):
+    """ADVICE r12: with materialize=False the dispatch predicate runs
+    in two independent scans, so a rand-derived lineage could land a
+    document in BOTH regimes or NEITHER. The plan scan must refuse
+    such lineages and name materialize=True; materialize=True (one
+    pinned evaluation) must accept them. Deterministic lineages are
+    untouched."""
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.dedup import split_by_script
+
+    docs = spark.createDataFrame(
+        [(1, "plain deterministic text here")], "doc_id long, text string"
+    )
+    # deterministic lineage: fine
+    w, c = split_by_script(docs, "doc_id", "text")
+    assert w.count() + c.count() == 1
+
+    risky = docs.withColumn("r", F.rand(seed=7)).drop("r")
+    # column pruning may drop the rand column, but the ANALYZED plan
+    # (pre-optimization) still carries it — which is the right
+    # severity: the lineage was BUILT non-deterministic
+    with pytest.raises(ValueError, match="materialize=True"):
+        split_by_script(risky, "doc_id", "text")
+    w, c = split_by_script(risky, "doc_id", "text", materialize=True)
+    assert w.count() + c.count() == 1
+
+    # the auto-unit operators surface the same contract
+    from lakehouse_to_rag_spark.operators.dedup import (
+        ngram_jaccard_pairs_auto_unit,
+    )
+
+    with pytest.raises(ValueError, match="materialize=True"):
+        ngram_jaccard_pairs_auto_unit(risky, "doc_id", "text")
+    assert (
+        ngram_jaccard_pairs_auto_unit(
+            risky, "doc_id", "text", materialize=True
+        ).count()
+        == 0
+    )
+
+
+def test_cross_regime_paraphrase_handoff_to_semantic(spark):
+    """r13 (VERDICT r12 task 3): the decontamination ladder's
+    documented hand-off, previously asserted only in docstrings — an
+    UNSEGMENTED benchmark item paraphrased into SPACE-DELIMITED
+    training text shares no shingle universe with it in either unit,
+    so both shingle regimes must miss it (that is the contract, not a
+    silent gap), and the semantic rung (embedding cosine) must be the
+    one that catches it."""
+    from lakehouse_to_rag_spark.operators.dedup import (
+        fuzzy_decontaminate,
+        fuzzy_decontaminate_auto_unit,
+        semantic_decontaminate,
+    )
+
+    # benchmark: one unsegmented (Japanese) item; train: its English
+    # paraphrase + an unrelated control
+    cjk = "今日の天気は快晴で気温は摂氏二十五度まで上がり散歩日和になりました"
+    para = ("the weather today is perfectly clear and the temperature "
+            "rises to twenty five degrees celsius a fine day for a walk")
+    train = spark.createDataFrame(
+        [(1, para),
+         (2, "unrelated training text about shuffle partitions and "
+             "broadcast joins in a distributed query engine")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, cjk)], "doc_id long, text string")
+
+    # both shingle regimes miss the cross-regime paraphrase — via the
+    # dispatcher (train is all word-regime, bench all char-regime, so
+    # each regime screens against an empty benchmark / empty corpus)
+    assert fuzzy_decontaminate_auto_unit(
+        train, bench, threshold=0.1
+    ).collect() == []
+    # ... and via BOTH single units over everything: word mode sees
+    # the benchmark item as one giant token (zero 3-gram shingles);
+    # char mode finds zero shared 5-grams across scripts — exact
+    # verification guarantees emptiness either way
+    assert fuzzy_decontaminate(train, bench, threshold=0.1).collect() == []
+    assert fuzzy_decontaminate(
+        train, bench, n=5, threshold=0.1, unit="char"
+    ).collect() == []
+
+    # the semantic rung catches it: embeddings of the SAME ids — the
+    # embedding model's job is the geometry (paraphrase lands next to
+    # the item), the engine's job is this hand-off; deterministic
+    # stand-in vectors assert the plumbing
+    bench_emb = spark.createDataFrame(
+        [(100, [0.6, 0.8, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    train_emb = spark.createDataFrame(
+        [(1, [0.6, 0.8, 0.05, 0.0]),   # cosine ~0.9988 vs item 100
+         (2, [0.0, 0.0, 1.0, 0.0])],   # orthogonal control
+        "vec_id long, embedding array<double>",
+    )
+    hits = semantic_decontaminate(
+        train_emb, bench_emb, threshold=0.9
+    ).collect()
+    assert {(r["vec_id"], r["bench_id"]) for r in hits} == {(1, 100)}
+    assert all(r["cosine"] >= 0.99 for r in hits)

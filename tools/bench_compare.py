@@ -36,46 +36,29 @@ itself stays human).
 
 from __future__ import annotations
 
-import json
-import re
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.bench_record import load_bench_file  # noqa: E402
 
 
 def load_bench(path: str) -> dict:
-    """Extract {queries, queries_spread, calib} from either format.
-    Driver tails are truncated; whatever is recoverable is used."""
-    data = json.loads(open(path).read())
-    if "queries" in data:
-        return data
-    if isinstance(data.get("parsed"), dict) and data["parsed"]:
-        return data["parsed"]
-    tail = data.get("tail", "")
-    out: dict = {"queries": {}, "queries_spread": {}, "calib": {}}
-    # the driver keeps only the LAST 2000 chars, so the '"queries": {'
-    # opener may be truncated away; the queries object is the first
-    # object-valued key in the line, so it still ENDS at the first '}'
-    # — fall back to [0, first '}') unless marker keys show the tail
-    # starts PAST the queries object (bench.py's _prior_mins logic)
-    m = re.search(r'"queries"\s*:\s*\{', tail)
-    start = m.end() if m else 0
-    end = tail.find("}", start)
-    sec = tail[start:end] if end != -1 else tail[start:]
-    if m or not re.search(r'"(queries_p50|queries_spread|value_p50|calib)"', sec):
-        out["queries"] = {
-            g[0]: float(g[1])
-            for g in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', sec)
-        }
-    m = re.search(r'"queries_spread"\s*:\s*\{', tail)
-    if m:
-        sec = tail[m.end():tail.find("}", m.end())]
-        out["queries_spread"] = {
-            g[0]: float(g[1])
-            for g in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', sec)
-        }
-    for k in ("py_spin_sec", "jvm_fixed_sec"):
-        m = re.search(rf'"{k}": ([0-9.]+)', tail)
-        if m:
-            out["calib"][k] = float(m.group(1))
+    """Extract {queries, queries_spread, calib} from either format —
+    delegated to tools/bench_record.py (r13, VERDICT r12 task 1) so
+    this tool and bench.py's warm-up selection can never disagree on
+    what a truncated driver tail means. The shared recovery prefers
+    the compact names_v/mins_csv trailer, then a ``<stem>.mins.json``
+    sidecar, and REFUSES ambiguous legacy tails instead of guessing
+    (the r12 failure: spread ratios parsed as timings -> a x8.4
+    phantom fleet ratio and 60 false FASTER rows)."""
+    out = load_bench_file(path)
+    if not out["queries"]:
+        print(f"# WARNING: no per-query mins recoverable from {path} "
+              "(truncated legacy tail without a mins_csv trailer or "
+              ".mins.json sidecar) — rows from this file are excluded "
+              "rather than guessed")
     return out
 
 
