@@ -735,6 +735,19 @@ def minhash_signatures(
     return sig.select("id", F.expr(arr))
 
 
+# Char-banding pre-flight defaults (r13 — VERDICT r12 task 4): below
+# MIN_DOCS the quadratic floor cannot hurt (the whole corpus is one
+# small join — gate fixtures and the sf0.1 bench corpus sit under it
+# by design, so gated plans and bench rows are unchanged); past it, a
+# sampled candidate rate above MAX_RATE means banding prunes (almost)
+# nothing and the "sub-quadratic" join is an all-pairs scan in
+# disguise — the r12 probe's 69%-of-all-pairs finding, silent until
+# corpus scale.
+_PREFLIGHT_MIN_DOCS = 10_000
+_PREFLIGHT_MAX_RATE = 0.05
+_PREFLIGHT_SAMPLE_DOCS = 256
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -745,6 +758,9 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     unit: str = "word",
     max_text_len: int | None = _CHAR_ARRAY_MAX_TEXT_LEN,
+    preflight: str | None = "auto",
+    preflight_min_docs: int = _PREFLIGHT_MIN_DOCS,
+    preflight_max_rate: float = _PREFLIGHT_MAX_RATE,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
     ``unit="char"`` shingles by character n-gram (the
@@ -764,7 +780,55 @@ def minhash_lsh_pairs(
     there are zero shuffles before the band join (shingle sets and
     signatures are per-row array expressions) and no false positives
     in the output.
+
+    CHAR-BANDING PRE-FLIGHT (r13 — VERDICT r12 task 4): for
+    ``unit="char"`` with ``preflight="auto"`` (the default), corpora
+    past ``preflight_min_docs`` documents get a sampled
+    ``estimate_band_candidate_rate`` check BEFORE any corpus-scale
+    work, and the build fails closed past ``preflight_max_rate`` —
+    the ``max_broadcast_rows`` convention. The r12 probe measured why:
+    on a genuinely unsegmented but TEMPLATE-HEAVY corpus (the case
+    per-document script routing cannot help) char banding's
+    background collision rate can make the candidate join an
+    all-pairs scan — 8.6M candidates among 5k prose docs at n=5,
+    invisible at gate scale, >55 min at 10x. The raise names the
+    measured rate and the levers (raise ``n`` — census on the probe
+    corpus: 8.6M @ n=5 -> 456k @ n=9 -> 15k @ n=13 with an IDENTICAL
+    true-pair output — or route by script via
+    ``minhash_lsh_pairs_auto_unit``); ``preflight=None`` opts out
+    deliberately. The probe costs one ``limit(min_docs).count()``
+    plus a 256-doc sampled signature build — bounded, never
+    corpus-scale; corpora under ``preflight_min_docs`` skip it
+    entirely (a sub-10k-doc char join is small regardless of rate,
+    which also keeps gated oracle plans and bench rows action-free
+    and unchanged).
     """
+    if preflight not in ("auto", None):
+        raise ValueError(
+            f"minhash_lsh_pairs: preflight must be 'auto' or None, "
+            f"got {preflight!r}"
+        )
+    if unit == "char" and preflight == "auto":
+        base = df.filter(F.col(text_col).isNotNull())
+        if base.limit(preflight_min_docs).count() >= preflight_min_docs:
+            rate = estimate_band_candidate_rate(
+                df, id_col, text_col, n, num_hashes, rows_per_band,
+                unit="char", sample_docs=_PREFLIGHT_SAMPLE_DOCS,
+            )
+            if rate > preflight_max_rate:
+                raise ValueError(
+                    f"minhash_lsh_pairs: char {n}-gram banding on this "
+                    f"corpus has a sampled candidate rate of {rate:.3f} "
+                    f"(> {preflight_max_rate}) — banding prunes almost "
+                    "nothing and the join would degenerate toward an "
+                    "all-pairs scan at corpus scale (the r12 probe "
+                    "measured 69% of all pairs on 5k docs, >55 min at "
+                    "10x). Levers: raise n (measured census: 8.6M "
+                    "candidates @ n=5 -> 15k @ n=13, identical true "
+                    "output), dispatch mixed corpora by script "
+                    "(minhash_lsh_pairs_auto_unit), or pass "
+                    "preflight=None to accept the cost deliberately."
+                )
     # NB: no size(shingles)>0 filter here — Catalyst would push it
     # below the repartition WITH the whole shingle expression inlined,
     # collapsing the parallel stage back into the single-split scan.
@@ -1716,13 +1780,18 @@ def _banded_hamming_matches(
     n_bits: int,
     num_bands: int,
     max_hamming: int,
+    snapshot_banded: bool = False,
 ) -> DataFrame:
     """Distinct probe ids having >= 1 snapshot signature within
     ``max_hamming`` — the TWO-TABLE form of the pigeonhole-banded
     join (probe x snapshot candidates on agreeing blocks, never a
     product). Both inputs are (id, simhash) tables; the band scheme
     is the shared ``_banded`` helper, so the two-table and self-join
-    forms cannot diverge."""
+    forms cannot diverge. ``snapshot_banded=True`` accepts a snapshot
+    that is ALREADY band rows (simhash, blk, bval — the persisted
+    media-ledger layout, r13) built with the SAME num_bands; the
+    caller owns that invariant (``admit_media_batch`` enforces it via
+    the ledger's ``_scheme`` record)."""
     p = _banded(probe, n_bits, num_bands).select(
         F.col("id").alias("p_id"), F.col("simhash").alias("p_sh"),
         "blk", "bval",
@@ -1730,7 +1799,11 @@ def _banded_hamming_matches(
     # snapshot ids never surface — dedup the band rows so a
     # duplicate-heavy snapshot (many ids sharing one signature) costs
     # one candidate row per distinct (signature, block), not per id
-    s = _banded(snapshot, n_bits, num_bands).select(
+    s_rows = (
+        snapshot if snapshot_banded
+        else _banded(snapshot, n_bits, num_bands)
+    )
+    s = s_rows.select(
         F.col("simhash").alias("s_sh"), "blk", "bval",
     ).distinct()
     ham = F.bit_count(F.col("p_sh").bitwiseXOR(F.col("s_sh")))
@@ -1747,6 +1820,7 @@ def incremental_media_dedup(
     snapshot_sigs: DataFrame,
     max_hamming: int = 6,
     num_bands: int | str = "auto",
+    snapshot_banded: bool = False,
 ) -> DataFrame:
     """Admit only the incoming media whose perceptual signature is
     NEW — the continuous-ingest companion to the one-shot
@@ -1773,14 +1847,18 @@ def incremental_media_dedup(
     that can't afford the over-drop should cluster first
     (``graph.dedup_clusters`` on the batch pairs) and admit cluster
     roots. Inputs are (id, simhash) tables from
-    ``image_signatures``/``audio_signatures``; output is the admitted
-    (id, simhash) rows."""
+    ``image_signatures``/``audio_signatures`` — or, with
+    ``snapshot_banded=True``, a snapshot that is already (simhash,
+    blk, bval) band rows built with the SAME resolved band count (the
+    r13 persisted-ledger layout; ``admit_media_batch`` enforces the
+    scheme match). Output is the admitted (id, simhash) rows."""
     num_bands = _resolve_bands(
         num_bands, max_hamming, "incremental_media_dedup"
     )
     fresh = incoming_sigs.join(
         _banded_hamming_matches(
-            incoming_sigs, snapshot_sigs, 64, num_bands, max_hamming
+            incoming_sigs, snapshot_sigs, 64, num_bands, max_hamming,
+            snapshot_banded=snapshot_banded,
         ),
         "id",
         "left_anti",
@@ -1791,6 +1869,97 @@ def incremental_media_dedup(
         .distinct()
     )
     return fresh.join(dup_b, "id", "left_anti")
+
+
+# Storage bucket count for the banded media ledger (r13 — VERDICT r12
+# task 5): 256 gives a small ingest trigger (a handful of items x 7
+# band rows) a ~3-10% bucket hit fraction while a partitioned append
+# still writes at most one file per TOUCHED bucket (<= the batch's
+# band-row count), so small batches never fan out to 256 files.
+_MEDIA_LEDGER_BUCKETS = 256
+
+
+def _media_band_rows(
+    sigs: DataFrame, num_bands: int, n_buckets: int
+) -> DataFrame:
+    """(id, simhash, blk, bval, bucket) band rows for the persisted
+    media signature ledger — the shared ``_banded`` block scheme plus
+    the storage bucket key (``pmod(xxhash64(blk, bval), n_buckets)``,
+    the BM25 posting-bucket discipline)."""
+    return _banded(sigs, 64, num_bands).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("blk", "bval"), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def _read_media_scheme(spark, path: str) -> dict | None:
+    """The ledger's banding/bucketing record ({num_bands, n_buckets})
+    from ``{path}/_scheme``, or None for a pre-r13 flat layout."""
+    import os
+
+    from lakehouse_to_rag_spark.sources.lakehouse import read_layer
+
+    sdir = os.path.join(path, "_scheme")
+    if not os.path.exists(sdir):
+        return None
+    row = read_layer(spark, sdir, fmt="parquet").collect()[0]
+    return {
+        "num_bands": int(row["num_bands"]),
+        "n_buckets": int(row["n_buckets"]),
+    }
+
+
+def _write_media_scheme(
+    spark, path: str, num_bands: int, n_buckets: int
+) -> None:
+    import os
+
+    from lakehouse_to_rag_spark.sources.lakehouse import write_layer
+
+    write_layer(
+        spark.createDataFrame(
+            [(num_bands, n_buckets)], "num_bands int, n_buckets int"
+        ),
+        os.path.join(path, "_scheme"),
+        fmt="parquet",
+    )
+
+
+def migrate_media_ledger(
+    spark,
+    path: str,
+    num_bands: int,
+    n_buckets: int = _MEDIA_LEDGER_BUCKETS,
+) -> None:
+    """One-time migration of a signature ledger to the banded
+    bucket-partitioned layout (r13): read the DISTINCT (id, simhash)
+    rows — which heals both the pre-r13 flat layout AND a crashed
+    bootstrap that wrote band rows but died before its ``_scheme`` —
+    rewrite as band rows under ``bucket=N/`` with the scheme record,
+    and swap atomically (``_recover_dir_swap``'s remnant classes).
+    O(cumulative) once; every subsequent batch reads only its
+    colliding buckets."""
+    import os
+    import shutil
+    import uuid
+
+    from lakehouse_to_rag_spark.sources.lakehouse import write_layer
+
+    rows = (
+        spark.read.parquet(path).select("id", "simhash").distinct()
+    )
+    tmp = f"{path.rstrip('/')}__upsert_{uuid.uuid4().hex[:8]}"
+    write_layer(
+        _media_band_rows(rows, num_bands, n_buckets),
+        tmp,
+        partition_by=["bucket"],
+        fmt="parquet",
+    )
+    _write_media_scheme(spark, tmp, num_bands, n_buckets)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def admit_media_batch(
@@ -1804,6 +1973,7 @@ def admit_media_batch(
     max_hamming: int = 6,
     num_bands: int | str = "auto",
     compact_files_threshold: int = 64,
+    n_buckets: int = _MEDIA_LEDGER_BUCKETS,
 ) -> DataFrame:
     """One turn of the continuous perceptual-ingest loop: hash the
     incoming media, dedup against the signature table at
@@ -1813,18 +1983,30 @@ def admit_media_batch(
     ``curation.admit_batch`` (unique per-batch staging dir, never
     collect, reclaim via ``curation.cleanup_staging``).
 
-    The signature ledger is APPEND-ONLY (r12 — VERDICT r11 task 2):
-    the previous keyed upsert rewrote the cumulative table every
-    batch — O(cumulative) WRITE per batch, O(n²) I/O over an ingest
-    lifetime — for rows that are by construction all-new (anything
-    already in the snapshot is within hamming 0 and was dropped by
-    the dedup join). Admitted signatures now APPEND as new files (the
-    ``append_to_ivf_index``/BM25 discipline), and once the ledger
-    accretes past ``compact_files_threshold`` parquet files it is
-    compacted via ``compact_layer``'s atomic two-rename swap — whose
-    crash remnants ``_recover_dir_swap`` (run here before every read)
-    repairs. Per-batch write cost is flat in the cumulative table
-    size; only compaction ever rewrites, amortized O(log)-ly.
+    The signature ledger is APPEND-ONLY (r12 — VERDICT r11 task 2:
+    admitted rows are by construction all-new, so appends replaced
+    the O(cumulative)-per-batch rewrite) and since r13 (VERDICT r12
+    task 5) it is stored as BAND ROWS partitioned by a band-bucket
+    key — ``bucket=N/`` holds the (id, simhash, blk, bval) rows whose
+    block hashes there (the BM25 posting-bucket discipline). The r12
+    layout fixed the WRITE side but every batch still READ the whole
+    cumulative ledger for its dedup join — O(cumulative) read I/O per
+    batch over an ingest lifetime. Now the batch collects its own
+    band rows' distinct buckets (a driver-side list bounded by
+    ``min(batch x bands, n_buckets)``) and scans only those
+    ``bucket=N/`` directories via partition pruning: a band match
+    requires (blk, bval) equality, so rows in untouched buckets can
+    never collide and skipping them is exact, not approximate. The
+    ledger records its banding in ``{path}/_scheme``; a call with a
+    different resolved band count fails closed (band rows from two
+    schemes never align — re-derive via ``migrate_media_ledger``), and
+    a pre-r13 flat ledger is migrated in place once (atomic swap).
+
+    Compaction: a partitioned append writes one file per TOUCHED
+    bucket per batch, so the trigger is the MAX per-bucket file count
+    (> ``compact_files_threshold``) — the same per-batch cadence as
+    the flat layout — compacted through the shared
+    ``_compact_index_layout`` swap (``_scheme`` carried verbatim).
 
     Crash/replay semantics are unchanged from the upsert form: a
     batch that died mid-append re-admits exactly its not-yet-visible
@@ -1832,16 +2014,16 @@ def admit_media_batch(
     and drop), and a replay of a fully-committed batch admits nothing
     and appends nothing (the empty append is skipped). A same-id
     re-ingest with DIFFERENT content far from its original signature
-    now lands as a second ledger row for that id instead of replacing
+    lands as a second ledger row for that id instead of replacing
     the first — strictly more conservative dedup (both signatures
-    guard the corpus), consistent with retained-corpus semantics."""
-    import glob
+    guard the corpus), consistent with retained-corpus semantics.
+    Returns the admitted (id, simhash) rows."""
     import os
+    import pathlib
     import uuid
 
     from lakehouse_to_rag_spark.sources.lakehouse import (
         _recover_dir_swap,
-        compact_layer,
         read_layer,
         write_layer,
     )
@@ -1854,28 +2036,88 @@ def admit_media_batch(
         raise NotImplementedError(
             f"unknown media kind {media!r}: image | audio"
         )
+    num_bands = _resolve_bands(num_bands, max_hamming, "admit_media_batch")
     _recover_dir_swap(sig_table_path)
-    if os.path.exists(sig_table_path):
-        snapshot = spark.read.parquet(sig_table_path).select(
-            F.col("id"), F.col("simhash")
+    exists = os.path.exists(sig_table_path)
+    if exists:
+        scheme = _read_media_scheme(spark, sig_table_path)
+        if scheme is None:
+            # pre-r13 flat ledger (or a bootstrap that died before its
+            # _scheme landed): migrate once, atomically
+            migrate_media_ledger(
+                spark, sig_table_path, num_bands, n_buckets
+            )
+            scheme = {"num_bands": num_bands, "n_buckets": n_buckets}
+        if scheme["num_bands"] != num_bands:
+            raise ValueError(
+                f"admit_media_batch: ledger at {sig_table_path} was "
+                f"built with num_bands={scheme['num_bands']}, this "
+                f"call resolved num_bands={num_bands} — band rows "
+                "from different schemes never align, so the dedup "
+                "join would silently miss matches. Use matching "
+                "max_hamming/num_bands, or re-derive the ledger with "
+                "migrate_media_ledger."
+            )
+        n_buckets = scheme["n_buckets"]
+    # hash payloads ONCE: the bucket probe, the dedup join, and the
+    # append all reuse the signatures
+    sigs = sigs.localCheckpoint(eager=True)
+    if exists:
+        inc_buckets = sorted(
+            r["bucket"]
+            for r in _media_band_rows(sigs, num_bands, n_buckets)
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+        # partition pruning at file-listing time: only the colliding
+        # bucket=N/ directories are ever opened. The explicit schema
+        # also skips planning-time footer sampling — without it Spark
+        # would open a footer from an arbitrary (possibly cold) file
+        # just to infer the fixed, known layout.
+        snap_bands = (
+            spark.read.schema(
+                "id long, simhash long, blk int, bval long, bucket int"
+            )
+            .parquet(sig_table_path)
+            .filter(F.col("bucket").isin(inc_buckets))
+            .select("simhash", "blk", "bval")
         )
     else:
-        snapshot = spark.createDataFrame([], "id long, simhash long")
+        snap_bands = spark.createDataFrame(
+            [], "simhash long, blk int, bval long"
+        )
     admitted = incremental_media_dedup(
-        sigs, snapshot, max_hamming, num_bands
+        sigs, snap_bands, max_hamming, num_bands, snapshot_banded=True
     )
     staging = os.path.join(f"{sig_table_path}__staging", uuid.uuid4().hex)
     write_layer(admitted, staging, fmt="parquet")
     out = read_layer(spark, staging, fmt="parquet")
-    if not os.path.exists(sig_table_path):
-        write_layer(out, sig_table_path, fmt="parquet")
+    out_bands = _media_band_rows(out, num_bands, n_buckets)
+    if not exists:
+        write_layer(
+            out_bands, sig_table_path, partition_by=["bucket"],
+            fmt="parquet",
+        )
+        _write_media_scheme(spark, sig_table_path, num_bands, n_buckets)
     elif out.limit(1).count() > 0:  # cheap post-materialization probe
-        write_layer(out, sig_table_path, mode="append", fmt="parquet")
-    n_files = len(
-        glob.glob(os.path.join(glob.escape(sig_table_path), "*.parquet"))
-    )
-    if n_files > compact_files_threshold:
-        compact_layer(spark, sig_table_path, fmt="parquet")
+        write_layer(
+            out_bands, sig_table_path, partition_by=["bucket"],
+            mode="append", fmt="parquet",
+        )
+    per_bucket = [
+        len(list(d.glob("*.parquet")))
+        for d in pathlib.Path(sig_table_path).glob("bucket=*")
+    ]
+    if per_bucket and max(per_bucket) > compact_files_threshold:
+        from lakehouse_to_rag_spark.operators.similarity import (
+            _compact_index_layout,
+        )
+
+        _compact_index_layout(
+            spark, sig_table_path, "bucket",
+            carry_dirs=("_scheme",), rewrite_dirs=(), split_col="id",
+        )
     return out
 
 

@@ -888,6 +888,69 @@ def remove_duplicate_spans(
     )
 
 
+def remove_duplicate_spans_auto_unit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_word: int = 5,
+    n_char: int = 7,
+    min_docs: int = 2,
+    cutoff: float | None = None,
+    materialize: bool = False,
+) -> DataFrame:
+    """Exact-substring span removal over a MIXED-SCRIPT corpus with
+    per-document unit dispatch (r13 — VERDICT r12 task 6): the dedup
+    family gained word/char/auto routing in r12 but span SURGERY
+    still required manual pre-splitting — a mixed corpus run in word
+    mode leaves every unsegmented document untouched (its whole text
+    is one token), and run in char mode pays char-gram mining over
+    prose where word grams are the right currency. Same
+    ``split_by_script`` predicate (one SQL-replayable row expression,
+    so the entry keeps a full oracle); each regime mines its
+    duplicated-gram table from ITS OWN documents only — word grams
+    and char grams are different currencies, so there is no shared
+    universe to pool across regimes (the auto-unit dedup contract) —
+    and excises with its own unit. Returns the union
+    (id_col, clean_text, n_removed, unit) where ``n_removed`` counts
+    the regime's own units (words resp. characters).
+
+    Determinism (ADVICE r12): the dispatch evaluates ``df`` once per
+    regime — see ``split_by_script``'s contract; a non-deterministic
+    lineage fails closed there, and ``materialize=True`` pins one
+    evaluation."""
+    from lakehouse_to_rag_spark.operators.dedup import (
+        _AVG_TOKEN_LEN_CUTOFF,
+        split_by_script,
+    )
+
+    if cutoff is None:
+        cutoff = _AVG_TOKEN_LEN_CUTOFF
+    word_df, char_df = split_by_script(
+        df, id_col, text_col, cutoff, materialize=materialize
+    )
+    w = remove_duplicate_spans(
+        word_df, id_col, text_col, n_word, min_docs, unit="word"
+    )
+    c = remove_duplicate_spans(
+        char_df, id_col, text_col, n_char, min_docs, unit="char"
+    )
+    return (
+        w.select(
+            id_col,
+            "clean_text",
+            F.col("n_removed_words").alias("n_removed"),
+            F.lit("word").alias("unit"),
+        ).unionByName(
+            c.select(
+                id_col,
+                "clean_text",
+                F.col("n_removed_chars").alias("n_removed"),
+                F.lit("char").alias("unit"),
+            )
+        )
+    )
+
+
 def per_group_cap(
     df: DataFrame,
     cap: int = 10,

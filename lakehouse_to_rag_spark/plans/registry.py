@@ -7511,6 +7511,102 @@ def remove_duplicate_spans_char_docs(
     return ta.remove_duplicate_spans(d, n=7, min_docs=2, unit="char")
 
 
+_REMOVE_SPANS_AUTO_UNIT_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(900001 AS BIGINT), '{_CJK_A}'),
+    (CAST(900002 AS BIGINT), '{_CJK_B}'),
+    (CAST(900003 AS BIGINT), '{_CJK_C}')
+  ) AS v(doc_id, text)
+), cls AS MATERIALIZED (
+  SELECT doc_id, text,
+         COALESCE(CAST(LENGTH(text) AS DOUBLE) /
+                  GREATEST(len(list_filter(string_split(text, ' '),
+                                           x -> LENGTH(x) > 0)), 1)
+                  >= 20.0, FALSE) AS is_char
+  FROM docs
+), w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> LENGTH(x) > 0) AS ws
+  FROM cls WHERE NOT is_char AND text IS NOT NULL
+), gw AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[i:i+4], ' ') AS gram
+  FROM w, UNNEST(range(1, len(ws) - 3)) AS t(i)
+  WHERE len(ws) >= 5
+), dupw AS (
+  SELECT gram
+  FROM (SELECT gram, doc_id FROM gw GROUP BY gram, doc_id)
+  GROUP BY gram HAVING COUNT(*) >= 2
+), covw AS (
+  SELECT gw.doc_id,
+         list_sort(list_distinct(flatten(list(range(gw.pos, gw.pos + 5))))) AS cov
+  FROM gw JOIN dupw USING (gram)
+  GROUP BY gw.doc_id
+), d AS (
+  SELECT doc_id, text AS t FROM cls WHERE is_char AND text IS NOT NULL
+), gc AS (
+  SELECT doc_id, i AS pos, substr(t, i, 7) AS gram
+  FROM d, UNNEST(range(1, LENGTH(t) - 5)) AS u(i)
+  WHERE LENGTH(t) >= 7
+), dupc AS (
+  SELECT gram FROM (SELECT gram, doc_id FROM gc GROUP BY gram, doc_id)
+  GROUP BY gram HAVING COUNT(*) >= 2
+), covc AS (
+  SELECT gc.doc_id,
+         list_sort(list_distinct(flatten(list(range(gc.pos, gc.pos + 7)))))
+           AS cov
+  FROM gc JOIN dupc USING (gram) GROUP BY gc.doc_id
+)
+SELECT w.doc_id,
+       COALESCE(array_to_string(
+         [ws[i] FOR i IN range(1, len(ws) + 1)
+                IF cov IS NULL OR NOT list_contains(cov, i)], ' '), '')
+         AS clean_text,
+       CAST(len(ws) - len(
+         [ws[i] FOR i IN range(1, len(ws) + 1)
+                IF cov IS NULL OR NOT list_contains(cov, i)]) AS BIGINT)
+         AS n_removed,
+       'word' AS unit
+FROM w LEFT JOIN covw ON w.doc_id = covw.doc_id
+UNION ALL
+SELECT d.doc_id,
+       COALESCE(array_to_string(
+         [substr(t, i, 1) FOR i IN range(1, LENGTH(t) + 1)
+                IF cov IS NULL OR NOT list_contains(cov, i)], ''), '')
+         AS clean_text,
+       CAST(COALESCE(len(cov), 0) AS BIGINT) AS n_removed,
+       'char' AS unit
+FROM d LEFT JOIN covc ON d.doc_id = covc.doc_id
+"""
+
+
+@_q("remove_duplicate_spans_auto_unit", _REMOVE_SPANS_AUTO_UNIT_ORACLE)
+def remove_duplicate_spans_auto_unit_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span surgery with per-document unit dispatch (r13 — VERDICT
+    r12 task 6): the documents table plus the three planted
+    unsegmented CJK docs (the near-dup pair shares a long prefix, so
+    char 7-grams cover it in BOTH planted docs; the control shares
+    none) — word-regime documents get word-gram excision, unsegmented
+    documents get char-gram excision, one union tagged by unit with
+    ``n_removed`` counting each regime's own units. Each regime mines
+    its duplicated-gram table from its own documents only (word and
+    char grams are different currencies — the auto-unit dedup
+    contract). Not separately benched: the plan is the two
+    single-unit span plans (both rowed via their gated twins) behind
+    one row predicate — bench policy rule 3."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(900001, _CJK_A), (900002, _CJK_B), (900003, _CJK_C)],
+        "doc_id long, text string",
+    )
+    return ta.remove_duplicate_spans_auto_unit(
+        d.unionByName(extra), n_word=5, n_char=7, min_docs=2
+    )
+
+
 _SIMHASH_BITS = ", ".join(
     f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
     for b in range(60)

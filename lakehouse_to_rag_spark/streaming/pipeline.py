@@ -452,6 +452,7 @@ def stream_media_dedup_sink(
     num_bands: int | str = "auto",
     compact_files_threshold: int = 64,
     trigger_available_now: bool = True,
+    n_buckets: int | None = None,
 ):
     """Streaming twin of the perceptual media-ingest loop (r12): each
     micro-batch of (id, payload) media rows runs one turn of
@@ -459,8 +460,14 @@ def stream_media_dedup_sink(
     ledger at ``sig_table_path`` — decode+hash one Arrow pass, banded
     dedup against every prior admission, APPEND the new signatures
     (the r12 append-only ledger: per-batch write cost flat in
-    cumulative table size, compaction past ``compact_files_threshold``
-    files through the atomic swap).
+    cumulative table size; since r13 the ledger is band-bucket
+    partitioned, so each trigger also READS only its colliding
+    ``bucket=N/`` directories — per-trigger read volume scales with
+    the trigger's band rows, not the ledger's lifetime; compaction
+    past ``compact_files_threshold`` files per bucket through the
+    atomic swap). ``n_buckets`` is honored at ledger BOOTSTRAP only
+    (afterwards the ledger's own ``_scheme`` wins); None = the
+    operator default.
 
     No ``_ledger`` of batch ids is needed (unlike the index sinks):
     the batch operator is replay-idempotent BY CONTENT — a
@@ -478,11 +485,13 @@ def stream_media_dedup_sink(
     def _one_turn(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        kwargs = {} if n_buckets is None else {"n_buckets": n_buckets}
         admit_media_batch(
             batch.sparkSession, sig_table_path, batch,
             id_col=id_col, payload_col=payload_col, media=media,
             method=method, max_hamming=max_hamming, num_bands=num_bands,
             compact_files_threshold=compact_files_threshold,
+            **kwargs,
         )
 
     writer = (

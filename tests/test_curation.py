@@ -282,6 +282,68 @@ class TestRemoveDuplicateSpans:
         assert out[1] == ("a1 b1 c1", 5)
         assert out[2] == ("a2 b2 c2", 5)
 
+    def test_auto_unit_excises_planted_spans_in_both_regimes(self, spark):
+        """r13 (VERDICT r12 task 6): a mixed corpus gets span surgery
+        in BOTH regimes without manual pre-splitting — the planted
+        word-regime shared 5-gram and the planted unsegmented shared
+        7-gram are each excised by their own unit, controls in both
+        regimes come back verbatim, and each regime's duplicated-gram
+        table is mined from its own documents only (regime isolation:
+        results equal the single-unit ops run on the pre-split
+        subsets)."""
+        from lakehouse_to_rag_spark.operators.dedup import split_by_script
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            remove_duplicate_spans,
+            remove_duplicate_spans_auto_unit,
+        )
+
+        core_w = "v w x y z"
+        core_c = "深度学习模型训练需要大量高质量语料"  # 17 chars
+        rows = [
+            (1, f"a1 b1 {core_w} c1"),
+            (2, f"a2 {core_c[:0]}{core_w} b2 c2"),
+            (3, "one two three four five six seven"),
+            (4, core_c + "数据支撑实验结论"),
+            (5, "引言部分" + core_c + "其余内容完全不同"),
+            (6, "完全无关的另一段独立文字内容没有任何重复片段出现"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"], r["unit"])
+            for r in remove_duplicate_spans_auto_unit(
+                df, n_word=5, n_char=7, min_docs=2
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3, 4, 5, 6}
+        # word regime: the shared core excised, prefixes/suffixes kept
+        assert out[1] == ("a1 b1 c1", 5, "word")
+        assert out[2] == ("a2 b2 c2", 5, "word")
+        assert out[3] == ("one two three four five six seven", 0, "word")
+        # char regime: the 17-char core covered in both planted docs,
+        # control untouched
+        assert out[4][2] == "char" and out[5][2] == "char"
+        assert core_c not in out[4][0] and core_c not in out[5][0]
+        assert out[4][1] >= 17 and out[5][1] >= 17
+        assert out[6] == (rows[5][1], 0, "char")
+        # regime isolation: equals the single-unit ops on the split
+        w, c = split_by_script(df, "doc_id", "text")
+        ww = {
+            r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+            for r in remove_duplicate_spans(
+                w, n=5, min_docs=2
+            ).collect()
+        }
+        cc = {
+            r["doc_id"]: (r["clean_text"], r["n_removed_chars"])
+            for r in remove_duplicate_spans(
+                c, n=7, min_docs=2, unit="char"
+            ).collect()
+        }
+        for i in (1, 2, 3):
+            assert out[i][:2] == ww[i]
+        for i in (4, 5, 6):
+            assert out[i][:2] == cc[i]
+
     def test_char_unit_excises_cjk_span_word_mode_misses(self, spark):
         """r12 (VERDICT r11 task 3): a duplicated span inside
         unsegmented-script documents is INVISIBLE to word-mode span

@@ -2580,3 +2580,70 @@ def test_cross_regime_paraphrase_handoff_to_semantic(spark):
     ).collect()
     assert {(r["vec_id"], r["bench_id"]) for r in hits} == {(1, 100)}
     assert all(r["cosine"] >= 0.99 for r in hits)
+
+
+def test_char_minhash_preflight_fails_closed_on_template_corpus(spark):
+    """r13 (VERDICT r12 task 4): the banding pre-flight existed but
+    was manual — a template-heavy genuinely-unsegmented corpus (the
+    case script routing cannot help) still hit the e~2 candidate
+    floor silently at corpus scale. With preflight='auto' (default),
+    corpora past preflight_min_docs sample their candidate rate and
+    fail closed past the threshold, naming the n-lever and the
+    measured rate; preflight=None opts out; small corpora skip the
+    probe entirely (gated plans unchanged)."""
+    import hashlib
+
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.dedup import minhash_lsh_pairs
+
+    # template-heavy unsegmented corpus: a shared 60-char boilerplate
+    # block dominates every doc, unique tails keep true Jaccard below
+    # threshold — banding collides on the boilerplate grams anyway
+    template = "共通の定型文がすべての文書に繰り返し出現する" * 3
+    rows = [
+        (i, template + hashlib.md5(f"u{i}".encode()).hexdigest())
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with pytest.raises(ValueError, match="candidate rate"):
+        minhash_lsh_pairs(
+            docs, "doc_id", "text", n=5, unit="char",
+            preflight_min_docs=64,
+        )
+    # the raise happens at BUILD time, before any corpus-scale work;
+    # the opt-out accepts the cost deliberately and still returns the
+    # exact-verified output
+    out = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=5, unit="char", preflight=None,
+    )
+    assert out.count() >= 0  # builds and runs
+
+    # a benign unsegmented corpus (no shared grams) passes the
+    # pre-flight at the same size and finds its planted pair
+    uniq = [
+        (i, hashlib.md5(f"a{i}".encode()).hexdigest()
+            + hashlib.md5(f"b{i}".encode()).hexdigest())
+        for i in range(78)
+    ]
+    uniq += [(900, "x" * 40), (901, "x" * 39 + "y")]
+    benign = spark.createDataFrame(uniq, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            benign, "doc_id", "text", n=5, unit="char",
+            preflight_min_docs=64, threshold=0.5,
+        ).collect()
+    }
+    assert (900, 901) in pairs
+
+    # corpora under preflight_min_docs never probe (the gate-scale
+    # path): the same template corpus builds fine at default bounds
+    assert minhash_lsh_pairs(
+        docs, "doc_id", "text", n=5, unit="char"
+    ).count() >= 0
+
+    with pytest.raises(ValueError, match="preflight"):
+        minhash_lsh_pairs(docs, "doc_id", "text", unit="char",
+                          preflight="always")

@@ -1778,8 +1778,12 @@ class TestAdmitMediaBatch:
         assert b3.count() == 0
 
         # the maintained table is exactly the union of admissions
+        # (band rows since r13: one row per (id, block) — distinct ids
+        # are the admission record)
         table_ids = sorted(
-            r["id"] for r in spark.read.parquet(table).collect()
+            r["id"]
+            for r in spark.read.parquet(table)
+            .select("id").distinct().collect()
         )
         assert table_ids == [0, 2, 4, 6, 8, 20, 22]
         assert cleanup_staging(table) == 3  # one staging dir per batch
@@ -1805,9 +1809,10 @@ class TestAdmitMediaBatch:
         byte-identical (same paths, sizes, mtimes) after batch 2
         lands, so per-batch write cost is flat in table size. A
         replayed (all-duplicate) batch appends NOTHING (file census
-        unchanged). Past compact_files_threshold the ledger compacts
-        through the atomic swap, contents preserved; a planted
-        crashed-swap remnant is healed by the next batch."""
+        unchanged). Past compact_files_threshold (max files in any
+        bucket since r13) the ledger compacts through the atomic
+        swap, contents preserved; a planted crashed-swap remnant is
+        healed by the next batch."""
         import os
         import pathlib
 
@@ -1816,10 +1821,18 @@ class TestAdmitMediaBatch:
         )
 
         def census(p):
+            # r13 banded layout: data files live under bucket=N/
             return {
                 str(f): (f.stat().st_size, f.stat().st_mtime_ns)
-                for f in pathlib.Path(p).glob("*.parquet")
+                for f in pathlib.Path(p).glob("bucket=*/*.parquet")
             }
+
+        def ids(p):
+            return sorted(
+                r["id"]
+                for r in spark.read.parquet(p)
+                .select("id").distinct().collect()
+            )
 
         table = str(tmp_path / "sigs")
         admit_media_batch(spark, table, self._images(spark, [0, 2, 4]))
@@ -1835,31 +1848,111 @@ class TestAdmitMediaBatch:
         assert out.count() == 0
         assert census(table) == c2
 
-        ids_before = sorted(
-            r["id"] for r in spark.read.parquet(table).collect()
-        )
+        ids_before = ids(table)
         # force compaction on the next batch: threshold below current
-        # file count -> one swap, union of admissions preserved
+        # per-bucket depth -> one swap, union of admissions preserved
         admit_media_batch(
             spark, table, self._images(spark, [20]),
-            compact_files_threshold=1,
+            compact_files_threshold=0,
         )
         c3 = census(table)
-        assert len(c3) <= 2  # coalesced (data files only)
-        ids_after = sorted(
-            r["id"] for r in spark.read.parquet(table).collect()
-        )
-        assert ids_after == sorted(ids_before + [20])
+        # compacted: every bucket collapses to one file
+        per_bucket: dict = {}
+        for f in c3:
+            b = pathlib.Path(f).parent.name
+            per_bucket[b] = per_bucket.get(b, 0) + 1
+        assert per_bucket and max(per_bucket.values()) == 1
+        assert ids(table) == sorted(ids_before + [20])
+        # the scheme record survives the swap verbatim
+        assert os.path.exists(os.path.join(table, "_scheme"))
 
         # crashed-compaction remnant heals on the next turn: simulate
         # the pre-first-rename window (tmp dir exists, ledger intact)
         os.makedirs(f"{table}._compact_deadbeef")
         admit_media_batch(spark, table, self._images(spark, [30]))
         assert not os.path.exists(f"{table}._compact_deadbeef")
-        ids_final = sorted(
-            r["id"] for r in spark.read.parquet(table).collect()
+        assert ids(table) == sorted(ids_before + [20, 30])
+
+    def test_ledger_bucket_pruning_and_scheme_guard(
+        self, spark, tmp_path
+    ):
+        """r13 (VERDICT r12 task 5): the dedup join reads only the
+        bucket=N/ directories the incoming batch's band rows hash to
+        — proven by corrupting every OTHER bucket's files (a full-
+        ledger read would crash; the pruned read never opens them)
+        while dedup verdicts stay correct. A call with a different
+        resolved band count fails closed naming the scheme; a pre-r13
+        flat ledger is migrated in place once."""
+        import pathlib
+
+        import pytest
+
+        from lakehouse_to_rag_spark.operators.dedup import (
+            _MEDIA_LEDGER_BUCKETS,
+            _media_band_rows,
+            admit_media_batch,
+            image_signatures,
         )
-        assert ids_final == sorted(ids_after + [30])
+
+        table = str(tmp_path / "sigs")
+        admit_media_batch(spark, table, self._images(spark, [0, 2, 4]))
+
+        # compute the buckets batch 2 will touch (num_bands = auto =
+        # max_hamming 6 + 1), then corrupt every OTHER bucket's
+        # parquet files in place
+        b2 = self._images(spark, [0, 10])  # 0 = dup, 10 = fresh
+        sigs2 = image_signatures(b2, "doc_id", "payload", "phash")
+        touched = {
+            f"bucket={r['bucket']}"
+            for r in _media_band_rows(sigs2, 7, _MEDIA_LEDGER_BUCKETS)
+            .select("bucket").distinct().collect()
+        }
+        corrupted = 0
+        for d in pathlib.Path(table).glob("bucket=*"):
+            if d.name not in touched:
+                for f in d.glob("*.parquet"):
+                    f.write_bytes(b"corrupt")
+                    corrupted += 1
+        assert corrupted > 0  # the fixture really leaves cold buckets
+        out = admit_media_batch(spark, table, b2)
+        assert sorted(r["id"] for r in out.collect()) == [10]
+
+        # scheme guard: a different banding (max_hamming -> band
+        # count) cannot silently join against mismatched band rows
+        with pytest.raises(ValueError, match="num_bands"):
+            admit_media_batch(
+                spark, table, self._images(spark, [40]), max_hamming=3
+            )
+
+    def test_legacy_flat_ledger_migrates_once(self, spark, tmp_path):
+        """A pre-r13 flat (id, simhash) ledger is rewritten to the
+        banded bucket layout on the first admission against it —
+        atomically, once — and dedups correctly before AND after."""
+        import os
+
+        from lakehouse_to_rag_spark.operators.dedup import (
+            admit_media_batch,
+            image_signatures,
+        )
+        from lakehouse_to_rag_spark.sources.lakehouse import write_layer
+
+        table = str(tmp_path / "sigs")
+        legacy = image_signatures(
+            self._images(spark, [0, 2]), "doc_id", "payload", "phash"
+        )
+        write_layer(legacy, table, fmt="parquet")  # pre-r13 layout
+        assert not os.path.exists(os.path.join(table, "_scheme"))
+
+        # batch vs legacy ledger: near-dups of 0/2 drop, fresh admits
+        out = admit_media_batch(spark, table, self._images(spark, [1, 10]))
+        assert sorted(r["id"] for r in out.collect()) == [10]
+        assert os.path.exists(os.path.join(table, "_scheme"))
+        got = sorted(
+            r["id"]
+            for r in spark.read.parquet(table)
+            .select("id").distinct().collect()
+        )
+        assert got == [0, 2, 10]
 
 
 class TestVideoKeyframeDedup:

@@ -1046,12 +1046,16 @@ def test_stream_media_dedup_sink_equals_batch_loop_and_replays(
         spark, batch_path,
         spark.createDataFrame(_pdf(list(range(10)))),
     )
-    stream_ids = sorted(
-        r["id"] for r in spark.read.parquet(stream_path).collect()
-    )
-    batch_ids = sorted(
-        r["id"] for r in spark.read.parquet(batch_path).collect()
-    )
+    def _ids(p):
+        # r13 banded ledger: one row per (id, block) — distinct ids
+        # are the admission record
+        return sorted(
+            r["id"]
+            for r in spark.read.parquet(p).select("id").distinct().collect()
+        )
+
+    stream_ids = _ids(stream_path)
+    batch_ids = _ids(batch_path)
     assert stream_ids == batch_ids == [0, 2, 4, 6, 8]
 
     # full replay through a FRESH checkpoint: content idempotence
@@ -1059,9 +1063,7 @@ def test_stream_media_dedup_sink_equals_batch_loop_and_replays(
     stream_media_dedup_sink(
         stream2, stream_path, str(tmp_path / "ck2")
     ).awaitTermination(120)
-    assert sorted(
-        r["id"] for r in spark.read.parquet(stream_path).collect()
-    ) == [0, 2, 4, 6, 8]
+    assert _ids(stream_path) == [0, 2, 4, 6, 8]
 
     # a later file on the ORIGINAL checkpoint: near-dups of prior
     # admissions dropped, fresh bases admitted keep-first
@@ -1070,6 +1072,4 @@ def test_stream_media_dedup_sink_equals_batch_loop_and_replays(
     ).parquet(src)
     stream3 = spark.readStream.schema(schema).parquet(src)
     stream_media_dedup_sink(stream3, stream_path, ck1).awaitTermination(120)
-    assert sorted(
-        r["id"] for r in spark.read.parquet(stream_path).collect()
-    ) == [0, 2, 4, 6, 8, 20]
+    assert _ids(stream_path) == [0, 2, 4, 6, 8, 20]
