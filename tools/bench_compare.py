@@ -71,6 +71,11 @@ def main(argv: list[str]) -> None:
         print(__doc__)
         raise SystemExit(2)
     old, new = load_bench(argv[0]), load_bench(argv[1])
+    sf_old, sf_new = old.get("sf"), new.get("sf")
+    if sf_old is not None and sf_new is not None and sf_old != sf_new:
+        print(f"# WARNING: scale factors differ (old sf={sf_old}, "
+              f"new sf={sf_new}) — per-row ratios compare different "
+              "workloads, not host or code speed")
     calib_ratios = {}
     for key in ("py_spin_sec", "jvm_fixed_sec"):
         c_old = old.get("calib", {}).get(key)
