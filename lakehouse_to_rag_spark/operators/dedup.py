@@ -1008,6 +1008,9 @@ def fuzzy_decontaminate(
     max_broadcast_rows: int = 2_000_000,
     unit: str = "word",
     max_text_len: int | None = _CHAR_ARRAY_MAX_TEXT_LEN,
+    preflight: str | None = "auto",
+    preflight_min_docs: int = _PREFLIGHT_MIN_DOCS,
+    preflight_max_rate: float = _PREFLIGHT_MAX_RATE,
 ) -> DataFrame:
     """NEAR-DUPLICATE decontamination — the fuzzy form of
     ``bloom_decontaminate`` (which catches only exact n-gram overlap):
@@ -1039,8 +1042,47 @@ def fuzzy_decontaminate(
     ``unit="char"`` shingles both sides by character n-gram (see
     ``word_shingles``) — a multilingual benchmark's unsegmented-script
     items produce ZERO word shingles and would sail through word-mode
-    decontamination undetected."""
+    decontamination undetected.
+
+    CHAR-BANDING PRE-FLIGHT (r13 — the ``minhash_lsh_pairs`` guard
+    extended to the two-table form): the candidate join's volume is
+    ``rate x |train| x |bench|``, so a template-heavy unsegmented
+    TRAIN corpus (background char-gram collision rate near 1) makes
+    the "bounded" broadcast join emit nearly the full cross product.
+    With ``preflight="auto"`` a train corpus past
+    ``preflight_min_docs`` samples its own banding candidate rate —
+    within-train background collision is the same gram-collision
+    probability the cross join pays — and fails closed past
+    ``preflight_max_rate``, naming the n-lever; ``preflight=None``
+    opts out. Gate fixtures sit under the size floor (unchanged
+    plans, no actions added)."""
     _shingle_unit(unit, "fuzzy_decontaminate")
+    if preflight not in ("auto", None):
+        raise ValueError(
+            f"fuzzy_decontaminate: preflight must be 'auto' or None, "
+            f"got {preflight!r}"
+        )
+    if unit == "char" and preflight == "auto":
+        tnn = train.filter(F.col(text_col).isNotNull())
+        if tnn.limit(preflight_min_docs).count() >= preflight_min_docs:
+            rate = estimate_band_candidate_rate(
+                train, id_col, text_col, n, num_hashes, rows_per_band,
+                unit="char", sample_docs=_PREFLIGHT_SAMPLE_DOCS,
+            )
+            if rate > preflight_max_rate:
+                raise ValueError(
+                    f"fuzzy_decontaminate: char {n}-gram banding on "
+                    f"this train corpus has a sampled candidate rate "
+                    f"of {rate:.3f} (> {preflight_max_rate}) — the "
+                    "train x bench candidate join would emit ~rate x "
+                    "|train| x |bench| rows, an all-pairs screen in "
+                    "disguise at corpus scale. Levers: raise n "
+                    "(census: 8.6M candidates @ n=5 -> 15k @ n=13, "
+                    "identical true output), dispatch mixed corpora "
+                    "by script (fuzzy_decontaminate_auto_unit), or "
+                    "pass preflight=None to accept the cost "
+                    "deliberately."
+                )
     tsets = shingle_arrays(
         train, id_col, text_col, n, unit=unit, max_text_len=max_text_len
     ).localCheckpoint(eager=False)

@@ -2647,3 +2647,41 @@ def test_char_minhash_preflight_fails_closed_on_template_corpus(spark):
     with pytest.raises(ValueError, match="preflight"):
         minhash_lsh_pairs(docs, "doc_id", "text", unit="char",
                           preflight="always")
+
+
+def test_fuzzy_decontaminate_char_preflight(spark):
+    """r13: the char-banding pre-flight extended to the two-table
+    decontamination form — a template-heavy unsegmented TRAIN corpus
+    past the size floor fails closed (the candidate join would emit
+    ~rate x |train| x |bench| rows); preflight=None opts out and
+    still returns the exact-verified hits; small corpora skip the
+    probe (gated plans unchanged)."""
+    import hashlib
+
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.dedup import fuzzy_decontaminate
+
+    template = "共通の定型文がすべての文書に繰り返し出現する" * 3
+    train = spark.createDataFrame(
+        [(i, template + hashlib.md5(f"u{i}".encode()).hexdigest())
+         for i in range(80)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, template + "x" * 32)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="candidate rate"):
+        fuzzy_decontaminate(
+            train, bench, n=5, unit="char", preflight_min_docs=64,
+        )
+    # opt-out builds and still exact-verifies (the shared template is
+    # ~70% of each doc, so hits exist at a low threshold)
+    hits = fuzzy_decontaminate(
+        train, bench, n=5, unit="char", threshold=0.3, preflight=None,
+    )
+    assert hits.count() > 0
+    # under the size floor: no probe, builds fine at defaults
+    assert fuzzy_decontaminate(
+        train, bench, n=5, unit="char", threshold=0.3
+    ).count() > 0
