@@ -301,6 +301,23 @@ def incremental_dedup(
     )
 
 
+def _keep_first_fresh(
+    keyed: DataFrame, snapshot_fps: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared core of the fingerprint ingest loop: drop keyed rows
+    whose ``content_fp`` is already in the snapshot, then keep-first
+    (smallest id) within each surviving fingerprint group."""
+    fresh = keyed.join(
+        snapshot_fps.select("content_fp"), "content_fp", "left_anti"
+    )
+    w = Window.partitionBy("content_fp").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("content_fp"))
+    )
+
+
 def incremental_dedup_fps(
     incoming: DataFrame,
     snapshot_fps: DataFrame,
@@ -311,21 +328,84 @@ def incremental_dedup_fps(
     instead of the raw corpus — the shape the 100 TB story actually
     runs: the snapshot's text is never re-read, only its (small)
     distinct-fingerprint table, which ``admit_batch`` below keeps
-    current via ``upsert_by_key`` after every batch.
+    current after every batch.
 
     ``snapshot_fps`` needs one column: ``content_fp``.
     """
     fp_in = F.md5(normalize_text(F.col(text_col)))
-    fresh = (
-        incoming.select(F.col(id_col), fp_in.alias("content_fp"))
-        .join(snapshot_fps.select("content_fp"), "content_fp", "left_anti")
+    keyed = incoming.select(F.col(id_col), fp_in.alias("content_fp"))
+    return _keep_first_fresh(keyed, snapshot_fps, id_col)
+
+
+# Storage bucket count for the fingerprint ledger (r13 — the media-
+# ledger read-side discipline applied to the TEXT loop): exact-dup
+# admission needs only the snapshot fingerprints whose md5 the batch
+# itself produces, and those hash to a bounded bucket set.
+_FP_LEDGER_BUCKETS = 256
+
+
+def _fp_bucketed(fps: DataFrame, n_buckets: int) -> DataFrame:
+    return fps.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("content_fp"), F.lit(n_buckets)).cast("int"),
     )
-    w = Window.partitionBy("content_fp").orderBy(F.col(id_col))
-    return (
-        fresh.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("content_fp"))
+
+
+def _read_fp_scheme(spark: SparkSession, path: str) -> int | None:
+    """n_buckets from ``{path}/_scheme``, None for a pre-r13 flat
+    fingerprint table."""
+    import os
+
+    from lakehouse_to_rag_spark.sources.lakehouse import read_layer
+
+    sdir = os.path.join(path, "_scheme")
+    if not os.path.exists(sdir):
+        return None
+    return int(
+        read_layer(spark, sdir, fmt="parquet").collect()[0]["n_buckets"]
     )
+
+
+def _write_fp_scheme(
+    spark: SparkSession, path: str, n_buckets: int
+) -> None:
+    import os
+
+    from lakehouse_to_rag_spark.sources.lakehouse import write_layer
+
+    write_layer(
+        spark.createDataFrame([(n_buckets,)], "n_buckets int"),
+        os.path.join(path, "_scheme"),
+        fmt="parquet",
+    )
+
+
+def migrate_fp_table(
+    spark: SparkSession, path: str, n_buckets: int = _FP_LEDGER_BUCKETS
+) -> None:
+    """One-time migration of a fingerprint table to the bucketed
+    append-only layout (r13): distinct content_fp rows rewritten
+    under ``bucket=N/`` with a ``_scheme`` record, atomic swap
+    (``_recover_dir_swap``'s remnant classes). The distinct also
+    heals a crashed bootstrap that wrote data but died before its
+    scheme."""
+    import os
+    import shutil
+    import uuid
+
+    from lakehouse_to_rag_spark.sources.lakehouse import write_layer
+
+    fps = spark.read.parquet(path).select("content_fp").distinct()
+    tmp = f"{path.rstrip('/')}__upsert_{uuid.uuid4().hex[:8]}"
+    write_layer(
+        _fp_bucketed(fps, n_buckets), tmp,
+        partition_by=["bucket"], fmt="parquet",
+    )
+    _write_fp_scheme(spark, tmp, n_buckets)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def admit_batch(
@@ -334,56 +414,119 @@ def admit_batch(
     incoming: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_files_threshold: int = 64,
+    n_buckets: int = _FP_LEDGER_BUCKETS,
 ) -> DataFrame:
     """One turn of the continuous-ingest dedup loop: dedup ``incoming``
-    against the fingerprint table at ``fp_table_path``, then upsert the
-    admitted fingerprints back into that table so the NEXT batch
-    excludes this batch's admissions. First call bootstraps the table.
+    against the fingerprint table at ``fp_table_path``, then record the
+    admitted fingerprints so the NEXT batch excludes this batch's
+    admissions. First call bootstraps the table.
 
-    Returns the admitted (id, content_fp) rows (materialized before
-    the upsert mutates the table they were computed against). Delta
-    MERGE when delta-spark is present, atomic parquet swap otherwise —
-    ``sources.lakehouse.upsert_by_key`` picks.
+    The fingerprint ledger follows the media-ledger discipline (r13 —
+    both O(cumulative)-per-batch patterns removed in one move):
 
-    Staging policy: each call writes its admissions to a UNIQUE
-    per-batch directory under ``{fp_table_path}__staging/`` (uuid
-    suffix), so a DataFrame returned by a previous call — or by a
-    concurrent call against the same table — is never overwritten
-    mid-read. Staging dirs therefore accumulate; reclaim them with
-    :func:`cleanup_staging` once every outstanding returned DataFrame
-    has been consumed (e.g. at the end of the ingest loop)."""
+    - APPEND-ONLY writes: admitted fingerprints are all-new BY
+      CONSTRUCTION (anything already tabled was dropped by the
+      anti-join), so they append as new files instead of the previous
+      ``upsert_by_key`` full-table rewrite — which under the parquet
+      fallback cost O(cumulative) write I/O per batch, O(n²) over an
+      ingest lifetime.
+    - BUCKET-PRUNED reads: the ledger is partitioned by
+      ``bucket=N/`` (``pmod(xxhash64(content_fp), n_buckets)``); the
+      batch computes its own fingerprints once (checkpointed),
+      collects their distinct buckets (a driver list bounded by
+      ``min(batch, n_buckets)``), and anti-joins against ONLY those
+      directories — exact, since equal fingerprints hash to equal
+      buckets. Scheme recorded in ``{path}/_scheme``; a pre-r13 flat
+      table migrates once, atomically (``migrate_fp_table``).
+    - compaction on per-bucket file depth through the shared
+      ``_compact_index_layout`` swap (``_scheme`` carried verbatim).
+
+    Replay semantics match the media ledger: a batch that died
+    mid-append re-admits exactly its not-yet-visible fingerprints on
+    replay; a fully-committed batch replays to zero admissions and
+    appends nothing.
+
+    Returns the admitted (id, content_fp) rows, materialized to a
+    UNIQUE per-batch staging dir under ``{fp_table_path}__staging/``
+    (never collect(): an ingest batch at 100 TB must not round-trip
+    through the driver; and not localCheckpoint: executor-memory
+    blocks are unrecoverable after executor loss, while a parquet
+    staging write survives anything). Staging dirs accumulate;
+    reclaim with :func:`cleanup_staging` once every returned
+    DataFrame has been consumed."""
     import os
+    import pathlib
     import uuid
 
-    from lakehouse_to_rag_spark.sources.lakehouse import upsert_by_key
-
-    if os.path.exists(fp_table_path):
-        fps = spark.read.parquet(fp_table_path).select("content_fp")
-    else:
-        fps = spark.createDataFrame([], "content_fp string")
-    admitted = incremental_dedup_fps(incoming, fps, id_col, text_col)
-    # materialize BEFORE the upsert swaps the directory out from under
-    # the lazy plan reading it — distributedly, to a STAGING layer
-    # (never collect(): an ingest batch at 100 TB must not round-trip
-    # through the driver; and not localCheckpoint: its executor-memory
-    # blocks are unrecoverable after executor loss, while a parquet
-    # staging write survives anything and its read plan has no lineage
-    # into the about-to-be-swapped fingerprint directory)
     from lakehouse_to_rag_spark.sources.lakehouse import (
+        _recover_dir_swap,
         read_layer,
         write_layer,
     )
 
+    _recover_dir_swap(fp_table_path)
+    exists = os.path.exists(fp_table_path)
+    if exists:
+        stored = _read_fp_scheme(spark, fp_table_path)
+        if stored is None:
+            migrate_fp_table(spark, fp_table_path, n_buckets)
+            stored = n_buckets
+        n_buckets = stored
+    fp_in = F.md5(normalize_text(F.col(text_col)))
+    # fingerprint/normalize ONCE: the bucket probe, the anti-join,
+    # and the keep-first window all reuse the keyed rows
+    keyed = _fp_bucketed(
+        incoming.select(F.col(id_col), fp_in.alias("content_fp")),
+        n_buckets,
+    ).localCheckpoint(eager=True)
+    if exists:
+        in_buckets = sorted(
+            r["bucket"]
+            for r in keyed.select("bucket").distinct().collect()
+        )
+        # partition pruning at file-listing time; the explicit schema
+        # skips planning-time footer sampling of cold buckets
+        snapshot = (
+            spark.read.schema("content_fp string, bucket int")
+            .parquet(fp_table_path)
+            .filter(F.col("bucket").isin(in_buckets))
+            .select("content_fp")
+        )
+    else:
+        snapshot = spark.createDataFrame([], "content_fp string")
+    admitted = _keep_first_fresh(keyed, snapshot, id_col)
     staging = os.path.join(f"{fp_table_path}__staging", uuid.uuid4().hex)
     write_layer(admitted, staging)
     out = read_layer(spark, staging)
-    upsert_by_key(
-        spark,
-        fp_table_path,
-        out.select("content_fp").distinct(),
-        ["content_fp"],
-        fmt="parquet",
+    out_fps = _fp_bucketed(
+        out.select("content_fp").distinct(), n_buckets
     )
+    if not exists:
+        write_layer(
+            out_fps, fp_table_path, partition_by=["bucket"],
+            fmt="parquet",
+        )
+        _write_fp_scheme(spark, fp_table_path, n_buckets)
+    elif out.limit(1).count() > 0:
+        write_layer(
+            out_fps, fp_table_path, partition_by=["bucket"],
+            mode="append", fmt="parquet",
+        )
+    per_bucket = [
+        len(list(d.glob("*.parquet")))
+        for d in pathlib.Path(fp_table_path).glob("bucket=*")
+    ]
+    if per_bucket and max(per_bucket) > compact_files_threshold:
+        from lakehouse_to_rag_spark.operators.similarity import (
+            _compact_index_layout,
+        )
+
+        _compact_index_layout(
+            spark, fp_table_path, "bucket",
+            carry_dirs=("_scheme",), rewrite_dirs=(),
+            split_col="content_fp",
+        )
     return out
 
 

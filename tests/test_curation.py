@@ -643,6 +643,112 @@ class TestFingerprintLoop:
         assert f1 | f2 == want and want
 
 
+class TestFingerprintLedgerLayout:
+    """r13: the media-ledger discipline applied to the TEXT loop —
+    append-only writes, bucket-pruned reads, migration, compaction."""
+
+    @staticmethod
+    def _docs(spark, ids):
+        return spark.createDataFrame(
+            [(i, f"unique content {i} " * 3) for i in ids],
+            "doc_id long, text string",
+        )
+
+    def test_append_only_census_and_compaction(self, spark, tmp_path):
+        import os
+        import pathlib
+
+        fp = str(tmp_path / "fps")
+
+        def census(p):
+            return {
+                str(f): (f.stat().st_size, f.stat().st_mtime_ns)
+                for f in pathlib.Path(p).glob("bucket=*/*.parquet")
+            }
+
+        cu.admit_batch(spark, fp, self._docs(spark, [1, 2, 3]))
+        c1 = census(fp)
+        assert len(c1) > 0
+        cu.admit_batch(spark, fp, self._docs(spark, [10, 11]))
+        c2 = census(fp)
+        # batch 1's files untouched, batch 2 only ADDED files — the
+        # upsert_by_key form rewrote everything here
+        assert {k: c2[k] for k in c1} == c1
+        assert len(c2) > len(c1)
+        # all-duplicate replay appends nothing
+        out = cu.admit_batch(spark, fp, self._docs(spark, [1, 10]))
+        assert out.count() == 0
+        assert census(fp) == c2
+        # forced compaction: one file per bucket, contents preserved,
+        # scheme carried
+        fps_before = {
+            r["content_fp"]
+            for r in spark.read.parquet(fp).collect()
+        }
+        cu.admit_batch(
+            spark, fp, self._docs(spark, [20]),
+            compact_files_threshold=0,
+        )
+        per_bucket: dict = {}
+        for f in census(fp):
+            b = pathlib.Path(f).parent.name
+            per_bucket[b] = per_bucket.get(b, 0) + 1
+        assert per_bucket and max(per_bucket.values()) == 1
+        got = {
+            r["content_fp"] for r in spark.read.parquet(fp).collect()
+        }
+        assert fps_before < got and len(got) == len(fps_before) + 1
+        assert os.path.exists(os.path.join(fp, "_scheme"))
+
+    def test_bucket_pruned_read(self, spark, tmp_path):
+        """The anti-join reads only the bucket=N/ dirs the batch's own
+        fingerprints hash to: corrupt every OTHER bucket's files — a
+        full read would crash; verdicts stay correct."""
+        import pathlib
+
+        from lakehouse_to_rag_spark.functions.text import normalize_text
+
+        fp = str(tmp_path / "fps")
+        cu.admit_batch(spark, fp, self._docs(spark, [1, 2, 3]))
+        b2 = self._docs(spark, [1, 30])  # 1 = dup, 30 = fresh
+        touched = {
+            f"bucket={r['bucket']}"
+            for r in cu._fp_bucketed(
+                b2.select(
+                    F.md5(normalize_text(F.col("text")))
+                    .alias("content_fp")
+                ),
+                cu._FP_LEDGER_BUCKETS,
+            ).select("bucket").distinct().collect()
+        }
+        corrupted = 0
+        for d in pathlib.Path(fp).glob("bucket=*"):
+            if d.name not in touched:
+                for f in d.glob("*.parquet"):
+                    f.write_bytes(b"corrupt")
+                    corrupted += 1
+        assert corrupted > 0
+        out = cu.admit_batch(spark, fp, b2)
+        assert sorted(r["doc_id"] for r in out.collect()) == [30]
+
+    def test_legacy_flat_table_migrates_once(self, spark, tmp_path):
+        import os
+
+        from lakehouse_to_rag_spark.functions.text import normalize_text
+        from lakehouse_to_rag_spark.sources.lakehouse import write_layer
+
+        fp = str(tmp_path / "fps")
+        legacy = self._docs(spark, [1, 2]).select(
+            F.md5(normalize_text(F.col("text"))).alias("content_fp")
+        )
+        write_layer(legacy, fp, fmt="parquet")  # pre-r13 flat layout
+        assert not os.path.exists(os.path.join(fp, "_scheme"))
+        out = cu.admit_batch(spark, fp, self._docs(spark, [2, 40]))
+        assert sorted(r["doc_id"] for r in out.collect()) == [40]
+        assert os.path.exists(os.path.join(fp, "_scheme"))
+        assert spark.read.parquet(fp).count() == 3
+
+
 class TestBpeTokenizer:
     """Sample-trained BPE: hand-derived merge order, distributed
     encode equivalence, roundtrip, compression monotonicity."""
