@@ -798,10 +798,11 @@ def minhash_lsh_pairs(
     ``minhash_lsh_pairs_auto_unit``); ``preflight=None`` opts out
     deliberately. The probe costs one ``limit(min_docs).count()``
     plus a 256-doc sampled signature build — bounded, never
-    corpus-scale; corpora under ``preflight_min_docs`` skip it
-    entirely (a sub-10k-doc char join is small regardless of rate,
-    which also keeps gated oracle plans and bench rows action-free
-    and unchanged).
+    corpus-scale; corpora under ``preflight_min_docs`` never run the
+    estimator (a sub-10k-doc char join is small regardless of rate).
+    Gated oracle plans are unchanged — the only addition is the
+    bounded ``limit(min_docs).count()`` size probe at build time, the
+    ``knn_hard_negatives`` convention.
     """
     if preflight not in ("auto", None):
         raise ValueError(
@@ -1054,8 +1055,10 @@ def fuzzy_decontaminate(
     within-train background collision is the same gram-collision
     probability the cross join pays — and fails closed past
     ``preflight_max_rate``, naming the n-lever; ``preflight=None``
-    opts out. Gate fixtures sit under the size floor (unchanged
-    plans, no actions added)."""
+    opts out. Gate fixtures sit under the size floor, so the
+    estimator never runs there; the bounded size probe itself
+    (``limit(min_docs).count()``) is the only build-time action
+    added — the ``knn_hard_negatives`` convention."""
     _shingle_unit(unit, "fuzzy_decontaminate")
     if preflight not in ("auto", None):
         raise ValueError(
