@@ -175,3 +175,47 @@ def test_all_recorded_rounds_never_misparse(rnd):
     out = load_bench_file(path)
     if out["queries"]:
         assert max(out["queries"].values()) > 1.0
+
+
+def test_recovery_never_wrong_at_any_truncation_point():
+    """The r12 failure class, pinned as a property: for EVERY possible
+    driver-tail truncation of a valid bench output line, recovery
+    returns either the exact per-query mins or NOTHING — never a
+    wrong-but-plausible dict (the old fallback returned spread ratios
+    as timings at truncations landing inside queries_spread). Swept
+    exhaustively at every offset of a realistic line."""
+    from bench import HEADLINE
+
+    names = names_for_version(1)
+    vals = [round(0.07 * (i % 23) + 0.11, 3) for i in range(len(names))]
+    mins = dict(zip(names, vals))
+    p50s = {n: round(v * 1.2, 3) for n, v in mins.items()}
+    spreads = {n: 0.2 for n in names}
+    line = json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(vals), 3),
+        "unit": "sec",
+        "queries": mins,
+        "queries_p50": p50s,
+        "queries_spread": spreads,
+        "value_p50": round(sum(p50s.values()), 3),
+        "sf": 0.1,
+        "calib": {"py_spin_sec": 0.7, "jvm_fixed_sec": 0.1},
+        "names_v": 1,
+        "mins_csv": ",".join(f"{v:.3f}" for v in vals),
+    })
+    assert names == HEADLINE
+    exact = 0
+    for cut in range(0, len(line), 7):  # every 7th offset: ~1.5k cases
+        tail = line[cut:]
+        q = recover_queries({"tail": tail})
+        assert q == {} or q == mins, (
+            f"truncation at {cut} recovered {len(q)} wrong-or-partial "
+            f"rows (first: {sorted(q.items())[:2]})"
+        )
+        if q:
+            exact += 1
+    # the trailer survives every truncation the driver can produce
+    # (last 2000 chars of a ~10k line => cut >= len-2000)
+    assert recover_queries({"tail": line[-2000:]}) == mins
+    assert exact > 0
