@@ -408,6 +408,23 @@ def migrate_fp_table(
     shutil.rmtree(old)
 
 
+def compact_fp_table(spark: SparkSession, fp_table_path: str) -> int:
+    """Maintenance-window compaction of the bucketed fingerprint
+    ledger — the manual form of the per-bucket-depth trigger inside
+    ``admit_batch``. Same shared ``_compact_index_layout`` swap,
+    ``_scheme`` carried verbatim; run with the ingest loop QUIESCED.
+    Returns the data file count written."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        _compact_index_layout,
+    )
+
+    return _compact_index_layout(
+        spark, fp_table_path, "bucket",
+        carry_dirs=("_scheme",), rewrite_dirs=(),
+        split_col="content_fp",
+    )
+
+
 def admit_batch(
     spark: SparkSession,
     fp_table_path: str,

@@ -1918,3 +1918,40 @@ def test_source_overlap_matrix_counts(spark):
     pairs = minhash_lsh_pairs(df, "doc_id", "text")
     assert m == {("srcA", "srcB"): 1, ("srcA", "srcA"): 1}
     assert sum(m.values()) == pairs.count()
+
+
+def test_compact_fp_table_manual(spark, tmp_path):
+    """The maintenance-window compaction API: collapses per-bucket
+    file accretion to one file per bucket, preserves the fingerprint
+    set and the scheme, and the next admission still dedups
+    correctly."""
+    import os
+    import pathlib
+
+    fp = str(tmp_path / "fps")
+    for ids in ([1, 2], [10], [20]):
+        cu.admit_batch(
+            spark, fp,
+            spark.createDataFrame(
+                [(i, f"doc {i} body " * 3) for i in ids],
+                "doc_id long, text string",
+            ),
+        )
+    before = {r["content_fp"] for r in spark.read.parquet(fp).collect()}
+    assert cu.compact_fp_table(spark, fp) >= 1
+    per_bucket: dict = {}
+    for f in pathlib.Path(fp).glob("bucket=*/*.parquet"):
+        per_bucket[f.parent.name] = per_bucket.get(f.parent.name, 0) + 1
+    assert per_bucket and max(per_bucket.values()) == 1
+    assert {
+        r["content_fp"] for r in spark.read.parquet(fp).collect()
+    } == before
+    assert os.path.exists(os.path.join(fp, "_scheme"))
+    out = cu.admit_batch(
+        spark, fp,
+        spark.createDataFrame(
+            [(1, "doc 1 body " * 3), (99, "fresh doc body")],
+            "doc_id long, text string",
+        ),
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [99]
