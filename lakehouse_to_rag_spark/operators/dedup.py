@@ -362,33 +362,82 @@ def _is_unsegmented_expr(text_col: str, cutoff: float = _AVG_TOKEN_LEN_CUTOFF):
     return F.coalesce(ratio >= F.lit(cutoff), F.lit(False))
 
 
-_NONDETERMINISTIC_PLAN_MARKERS = (
-    "rand(",
-    "randn(",
-    "uuid(",
-    "shuffle(",
-    "monotonically_increasing_id",
-    "current_timestamp",
-    "current_date",
-    "now()",
+# Expression classes Spark marks deterministic (constant WITHIN one
+# query execution) whose value still differs BETWEEN the two
+# independent regime scans split_by_script issues — per-query clock
+# reads. Everything else is caught by Expression.deterministic().
+_PER_QUERY_CLOCK_EXPR_CLASSES = frozenset(
+    {
+        "CurrentTimestamp",
+        "Now",
+        "CurrentDate",
+        "LocalTimestamp",
+        "CurrentTimeZone",
+        "CurrentBatchTimestamp",
+    }
 )
 
 
+def _iter_jseq(jseq):
+    """Iterate a py4j-wrapped Scala Seq."""
+    it = jseq.iterator()
+    while it.hasNext():
+        yield it.next()
+
+
+def _first_nondet_in_expr(jexpr) -> str | None:
+    """Deepest non-deterministic (or per-query-clock) expression class
+    name under ``jexpr``, else None. Children first so the error names
+    the culprit leaf (``Rand``), not the arithmetic wrapping it."""
+    for child in _iter_jseq(jexpr.children()):
+        got = _first_nondet_in_expr(child)
+        if got is not None:
+            return got
+    cls = jexpr.getClass().getSimpleName()
+    if cls in _PER_QUERY_CLOCK_EXPR_CLASSES:
+        return cls
+    if not jexpr.deterministic():
+        # No nondeterministic child -> this node is the culprit. A
+        # subquery expression over a nondeterministic plan lands here
+        # too (e.g. 'ListQuery') — fail closed; py4j exposes no cheap
+        # descent into the nested plan.
+        return cls
+    return None
+
+
 def _plan_nondeterminism_marker(df: DataFrame) -> str | None:
-    """Best-effort scan of the ANALYZED logical plan for expressions
-    whose value can differ between two evaluations of the same
-    lineage (random generators, id assignment, per-query clock
-    reads). Returns the first marker found, else None. String-level
-    on purpose: a py4j tree walk would be exact but version-fragile,
-    and a FALSE positive here only forces a materialization that is
-    correct anyway."""
+    """Exact walk of the ANALYZED logical plan for expressions whose
+    value can differ between two evaluations of the same lineage:
+    anything Catalyst itself marks non-deterministic
+    (``Expression.deterministic`` — Rand/Uuid/Shuffle/
+    MonotonicallyIncreasingID/...), per-query clock reads
+    (deterministic within one query, different across the two regime
+    scans), and ``Sample`` plan nodes (seeded, but row membership
+    still depends on partitioning, which two scans need not share).
+    Returns the culprit's Catalyst class name, else None.
+
+    r13 (self-review): replaces a lowercase substring scan of the
+    plan's toString, which false-positived on column NAMES and string
+    LITERALS containing e.g. ``current_timestamp`` or ``now()`` —
+    breaking composition with the medallion pipeline, whose ingest-ts
+    projection puts exactly those tokens in every downstream plan.
+    Class identity via py4j can't collide with user data. Best-effort
+    by contract: non-JVM backends (Connect) return None (advisory
+    guard), and a re-read mutable SOURCE remains undetectable."""
     try:
-        plan = df._jdf.queryExecution().analyzed().toString().lower()
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() == "Sample":
+                return "Sample"
+            for child in _iter_jseq(node.children()):
+                stack.append(child)
+            for jexpr in _iter_jseq(node.expressions()):
+                got = _first_nondet_in_expr(jexpr)
+                if got is not None:
+                    return got
     except Exception:  # non-JVM backends (Connect) — guard is advisory
         return None
-    for m in _NONDETERMINISTIC_PLAN_MARKERS:
-        if m in plan:
-            return m
     return None
 
 
@@ -435,7 +484,10 @@ def split_by_script(
                 "independent regime scans could disagree on which "
                 "rows exist, landing documents in both regimes or "
                 "neither. Pass materialize=True to pin one "
-                "evaluation, or checkpoint the input yourself."
+                "evaluation, checkpoint the input yourself, or — when "
+                "the culprit is an injected ingest clock — rebuild the "
+                "lineage with its deterministic literal mode (e.g. "
+                "bronze_transform(processed_at=...))."
             )
     base = df.localCheckpoint(eager=False) if materialize else df
     flag = _is_unsegmented_expr(text_col, cutoff)

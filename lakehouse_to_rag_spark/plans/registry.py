@@ -991,10 +991,21 @@ def dedup_minhash_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-agnostic, and the oracle is the uncapped exact char Jaccard
     (the dedup_minhash convention — at b=32/r=2 the miss probability
     for j>=0.5 is ~(1-j^2)^32 < 1e-4; verified equal to the exact
-    pair set at sf0.001/sf0.01)."""
+    pair set at sf0.001/sf0.01).
+
+    preflight=None is REQUIRED here, not an oversight: this entry is
+    the documented correctness-gate-only pin of char-5 banding on
+    prose (candidate rate ~0.69 — exactly what the preflight exists
+    to refuse). With the default preflight="auto" the gate would
+    abort by design at any corpus past the 10k-doc probe floor
+    (sf0.1 documents holds 5k rows; sf1 would raise), making the
+    gated plan scale-DEpendent. The production char path is
+    dedup_minhash_auto_unit; this pin accepts the cost deliberately
+    and only ever runs at gate scale."""
     d = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(
-        d, "doc_id", "text", n=5, threshold=0.5, unit="char"
+        d, "doc_id", "text", n=5, threshold=0.5, unit="char",
+        preflight=None,
     )
 
 

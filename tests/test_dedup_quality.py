@@ -2520,6 +2520,87 @@ def test_split_by_script_nondeterministic_lineage_fails_closed(spark):
     )
 
 
+def test_nondeterminism_guard_is_class_exact(spark):
+    """r13 self-review: the guard used to lowercase-substring-match
+    the analyzed plan's toString, so a column NAMED
+    ``current_timestamp`` or a string LITERAL containing ``now()`` /
+    ``rand(`` tripped it — breaking composition with any pipeline
+    whose plans carry those tokens as data. The rewrite walks the
+    Catalyst tree by class identity: user data can never collide,
+    while every genuinely risky expression class still fails closed
+    (including via subqueries and Sample's partitioning-dependent row
+    membership)."""
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.dedup import (
+        _plan_nondeterminism_marker,
+        split_by_script,
+    )
+
+    # 1. FALSE POSITIVES of the old guard — must all pass now.
+    lit_collide = spark.createDataFrame(
+        [(1, "call now() or rand( the uuid( shuffle( deal ends")],
+        "doc_id long, text string",
+    ).filter(F.col("text") != F.lit("current_timestamp and now()"))
+    assert _plan_nondeterminism_marker(lit_collide) is None
+    w, c = split_by_script(lit_collide, "doc_id", "text")
+    assert w.count() + c.count() == 1
+
+    name_collide = spark.createDataFrame(
+        [(1, "plain text", "x")],
+        "doc_id long, text string, current_timestamp string",
+    ).withColumnRenamed("current_timestamp", "monotonically_increasing_id")
+    assert _plan_nondeterminism_marker(name_collide) is None
+
+    # 2. TRUE positives, named by Catalyst class.
+    base = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    assert _plan_nondeterminism_marker(
+        base.withColumn("u", F.expr("uuid()"))
+    ) == "Uuid"
+    assert _plan_nondeterminism_marker(
+        base.withColumn("i", F.monotonically_increasing_id())
+    ) == "MonotonicallyIncreasingID"
+    # per-query clock: deterministic WITHIN a query, differs across
+    # the two regime scans — stays flagged (a later filter on the
+    # injected column would change row membership)
+    assert _plan_nondeterminism_marker(
+        base.withColumn("ts", F.current_timestamp())
+    ) == "CurrentTimestamp"
+    # Sample: seeded but membership depends on partitioning
+    assert _plan_nondeterminism_marker(base.sample(0.5, seed=1)) == "Sample"
+    # nondeterministic subquery fails closed too
+    sub = spark.range(4).withColumn("r", F.rand(seed=3))
+    sub.createOrReplaceTempView("nd_sub_r13")
+    via_subq = spark.sql(
+        "select id as doc_id, 'x' as text from range(3) "
+        "where id in (select cast(r*4 as long) from nd_sub_r13)"
+    )
+    assert _plan_nondeterminism_marker(via_subq) is not None
+    # ...while a deterministic subquery is clean
+    spark.range(4).createOrReplaceTempView("det_sub_r13")
+    via_det = spark.sql(
+        "select id as doc_id, 'x' as text from range(3) "
+        "where id in (select id from det_sub_r13)"
+    )
+    assert _plan_nondeterminism_marker(via_det) is None
+
+    # 3. The medallion composition case the old guard broke: bronze's
+    # deterministic literal mode composes with auto-unit dispatch.
+    from lakehouse_to_rag_spark.operators.bronze import bronze_transform
+
+    raw = spark.createDataFrame(
+        [("u1", "s", "t", "enough content to pass the bronze filter")],
+        "url string, source string, title string, content string",
+    )
+    det_bronze = bronze_transform(raw, processed_at="2026-01-01T00:00:00")
+    assert _plan_nondeterminism_marker(det_bronze) is None
+    w, c = split_by_script(det_bronze, "url", "content")
+    assert w.count() + c.count() == 1
+    # and the clock mode still fails closed, naming the fix
+    with pytest.raises(ValueError, match="processed_at"):
+        split_by_script(bronze_transform(raw), "url", "content")
+
+
 def test_cross_regime_paraphrase_handoff_to_semantic(spark):
     """r13 (VERDICT r12 task 3): the decontamination ladder's
     documented hand-off, previously asserted only in docstrings — an
@@ -2685,3 +2766,50 @@ def test_fuzzy_decontaminate_char_preflight(spark):
     assert fuzzy_decontaminate(
         train, bench, n=5, unit="char", threshold=0.3
     ).count() > 0
+
+
+def test_gated_char_minhash_entry_is_scale_independent(spark, tmp_path):
+    """r13 self-review: the registry's dedup_minhash_char is the
+    documented correctness-gate-only pin of char-5 banding on prose —
+    the exact corpus shape the preflight refuses. With the default
+    preflight='auto' the GATED plan would have raised at any corpus
+    past the 10k-doc probe floor (sf0.1 documents holds 5k rows; sf1
+    would abort the gate run). The entry must opt out explicitly so
+    its behavior is a function of the query, not the corpus size:
+    building it against a 10k+ prose corpus runs no probe and raises
+    nothing."""
+    import importlib
+
+    entrymod = importlib.import_module("__spark_entry__")
+
+    n_docs = 10_050  # past _PREFLIGHT_MIN_DOCS (10k)
+    prose = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank while the miller grinds wheat for the village market "
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(prose), F.lit("doc "), F.col("id").cast("string")
+        ).alias("text"),
+        F.lit("synthetic").alias("source"),
+    )
+    sf_dir = str(tmp_path / "sf_big")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    # plan BUILD must not raise and must not run the rate estimator
+    # (with preflight=None there is no build-time job at all)
+    out = entrymod.queries()["dedup_minhash_char"](spark, sf_dir)
+    assert set(out.columns) == {"id_a", "id_b", "jaccard"}
+
+    # the library default on the same corpus DOES refuse — proving
+    # the gate entry's opt-out is load-bearing, not redundant
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.dedup import minhash_lsh_pairs
+
+    with pytest.raises(ValueError, match="candidate rate"):
+        minhash_lsh_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            "doc_id", "text", n=5, unit="char",
+        )
