@@ -352,32 +352,21 @@ def _fp_bucketed(fps: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def _read_fp_scheme(spark: SparkSession, path: str) -> int | None:
-    """n_buckets from ``{path}/_scheme``, None for a pre-r13 flat
-    fingerprint table."""
-    import os
+    """n_buckets from ``{path}/_scheme``; None for a pre-r13 flat
+    fingerprint table AND for an unreadable record (torn write) —
+    both heal through ``migrate_fp_table`` (see ``_ledger``)."""
+    from lakehouse_to_rag_spark.operators._ledger import read_scheme
 
-    from lakehouse_to_rag_spark.sources.lakehouse import read_layer
-
-    sdir = os.path.join(path, "_scheme")
-    if not os.path.exists(sdir):
-        return None
-    return int(
-        read_layer(spark, sdir, fmt="parquet").collect()[0]["n_buckets"]
-    )
+    got = read_scheme(spark, path, ("n_buckets",))
+    return None if got is None else got["n_buckets"]
 
 
 def _write_fp_scheme(
     spark: SparkSession, path: str, n_buckets: int
 ) -> None:
-    import os
+    from lakehouse_to_rag_spark.operators._ledger import write_scheme
 
-    from lakehouse_to_rag_spark.sources.lakehouse import write_layer
-
-    write_layer(
-        spark.createDataFrame([(n_buckets,)], "n_buckets int"),
-        os.path.join(path, "_scheme"),
-        fmt="parquet",
-    )
+    write_scheme(spark, path, {"n_buckets": n_buckets})
 
 
 def migrate_fp_table(

@@ -1991,34 +1991,21 @@ def _media_band_rows(
 
 def _read_media_scheme(spark, path: str) -> dict | None:
     """The ledger's banding/bucketing record ({num_bands, n_buckets})
-    from ``{path}/_scheme``, or None for a pre-r13 flat layout."""
-    import os
+    from ``{path}/_scheme``; None for a pre-r13 flat layout AND for
+    an unreadable record (torn write) — both heal through
+    ``migrate_media_ledger`` (see ``_ledger``)."""
+    from lakehouse_to_rag_spark.operators._ledger import read_scheme
 
-    from lakehouse_to_rag_spark.sources.lakehouse import read_layer
-
-    sdir = os.path.join(path, "_scheme")
-    if not os.path.exists(sdir):
-        return None
-    row = read_layer(spark, sdir, fmt="parquet").collect()[0]
-    return {
-        "num_bands": int(row["num_bands"]),
-        "n_buckets": int(row["n_buckets"]),
-    }
+    return read_scheme(spark, path, ("num_bands", "n_buckets"))
 
 
 def _write_media_scheme(
     spark, path: str, num_bands: int, n_buckets: int
 ) -> None:
-    import os
+    from lakehouse_to_rag_spark.operators._ledger import write_scheme
 
-    from lakehouse_to_rag_spark.sources.lakehouse import write_layer
-
-    write_layer(
-        spark.createDataFrame(
-            [(num_bands, n_buckets)], "num_bands int, n_buckets int"
-        ),
-        os.path.join(path, "_scheme"),
-        fmt="parquet",
+    write_scheme(
+        spark, path, {"num_bands": num_bands, "n_buckets": n_buckets}
     )
 
 

@@ -748,6 +748,47 @@ class TestFingerprintLedgerLayout:
         assert os.path.exists(os.path.join(fp, "_scheme"))
         assert spark.read.parquet(fp).count() == 3
 
+    def test_torn_scheme_self_heals(self, spark, tmp_path):
+        """r13 self-review: a crash mid-``_scheme`` write used to
+        leave a directory that exists but cannot be read, bricking
+        every subsequent batch with an AnalysisException. The read now
+        treats an unreadable record as absent (same migrate self-heal
+        as the scheme-less crash class), and the write itself stages +
+        renames so the torn state can no longer be produced."""
+        import pathlib
+        import shutil
+
+        fp = str(tmp_path / "fps")
+        cu.admit_batch(spark, fp, self._docs(spark, [1, 2]))
+        sdir = pathlib.Path(fp) / "_scheme"
+
+        # torn state A: empty _scheme directory
+        shutil.rmtree(sdir)
+        sdir.mkdir()
+        out = cu.admit_batch(spark, fp, self._docs(spark, [2, 40]))
+        assert sorted(r["doc_id"] for r in out.collect()) == [40]
+
+        # healed: scheme readable again, dedup state intact
+        from lakehouse_to_rag_spark.operators.curation import (
+            _read_fp_scheme,
+        )
+
+        assert _read_fp_scheme(spark, fp) is not None
+
+        # torn state B: garbage bytes where the parquet should be
+        shutil.rmtree(sdir)
+        sdir.mkdir()
+        (sdir / "part-00000.parquet").write_bytes(b"\x00not parquet")
+        out = cu.admit_batch(spark, fp, self._docs(spark, [40, 41]))
+        assert sorted(r["doc_id"] for r in out.collect()) == [41]
+        assert _read_fp_scheme(spark, fp) is not None
+        assert (
+            spark.read.parquet(fp).select("content_fp").distinct().count()
+            == 4
+        )
+        # the atomic write leaves no staging remnant behind
+        assert not list(pathlib.Path(fp).glob("_scheme__tmp_*"))
+
 
 class TestBpeTokenizer:
     """Sample-trained BPE: hand-derived merge order, distributed

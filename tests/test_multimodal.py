@@ -1954,6 +1954,41 @@ class TestAdmitMediaBatch:
         )
         assert got == [0, 2, 10]
 
+    def test_torn_scheme_self_heals(self, spark, tmp_path):
+        """r13 self-review (the curation twin lives in
+        test_curation.py): a crash mid-``_scheme`` write left a
+        directory that exists but cannot be read — every subsequent
+        admission raised instead of healing. Unreadable now routes
+        into the same migrate path as scheme-less, and the write is
+        staged + renamed so the torn state can no longer occur."""
+        import pathlib
+        import shutil
+
+        from lakehouse_to_rag_spark.operators.dedup import (
+            _read_media_scheme,
+            admit_media_batch,
+        )
+
+        table = str(tmp_path / "sigs")
+        admit_media_batch(spark, table, self._images(spark, [0, 2]))
+        sdir = pathlib.Path(table) / "_scheme"
+
+        # torn state: _scheme exists but holds garbage bytes
+        shutil.rmtree(sdir)
+        sdir.mkdir()
+        (sdir / "part-00000.parquet").write_bytes(b"\x00not parquet")
+        out = admit_media_batch(spark, table, self._images(spark, [1, 10]))
+        assert sorted(r["id"] for r in out.collect()) == [10]
+        scheme = _read_media_scheme(spark, table)
+        assert scheme is not None and scheme["n_buckets"] > 0
+        got = sorted(
+            r["id"]
+            for r in spark.read.parquet(table)
+            .select("id").distinct().collect()
+        )
+        assert got == [0, 2, 10]
+        assert not list(pathlib.Path(table).glob("_scheme__tmp_*"))
+
 
 class TestVideoKeyframeDedup:
     """Video content dedup by keyframe voting: sample_frames ->
