@@ -456,9 +456,15 @@ def admit_batch(
     Returns the admitted (id, content_fp) rows, materialized to a
     UNIQUE per-batch staging dir under ``{fp_table_path}__staging/``
     (never collect(): an ingest batch at 100 TB must not round-trip
-    through the driver; and not localCheckpoint: executor-memory
-    blocks are unrecoverable after executor loss, while a parquet
-    staging write survives anything). Staging dirs accumulate;
+    through the driver; and not localCheckpoint for the RETURNED
+    rows: the result outlives this call, and executor-memory blocks
+    are unrecoverable after executor loss, while a parquet staging
+    write survives anything. The batch's own keyed fingerprints ARE
+    pinned with ``localCheckpoint(eager=True)`` — a strictly
+    narrower, intra-call use: losing those blocks just fails THIS
+    batch's job, and the replay contract above makes the retry
+    exact, so durable staging there would be wasted I/O). Staging
+    dirs accumulate;
     reclaim with :func:`cleanup_staging` once every returned
     DataFrame has been consumed."""
     import os
@@ -1149,9 +1155,13 @@ def verify_training_shards(
     manifest = read_layer(spark, f"{path}/_manifest", fmt="parquet")
     if id_col is None:
         if "id_col" in manifest.columns:
-            # one driver-side row: the manifest is |shards| rows and
-            # the writer stamps a single literal, asserted here
-            names = {r["id_col"] for r in manifest.select("id_col").collect()}
+            # distinct BEFORE collect: the writer stamps a single
+            # literal (asserted here), so this ships one row to the
+            # driver instead of |shards|
+            names = {
+                r["id_col"]
+                for r in manifest.select("id_col").distinct().collect()
+            }
             if len(names) > 1:
                 raise ValueError(
                     f"verify_training_shards: manifest names multiple "

@@ -800,6 +800,58 @@ _PREFLIGHT_MAX_RATE = 0.05
 _PREFLIGHT_SAMPLE_DOCS = 256
 
 
+def _char_banding_preflight(
+    caller: str,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    rows_per_band: int,
+    unit: str,
+    preflight: str | None,
+    preflight_min_docs: int,
+    preflight_max_rate: float,
+    consequence: str,
+    router: str,
+) -> None:
+    """Shared mode-validation + guard for the char-banding pre-flight
+    (r13 self-review: the ``minhash_lsh_pairs`` and
+    ``fuzzy_decontaminate`` copies were drifting duplicates). For
+    ``unit='char'`` with ``preflight='auto'``, a corpus past
+    ``preflight_min_docs`` gets a bounded sampled
+    ``estimate_band_candidate_rate`` check and the build fails closed
+    past ``preflight_max_rate``, naming the measured rate, the
+    caller-specific ``consequence`` at corpus scale, the n-lever
+    census, and the caller's script-dispatch ``router``. The size
+    probe (``limit(min_docs).count()``) is the only build-time action
+    — never corpus-scale."""
+    if preflight not in ("auto", None):
+        raise ValueError(
+            f"{caller}: preflight must be 'auto' or None, "
+            f"got {preflight!r}"
+        )
+    if unit != "char" or preflight != "auto":
+        return
+    base = df.filter(F.col(text_col).isNotNull())
+    if base.limit(preflight_min_docs).count() < preflight_min_docs:
+        return
+    rate = estimate_band_candidate_rate(
+        df, id_col, text_col, n, num_hashes, rows_per_band,
+        unit="char", sample_docs=_PREFLIGHT_SAMPLE_DOCS,
+    )
+    if rate > preflight_max_rate:
+        raise ValueError(
+            f"{caller}: char {n}-gram banding on this corpus has a "
+            f"sampled candidate rate of {rate:.3f} "
+            f"(> {preflight_max_rate}) — {consequence} Levers: raise "
+            "n (measured census: 8.6M candidates @ n=5 -> 15k @ "
+            f"n=13, identical true output), dispatch mixed corpora "
+            f"by script ({router}), or pass preflight=None to accept "
+            "the cost deliberately."
+        )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -856,32 +908,18 @@ def minhash_lsh_pairs(
     bounded ``limit(min_docs).count()`` size probe at build time, the
     ``knn_hard_negatives`` convention.
     """
-    if preflight not in ("auto", None):
-        raise ValueError(
-            f"minhash_lsh_pairs: preflight must be 'auto' or None, "
-            f"got {preflight!r}"
-        )
-    if unit == "char" and preflight == "auto":
-        base = df.filter(F.col(text_col).isNotNull())
-        if base.limit(preflight_min_docs).count() >= preflight_min_docs:
-            rate = estimate_band_candidate_rate(
-                df, id_col, text_col, n, num_hashes, rows_per_band,
-                unit="char", sample_docs=_PREFLIGHT_SAMPLE_DOCS,
-            )
-            if rate > preflight_max_rate:
-                raise ValueError(
-                    f"minhash_lsh_pairs: char {n}-gram banding on this "
-                    f"corpus has a sampled candidate rate of {rate:.3f} "
-                    f"(> {preflight_max_rate}) — banding prunes almost "
-                    "nothing and the join would degenerate toward an "
-                    "all-pairs scan at corpus scale (the r12 probe "
-                    "measured 69% of all pairs on 5k docs, >55 min at "
-                    "10x). Levers: raise n (measured census: 8.6M "
-                    "candidates @ n=5 -> 15k @ n=13, identical true "
-                    "output), dispatch mixed corpora by script "
-                    "(minhash_lsh_pairs_auto_unit), or pass "
-                    "preflight=None to accept the cost deliberately."
-                )
+    _char_banding_preflight(
+        "minhash_lsh_pairs", df, id_col, text_col, n, num_hashes,
+        rows_per_band, unit, preflight, preflight_min_docs,
+        preflight_max_rate,
+        consequence=(
+            "banding prunes almost nothing and the join would "
+            "degenerate toward an all-pairs scan at corpus scale "
+            "(the r12 probe measured 69% of all pairs on 5k docs, "
+            ">55 min at 10x)."
+        ),
+        router="minhash_lsh_pairs_auto_unit",
+    )
     # NB: no size(shingles)>0 filter here — Catalyst would push it
     # below the repartition WITH the whole shingle expression inlined,
     # collapsing the parallel stage back into the single-split scan.
@@ -1112,32 +1150,17 @@ def fuzzy_decontaminate(
     (``limit(min_docs).count()``) is the only build-time action
     added — the ``knn_hard_negatives`` convention."""
     _shingle_unit(unit, "fuzzy_decontaminate")
-    if preflight not in ("auto", None):
-        raise ValueError(
-            f"fuzzy_decontaminate: preflight must be 'auto' or None, "
-            f"got {preflight!r}"
-        )
-    if unit == "char" and preflight == "auto":
-        tnn = train.filter(F.col(text_col).isNotNull())
-        if tnn.limit(preflight_min_docs).count() >= preflight_min_docs:
-            rate = estimate_band_candidate_rate(
-                train, id_col, text_col, n, num_hashes, rows_per_band,
-                unit="char", sample_docs=_PREFLIGHT_SAMPLE_DOCS,
-            )
-            if rate > preflight_max_rate:
-                raise ValueError(
-                    f"fuzzy_decontaminate: char {n}-gram banding on "
-                    f"this train corpus has a sampled candidate rate "
-                    f"of {rate:.3f} (> {preflight_max_rate}) — the "
-                    "train x bench candidate join would emit ~rate x "
-                    "|train| x |bench| rows, an all-pairs screen in "
-                    "disguise at corpus scale. Levers: raise n "
-                    "(census: 8.6M candidates @ n=5 -> 15k @ n=13, "
-                    "identical true output), dispatch mixed corpora "
-                    "by script (fuzzy_decontaminate_auto_unit), or "
-                    "pass preflight=None to accept the cost "
-                    "deliberately."
-                )
+    _char_banding_preflight(
+        "fuzzy_decontaminate", train, id_col, text_col, n, num_hashes,
+        rows_per_band, unit, preflight, preflight_min_docs,
+        preflight_max_rate,
+        consequence=(
+            "the train x bench candidate join would emit ~rate x "
+            "|train| x |bench| rows, an all-pairs screen in disguise "
+            "at corpus scale."
+        ),
+        router="fuzzy_decontaminate_auto_unit",
+    )
     tsets = shingle_arrays(
         train, id_col, text_col, n, unit=unit, max_text_len=max_text_len
     ).localCheckpoint(eager=False)
@@ -2083,8 +2106,13 @@ def admit_media_batch(
     ``sig_table_path``, and record the admitted signatures so the
     NEXT batch excludes this batch's admissions. First call
     bootstraps the table. Same staging discipline as
-    ``curation.admit_batch`` (unique per-batch staging dir, never
-    collect, reclaim via ``curation.cleanup_staging``).
+    ``curation.admit_batch`` (unique per-batch staging dir for the
+    RETURNED rows — never collect, reclaim via
+    ``curation.cleanup_staging``; the batch's own signatures are
+    pinned intra-call with ``localCheckpoint(eager=True)``, the
+    narrower use that admit_batch's docstring distinguishes: an
+    executor loss there fails only this batch's job, which the
+    replay contract retries exactly).
 
     The signature ledger is APPEND-ONLY (r12 — VERDICT r11 task 2:
     admitted rows are by construction all-new, so appends replaced
