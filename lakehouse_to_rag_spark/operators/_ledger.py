@@ -37,6 +37,67 @@ import uuid
 from pyspark.sql import SparkSession
 
 
+def migrate_ledger(
+    spark: SparkSession,
+    path: str,
+    rebucket,
+    scheme_fields: dict[str, int],
+) -> None:
+    """One-time migration of a ledger to its bucket-partitioned
+    append-only layout: read the existing table, rewrite it through
+    ``rebucket`` (a callable DataFrame -> rows carrying a ``bucket``
+    column — the caller's distinct + banding/bucketing projection,
+    which also heals a crashed bootstrap's partial rows), record the
+    scheme, and swap atomically via the two-rename discipline
+    (``_recover_dir_swap``'s ``__upsert_``/``__old_`` remnant
+    classes). O(cumulative) once; every subsequent batch reads only
+    its colliding buckets."""
+    from lakehouse_to_rag_spark.sources.lakehouse import write_layer
+
+    rows = spark.read.parquet(path)
+    tmp = f"{path.rstrip('/')}__upsert_{uuid.uuid4().hex[:8]}"
+    write_layer(
+        rebucket(rows), tmp, partition_by=["bucket"], fmt="parquet"
+    )
+    write_scheme(spark, tmp, scheme_fields)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def compact_ledger(spark: SparkSession, path: str, split_col: str) -> int:
+    """Compact a bucketed ledger through the shared
+    ``_compact_index_layout`` swap, ``_scheme`` carried verbatim.
+    Single-writer contract: run with the ingest loop QUIESCED.
+    Returns the data file count written."""
+    from lakehouse_to_rag_spark.operators.similarity import (
+        _compact_index_layout,
+    )
+
+    return _compact_index_layout(
+        spark, path, "bucket",
+        carry_dirs=("_scheme",), rewrite_dirs=(), split_col=split_col,
+    )
+
+
+def compact_if_deep(
+    spark: SparkSession, path: str, threshold: int, split_col: str
+) -> None:
+    """The admit loops' in-band compaction trigger: a partitioned
+    append writes one file per TOUCHED bucket per batch, so the
+    trigger is the MAX per-bucket file count exceeding
+    ``threshold``."""
+    import pathlib
+
+    per_bucket = [
+        len(list(d.glob("*.parquet")))
+        for d in pathlib.Path(path).glob("bucket=*")
+    ]
+    if per_bucket and max(per_bucket) > threshold:
+        compact_ledger(spark, path, split_col)
+
+
 def write_scheme(
     spark: SparkSession, table_path: str, fields: dict[str, int]
 ) -> None:

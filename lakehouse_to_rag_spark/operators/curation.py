@@ -374,27 +374,19 @@ def migrate_fp_table(
 ) -> None:
     """One-time migration of a fingerprint table to the bucketed
     append-only layout (r13): distinct content_fp rows rewritten
-    under ``bucket=N/`` with a ``_scheme`` record, atomic swap
-    (``_recover_dir_swap``'s remnant classes). The distinct also
+    under ``bucket=N/`` with a ``_scheme`` record, atomic swap — the
+    shared ``_ledger.migrate_ledger`` discipline. The distinct also
     heals a crashed bootstrap that wrote data but died before its
     scheme."""
-    import os
-    import shutil
-    import uuid
+    from lakehouse_to_rag_spark.operators._ledger import migrate_ledger
 
-    from lakehouse_to_rag_spark.sources.lakehouse import write_layer
-
-    fps = spark.read.parquet(path).select("content_fp").distinct()
-    tmp = f"{path.rstrip('/')}__upsert_{uuid.uuid4().hex[:8]}"
-    write_layer(
-        _fp_bucketed(fps, n_buckets), tmp,
-        partition_by=["bucket"], fmt="parquet",
+    migrate_ledger(
+        spark, path,
+        lambda rows: _fp_bucketed(
+            rows.select("content_fp").distinct(), n_buckets
+        ),
+        {"n_buckets": n_buckets},
     )
-    _write_fp_scheme(spark, tmp, n_buckets)
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
 
 
 def compact_fp_table(spark: SparkSession, fp_table_path: str) -> int:
@@ -403,15 +395,9 @@ def compact_fp_table(spark: SparkSession, fp_table_path: str) -> int:
     ``admit_batch``. Same shared ``_compact_index_layout`` swap,
     ``_scheme`` carried verbatim; run with the ingest loop QUIESCED.
     Returns the data file count written."""
-    from lakehouse_to_rag_spark.operators.similarity import (
-        _compact_index_layout,
-    )
+    from lakehouse_to_rag_spark.operators._ledger import compact_ledger
 
-    return _compact_index_layout(
-        spark, fp_table_path, "bucket",
-        carry_dirs=("_scheme",), rewrite_dirs=(),
-        split_col="content_fp",
-    )
+    return compact_ledger(spark, fp_table_path, split_col="content_fp")
 
 
 def admit_batch(
@@ -468,7 +454,6 @@ def admit_batch(
     reclaim with :func:`cleanup_staging` once every returned
     DataFrame has been consumed."""
     import os
-    import pathlib
     import uuid
 
     from lakehouse_to_rag_spark.sources.lakehouse import (
@@ -525,20 +510,12 @@ def admit_batch(
             out_fps, fp_table_path, partition_by=["bucket"],
             mode="append", fmt="parquet",
         )
-    per_bucket = [
-        len(list(d.glob("*.parquet")))
-        for d in pathlib.Path(fp_table_path).glob("bucket=*")
-    ]
-    if per_bucket and max(per_bucket) > compact_files_threshold:
-        from lakehouse_to_rag_spark.operators.similarity import (
-            _compact_index_layout,
-        )
+    from lakehouse_to_rag_spark.operators._ledger import compact_if_deep
 
-        _compact_index_layout(
-            spark, fp_table_path, "bucket",
-            carry_dirs=("_scheme",), rewrite_dirs=(),
-            split_col="content_fp",
-        )
+    compact_if_deep(
+        spark, fp_table_path, compact_files_threshold,
+        split_col="content_fp",
+    )
     return out
 
 

@@ -2045,28 +2045,17 @@ def migrate_media_ledger(
     rewrite as band rows under ``bucket=N/`` with the scheme record,
     and swap atomically (``_recover_dir_swap``'s remnant classes).
     O(cumulative) once; every subsequent batch reads only its
-    colliding buckets."""
-    import os
-    import shutil
-    import uuid
+    colliding buckets — the shared ``_ledger.migrate_ledger``
+    discipline."""
+    from lakehouse_to_rag_spark.operators._ledger import migrate_ledger
 
-    from lakehouse_to_rag_spark.sources.lakehouse import write_layer
-
-    rows = (
-        spark.read.parquet(path).select("id", "simhash").distinct()
+    migrate_ledger(
+        spark, path,
+        lambda rows: _media_band_rows(
+            rows.select("id", "simhash").distinct(), num_bands, n_buckets
+        ),
+        {"num_bands": num_bands, "n_buckets": n_buckets},
     )
-    tmp = f"{path.rstrip('/')}__upsert_{uuid.uuid4().hex[:8]}"
-    write_layer(
-        _media_band_rows(rows, num_bands, n_buckets),
-        tmp,
-        partition_by=["bucket"],
-        fmt="parquet",
-    )
-    _write_media_scheme(spark, tmp, num_bands, n_buckets)
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
 
 
 def compact_media_ledger(spark, sig_table_path: str) -> int:
@@ -2078,14 +2067,9 @@ def compact_media_ledger(spark, sig_table_path: str) -> int:
     Must run with the ingest stream QUIESCED (the single-writer
     contract that helper documents). Returns the data file count
     written."""
-    from lakehouse_to_rag_spark.operators.similarity import (
-        _compact_index_layout,
-    )
+    from lakehouse_to_rag_spark.operators._ledger import compact_ledger
 
-    return _compact_index_layout(
-        spark, sig_table_path, "bucket",
-        carry_dirs=("_scheme",), rewrite_dirs=(), split_col="id",
-    )
+    return compact_ledger(spark, sig_table_path, split_col="id")
 
 
 def admit_media_batch(
@@ -2150,7 +2134,6 @@ def admit_media_batch(
     guard the corpus), consistent with retained-corpus semantics.
     Returns the admitted (id, simhash) rows."""
     import os
-    import pathlib
     import uuid
 
     from lakehouse_to_rag_spark.sources.lakehouse import (
@@ -2236,19 +2219,11 @@ def admit_media_batch(
             out_bands, sig_table_path, partition_by=["bucket"],
             mode="append", fmt="parquet",
         )
-    per_bucket = [
-        len(list(d.glob("*.parquet")))
-        for d in pathlib.Path(sig_table_path).glob("bucket=*")
-    ]
-    if per_bucket and max(per_bucket) > compact_files_threshold:
-        from lakehouse_to_rag_spark.operators.similarity import (
-            _compact_index_layout,
-        )
+    from lakehouse_to_rag_spark.operators._ledger import compact_if_deep
 
-        _compact_index_layout(
-            spark, sig_table_path, "bucket",
-            carry_dirs=("_scheme",), rewrite_dirs=(), split_col="id",
-        )
+    compact_if_deep(
+        spark, sig_table_path, compact_files_threshold, split_col="id"
+    )
     return out
 
 
