@@ -503,6 +503,68 @@ def stream_media_dedup_sink(
     return writer.start()
 
 
+def stream_text_dedup_sink(
+    docs_stream: DataFrame,
+    fp_table_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_files_threshold: int = 64,
+    trigger_available_now: bool = True,
+    n_buckets: int | None = None,
+):
+    """Streaming twin of the TEXT exact-dedup ingest loop (r13 — the
+    ``stream_media_dedup_sink`` discipline over
+    ``curation.admit_batch``): each micro-batch of (id, text) rows
+    runs one turn against the maintained fingerprint ledger at
+    ``fp_table_path`` — normalize+md5 once, bucket-pruned anti-join
+    against every prior admission (the r13 ``bucket=N/`` layout: a
+    trigger reads at most min(|batch|, n_buckets) of the cumulative
+    ledger's directories), APPEND the admitted fingerprints
+    (per-trigger write cost flat in ledger size), compaction past
+    ``compact_files_threshold`` files per bucket through the atomic
+    swap. ``n_buckets`` is honored at ledger BOOTSTRAP only
+    (afterwards the ledger's own ``_scheme`` wins); None = the
+    operator default.
+
+    Unlike ``incremental_dedup_stream`` (stateless screen against a
+    STATIC snapshot + within-watermark stream state), this sink
+    maintains the admission record itself, so intra-stream dups
+    arriving ANY number of triggers apart are dropped without
+    watermark state — the ledger, not the state store, is the memory,
+    and it survives checkpoint loss.
+
+    No batch-id ``_ledger`` is needed: ``admit_batch`` is
+    replay-idempotent BY CONTENT (a re-delivered batch's fingerprints
+    match their own prior admissions and drop in the anti-join; a
+    batch that died mid-append re-admits exactly its not-yet-visible
+    fingerprints), so the fingerprint table itself is the admission
+    record for crash replays and consumers alike. Per-batch staging
+    dirs accumulate as in the batch loop — reclaim with
+    ``curation.cleanup_staging`` on a maintenance cadence. Returns
+    the started StreamingQuery."""
+    from lakehouse_to_rag_spark.operators.curation import admit_batch
+
+    def _one_turn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        kwargs = {} if n_buckets is None else {"n_buckets": n_buckets}
+        admit_batch(
+            batch.sparkSession, fp_table_path, batch,
+            id_col=id_col, text_col=text_col,
+            compact_files_threshold=compact_files_threshold,
+            **kwargs,
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_one_turn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_scd2_sink(
     events: DataFrame,
     dim_path: str,

@@ -1073,3 +1073,76 @@ def test_stream_media_dedup_sink_equals_batch_loop_and_replays(
     stream3 = spark.readStream.schema(schema).parquet(src)
     stream_media_dedup_sink(stream3, stream_path, ck1).awaitTermination(120)
     assert _ids(stream_path) == [0, 2, 4, 6, 8, 20]
+
+
+def test_stream_text_dedup_sink_equals_batch_loop_and_replays(
+    spark, tmp_path
+):
+    """r13: the streaming twin of the TEXT fingerprint ingest loop.
+    One availableNow pass must leave the SAME bucketed fingerprint
+    ledger as the batch admit loop over the same rows; a full replay
+    through a fresh checkpoint changes nothing (content idempotence —
+    no batch-id ledger); and a later file on the original checkpoint
+    dedups against every prior admission WITHOUT watermark state
+    (the ledger, not the state store, is the memory — the property
+    incremental_dedup_stream's within-watermark form cannot give
+    across distant triggers)."""
+    from lakehouse_to_rag_spark.operators.curation import admit_batch
+    from lakehouse_to_rag_spark.streaming.pipeline import (
+        stream_text_dedup_sink,
+    )
+
+    def _df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # batch 0: 1/10 share content (intra-batch dup), 2/11 normalize
+    # equal (case+whitespace), 3..5 unique
+    rows0 = [
+        (1, "alpha beta"), (10, "alpha beta"),
+        (2, "  GAMMA   delta "), (11, "gamma delta"),
+        (3, "epsilon"), (4, "zeta"), (5, "eta"),
+    ]
+    src = str(tmp_path / "docs_src")
+    _df(rows0).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream_path = str(tmp_path / "fps_stream")
+    ck1 = str(tmp_path / "ck1")
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_text_dedup_sink(stream, stream_path, ck1).awaitTermination(120)
+
+    batch_path = str(tmp_path / "fps_batch")
+    admit_batch(spark, batch_path, _df(rows0))
+
+    def _fps(p):
+        return sorted(
+            r["content_fp"]
+            for r in spark.read.parquet(p)
+            .select("content_fp").distinct().collect()
+        )
+
+    assert _fps(stream_path) == _fps(batch_path)
+    assert len(_fps(stream_path)) == 5  # 2 dup groups collapsed
+
+    # full replay through a FRESH checkpoint: content idempotence
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    stream_text_dedup_sink(
+        stream2, stream_path, str(tmp_path / "ck2")
+    ).awaitTermination(120)
+    assert _fps(stream_path) == _fps(batch_path)
+
+    # a later file on the ORIGINAL checkpoint: dups of trigger-1
+    # admissions dropped (cross-trigger, no watermark involved),
+    # fresh content admitted
+    _df([(20, "ALPHA   beta"), (21, "theta")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream3 = spark.readStream.schema(schema).parquet(src)
+    stream_text_dedup_sink(stream3, stream_path, ck1).awaitTermination(120)
+    fps = _fps(stream_path)
+    assert len(fps) == 6  # only "theta" is new
+    assert set(_fps(batch_path)) < set(fps)  # prior admissions intact
+    # the ledger stayed bucketed through the stream writes
+    import pathlib
+
+    assert list(pathlib.Path(stream_path).glob("bucket=*"))
