@@ -310,21 +310,35 @@ def _prior_mins(sf: float) -> dict[str, float]:
     own = Path(__file__).resolve().parent / ".bench_last.json"
     try:
         rec = json.loads(own.read_text())
-        # sf-keyed since the same session (r12): a run at another
-        # scale factor must not poison this scale's warm-up priors —
-        # an sf0.001 record would classify every sf0.1 row as
-        # sub-second and skip warm-ups that matter. Legacy flat
-        # records (pre-key) are accepted as sf0.1's.
-        if "queries" in rec:
+        # PER-SF slots (r13): the record used to be a single
+        # {sf, queries} slot, so a local sf0.01 iteration run (the
+        # /verify bench leg) silently CLOBBERED the sf0.1 record the
+        # driver's warm-up selection depends on — the sf guard kept
+        # the wrong-scale record from poisoning the priors, but the
+        # right-scale record was gone and every long-benched entry
+        # re-warmed (the exact ~2 min regression the r12 note below
+        # documents). Now each scale factor keeps its own slot under
+        # "by_sf"; both legacy forms are still read.
+        if "by_sf" in rec:
+            q = rec["by_sf"].get(_sf_key(sf))
+            if q:
+                latest.update({k: float(v) for k, v in q.items()})
+        elif "queries" in rec:
             if float(rec.get("sf", -1)) == sf:
                 latest.update(
                     {k: float(v) for k, v in rec["queries"].items()}
                 )
-        elif sf == 0.1:
+        elif sf == 0.1:  # pre-r12 flat record: sf0.1 by convention
             latest.update({k: float(v) for k, v in rec.items()})
     except (OSError, ValueError, AttributeError, TypeError):
         pass  # no own record yet: BENCH_r*.json parsing stands alone
     return latest
+
+
+def _sf_key(sf: float) -> str:
+    """Canonical string key for a scale factor ('0.1', '0.01') —
+    repr-stable across json round-trips."""
+    return format(sf, "g")
 
 
 def _calibrate_py() -> float:
@@ -486,10 +500,21 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # the complete per-query record _prior_mins prefers next run (the
-    # driver wrapper truncates its recorded tail; this file does not)
-    (Path(__file__).resolve().parent / ".bench_last.json").write_text(
-        json.dumps({"sf": sf, "queries": timings})
-    )
+    # driver wrapper truncates its recorded tail; this file does not).
+    # Read-modify-write of the per-sf slot: other scales' records
+    # survive this run (r13 — see _prior_mins).
+    own = Path(__file__).resolve().parent / ".bench_last.json"
+    by_sf: dict = {}
+    try:
+        old = json.loads(own.read_text())
+        if "by_sf" in old:
+            by_sf = old["by_sf"]
+        elif "queries" in old and "sf" in old:  # legacy single slot
+            by_sf = {_sf_key(float(old["sf"])): old["queries"]}
+    except (OSError, ValueError, AttributeError, TypeError, KeyError):
+        pass
+    by_sf[_sf_key(sf)] = timings
+    own.write_text(json.dumps({"by_sf": by_sf}))
     # Self-sufficient driver artifact (r13 — VERDICT r12 task 1): the
     # driver records only the LAST 2000 chars of this line, and the
     # full named queries dict is ~3.2 KB at 114 rows — it can never

@@ -219,3 +219,72 @@ def test_recovery_never_wrong_at_any_truncation_point():
     # (last 2000 chars of a ~10k line => cut >= len-2000)
     assert recover_queries({"tail": line[-2000:]}) == mins
     assert exact > 0
+
+
+def test_bench_last_per_sf_slots(tmp_path, monkeypatch):
+    """r13 follow-up: .bench_last.json keeps ONE SLOT PER SCALE
+    FACTOR. The single-slot form meant a local sf0.01 run (the
+    /verify bench leg) clobbered the sf0.1 record the driver's
+    warm-up selection depends on — the sf guard stopped wrong-scale
+    poisoning but lost the right-scale priors. Each sf now reads its
+    own slot; legacy single-slot and flat records stay readable."""
+    import bench
+
+    rec = tmp_path / ".bench_last.json"
+    monkeypatch.setattr(
+        bench, "__file__", str(tmp_path / "bench.py")
+    )
+
+    # legacy {sf, queries} single slot: only its own sf reads it
+    rec.write_text(json.dumps({"sf": 0.1, "queries": {"q": 2.0}}))
+    assert bench._prior_mins(0.1).get("q") == 2.0
+    assert "q" not in bench._prior_mins(0.01)
+
+    # per-sf record: each scale resolves its own slot
+    rec.write_text(json.dumps({"by_sf": {
+        "0.1": {"q": 2.0}, "0.01": {"q": 0.3},
+    }}))
+    assert bench._prior_mins(0.1).get("q") == 2.0
+    assert bench._prior_mins(0.01).get("q") == 0.3
+
+    # pre-r12 flat record: accepted as sf0.1's by convention
+    rec.write_text(json.dumps({"q": 1.5}))
+    assert bench._prior_mins(0.1).get("q") == 1.5
+
+    # recover_queries on the per-sf form prefers the driver scale
+    assert recover_queries(
+        {"by_sf": {"0.01": {"a": 0.1}, "0.1": {"a": 9.0}}}
+    ) == {"a": 9.0}
+
+
+def test_cross_scale_comparison_refused(tmp_path, capsys):
+    """r13 follow-up: comparing records from DIFFERENT scale factors
+    produced confident per-row FASTER/SLOWER verdicts (observed
+    in-session: an sf0.1 driver record vs an sf0.01 local record).
+    The sf now recovers from driver-wrapper tails too, and a
+    cross-scale comparison refuses instead of reporting."""
+    from tools import bench_compare
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    # driver-wrapper form: sf only inside the recorded tail
+    old.write_text(json.dumps({
+        "n": 1, "rc": 0,
+        "tail": '"queries": {"q": 2.0}, "queries_p50": {"q": 2.2}, '
+                '"sf": 0.1, "calib": {}}',
+        "parsed": {"queries": {"q": 2.0}},
+    }))
+    new.write_text(json.dumps(
+        {"sf": 0.01, "queries": {"q": 0.3}}
+    ))
+    assert load_bench_file(old)["sf"] == 0.1
+    bench_compare.main([str(old), str(new)])
+    out = capsys.readouterr().out
+    assert "VERDICT: incomparable (different scale factors)." in out
+    assert "FASTER" not in out and "SLOWER" not in out
+
+    # same sf still compares
+    new.write_text(json.dumps({"sf": 0.1, "queries": {"q": 2.0}}))
+    bench_compare.main([str(old), str(new)])
+    out = capsys.readouterr().out
+    assert "incomparable" not in out

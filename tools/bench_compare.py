@@ -73,9 +73,15 @@ def main(argv: list[str]) -> None:
     old, new = load_bench(argv[0]), load_bench(argv[1])
     sf_old, sf_new = old.get("sf"), new.get("sf")
     if sf_old is not None and sf_new is not None and sf_old != sf_new:
-        print(f"# WARNING: scale factors differ (old sf={sf_old}, "
-              f"new sf={sf_new}) — per-row ratios compare different "
+        # REFUSE, don't report (r13): every per-row ratio would
+        # compare different workloads, so any FASTER/SLOWER verdict
+        # below would be confidently wrong — the exact failure class
+        # VERDICT r12 #1 flagged in this tool.
+        print(f"# scale factors differ (old sf={sf_old}, new "
+              f"sf={sf_new}) — per-row ratios would compare different "
               "workloads, not host or code speed")
+        print("VERDICT: incomparable (different scale factors).")
+        return
     calib_ratios = {}
     for key in ("py_spin_sec", "jvm_fixed_sec"):
         c_old = old.get("calib", {}).get(key)

@@ -91,6 +91,13 @@ def recover_queries(data: dict) -> dict[str, float]:
     as "all rows sub-second"."""
     if isinstance(data.get("queries"), dict):
         return {k: float(v) for k, v in data["queries"].items()}
+    if isinstance(data.get("by_sf"), dict) and data["by_sf"]:
+        # r13 .bench_last.json: one slot per scale factor. For
+        # comparison purposes prefer the driver's cross-round scale
+        # (sf0.1), else the largest recorded sf.
+        slots = data["by_sf"]
+        key = "0.1" if "0.1" in slots else sorted(slots, key=float)[-1]
+        return {k: float(v) for k, v in slots[key].items()}
     if isinstance(data.get("parsed"), dict) and data["parsed"].get("queries"):
         return {
             k: float(v) for k, v in data["parsed"]["queries"].items()
@@ -141,11 +148,24 @@ def load_bench_file(path: str | Path) -> dict:
     main record when recoverable."""
     path = Path(path)
     data = json.loads(path.read_text())
+    sf = data.get("sf")
+    if sf is None and isinstance(data.get("parsed"), dict):
+        sf = data["parsed"].get("sf")
+    if sf is None and isinstance(data.get("tail"), str):
+        # driver wrappers carry sf only inside the recorded line —
+        # without this, bench_compare's cross-scale refusal could
+        # never fire on the very files the driver writes
+        m = re.search(r'"sf"\s*:\s*([0-9.]+)', data["tail"])
+        if m:
+            sf = float(m.group(1))
+    if sf is None and isinstance(data.get("by_sf"), dict) and data["by_sf"]:
+        slots = data["by_sf"]
+        sf = float("0.1" if "0.1" in slots else sorted(slots, key=float)[-1])
     out: dict = {
         "queries": recover_queries(data),
         "queries_spread": {},
         "calib": {},
-        "sf": data.get("sf"),
+        "sf": sf,
     }
     if isinstance(data.get("queries_spread"), dict):
         out["queries_spread"] = data["queries_spread"]
