@@ -385,6 +385,15 @@ def _iter_jseq(jseq):
         yield it.next()
 
 
+# Subquery expression classes whose nested plan is reachable via
+# .plan() — descended into because Catalyst marks a subquery over a
+# clock read deterministic, yet its value differs across the two
+# regime scans just like a top-level clock.
+_SUBQUERY_EXPR_CLASSES = frozenset(
+    {"ScalarSubquery", "ListQuery", "Exists", "LateralSubquery"}
+)
+
+
 def _first_nondet_in_expr(jexpr) -> str | None:
     """Deepest non-deterministic (or per-query-clock) expression class
     name under ``jexpr``, else None. Children first so the error names
@@ -396,12 +405,32 @@ def _first_nondet_in_expr(jexpr) -> str | None:
     cls = jexpr.getClass().getSimpleName()
     if cls in _PER_QUERY_CLOCK_EXPR_CLASSES:
         return cls
+    if cls in _SUBQUERY_EXPR_CLASSES:
+        got = _walk_jplan(jexpr.plan())
+        if got is not None:
+            return got
     if not jexpr.deterministic():
         # No nondeterministic child -> this node is the culprit. A
-        # subquery expression over a nondeterministic plan lands here
-        # too (e.g. 'ListQuery') — fail closed; py4j exposes no cheap
-        # descent into the nested plan.
+        # nondeterministic subquery lands here too (its own
+        # deterministic() covers the nested plan) — fail closed.
         return cls
+    return None
+
+
+def _walk_jplan(jplan) -> str | None:
+    """First risky expression class in a Catalyst logical plan tree
+    (shared by the top-level walk and subquery descent)."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Sample":
+            return "Sample"
+        for child in _iter_jseq(node.children()):
+            stack.append(child)
+        for jexpr in _iter_jseq(node.expressions()):
+            got = _first_nondet_in_expr(jexpr)
+            if got is not None:
+                return got
     return None
 
 
@@ -421,24 +450,15 @@ def _plan_nondeterminism_marker(df: DataFrame) -> str | None:
     LITERALS containing e.g. ``current_timestamp`` or ``now()`` —
     breaking composition with the medallion pipeline, whose ingest-ts
     projection puts exactly those tokens in every downstream plan.
-    Class identity via py4j can't collide with user data. Best-effort
-    by contract: non-JVM backends (Connect) return None (advisory
-    guard), and a re-read mutable SOURCE remains undetectable."""
+    Class identity via py4j can't collide with user data. Subquery
+    plans are descended (a clock inside a deterministic subquery is
+    still per-query). Best-effort by contract: non-JVM backends
+    (Connect) return None (advisory guard), and a re-read mutable
+    SOURCE remains undetectable."""
     try:
-        stack = [df._jdf.queryExecution().analyzed()]
-        while stack:
-            node = stack.pop()
-            if node.getClass().getSimpleName() == "Sample":
-                return "Sample"
-            for child in _iter_jseq(node.children()):
-                stack.append(child)
-            for jexpr in _iter_jseq(node.expressions()):
-                got = _first_nondet_in_expr(jexpr)
-                if got is not None:
-                    return got
+        return _walk_jplan(df._jdf.queryExecution().analyzed())
     except Exception:  # non-JVM backends (Connect) — guard is advisory
         return None
-    return None
 
 
 def split_by_script(

@@ -2583,6 +2583,14 @@ def test_nondeterminism_guard_is_class_exact(spark):
         "where id in (select id from det_sub_r13)"
     )
     assert _plan_nondeterminism_marker(via_det) is None
+    # a clock INSIDE a subquery: Catalyst marks the subquery
+    # deterministic, but its value still differs across the two
+    # regime scans — the walk descends into subquery plans
+    via_clock_subq = spark.sql(
+        "select id as doc_id, 'x' as text from range(3) "
+        "where id < (select unix_timestamp(current_timestamp()) % 4)"
+    )
+    assert _plan_nondeterminism_marker(via_clock_subq) == "CurrentTimestamp"
 
     # 3. The medallion composition case the old guard broke: bronze's
     # deterministic literal mode composes with auto-unit dispatch.
