@@ -302,9 +302,18 @@ def _prior_mins(sf: float) -> dict[str, float]:
         if f.name.endswith(".mins.json"):
             continue  # sidecars are read via their main record
         try:
-            q = load_bench_file(f).get("queries")
+            rec = load_bench_file(f)
         except (OSError, ValueError):
             continue
+        # driver records are sf0.1: applying them as priors at another
+        # scale is only CONSERVATIVE in one direction (extra warm-ups
+        # at smaller sf) but wrong at a larger one — skip any record
+        # whose recovered sf is known and differs (r13, the per-sf
+        # record discipline; unrecoverable-sf legacy records keep the
+        # old behavior)
+        if rec.get("sf") is not None and float(rec["sf"]) != sf:
+            continue
+        q = rec.get("queries")
         if q:
             latest = {k: float(v) for k, v in q.items()}
     own = Path(__file__).resolve().parent / ".bench_last.json"

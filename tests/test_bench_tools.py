@@ -288,3 +288,24 @@ def test_cross_scale_comparison_refused(tmp_path, capsys):
     bench_compare.main([str(old), str(new)])
     out = capsys.readouterr().out
     assert "incomparable" not in out
+
+
+def test_prior_mins_skips_wrong_scale_driver_records(tmp_path, monkeypatch):
+    """The BENCH_r*.json fallback must not apply a record whose
+    recovered sf differs from the requested one (driver records are
+    sf0.1; at a LARGER requested sf their mins would wrongly skip
+    warm-ups). Records without a recoverable sf keep the legacy
+    behavior."""
+    import bench
+
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({
+        "sf": 0.1, "queries": {"q": 2.0},
+    }))
+    assert bench._prior_mins(0.1).get("q") == 2.0
+    assert "q" not in bench._prior_mins(0.01)
+    # no recoverable sf: applied regardless (legacy)
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({
+        "queries": {"q": 2.0},
+    }))
+    assert bench._prior_mins(0.01).get("q") == 2.0
