@@ -350,6 +350,29 @@ def _sf_key(sf: float) -> str:
     return format(sf, "g")
 
 
+def _merge_own_record(own: Path, sf: float, timings: dict) -> None:
+    """Read-modify-write of .bench_last.json's per-sf slot: other
+    scales' records survive this run (r13 — see _prior_mins). All
+    three historical record forms are read, never discarded: the
+    per-sf form, the r12 {sf, queries} single slot, and the pre-r12
+    flat record (sf0.1's by the same convention _prior_mins reads it
+    under — dropping it would re-lose the sf0.1 priors on the next
+    cross-scale run, the regression this RMW exists to fix)."""
+    by_sf: dict = {}
+    try:
+        old = json.loads(own.read_text())
+        if "by_sf" in old:
+            by_sf = old["by_sf"]
+        elif "queries" in old and "sf" in old:  # r12 single slot
+            by_sf = {_sf_key(float(old["sf"])): old["queries"]}
+        elif isinstance(old, dict) and old:  # pre-r12 flat record
+            by_sf = {"0.1": old}
+    except (OSError, ValueError, AttributeError, TypeError, KeyError):
+        pass
+    by_sf[_sf_key(sf)] = timings
+    own.write_text(json.dumps({"by_sf": by_sf}))
+
+
 def _calibrate_py() -> float:
     """Fixed-work single-core Python figure (min of 3): cross-round
     comparisons of the recorded BENCH_rN.json files divide by this to
@@ -510,20 +533,9 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # the complete per-query record _prior_mins prefers next run (the
     # driver wrapper truncates its recorded tail; this file does not).
-    # Read-modify-write of the per-sf slot: other scales' records
-    # survive this run (r13 — see _prior_mins).
-    own = Path(__file__).resolve().parent / ".bench_last.json"
-    by_sf: dict = {}
-    try:
-        old = json.loads(own.read_text())
-        if "by_sf" in old:
-            by_sf = old["by_sf"]
-        elif "queries" in old and "sf" in old:  # legacy single slot
-            by_sf = {_sf_key(float(old["sf"])): old["queries"]}
-    except (OSError, ValueError, AttributeError, TypeError, KeyError):
-        pass
-    by_sf[_sf_key(sf)] = timings
-    own.write_text(json.dumps({"by_sf": by_sf}))
+    _merge_own_record(
+        Path(__file__).resolve().parent / ".bench_last.json", sf, timings
+    )
     # Self-sufficient driver artifact (r13 — VERDICT r12 task 1): the
     # driver records only the LAST 2000 chars of this line, and the
     # full named queries dict is ~3.2 KB at 114 rows — it can never

@@ -397,23 +397,33 @@ _SUBQUERY_EXPR_CLASSES = frozenset(
 def _first_nondet_in_expr(jexpr) -> str | None:
     """Deepest non-deterministic (or per-query-clock) expression class
     name under ``jexpr``, else None. Children first so the error names
-    the culprit leaf (``Rand``), not the arithmetic wrapping it."""
-    for child in _iter_jseq(jexpr.children()):
-        got = _first_nondet_in_expr(child)
-        if got is not None:
-            return got
-    cls = jexpr.getClass().getSimpleName()
-    if cls in _PER_QUERY_CLOCK_EXPR_CLASSES:
-        return cls
-    if cls in _SUBQUERY_EXPR_CLASSES:
-        got = _walk_jplan(jexpr.plan())
-        if got is not None:
-            return got
-    if not jexpr.deterministic():
-        # No nondeterministic child -> this node is the culprit. A
-        # nondeterministic subquery lands here too (its own
-        # deterministic() covers the nested plan) — fail closed.
-        return cls
+    the culprit leaf (``Rand``), not the arithmetic wrapping it.
+    Iterative post-order (explicit stack), NOT recursion: a
+    programmatically built lineage can nest expressions thousands
+    deep, and a RecursionError inside the walk would be swallowed by
+    the advisory try in ``_plan_nondeterminism_marker`` — silently
+    disabling the guard for exactly the lineages it exists for."""
+    stack = [(jexpr, False)]
+    while stack:
+        e, children_done = stack.pop()
+        if not children_done:
+            stack.append((e, True))
+            for child in _iter_jseq(e.children()):
+                stack.append((child, False))
+            continue
+        cls = e.getClass().getSimpleName()
+        if cls in _PER_QUERY_CLOCK_EXPR_CLASSES:
+            return cls
+        if cls in _SUBQUERY_EXPR_CLASSES:
+            got = _walk_jplan(e.plan())
+            if got is not None:
+                return got
+        if not e.deterministic():
+            # No nondeterministic descendant returned first (post-
+            # order) -> this node is the culprit. A nondeterministic
+            # subquery lands here too (its own deterministic() covers
+            # the nested plan) — fail closed.
+            return cls
     return None
 
 

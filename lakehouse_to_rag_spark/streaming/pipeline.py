@@ -478,8 +478,13 @@ def stream_media_dedup_sink(
     consumers alike (the admitted corpus = the stream's storage
     joined to the ledger's ids; persisting admitted PAYLOADS here
     would reopen the data-landed/record-lost crash window the
-    content-idempotence closes). Returns the started
-    StreamingQuery."""
+    content-idempotence closes). The sink discards the returned
+    DataFrame, so it reclaims each trigger's staging dir IN-BAND
+    (``curation.cleanup_staging`` after the append — continuous
+    operation would otherwise leak one staging dir per micro-batch
+    forever; safe because the sink is the single writer and never
+    holds a returned result). Returns the started StreamingQuery."""
+    from lakehouse_to_rag_spark.operators.curation import cleanup_staging
     from lakehouse_to_rag_spark.operators.dedup import admit_media_batch
 
     def _one_turn(batch: DataFrame, batch_id: int) -> None:
@@ -493,6 +498,7 @@ def stream_media_dedup_sink(
             compact_files_threshold=compact_files_threshold,
             **kwargs,
         )
+        cleanup_staging(sig_table_path)
 
     writer = (
         media_stream.writeStream.foreachBatch(_one_turn)
@@ -539,11 +545,17 @@ def stream_text_dedup_sink(
     match their own prior admissions and drop in the anti-join; a
     batch that died mid-append re-admits exactly its not-yet-visible
     fingerprints), so the fingerprint table itself is the admission
-    record for crash replays and consumers alike. Per-batch staging
-    dirs accumulate as in the batch loop — reclaim with
-    ``curation.cleanup_staging`` on a maintenance cadence. Returns
-    the started StreamingQuery."""
-    from lakehouse_to_rag_spark.operators.curation import admit_batch
+    record for crash replays and consumers alike. The sink discards
+    ``admit_batch``'s returned DataFrame, so it reclaims each
+    trigger's staging dir IN-BAND (``curation.cleanup_staging`` after
+    the ledger append completes — without this, continuous operation
+    leaks one parquet staging dir per micro-batch forever; safe here
+    because the sink is the single writer and never holds a returned
+    result). Returns the started StreamingQuery."""
+    from lakehouse_to_rag_spark.operators.curation import (
+        admit_batch,
+        cleanup_staging,
+    )
 
     def _one_turn(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -555,6 +567,7 @@ def stream_text_dedup_sink(
             compact_files_threshold=compact_files_threshold,
             **kwargs,
         )
+        cleanup_staging(fp_table_path)
 
     writer = (
         docs_stream.writeStream.foreachBatch(_one_turn)

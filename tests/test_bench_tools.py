@@ -309,3 +309,31 @@ def test_prior_mins_skips_wrong_scale_driver_records(tmp_path, monkeypatch):
         "queries": {"q": 2.0},
     }))
     assert bench._prior_mins(0.01).get("q") == 2.0
+
+
+def test_rmw_migrates_flat_record_instead_of_discarding(tmp_path):
+    """Review fix: _merge_own_record must MIGRATE a pre-r12 flat
+    record to by_sf['0.1'] (the same convention _prior_mins reads it
+    under), not silently drop it — discarding would re-lose the
+    sf0.1 priors on the next cross-scale run."""
+    import bench
+
+    rec = tmp_path / ".bench_last.json"
+    flat = {"q1": 1.5, "q2": 0.3}
+    rec.write_text(json.dumps(flat))
+    bench._merge_own_record(rec, 0.01, {"q1": 0.2})
+    got = json.loads(rec.read_text())
+    assert got == {"by_sf": {"0.1": flat, "0.01": {"q1": 0.2}}}
+
+    # r12 single-slot form migrates too
+    rec.write_text(json.dumps({"sf": 0.1, "queries": flat}))
+    bench._merge_own_record(rec, 0.01, {"q1": 0.2})
+    assert json.loads(rec.read_text()) == {
+        "by_sf": {"0.1": flat, "0.01": {"q1": 0.2}}
+    }
+
+    # same-sf run replaces only its own slot
+    bench._merge_own_record(rec, 0.1, {"q1": 9.0})
+    assert json.loads(rec.read_text()) == {
+        "by_sf": {"0.1": {"q1": 9.0}, "0.01": {"q1": 0.2}}
+    }

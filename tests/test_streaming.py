@@ -1073,6 +1073,11 @@ def test_stream_media_dedup_sink_equals_batch_loop_and_replays(
     stream3 = spark.readStream.schema(schema).parquet(src)
     stream_media_dedup_sink(stream3, stream_path, ck1).awaitTermination(120)
     assert _ids(stream_path) == [0, 2, 4, 6, 8, 20]
+    # in-band staging reclamation (r13): the sink never holds the
+    # returned DataFrame, so no per-trigger staging dir may survive
+    import os
+
+    assert not os.path.exists(f"{stream_path}__staging")
 
 
 def test_stream_text_dedup_sink_equals_batch_loop_and_replays(
@@ -1143,6 +1148,11 @@ def test_stream_text_dedup_sink_equals_batch_loop_and_replays(
     assert len(fps) == 6  # only "theta" is new
     assert set(_fps(batch_path)) < set(fps)  # prior admissions intact
     # the ledger stayed bucketed through the stream writes
+    import os
     import pathlib
 
     assert list(pathlib.Path(stream_path).glob("bucket=*"))
+    # in-band staging reclamation: the sink discards admit_batch's
+    # returned DataFrame, so continuous operation must not leak one
+    # staging dir per micro-batch
+    assert not os.path.exists(f"{stream_path}__staging")

@@ -127,6 +127,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # keep ALL progress entries (recentProgress caps at this number)
     assert n_triggers <= 100, "recentProgress retains 100 entries"
+    assert n_triggers >= 6, (
+        "half-over-half medians need >= 6 triggers (guard BEFORE the "
+        "Spark run, not an IndexError after it)"
+    )
 
     configs = [("bucketed256", 256), ("fullscan1", 1)]
     if mode == "bucketed":

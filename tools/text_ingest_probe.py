@@ -118,6 +118,10 @@ def main() -> None:
     spark = get_spark("text-ingest-probe")
     spark.sparkContext.setLogLevel("ERROR")
     assert n_triggers <= 100, "recentProgress retains 100 entries"
+    assert n_triggers >= 6, (
+        "half-over-half medians need >= 6 triggers (guard BEFORE the "
+        "Spark run, not an IndexError after it)"
+    )
 
     configs = [("bucketed256", 256), ("fullscan1", 1)]
     if mode == "bucketed":
