@@ -472,9 +472,16 @@ def admit_batch(
         n_buckets = stored
     fp_in = F.md5(normalize_text(F.col(text_col)))
     # fingerprint/normalize ONCE: the bucket probe, the anti-join,
-    # and the keep-first window all reuse the keyed rows
+    # and the keep-first window all reuse the keyed rows. NULL text
+    # drops here, matching incremental_dedup's convention (r13
+    # property-test find): a null fingerprint can never match an
+    # anti-join key, so a null-text doc would be "admitted" again on
+    # EVERY replay and append a junk ledger row each time — breaking
+    # the replay-to-zero contract this loop is built on.
     keyed = _fp_bucketed(
-        incoming.select(F.col(id_col), fp_in.alias("content_fp")),
+        incoming.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), fp_in.alias("content_fp")
+        ),
         n_buckets,
     ).localCheckpoint(eager=True)
     if exists:
@@ -499,13 +506,22 @@ def admit_batch(
     out_fps = _fp_bucketed(
         out.select("content_fp").distinct(), n_buckets
     )
-    if not exists:
+    nonempty = out.limit(1).count() > 0
+    if not exists and nonempty:
+        # bootstrap only when something was ADMITTED (r13 property-
+        # test find): a zero-admission first batch (e.g. all-null
+        # text) used to create a ledger with a _scheme but ZERO data
+        # files — semantically fine for this loop's own explicit-
+        # schema reads, but unreadable by any plain
+        # spark.read.parquet consumer until real data lands. Leaving
+        # 'not exists' standing defers the bootstrap to the first
+        # batch with content.
         write_layer(
             out_fps, fp_table_path, partition_by=["bucket"],
             fmt="parquet",
         )
         _write_fp_scheme(spark, fp_table_path, n_buckets)
-    elif out.limit(1).count() > 0:
+    elif exists and nonempty:
         write_layer(
             out_fps, fp_table_path, partition_by=["bucket"],
             mode="append", fmt="parquet",

@@ -2238,13 +2238,18 @@ def admit_media_batch(
     write_layer(admitted, staging, fmt="parquet")
     out = read_layer(spark, staging, fmt="parquet")
     out_bands = _media_band_rows(out, num_bands, n_buckets)
-    if not exists:
+    # cheap post-materialization probe; bootstrap only on a non-empty
+    # admission (r13 — the curation.admit_batch convention: a
+    # zero-admission first batch must not create a data-less ledger
+    # that plain parquet readers cannot open)
+    nonempty = out.limit(1).count() > 0
+    if not exists and nonempty:
         write_layer(
             out_bands, sig_table_path, partition_by=["bucket"],
             fmt="parquet",
         )
         _write_media_scheme(spark, sig_table_path, num_bands, n_buckets)
-    elif out.limit(1).count() > 0:  # cheap post-materialization probe
+    elif exists and nonempty:
         write_layer(
             out_bands, sig_table_path, partition_by=["bucket"],
             mode="append", fmt="parquet",

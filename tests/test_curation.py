@@ -748,6 +748,28 @@ class TestFingerprintLedgerLayout:
         assert os.path.exists(os.path.join(fp, "_scheme"))
         assert spark.read.parquet(fp).count() == 3
 
+    def test_null_text_does_not_break_replay_idempotence(
+        self, spark, tmp_path
+    ):
+        """r13 property-test find: NULL text fingerprints to a NULL
+        key, which no anti-join can match — before the fix a
+        null-text doc was 'admitted' again on EVERY replay and
+        appended a junk ledger row each time. Null text now drops
+        (the one-shot incremental_dedup convention), so a replayed
+        batch admits nothing and the ledger holds only real
+        fingerprints."""
+        fp = str(tmp_path / "fps")
+        b = spark.createDataFrame(
+            [(1, "real content"), (2, None), (3, None)],
+            "doc_id long, text string",
+        )
+        out = cu.admit_batch(spark, fp, b)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1]
+        assert cu.admit_batch(spark, fp, b).count() == 0  # replay
+        fps = spark.read.parquet(fp)
+        assert fps.count() == 1
+        assert fps.filter(F.col("content_fp").isNull()).count() == 0
+
     def test_torn_scheme_self_heals(self, spark, tmp_path):
         """r13 self-review: a crash mid-``_scheme`` write used to
         leave a directory that exists but cannot be read, bricking

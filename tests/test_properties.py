@@ -1737,3 +1737,82 @@ def test_shingle_units_match_python_reference(spark, texts, n):
             for r in word_shingles(df, "doc_id", "text", n, unit=unit).collect()
         }
         assert got == ref(unit), (unit, n, texts)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.one_of(
+            st.none(), st.text(alphabet="ab AB ", min_size=0, max_size=24)
+        ),
+        min_size=1, max_size=24,
+    ),
+    st.lists(st.integers(0, 3), min_size=1, max_size=24),
+)
+def test_admit_batch_ledger_invariant_under_any_split(
+    spark, tmp_path_factory, texts, splits
+):
+    """r13 ledger property: for ANY corpus (including NULL-text docs)
+    and ANY partitioning of it into ordered batches, looping
+    admit_batch leaves the fingerprint ledger holding exactly the
+    distinct NORMALIZED fingerprints of the union, admits each
+    fingerprint exactly once across the loop, and replaying the final
+    batch admits nothing. Writing this test found a real hole: NULL
+    text used to fingerprint to a NULL key, which no anti-join can
+    match — such a doc was re-"admitted" on EVERY replay, appending a
+    junk ledger row each time; admit_batch now drops null text like
+    the one-shot incremental_dedup does. (The fixed-split version of
+    this is TestFingerprintLedgerLayout
+    .test_matches_one_shot_incremental_dedup; hypothesis varies the
+    corpus, the dup structure, the null placement, and the batch
+    boundaries.)"""
+    from pyspark.sql import functions as F
+
+    from lakehouse_to_rag_spark.functions.text import normalize_text
+    from lakehouse_to_rag_spark.operators.curation import admit_batch
+
+    fp_path = str(tmp_path_factory.mktemp("ledger") / "fps")
+    docs = [(i, t) for i, t in enumerate(texts)]
+    # assign each doc to a batch via the drawn labels (cycled)
+    batches: dict[int, list] = {}
+    for (i, t), b in zip(docs, splits * (len(docs) // len(splits) + 1)):
+        batches.setdefault(b, []).append((i, t))
+
+    admitted_fps: list = []
+    last = None
+    for b in sorted(batches):
+        last = spark.createDataFrame(
+            batches[b], "doc_id long, text string"
+        )
+        out = admit_batch(spark, fp_path, last)
+        admitted_fps.extend(r["content_fp"] for r in out.collect())
+
+    # each fingerprint admitted exactly once across the whole loop
+    assert len(admitted_fps) == len(set(admitted_fps))
+    # ledger == distinct normalized fps of the union (NULL-normalized
+    # empties excluded exactly as the one-shot operator excludes them)
+    union = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        r["fp"]
+        for r in union.select(
+            F.md5(normalize_text(F.col("text"))).alias("fp")
+        ).collect()
+        if r["fp"] is not None
+    }
+    import os
+
+    if want:
+        got = {
+            r["content_fp"]
+            for r in spark.read.parquet(fp_path)
+            .select("content_fp").distinct().collect()
+        }
+    else:
+        # an all-null corpus admits nothing anywhere — and must NOT
+        # bootstrap a data-less ledger (unreadable by plain parquet
+        # consumers); 'not exists' stands until real content arrives
+        assert not os.path.exists(fp_path)
+        got = set()
+    assert got == set(admitted_fps) == want
+    # replaying the final batch admits nothing
+    assert admit_batch(spark, fp_path, last).count() == 0
