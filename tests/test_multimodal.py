@@ -1954,6 +1954,27 @@ class TestAdmitMediaBatch:
         )
         assert got == [0, 2, 10]
 
+    def test_empty_batch_defers_bootstrap(self, spark, tmp_path):
+        """r13 (the curation twin's property-test find applied here):
+        a zero-admission first batch must NOT create a data-less
+        ledger (a _scheme with zero data files is unreadable by plain
+        parquet consumers); bootstrap waits for real content."""
+        import os
+
+        from lakehouse_to_rag_spark.operators.dedup import (
+            admit_media_batch,
+        )
+
+        table = str(tmp_path / "sigs")
+        empty = spark.createDataFrame([], "doc_id long, payload binary")
+        assert admit_media_batch(spark, table, empty).count() == 0
+        assert not os.path.exists(table)
+        out = admit_media_batch(spark, table, self._images(spark, [0]))
+        assert sorted(r["id"] for r in out.collect()) == [0]
+        assert (
+            spark.read.parquet(table).select("id").distinct().count() == 1
+        )
+
     def test_torn_scheme_self_heals(self, spark, tmp_path):
         """r13 self-review (the curation twin lives in
         test_curation.py): a crash mid-``_scheme`` write left a
