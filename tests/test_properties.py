@@ -1816,3 +1816,57 @@ def test_admit_batch_ledger_invariant_under_any_split(
     assert got == set(admitted_fps) == want
     # replaying the final batch admits nothing
     assert admit_batch(spark, fp_path, last).count() == 0
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=40),
+        min_size=1, max_size=30,
+    ),
+    st.integers(1, 40),
+    st.sampled_from([1, 2, 7]),
+)
+def test_training_shards_cumsum_is_layout_independent(
+    spark, texts, token_budget, parts
+):
+    """Property behind the two-phase global-cumsum claim: the shard
+    assignment must equal floor(cum_start / budget) over the
+    (shuffle_key, id) total order — recomputed here driver-side from
+    the output's own token counts — and must be IDENTICAL across
+    different input partition layouts (the range-exchange + pinned
+    partition ids + broadcast prefix offsets must make
+    spark_partition_id invisible in the result)."""
+    from lakehouse_to_rag_spark.operators.curation import (
+        training_shards_assign,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    base = spark.createDataFrame(docs, "doc_id long, text string")
+
+    out = training_shards_assign(
+        base.repartition(parts), token_budget=token_budget,
+        num_partitions=parts,
+    ).collect()
+
+    # 1. the floor-cumsum law over the total order
+    rows = sorted(out, key=lambda r: (r["shuffle_key"], r["doc_id"]))
+    cum = 0
+    for r in rows:
+        assert r["shard"] == cum // token_budget, (
+            r, cum, token_budget
+        )
+        cum += r["n_tokens"]
+    # shards are contiguous from 0 with no gaps
+    shards = [r["shard"] for r in rows]
+    assert shards[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(shards, shards[1:]))
+
+    # 2. layout independence: a different partitioning of the SAME
+    # input yields the identical (id -> shard) map
+    other = training_shards_assign(
+        base.coalesce(1), token_budget=token_budget, num_partitions=3
+    ).collect()
+    assert {r["doc_id"]: r["shard"] for r in out} == {
+        r["doc_id"]: r["shard"] for r in other
+    }
