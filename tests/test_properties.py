@@ -1870,3 +1870,40 @@ def test_training_shards_cumsum_is_layout_independent(
     assert {r["doc_id"]: r["shard"] for r in out} == {
         r["doc_id"]: r["shard"] for r in other
     }
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet="ab 世界深度学习",
+                min_size=0, max_size=60,
+            ),
+        ),
+        min_size=1, max_size=25,
+    )
+)
+def test_split_by_script_partitions_input(spark, texts):
+    """Dispatch partition law: for ANY corpus (spaces, CJK, mixed,
+    empty, NULL), the word and char regimes are DISJOINT and their
+    union is EXACTLY the input ids — no document lands in both
+    regimes or neither (the invariant the determinism guard protects
+    for non-deterministic lineages, proven here for the deterministic
+    case the auto-unit operators actually run)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from lakehouse_to_rag_spark.operators.dedup import split_by_script
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    w, c = split_by_script(df, "doc_id", "text")
+    w_ids = {r["doc_id"] for r in w.select("doc_id").collect()}
+    c_ids = {r["doc_id"] for r in c.select("doc_id").collect()}
+    assert not (w_ids & c_ids)
+    assert w_ids | c_ids == {i for i, _ in docs}
+    # NULL text classifies word-regime by contract (produces no
+    # shingles either way)
+    null_ids = {i for i, t in docs if t is None}
+    assert null_ids <= w_ids
