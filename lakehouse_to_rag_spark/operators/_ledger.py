@@ -113,8 +113,10 @@ def write_scheme(
             shutil.rmtree(os.path.join(table_path, name), ignore_errors=True)
     tmp = os.path.join(table_path, f"_scheme__tmp_{uuid.uuid4().hex[:8]}")
     schema = ", ".join(f"{k} int" for k in fields)
+    from lakehouse_to_rag_spark.sources.tables import tiny_df
+
     write_layer(
-        spark.createDataFrame([tuple(fields.values())], schema),
+        tiny_df(spark, [tuple(fields.values())], schema),
         tmp,
         fmt="parquet",
     )

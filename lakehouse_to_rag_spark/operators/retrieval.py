@@ -268,6 +268,28 @@ def append_to_bm25_index(
             "by an older layout) — rebuild with write_bm25_index first"
         )
     n_buckets = int(stats["n_buckets"])
+    # ONE batch-bounded pre-pass (r13 optimization round, guide §1.2
+    # "don't compute things twice": this used to be THREE separate
+    # batch scans — the dup-check aggregate, the (nb, sb) stats
+    # aggregate after the postings checkpoint, and the tokenization
+    # both rode on): cardinality for the fail-closed duplicate check
+    # plus the additive _stats deltas, in one aggregate. nb/sb use
+    # the exact _doc_terms convention (non-null text; dl counts ALL
+    # split tokens of the lowercased text — lowercase cannot change
+    # the token count but is kept for byte-parity of intent).
+    pre = new_docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col("id")).alias("nd"),
+        F.count(F.when(F.col("__t").isNotNull(), 1)).alias("nb"),
+        F.sum(
+            F.when(
+                F.col("__t").isNotNull(),
+                F.size(F.split(F.lower(F.col("__t")), " ", -1)),
+            )
+        ).alias("sb"),
+    ).collect()[0]
     if check_disjoint:
         # Batch-INTERNAL duplicates are the same corruption as
         # batch-vs-index overlap (a doc id sent twice in one batch
@@ -275,16 +297,11 @@ def append_to_bm25_index(
         # absorber) — the .distinct() on new_ids would silently pass
         # them, so check count vs countDistinct first. countDistinct
         # excludes nulls, so a null id also trips the check (a null
-        # doc id is index corruption either way). One batch-bounded
-        # aggregate.
-        card = new_docs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct(F.col(id_col)).alias("nd"),
-        ).collect()[0]
-        if int(card["n"]) != int(card["nd"]):
+        # doc id is index corruption either way).
+        if int(pre["n"]) != int(pre["nd"]):
             raise ValueError(
-                f"append_to_bm25_index: batch has {int(card['n'])} rows "
-                f"but only {int(card['nd'])} distinct non-null "
+                f"append_to_bm25_index: batch has {int(pre['n'])} rows "
+                f"but only {int(pre['nd'])} distinct non-null "
                 f"{id_col} value(s) — duplicate (or null) ids within "
                 "one batch would double their tf rows just like an "
                 "index overlap. Dedup the batch upstream, or pass "
@@ -315,16 +332,26 @@ def append_to_bm25_index(
             "bucket", F.pmod(F.xxhash64(F.col("word")), F.lit(n_buckets))
         )
         .select("bucket", "word", "id", "tf", "dl", "df")
-        .localCheckpoint(eager=True)  # count + write from one pass
     )
-    n = postings.count()
-    batch = dl.agg(
-        F.count(F.lit(1)).alias("nb"), F.sum("dl").alias("sb")
-    ).collect()[0]
+    # count + write in ONE pass via an observed metric (r13: the
+    # previous form eagerly localCheckpointed the postings and then
+    # ran count() + write as two more jobs — three materializations
+    # of batch-sized data, plus block-manager residency the 100 TB
+    # append never wants; an Observation rides the write action
+    # itself, so the postings plan executes exactly once)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    postings = postings.observe(obs, F.count(F.lit(1)).alias("n"))
+    batch = {"nb": pre["nb"], "sb": pre["sb"]}
     write_layer(postings, path, partition_by=["bucket"], mode="append")
+    n = int(obs.get["n"])
     n_docs = int(stats["n_docs"]) + int(batch["nb"] or 0)
     sum_dl = int(stats["sum_dl"]) + int(batch["sb"] or 0)
-    new_stats = spark.createDataFrame(
+    from lakehouse_to_rag_spark.sources.tables import tiny_df
+
+    new_stats = tiny_df(
+        spark,
         [(n_docs, sum_dl, sum_dl / n_docs, n_buckets)],
         "n_docs long, sum_dl long, avgdl double, n_buckets long",
     )
@@ -332,12 +359,14 @@ def append_to_bm25_index(
     # overwritten in place, so a crash can leave it STALE (see the
     # half-commit caveat above) but never TORN. Same remnant naming as
     # _compact_index_layout so one recovery routine repairs both.
+    # (tiny_df is already one slice — a coalesce(1) here used to cost
+    # 4.5 s serially re-evaluating 32 pickled slices, see tables.py)
     import shutil
     import uuid
 
     sdir = os.path.join(path, "_stats")
     tmp = f"{sdir}._compact_{uuid.uuid4().hex[:8]}"
-    write_layer(new_stats.coalesce(1), tmp)
+    write_layer(new_stats, tmp)
     old = f"{sdir}._old_{uuid.uuid4().hex[:8]}"
     os.rename(sdir, old)
     os.rename(tmp, sdir)

@@ -27,7 +27,7 @@ from lakehouse_to_rag_spark.operators import similarity as simi
 from lakehouse_to_rag_spark.operators import text_analysis as ta
 from lakehouse_to_rag_spark.operators import tpch
 from lakehouse_to_rag_spark.operators.pipeline import run_medallion
-from lakehouse_to_rag_spark.sources.tables import load_table
+from lakehouse_to_rag_spark.sources.tables import load_table, tiny_df
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -143,7 +143,8 @@ def medallion_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(state, ignore_errors=True)
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         rows,
         "url string, source string, title string, doc_id bigint, "
         "lang string, content string, content_length bigint",
@@ -6421,7 +6422,7 @@ def rag_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = manifest.collect()
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-    return spark.createDataFrame(rows, manifest.schema)
+    return tiny_df(spark, rows, manifest.schema)
 
 
 def _doc_pagerank_oracle(k: int = 5, damping_pct: int = 85,
@@ -6949,7 +6950,7 @@ def bm25_served_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = served.collect()
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-    return spark.createDataFrame(rows, served.schema)
+    return tiny_df(spark, rows, served.schema)
 
 
 # Hybrid = BM25 over the query document's own text + exact cosine kNN,
@@ -8712,7 +8713,7 @@ def rag_read_path_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = served.collect()
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-    return spark.createDataFrame(rows, served.schema)
+    return tiny_df(spark, rows, served.schema)
 
 
 # =====================================================================

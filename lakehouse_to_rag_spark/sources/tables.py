@@ -103,6 +103,24 @@ def maybe_parallelize(
     return df.repartition(target)
 
 
+def tiny_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """``createDataFrame`` for DRIVER-BOUNDED tiny row lists (ledger
+    markers, one-row stats, bounded collected results) without the
+    default fan-out (r13 optimization round): a bare
+    ``createDataFrame(rows)`` parallelizes into defaultParallelism
+    pickled slices, so any downstream single-task consumer — a
+    ``coalesce(1)`` write being the worst case — iterates every slice
+    through its own Python-worker round-trip (measured: a ONE-ROW
+    ``coalesce(1)`` parquet write cost 4.5 s at 32 slices vs 0.26 s at
+    one slice; even the plain 32-slice write/count pays ~0.5 s of
+    parallel worker spin-up for zero parallelism benefit). One slice
+    is the right layout for data that is tiny BY CONTRACT; anything
+    unbounded keeps the default path."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, tables: list[str] | None = None
 ) -> dict[str, DataFrame]:
