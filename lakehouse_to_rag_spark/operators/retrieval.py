@@ -962,13 +962,6 @@ def build_rag_indexes(
     # the chunk set feeds both indexes; materialize it once
     chunks = chunks.localCheckpoint(eager=True)
 
-    write_bm25_index(
-        chunks,
-        f"{base_path}/bm25",
-        n_buckets=n_buckets,
-        id_col="chunk_id",
-        text_col="chunk",
-    )
     emb = embed_hashed_tf(
         chunks, dim=dim, id_col="chunk_id", text_col="chunk"
     ).filter(
@@ -977,13 +970,34 @@ def build_rag_indexes(
         )
         > 0
     )
-    write_ivf_index(
-        emb,
-        f"{base_path}/ivf",
-        num_centroids=num_centroids,
-        id_col="chunk_id",
-        vec_col="embedding",
-    )
+    # The two serving layouts derive from the SAME materialized chunk
+    # set and write to DISJOINT subtrees — independent job chains, so
+    # submit them from a 2-thread pool (guide §2.6: actions are only
+    # sequential because driver code calls them sequentially; the
+    # second index's tasks back-fill executors idled by the first's
+    # stage tails and single-task stats/centroid writes). Each build's
+    # exceptions surface via .result().
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_bm25 = pool.submit(
+            write_bm25_index,
+            chunks,
+            f"{base_path}/bm25",
+            n_buckets=n_buckets,
+            id_col="chunk_id",
+            text_col="chunk",
+        )
+        f_ivf = pool.submit(
+            write_ivf_index,
+            emb,
+            f"{base_path}/ivf",
+            num_centroids=num_centroids,
+            id_col="chunk_id",
+            vec_col="embedding",
+        )
+        f_bm25.result()
+        f_ivf.result()
 
     ivf_counts = (
         read_layer(spark, f"{base_path}/ivf")

@@ -8699,8 +8699,18 @@ def rag_read_path_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     store, emb_store = rag_store(d, e)
     staging = f"/tmp/rag_serve_staging/{uuid.uuid4().hex}"
     try:
-        write_bm25_index(store, f"{staging}/bm25")
-        write_ivf_index(emb_store, f"{staging}/ivf", num_centroids=16)
+        # independent layouts into disjoint subtrees: overlap the two
+        # builds (guide §2.6 — the build_rag_indexes discipline)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fb = pool.submit(write_bm25_index, store, f"{staging}/bm25")
+            fv = pool.submit(
+                write_ivf_index, emb_store, f"{staging}/ivf",
+                num_centroids=16,
+            )
+            fb.result()
+            fv.result()
         served = rag_read_path(
             d, e, query_ids=[0, 1, 2], candidates=10, kc=8, k=4,
             lam=0.7, c=60,
