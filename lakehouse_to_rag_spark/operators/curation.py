@@ -906,7 +906,10 @@ def kcenter_select(
         )
 
     spark = embeddings.sparkSession
-    return spark.createDataFrame(
+    from lakehouse_to_rag_spark.sources.tables import tiny_df
+
+    return tiny_df(
+        spark,
         [(c[0], c[1], c[2]) for c in centers],
         f"rank long, {id_col} long, radius double",
     )

@@ -811,7 +811,10 @@ def kmeans_centroids(
         _assert_nonzero_centroids(cent_rows, "kmeans_centroids")
 
     spark = corpus.sparkSession
-    return spark.createDataFrame(
+    from lakehouse_to_rag_spark.sources.tables import tiny_df
+
+    return tiny_df(
+        spark,
         [(cid, vec) for cid, vec in cent_rows],
         StructType(
             [

@@ -888,7 +888,8 @@ def dedup_jaccard_auto_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the SQL-replayed dispatch rule and both planted regimes'
     pairs at once."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    extra = spark.createDataFrame(
+    extra = tiny_df(
+        spark,
         [(900001, _CJK_A), (900002, _CJK_B), (900003, _CJK_C)],
         "doc_id long, text string",
     )
@@ -909,7 +910,8 @@ def dedup_minhash_auto_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1). Same mixed fixture and exact-Jaccard oracle as the
     jaccard twin (banding miss < 1e-4 at the gate thresholds)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    extra = spark.createDataFrame(
+    extra = tiny_df(
+        spark,
         [(900001, _CJK_A), (900002, _CJK_B), (900003, _CJK_C)],
         "doc_id long, text string",
     )
@@ -1131,7 +1133,8 @@ def decontaminate_fuzzy_auto_unit(
     ``decontaminate_fuzzy``. One hash proves the SQL-replayed
     dispatch and both regimes' screens."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    extra = spark.createDataFrame(
+    extra = tiny_df(
+        spark,
         [(910001, _CJK_A), (910010, _CJK_B)],
         "doc_id long, text string",
     )
@@ -6911,8 +6914,8 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_to_rag_spark.operators.retrieval import bm25_topk
 
     d = load_table(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
-        _BM25_QUERIES, "query_id long, query string"
+    queries = tiny_df(
+        spark, _BM25_QUERIES, "query_id long, query string"
     )
     return bm25_topk(d, queries, k=5)
 
@@ -6939,8 +6942,8 @@ def bm25_served_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
-        _BM25_QUERIES, "query_id long, query string"
+    queries = tiny_df(
+        spark, _BM25_QUERIES, "query_id long, query string"
     )
     staging = f"/tmp/bm25_inc_{uuid.uuid4().hex[:12]}"
     try:
@@ -7610,7 +7613,8 @@ def remove_duplicate_spans_auto_unit_docs(
     single-unit span plans (both rowed via their gated twins) behind
     one row predicate — bench policy rule 3."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    extra = spark.createDataFrame(
+    extra = tiny_df(
+        spark,
         [(900001, _CJK_A), (900002, _CJK_B), (900003, _CJK_C)],
         "doc_id long, text string",
     )
