@@ -14,6 +14,25 @@ from pyspark.sql import functions as F
 from lakehouse_to_rag_spark.functions.vectors import cosine_similarity
 
 
+def _wide(df: DataFrame) -> DataFrame:
+    """Re-widen a corpus projection before an Arrow/Python compute
+    stage (r13 optimization round, guide §4). AQE sizes post-shuffle
+    partitions for JVM byte costs, so a small-by-bytes embedding
+    exchange coalesces to ONE partition — and the downstream GEMM,
+    whose per-row cost is orders of magnitude above a JVM scan's,
+    then runs on a single core (measured: doc_pagerank's 5000x5000
+    self-kNN scan arrived in 1 partition; one task computed for
+    3-6 s while 31 cores idled). ``maybe_parallelize`` repartitions
+    only when the incoming partition count is below the session
+    parallelism, so at cluster scale (partitions >= cores by
+    construction) this is a no-op; every op it guards is
+    partition-layout-invariant (batch-local candidates are a superset
+    of global winners; partial aggregates commute)."""
+    from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
+
+    return maybe_parallelize(df)
+
+
 def _round_away(x, decimals: int):
     """Round half AWAY from zero — the semantics of DuckDB's ROUND
     (std::round) and Spark's F.round (HALF_UP), and therefore the one
@@ -680,7 +699,19 @@ def knn_bruteforce_numpy(
                 }
             )
 
-    pairs = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    # Re-widen the corpus scan ONLY when the query matrix is wide
+    # (self-kNN regime): per corpus row the batch does O(|Q| * dim)
+    # flops plus an O(|Q| log) partial sort, so at |Q| in the
+    # thousands a byte-small AQE-coalesced input (measured: ONE
+    # partition for the 5000-doc embedding exchange) serializes
+    # seconds of GEMM on a single core. At small |Q| the same
+    # repartition is pure overhead (one extra exchange + a worker
+    # fan-out for sub-ms batches) — measured +0.3-1.4 s on the
+    # centroid-assign/encode stages before this became conditional.
+    corpus_sel = corpus.select(id_col, vec_col)
+    if len(q_rows) >= 1024:
+        corpus_sel = _wide(corpus_sel)
+    pairs = corpus_sel.mapInPandas(score, out_schema)
     return _ranked_topk(pairs, k)
 
 
