@@ -203,12 +203,20 @@ def chunk_refresh_plan(
     (id, chunk_index) from the NEW corpus; hashes travel, bodies
     don't)."""
     keys = [id_col, "chunk_hash"]
+    # each chunking feeds TWO consumers (anti-join stream side of its
+    # own branch + build side of the other's), and the per-character
+    # gram hash is the whole cost of CDC chunking — without the lazy
+    # checkpoint each side computed TWICE (4 corpus chunkings per run,
+    # confirmed as 4 Scan parquet leaves in the physical plan; r13
+    # optimization round, guide §1.2/§2.4). The checkpointed table is
+    # the NARROW (id, chunk_index, chunk_hash) projection — chunk text
+    # never materializes (~2% of corpus bytes at 100 TB).
     o = cdc_chunks(
         old, k, divisor, min_size, id_col, text_col, hash_fn
-    ).select(id_col, "chunk_index", "chunk_hash")
+    ).select(id_col, "chunk_index", "chunk_hash").localCheckpoint(eager=False)
     n = cdc_chunks(
         new, k, divisor, min_size, id_col, text_col, hash_fn
-    ).select(id_col, "chunk_index", "chunk_hash")
+    ).select(id_col, "chunk_index", "chunk_hash").localCheckpoint(eager=False)
     embed = n.join(o.select(*keys), keys, "left_anti").withColumn(
         "action", F.lit("embed")
     )

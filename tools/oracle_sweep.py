@@ -10,7 +10,9 @@ suite at sf0.001; this sweep exists because some divergences only
 have support on larger data (more rows -> more chances to land on a
 boundary).
 
-Usage: python tools/oracle_sweep.py [sf_dir]   (default sf0.1)
+Usage: python tools/oracle_sweep.py [sf_dir] [entry ...]
+(default sf0.1; optional entry names restrict the sweep — the r13
+optimization round's per-change re-proof loop)
 Prints one line per oracle-backed entry; exits nonzero on mismatch.
 """
 
@@ -65,9 +67,15 @@ def _canon(df):
 
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
     spark = get_spark("oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = entry.queries(), entry.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            sys.exit(f"unknown entries: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     con = duckdb.connect()
     # spill OUTSIDE the repo: the heavier oracles (image-pHash DP
     # layers) spill tens of GB; an un-set temp_directory lands that
