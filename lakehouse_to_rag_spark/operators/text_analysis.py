@@ -1819,12 +1819,36 @@ def winnow_matches(
         )
     rare = fp_df.filter(F.col("_df") <= cap).select("fp")
     kept = fps.join(rare, "fp")
-    a = kept.select(F.col("fp"), F.col(id_col).alias("id_a"))
-    b = kept.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    # Pair generation as ONE fp-partitioned aggregate (r13 optimization
+    # round, guide §2.3/§2.4): the previous form self-joined `kept`
+    # against itself on fp, which re-computed the rare-cap join twice
+    # and exchanged the fingerprint table twice more (a-side + b-side)
+    # before the pair aggregate. Collecting each admitted fingerprint's
+    # member list instead reuses the fp partitioning the rare join
+    # already established, and the nested explode streams the i<j
+    # combinations without materializing a cross product. Memory is
+    # bounded BY CONSTRUCTION: the cap filter runs before collect_list,
+    # so no group exceeds `cap` ids (8 KB per in-flight slice at the
+    # 1000 ceiling). (id, fp) is distinct per document — the ascending
+    # sort makes every emitted pair strictly id_a < id_b, exactly the
+    # old filter. Output is row-identical (oracle-gated three ways:
+    # winnow_matches, winnow_matches_topm, winnow_matches_topm_auto).
+    ids = (
+        kept.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    pairs = (
+        ids.select(F.posexplode("_ids").alias("_i", "id_a"), "_ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.expr("slice(_ids, _i + 2, size(_ids))")
+            ).alias("id_b"),
+        )
+    )
     return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

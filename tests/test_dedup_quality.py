@@ -1496,6 +1496,55 @@ class TestWinnowing:
             }
             assert got == {(0, 1)}, hash_fn
 
+    def test_matches_pair_enumeration_equals_self_join(self, spark):
+        """The fused per-fingerprint pair enumeration (r13: one
+        fp-partitioned collect + nested explode of i<j combinations)
+        must equal the self-join form it replaced — exercised where
+        it can diverge: a fingerprint shared by MORE than two docs
+        (every clique pair must appear exactly once, id_a < id_b) and
+        overlapping cliques (n_shared accumulates across fps)."""
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            winnow_fingerprints,
+            winnow_matches,
+        )
+
+        span_a = "the quick brown fox jumps over the lazy dog tonight"
+        span_b = "pack my box with five dozen liquor jugs right now ok"
+        docs = spark.createDataFrame(
+            [
+                (0, f"zero {span_a} and {span_b}"),
+                (1, f"one unrelated prefix {span_a} tail"),
+                (2, f"two other prefix {span_a} {span_b} more"),
+                (3, f"three has only {span_b} here"),
+                (4, "four shares nothing with anyone at all ever"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["n_shared"]
+            for r in winnow_matches(
+                docs, k=8, w=4, min_shared=1, max_fp_df=1000
+            ).collect()
+        }
+        # reference: brute-force the same pair counts from the
+        # fingerprint table in plain Python
+        from collections import defaultdict
+
+        by_fp = defaultdict(set)
+        for r in winnow_fingerprints(docs, k=8, w=4).collect():
+            by_fp[r["fp"]].add(r["doc_id"])
+        want: dict = defaultdict(int)
+        for members in by_fp.values():
+            ms = sorted(members)
+            for i, a in enumerate(ms):
+                for b in ms[i + 1:]:
+                    want[(a, b)] += 1
+        assert got == dict(want)
+        # the cliques overlap as planted: 0-1-2 share span_a,
+        # 0-2-3 share span_b, so (0,2) counts both
+        assert set(got) >= {(0, 1), (0, 2), (1, 2), (0, 3), (2, 3)}
+        assert (4, 0) not in got and all(a < b for a, b in got)
+
     def test_topm_report_is_bounded_truncation_of_full_report(self, spark):
         """winnow_matches_topm == the symmetrized exhaustive report
         truncated per doc at rank m under the (n_shared DESC,
