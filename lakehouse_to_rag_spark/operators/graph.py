@@ -262,6 +262,7 @@ def pagerank_micro(
     src: str = "src",
     dst: str = "dst",
     checkpoint_rounds: bool = True,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """PageRank over a directed edge list in EXACT integer micros —
     the canonical iterative-graph-at-scale operator (domain/page
@@ -291,10 +292,26 @@ def pagerank_micro(
     per round so the lineage stays flat. Returns (id, pr_micro
     BIGINT).
 
-    ``checkpoint_rounds=False`` skips the per-round localCheckpoint so
-    the full multi-round lineage stays visible to ``.explain`` — for
-    plan assertions only (the joins-per-round count in
-    tests/test_plan_shapes.py); production keeps the default."""
+    ``checkpoint_rounds=False`` skips round localCheckpoints entirely
+    so the full multi-round lineage stays visible to ``.explain`` —
+    for plan assertions only (the joins-per-round count in
+    tests/test_plan_shapes.py); production keeps the default.
+
+    ``checkpoint_every`` (r13 optimization round, guide §1.2/§5): a
+    checkpoint per round paid one eager job PER ROUND for data that
+    only the next round reads; checkpointing every K rounds (plus
+    always after the last) lets Spark run K rounds as one job whose
+    shuffles chain inside a single DAG, while still truncating
+    lineage often enough that plan depth stays bounded (the
+    textbook periodic-checkpoint discipline for iterative loops).
+    Measured on the sf0.1 self-kNN graph, loop-only min-of-3:
+    every=1 (old) 2.88 s, every=5 2.39 s, one-final-only 3.53 s,
+    never 2.60 s but unstable — 5 is the stable knee. Scores are
+    bit-identical for any value (asserted in tests)."""
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"pagerank_micro: checkpoint_every >= 1, got {checkpoint_every}"
+        )
     if not 1 <= damping_pct <= 100:
         raise ValueError(f"pagerank_micro: damping_pct in [1,100], got {damping_pct}")
     if iterations < 1:
@@ -317,7 +334,7 @@ def pagerank_micro(
     )
     base = (100 - damping_pct) * 10_000
     pr = nodes.withColumn("pr", F.lit(1_000_000).cast("long"))
-    for _ in range(iterations):
+    for t in range(iterations):
         contrib = (
             ed.join(pr.select(F.col("id").alias("u"), "pr"), "u")
             # `div` is TRUE integer division on longs (a double `/` +
@@ -333,6 +350,8 @@ def pagerank_micro(
                 f"(CAST({damping_pct} AS BIGINT) * COALESCE(s, 0)) div 100"
             ).alias("pr"),
         )
-        if checkpoint_rounds:
+        if checkpoint_rounds and (
+            (t + 1) % checkpoint_every == 0 or t == iterations - 1
+        ):
             pr = pr.localCheckpoint(eager=True)
     return pr.select("id", F.col("pr").alias("pr_micro"))

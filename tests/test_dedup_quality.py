@@ -1245,6 +1245,43 @@ class TestPageRank:
         }
         assert pr == {1: 1_127_500, 2: 1_722_500, 3: 150_000}
 
+    def test_checkpoint_interval_never_changes_scores(self, spark):
+        """The r13 periodic-checkpoint knob is pure materialization
+        policy: any checkpoint_every value (including intervals that
+        do not divide iterations) and the no-checkpoint plan-debug
+        form must produce bit-identical micros."""
+        from lakehouse_to_rag_spark.operators.graph import pagerank_micro
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (2, 4)],
+            ["src", "dst"],
+        )
+        ref = sorted(
+            tuple(r)
+            for r in pagerank_micro(
+                edges, 85, iterations=7, checkpoint_every=1
+            ).collect()
+        )
+        for every in (2, 5, 100):
+            got = sorted(
+                tuple(r)
+                for r in pagerank_micro(
+                    edges, 85, iterations=7, checkpoint_every=every
+                ).collect()
+            )
+            assert got == ref, every
+        flat = sorted(
+            tuple(r)
+            for r in pagerank_micro(
+                edges, 85, iterations=7, checkpoint_rounds=False
+            ).collect()
+        )
+        assert flat == ref
+        import pytest
+
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            pagerank_micro(edges, 85, 2, checkpoint_every=0)
+
     def test_hub_outranks_leaves(self, spark):
         """A node every other node points at must rank first; floor
         division keeps everything deterministic (re-run identical)."""
