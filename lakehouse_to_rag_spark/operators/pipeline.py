@@ -131,9 +131,26 @@ def run_medallion_incremental(
         # materialize admissions BEFORE the upserts swap the layer
         # directories the anti-join was computed against
         fresh = fresh.localCheckpoint(eager=True)
-        upsert_by_key(spark, paths["silver"], fresh, ["url"])
         gold_b = gold_transform(fresh, with_index=True)
-        upsert_by_key(spark, paths["gold"], gold_b, ["url", "chunk_index"])
+        # silver and gold upserts overlap (r13 optimization round,
+        # guide §2.6): they write DISJOINT directories, both derive
+        # from the materialized `fresh` (no recompute), and the crash
+        # contract is unchanged — each is idempotent by first-seen key
+        # and a url only becomes admitted when the bronze upsert below
+        # lands, so a crash with either (or both) half-written replays
+        # cleanly regardless of which finished first. Only bronze's
+        # LAST position is load-bearing. Measured at sf0.1: the
+        # 4-batch maintained run 7.0 s -> 5.8 s warm (the second
+        # upsert's tasks back-fill the first's write/commit tail).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fs = pool.submit(upsert_by_key, spark, paths["silver"], fresh, ["url"])
+            fg = pool.submit(
+                upsert_by_key, spark, paths["gold"], gold_b, ["url", "chunk_index"]
+            )
+            fs.result()
+            fg.result()
         # bronze upserts LAST: admission keys on bronze, so a url only
         # becomes "seen" once its whole turn committed. A crash between
         # any two upserts replays cleanly — silver/gold upserts are
