@@ -323,11 +323,18 @@ def append_to_bm25_index(
                 "check_disjoint=False if disjointness is guaranteed."
             )
     tf, dl = _doc_terms(new_docs, id_col, text_col)
-    df_b = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     postings = (
         tf.join(dl, "id")
-        .join(df_b, "word")  # batch-local df: schema parity only —
-        # the serve path recomputes df and never reads this column
+        # df = -1 SENTINEL, schema parity only: the serve path drops
+        # and recomputes df from the pruned scan (appends invalidate
+        # any stored value), and rebuild_bm25_stats derives from
+        # (id, dl) — nothing ever reads a stored df. The batch-local
+        # groupBy+join that used to fill it was pure throwaway work on
+        # every append (r13 optimization round, guide §1.2: one
+        # exchange + one join removed; measured 2.1 s -> 1.3 s warm
+        # for the odd-half batch write at sf0.1). A visibly-invalid
+        # constant beats a plausible-but-wrong batch-local count.
+        .withColumn("df", F.lit(-1).cast("long"))
         .withColumn(
             "bucket", F.pmod(F.xxhash64(F.col("word")), F.lit(n_buckets))
         )
