@@ -424,9 +424,16 @@ def append_to_ivf_index(
     ]
     _assert_nonzero_centroids(cent_rows, "append_to_ivf_index")
     assigned = _gemm_assign(new_vectors, cent_rows, id_col, vec_col)
-    n = assigned.count()
+    # count + write in ONE pass via an observed metric (r13
+    # optimization round, guide §1.2 — the append_to_bm25_index
+    # precedent): the separate count() executed the batch GEMM
+    # assignment twice per append
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
     write_layer(assigned, path, partition_by=["cluster"], mode="append")
-    return n
+    return int(obs.get["n"])
 
 
 def _recover_compact_remnants(path: str) -> None:
