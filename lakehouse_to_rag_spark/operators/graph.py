@@ -79,7 +79,13 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         n_changed = updated.agg(F.sum("changed")).collect()[0][0] or 0
-        labels = updated.select("id", "component").localCheckpoint(eager=True)
+        # `updated` is already an eagerly-materialized RDD; projecting
+        # two of its three columns needs no second checkpoint — the
+        # old per-round localCheckpoint here re-materialized a pure
+        # copy of just-checkpointed data every round (r13 optimization
+        # round, guide §1.2). labels' lineage stays flat either way:
+        # ExistingRDD -> Project.
+        labels = updated.select("id", "component")
         if n_changed == 0:
             converged = True
             break
