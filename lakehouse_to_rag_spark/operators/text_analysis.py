@@ -2083,8 +2083,15 @@ def embed_hashed_tf(
     Scale shape: one explode + one (id, bucket) partial-aggregatable
     groupBy + one map assembly per doc — no model broadcast, no
     driver state, no Python. Docs whose text splits to no words keep
-    a zero vector (left join from the not-null-text doc set).
-    Returns (id_col, embedding array<double> of length ``dim``)."""
+    a zero vector: explode_outer keeps them as one null-word row, the
+    map assembly skips the null entry and the transform coalesces
+    every missing bucket to 0 (r13 optimization round, guide §2.4 —
+    the previous form resurrected them with a LEFT JOIN back onto the
+    corpus id set, which re-scanned the corpus and shuffled its id
+    column just to re-attach rows the pipeline could have kept;
+    output proven identical against the unchanged SQL oracle at both
+    gate scales). Returns (id_col, embedding array<double> of length
+    ``dim``)."""
     if not 1 <= dim <= 1 << 30:
         raise ValueError(f"embed_hashed_tf: need 1 <= dim <= 2^30, got {dim}")
     from lakehouse_to_rag_spark.sources.tables import maybe_parallelize
@@ -2094,18 +2101,21 @@ def embed_hashed_tf(
             F.col(id_col), F.col(text_col)
         )
     )
-    words = (
-        base.select(
-            F.col(id_col).alias("__emb_id"),
-            F.explode(F.split(F.col(text_col), " ", -1)).alias("word"),
-        )
-        .filter(F.length("word") > 0)
-        .select(
-            "__emb_id",
-            F.conv(F.md5(F.col("word")).substr(1, 15), 16, 10)
-            .cast("long")
-            .alias("h"),
-        )
+    words = base.select(
+        F.col(id_col).alias("__emb_id"),
+        F.explode_outer(
+            F.filter(
+                F.split(F.col(text_col), " ", -1),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("word"),
+    ).select(
+        "__emb_id",
+        # null word (wordless doc) -> null h -> null bucket; the row
+        # survives both groupBys so the doc keeps its zero vector
+        F.conv(F.md5(F.col("word")).substr(1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
     sums = (
         words.select(
@@ -2123,7 +2133,14 @@ def embed_hashed_tf(
     )
     vecs = sums.groupBy("__emb_id").agg(
         F.map_from_entries(
-            F.collect_list(F.struct(F.col("bucket"), F.col("v")))
+            # collect_list drops nulls: the null-bucket entry of a
+            # wordless doc vanishes here, leaving its map empty
+            F.collect_list(
+                F.when(
+                    F.col("bucket").isNotNull(),
+                    F.struct(F.col("bucket"), F.col("v")),
+                )
+            )
         ).alias("m")
     )
     emb = F.transform(
@@ -2132,15 +2149,8 @@ def embed_hashed_tf(
             F.element_at(F.col("m"), i.cast("int")), F.lit(0)
         ).cast("double"),
     )
-    return (
-        base.select(F.col(id_col))
-        .join(vecs, F.col(id_col) == F.col("__emb_id"), "left")
-        .select(
-            id_col,
-            F.coalesce(
-                emb, F.array_repeat(F.lit(0.0), dim)
-            ).alias("embedding"),
-        )
+    return vecs.select(
+        F.col("__emb_id").alias(id_col), emb.alias("embedding")
     )
 
 

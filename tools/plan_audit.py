@@ -58,14 +58,11 @@ MARKERS = ("transform(", "array_distinct(", "aggregate(")
 # a DIFFERENT expensive filter appearing in an allowlisted entry must
 # NOT ride the name-only match through the gate (caught in the r11
 # self-review — name-only matching silently passed both cases).
-ALLOWLIST: dict[str, tuple[str, str]] = {
-    "embed_hashed_tf": (
-        "Filter (size(transform(",
-        "dim-bounded (64-element) literal transform in the filter — "
-        "~constant per row, 1.7 s warm at sf0.1 (r10 triage); a "
-        "contract-risking rewrite buys nothing",
-    ),
-}
+# (r13: the embed_hashed_tf row — a dim-bounded literal transform in
+# a filter, triaged benign in r10 — retired when the operator's
+# explode_outer rewrite removed the flagged Filter node entirely; the
+# allowlist is empty until a new benign flag is triaged.)
+ALLOWLIST: dict[str, tuple[str, str]] = {}
 
 
 def flags_for(plan: str) -> list[str]:
