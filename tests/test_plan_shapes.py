@@ -601,14 +601,21 @@ def test_plan_audit_tripwire_rc_semantics(spark, sf_dir, capsys):
     plan = clean._jdf.queryExecution().executedPlan().toString()
     assert flag_for(plan) is None
 
-    allowed = [(n, f"{marker}...)") for n, (marker, _) in ALLOWLIST.items()]
-    assert classify(allowed) == 0
-    assert classify(allowed + [("new_entry", "Filter transform(...)")]) == 1
-    assert classify([]) == 1  # every allowlist row is now stale
+    # rc semantics against a FIXTURE allowlist (the committed
+    # ALLOWLIST is empty since the r13 embed_hashed_tf rewrite
+    # retired its one row; the semantics must stay pinned regardless)
+    fix = {"some_entry": ("Filter (size(transform(", "triaged benign")}
+    allowed = [(n, f"{marker}...)") for n, (marker, _) in fix.items()]
+    assert classify(allowed, fix) == 0
+    assert classify(allowed + [("new_entry", "Filter transform(...)")], fix) == 1
+    assert classify([], fix) == 1  # every allowlist row is now stale
     # an allowlisted NAME does not launder a different problem (r11
     # self-review): PLAN-ERR and a filter WITHOUT the triaged marker
     # are both NEW, and both also leave the allowlist row stale
-    name = next(iter(ALLOWLIST))
-    assert classify([(name, "PLAN-ERR boom")]) == 1
-    assert classify([(name, "Filter (aggregate(other_expr))")]) == 1
+    assert classify([("some_entry", "PLAN-ERR boom")], fix) == 1
+    assert classify([("some_entry", "Filter (aggregate(other_expr))")], fix) == 1
+    # and the COMMITTED allowlist (currently empty): clean sweep is
+    # green, any flag is a NEW failure
+    assert classify([]) == (1 if ALLOWLIST else 0)
+    assert classify([("x", "Filter transform(...)")]) == 1
     capsys.readouterr()

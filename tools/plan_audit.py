@@ -85,24 +85,31 @@ def flag_for(plan: str) -> str | None:
     return fl[0] if fl else None
 
 
-def classify(flagged: list[tuple[str, str]]) -> int:
+def classify(
+    flagged: list[tuple[str, str]],
+    allowlist: dict[str, tuple[str, str]] | None = None,
+) -> int:
     """Tripwire rc: 0 iff flags == allowlist exactly (new flag -> 1,
     stale allowlist row -> 1). A flag only matches its allowlist row
     when the LINE carries the row's triaged marker — a PLAN-ERR or a
     different expensive filter in an allowlisted entry is NEW, not
     allowed. Printing lives here too so main() and tests share the
-    one code path."""
+    one code path. ``allowlist`` defaults to the committed ALLOWLIST;
+    tests inject a fixture so the rc semantics stay testable when the
+    committed list is empty (as it is since the r13 embed rewrite)."""
+    if allowlist is None:
+        allowlist = ALLOWLIST
     rc = 0
     allowed_seen: set[str] = set()
     for n, s in flagged:
-        marker = ALLOWLIST.get(n, (None,))[0]
+        marker = allowlist.get(n, (None,))[0]
         if marker is not None and marker in s:
             allowed_seen.add(n)
             print(f"  [allowed] {n} :: {s}")
         else:
             print(f"  [NEW]     {n} :: {s}")
             rc = 1
-    for n in sorted(set(ALLOWLIST) - allowed_seen):
+    for n in sorted(set(allowlist) - allowed_seen):
         print(
             f"  [STALE allowlist] {n} — its triaged flag no longer "
             "appears; the plan changed, remove or re-triage the row"
