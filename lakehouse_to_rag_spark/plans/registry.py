@@ -9609,46 +9609,15 @@ _CANARIES: list[str] = [
 # Remove a pin once its fresh green row is recorded; new registry
 # entries need no pin (never-checked == stalest == auto-included).
 _PINS: list[str] = [
-    # Both r12 pins (dedup_ngram_jaccard_char, dedup_minhash_char)
-    # recorded their green rows (CORRECTNESS_r12: hash-green, third
-    # consecutive 50/50 window) and are dropped per the one-round
-    # policy (VERDICT r12 task 2) — F back to 6 (canaries only),
-    # N_max = 226, 9 slots of registration headroom at 217.
+    # All 9 r13 pins (training_shards_assign, chunk_refresh_plan,
+    # winnow_matches_topm_auto, doc_pagerank, bm25_served_incremental,
+    # embed_hashed_tf, dedup_clusters, dedup_keep_best,
+    # medallion_incremental) recorded their green rows
+    # (CORRECTNESS_r13: hash-green, 50/50 window) and are dropped per
+    # the one-round policy (VERDICT r13 task 1) — F back to 6
+    # (canaries only), re-confirmation cycle bound ceil(212/44) = 5.
     # This round's changed gated implementations are pinned below as
     # they land.
-    #
-    # r13 (ADVICE r12): shard assignment moved from double-precision
-    # FLOOR(x / float) to all-integer `div` on BOTH sides (Spark
-    # `div`, DuckDB `//`) — identical output below 2^53 cumulative
-    # tokens, but the gated plan and the oracle SQL both changed.
-    "training_shards_assign",
-    # r13 optimization round: gated entries whose SPARK plan changed
-    # this round (every one re-proven oracle-equal at sf0.001 AND
-    # sf0.01 in-session; oracles unchanged). Pinned for one round per
-    # the r12 changed-plan precedent so the driver window re-proves
-    # them on its own host:
-    # - chunk_refresh_plan: each CDC chunking materialized once
-    # - winnow_matches_topm_auto: fused fp-partitioned pair generation
-    #   (winnow_matches / winnow_matches_topm share the operator and
-    #   rotate normally — three pins for one operator would crowd the
-    #   window; topm_auto is the benched production form)
-    # - doc_pagerank: score-table checkpoint cadence (every 5 rounds)
-    # - bm25_served_incremental: append drops the batch-local df
-    # - embed_hashed_tf: explode_outer keeps wordless docs in-pipeline
-    #   (consumers semdedup / decontaminate_semantic / rag_* were
-    #   re-proven in-session and rotate normally)
-    # - dedup_clusters + dedup_keep_best: CC round de-duplicated
-    #   its per-round materialization
-    # - medallion_incremental: silver/gold upserts overlapped (same
-    #   per-layer plans, new commit order between them)
-    "chunk_refresh_plan",
-    "winnow_matches_topm_auto",
-    "doc_pagerank",
-    "bm25_served_incremental",
-    "embed_hashed_tf",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "medallion_incremental",
 ]
 
 
