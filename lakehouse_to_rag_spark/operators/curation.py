@@ -581,6 +581,7 @@ def dsir_log_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 1024,
+    target_within_raw: bool = False,
 ) -> DataFrame:
     """Per-document log importance weight ln(p_target(x)/p_raw(x))
     under hashed bag-of-words models with add-1 smoothing — the DSIR
@@ -598,17 +599,31 @@ def dsir_log_weights(
     shuffle order cannot flip a 4dp boundary — a plain double SUM
     measurably did, flipping -4.11075 between 8- and 32-slot
     sessions), and the final weight divides back and rounds to 4dp.
-    Returns (id, log_weight)."""
+    Returns (id, log_weight).
+
+    ``target_within_raw=True`` asserts every target row's (id, text)
+    also appears VERBATIM in ``raw`` (the registry shape: target = a
+    source filter of the raw corpus). The target bag model is then a
+    column-pruned id semi-join over the raw side's ALREADY
+    materialized token table instead of a second tokenize+md5 pass
+    over the target slice (guide §1.2) — bit-identical counts, since
+    the semi-join selects exactly the rows the re-hash would have
+    produced. Leave False when target text can diverge from raw's."""
     # tb_r feeds cr + doc_buckets, tb_t feeds ct: checkpoint so the
     # tokenize+hash pipeline runs once per corpus, not once per
     # consumer; totals derive from the <=num_buckets-row count tables
     # (same value as counting the token table, zero extra corpus scans)
-    tb_t = _hashed_token_buckets(
-        target, id_col, text_col, num_buckets
-    ).localCheckpoint(eager=False)
     tb_r = _hashed_token_buckets(
         raw, id_col, text_col, num_buckets
     ).localCheckpoint(eager=False)
+    if target_within_raw:
+        tb_t = tb_r.join(
+            target.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
+    else:
+        tb_t = _hashed_token_buckets(
+            target, id_col, text_col, num_buckets
+        ).localCheckpoint(eager=False)
     ct = tb_t.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     cr = tb_r.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     tot_t = ct.agg(F.sum("ct").alias("tt"))
@@ -670,6 +685,7 @@ def dsir_select(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 1024,
+    target_within_raw: bool = False,
 ) -> DataFrame:
     """Deterministic DSIR selection: sample ``n`` documents from
     ``raw`` with probability proportional to their importance weight,
@@ -681,8 +697,12 @@ def dsir_select(
     sel_key, rank) for the selected docs.
 
     Scale shape: the weight estimator's two shuffles plus ONE
-    global top-n (TakeOrderedAndProject-sized: n rows)."""
-    w = dsir_log_weights(raw, target, id_col, text_col, num_buckets)
+    global top-n (TakeOrderedAndProject-sized: n rows).
+    ``target_within_raw`` passes through to ``dsir_log_weights``."""
+    w = dsir_log_weights(
+        raw, target, id_col, text_col, num_buckets,
+        target_within_raw=target_within_raw,
+    )
     # u in (0,1): 60 md5 bits + 0.5, over 2^60; g = -ln(-ln(u))
     u = (
         md5_bucket(F.col(id_col), "dsirg:", 2**60).cast("double")

@@ -1180,6 +1180,7 @@ def nb_quality_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 1024,
+    train_within_apply: bool = False,
 ) -> DataFrame:
     """Multinomial Naive Bayes quality classifier over hashed
     bag-of-words features — the fastText-style quality filter every
@@ -1198,32 +1199,74 @@ def nb_quality_scores(
     rounding (FLOOR(x+0.5) — engine ROUND implementations disagree on
     the exact .xxxx5 boundaries micro sums produce). Hashing is md5
     (module contract in curation.py) so any engine reproduces the
-    decision."""
+    decision.
+
+    ``train_within_apply=True`` asserts that every train row's
+    (id, text) also appears VERBATIM in ``apply`` (the pretrain
+    capstone shape: train = a labeled filter of the apply corpus).
+    The train half's bucket counts are then derived from the apply
+    side's tokenization by an id join — guide §1.2 "don't compute
+    things you throw away": the default path hashes the train half's
+    text a second time even though the apply pass already produced
+    exactly those (id, bucket) rows. The per-(id, bucket) aggregate
+    ``doc_buckets`` is shared between scoring and training (identical
+    exchange subtree, so Spark's ReuseExchange materializes the
+    tokenization once), and the class counts re-weight it by ``n`` —
+    the same integers as counting raw token occurrences. Callers
+    whose train text can diverge from apply's must leave this False;
+    the flag changes the plan, never the result (subset-equivalence
+    test in tests/test_text_analysis.py)."""
     from lakehouse_to_rag_spark.operators.curation import (
         _hashed_token_buckets,
         md5_bucket,  # noqa: F401  (re-exported convention anchor)
     )
 
-    tb_train = _hashed_token_buckets(
-        train.select(F.col(id_col), F.col(text_col), F.col(label_col)),
-        id_col,
-        text_col,
-        num_buckets,
-    )
-    # token-label table: re-join the label by id (tb drops extra
-    # cols). NULL labels are REJECTED, not coerced: when(y).otherwise
+    # NULL labels are REJECTED, not coerced: when(y).otherwise
     # would silently route them into the negative class counts
     labels = train.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(label_col).cast("boolean").alias("y")
     )
-    tok = tb_train.join(labels, "id")
-    counts = (
-        tok.groupBy("bucket")
-        .agg(
-            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("c1"),
-            F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("c0"),
-        )
+    tb_apply = _hashed_token_buckets(apply, id_col, text_col, num_buckets)
+    doc_buckets = tb_apply.groupBy("id", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
     )
+    if train_within_apply:
+        # the shared aggregate feeds FOUR subtrees (class counts,
+        # their two broadcast totals, and scoring): lazily checkpoint
+        # it so the tokenize+md5 pipeline materializes once — without
+        # the barrier, the ratio table's isnotnull(bucket) pushes all
+        # the way down INTO the md5 bucket projection as a Filter
+        # (the plan_audit double-eval class: every token pays the md5
+        # twice) and each consumer re-runs the whole chain (measured
+        # slower than the re-hash path it replaces)
+        doc_buckets = doc_buckets.localCheckpoint(eager=False)
+        # class counts from the SHARED per-(id, bucket) aggregate:
+        # sum of n over a train doc's buckets == its raw token count
+        # per bucket, so c1/c0 are bit-identical to the re-hash path
+        counts = (
+            doc_buckets.join(labels, "id")
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.when(F.col("y"), F.col("n")).otherwise(0)).alias("c1"),
+                F.sum(F.when(F.col("y"), 0).otherwise(F.col("n"))).alias("c0"),
+            )
+        )
+    else:
+        tb_train = _hashed_token_buckets(
+            train.select(F.col(id_col), F.col(text_col), F.col(label_col)),
+            id_col,
+            text_col,
+            num_buckets,
+        )
+        # token-label table: re-join the label by id (tb drops extra cols)
+        tok = tb_train.join(labels, "id")
+        counts = (
+            tok.groupBy("bucket")
+            .agg(
+                F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("c1"),
+                F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("c0"),
+            )
+        )
     tots = counts.agg(
         F.sum("c1").alias("t1"), F.sum("c0").alias("t0")
     )
@@ -1251,10 +1294,6 @@ def nb_quality_scores(
                 + F.lit(0.5)
             ).cast("long").alias("llr_micro"),
         )
-    )
-    tb_apply = _hashed_token_buckets(apply, id_col, text_col, num_buckets)
-    doc_buckets = tb_apply.groupBy("id", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
     )
     # NOTE: buckets unseen in training get llr of ln((0+1)/(t1+B)) -
     # ln((0+1)/(t0+B)) — expressible, but such buckets are absent from

@@ -5571,7 +5571,10 @@ def pretrain_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = sel_in.filter(F.col("doc_id") % 2 == 0).withColumn(
         "is_hq", F.col("source").isin(*[f"src{i}" for i in range(10)])
     )
-    scored = nb_quality_scores(train, sel_in)
+    # train is literally a filter of sel_in, so the NB stage derives
+    # the train half's bucket counts from the apply-side tokenization
+    # (one md5 pass over sel_in instead of 1.5 — guide §1.2; r14)
+    scored = nb_quality_scores(train, sel_in, train_within_apply=True)
     selected = sel_in.join(
         scored.filter("pred_hq").select("doc_id"), "doc_id"
     ).localCheckpoint(eager=False)
@@ -7139,7 +7142,10 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     target = d.filter(F.col("source").isin("src0", "src1"))
-    return _sel(d, target, n=100)
+    # target is literally a filter of d, so the target bag model is an
+    # id semi-join over raw's materialized token table instead of a
+    # second tokenize+md5 pass over the slice (guide §1.2; r14)
+    return _sel(d, target, n=100, target_within_raw=True)
 
 
 _RANK_FNS_ORACLE = """

@@ -1012,6 +1012,37 @@ class TestDsir:
         c = {(r["doc_id"], r["rank"]) for r in dsir_select(d, target, n=20).collect()}
         assert c <= a
 
+    def test_target_within_raw_bit_identical(self, spark):
+        """The r14 subset path (target bag model = id semi-join over
+        raw's token table, no second tokenize+md5 pass) must be
+        BIT-IDENTICAL to the re-hash path — the flag changes the plan,
+        never the integers the micro-unit sums see."""
+        from lakehouse_to_rag_spark.operators.curation import (
+            dsir_log_weights,
+            dsir_select,
+        )
+
+        d = self._corpus(spark)
+        target = d.filter(F.col("source") == "wiki")
+        base = sorted(
+            tuple(r) for r in dsir_log_weights(d, target).collect()
+        )
+        sub = sorted(
+            tuple(r)
+            for r in dsir_log_weights(
+                d, target, target_within_raw=True
+            ).collect()
+        )
+        assert base == sub
+        sa = sorted(tuple(r) for r in dsir_select(d, target, n=30).collect())
+        sb = sorted(
+            tuple(r)
+            for r in dsir_select(
+                d, target, n=30, target_within_raw=True
+            ).collect()
+        )
+        assert sa == sb
+
 
 class TestNbQualityFilter:
     def _labeled(self, spark):
@@ -1062,6 +1093,33 @@ class TestNbQualityFilter:
         a = sorted(tuple(r) for r in nb_quality_scores(train, heldout).collect())
         b = sorted(tuple(r) for r in nb_quality_scores(train, heldout).collect())
         assert a == b
+
+    def test_train_within_apply_bit_identical(self, spark):
+        """The r14 subset path (train bucket counts derived from the
+        apply-side tokenization by id join, weighted by the shared
+        per-(id, bucket) aggregate) must be BIT-IDENTICAL to the
+        re-hash path when train ⊆ apply — the pretrain-capstone shape.
+        Includes a null-text and an empty-text train doc so the doc
+        admission rule faces both paths."""
+        from lakehouse_to_rag_spark.operators.text_analysis import (
+            nb_quality_scores,
+        )
+
+        d = self._labeled(spark)
+        edge = spark.createDataFrame(
+            [(9100, True, None), (9101, False, "")],
+            "doc_id long, is_hq boolean, text string",
+        )
+        d = d.unionByName(edge)
+        train = d.filter(F.col("doc_id") % 2 == 0)
+        base = sorted(tuple(r) for r in nb_quality_scores(train, d).collect())
+        sub = sorted(
+            tuple(r)
+            for r in nb_quality_scores(
+                train, d, train_within_apply=True
+            ).collect()
+        )
+        assert base == sub
 
 
 class TestLineDedup:
