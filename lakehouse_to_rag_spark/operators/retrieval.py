@@ -202,8 +202,95 @@ def write_bm25_index(
         .select("bucket", "word", "id", "tf", "dl", "df")
     )
     fmt = write_layer(postings, path, partition_by=["bucket"])
-    write_layer(stats_df, f"{path}/_stats")
+    # `_ids` sidecar (r14, guide §5/§1.2): the DISTINCT indexed doc-id
+    # set — exactly the docs `_doc_terms` admits (non-null text), so
+    # its row count equals `_stats.n_docs` when the two are in sync.
+    # `append_to_bm25_index`'s fail-closed disjointness check probes
+    # THIS column-pruned O(n_docs) table instead of scanning the full
+    # O(total postings) bucket layout per append. Derived straight
+    # from the source scan (no tokenization), one narrow column. Both
+    # one-task control writes overlap (guide §2.6 — disjoint aux dirs,
+    # no ordering constraint inside a fresh build; the postings write
+    # above already materialized the `narrow` checkpoint both ride).
+    from concurrent.futures import ThreadPoolExecutor
+
+    ids_df = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id")
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fs = pool.submit(write_layer, stats_df, f"{path}/_stats")
+        fi = pool.submit(write_layer, ids_df, f"{path}/_ids")
+        fs.result()
+        fi.result()
     return fmt
+
+
+def _parquet_files(dirpath: str) -> list[str] | None:
+    """Data files of a plain-parquet layer dir, or None when the dir
+    is missing or holds anything but parquet (e.g. a delta layer) —
+    callers then fall back to a Spark read."""
+    import os
+
+    try:
+        names = os.listdir(dirpath)
+    except OSError:
+        return None
+    if "_delta_log" in names:
+        # a delta layer's live file set is the LOG's, not the dir
+        # listing's (tombstoned files linger) — footers can't be
+        # trusted; callers fall back to the format-aware Spark read
+        return None
+    files = [
+        os.path.join(dirpath, n)
+        for n in names
+        if n.endswith(".parquet") and not n.startswith((".", "_"))
+    ]
+    ok = all(
+        n.startswith(("_", ".")) or n.endswith((".parquet", ".crc"))
+        for n in names
+    )
+    return files if files and ok else None
+
+
+def _read_stats_row(spark, sdir: str):
+    """The one-row ``_stats`` control table, read via parquet footers
+    on the driver when the layer is plain parquet (r14, guide §5: the
+    row is ~40 bytes of control state — a full Spark job to fetch it
+    cost a scheduler round-trip per append/serve). Value-exact: the
+    parquet doubles/longs decode to the same Python values a
+    ``collect()`` returns. Falls back to the Spark read for any other
+    layout (delta, mixed dirs)."""
+    files = _parquet_files(sdir)
+    if files is not None:
+        try:
+            import pyarrow.parquet as pq
+
+            for f in files:
+                t = pq.read_table(f)
+                if t.num_rows:
+                    return {
+                        c: t.column(c)[0].as_py() for c in t.column_names
+                    }
+        except Exception:
+            pass  # unreadable footer: let Spark produce the real error
+    from lakehouse_to_rag_spark.sources.lakehouse import read_layer
+
+    row = read_layer(spark, sdir).collect()[0]
+    return row.asDict()
+
+
+def _parquet_rowcount(dirpath: str) -> int | None:
+    """Total row count of a plain-parquet dir from file footers (no
+    Spark job, no data read) — None when the dir isn't plain parquet."""
+    files = _parquet_files(dirpath)
+    if files is None:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
 
 
 def append_to_bm25_index(
@@ -233,7 +320,11 @@ def append_to_bm25_index(
     the same tf-doubling corruption as an index overlap), then runs
     one column-pruned id scan of the index semi-joined against the
     (broadcast, batch-bounded) new ids and raises on any overlap,
-    BEFORE anything is written — pass ``check_disjoint=False`` only
+    BEFORE anything is written — since r14 that membership scan reads
+    the O(n_docs) ``_ids`` sidecar when it provably covers the index
+    (row count >= ``_stats.n_docs``; see the trust-rule comment at
+    the check site) instead of the O(index) posting layout. Pass
+    ``check_disjoint=False`` only
     when an upstream admission anti-join (the ``incremental_dedup_fps``
     pattern) already guarantees disjointness. A crashed-then-replayed
     batch still appends twice (wrap with the stream sink's ledger
@@ -261,8 +352,9 @@ def append_to_bm25_index(
     )
 
     _recover_compact_remnants(os.path.join(path, "_stats"))
-    stats = read_layer(spark, f"{path}/_stats").collect()[0]
-    if "sum_dl" not in stats.asDict():
+    _recover_compact_remnants(os.path.join(path, "_ids"))
+    stats = _read_stats_row(spark, os.path.join(path, "_stats"))
+    if "sum_dl" not in stats:
         raise ValueError(
             "append_to_bm25_index: index _stats lacks sum_dl (written "
             "by an older layout) — rebuild with write_bm25_index first"
@@ -308,9 +400,32 @@ def append_to_bm25_index(
                 "check_disjoint=False if uniqueness is guaranteed."
             )
         new_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
+        # Membership source (r14, guide §5 — VERDICT r13 task 4): the
+        # `_ids` sidecar is the column-pruned O(n_docs) id set, vs the
+        # O(total postings) full bucket-layout scan (every word of
+        # every doc, one directory per bucket) this check used to pay
+        # per append. TRUST RULE, fail-closed: the sidecar is used
+        # only when its row count >= _stats.n_docs — by the write
+        # ordering below it is then a SUPERSET of the indexed ids (a
+        # crash between the ids-append and the postings-append leaves
+        # extra ids, which can only cause a false REJECTION, never a
+        # false pass). A sidecar that has FEWER rows than n_docs
+        # (pre-sidecar index, or postings appended by older code) is
+        # stale-low and is NOT trusted: fall back to the full scan,
+        # exactly the pre-r14 check. `rebuild_bm25_stats` reconciles
+        # both sidecars from the postings.
+        ids_dir = os.path.join(path, "_ids")
+        # coverage gate from parquet FOOTERS (driver-side metadata, no
+        # Spark job): the sidecar is trusted only when it provably
+        # covers the index. Non-parquet layouts return None and take
+        # the full-scan fallback.
+        n_side = _parquet_rowcount(ids_dir)
+        if n_side is not None and n_side >= int(stats["n_docs"]):
+            membership = read_layer(spark, ids_dir)
+        else:  # sidecar absent or stale-low: full scan (pre-r14 path)
+            membership = read_layer(spark, path).select("id")
         n_dup = (
-            read_layer(spark, path)
-            .select("id")
+            membership
             .join(F.broadcast(new_ids), "id", "left_semi")
             .select(F.countDistinct("id").alias("n"))
             .collect()[0]["n"]
@@ -322,6 +437,23 @@ def append_to_bm25_index(
                 "their tf rows. Dedup/admit upstream, or pass "
                 "check_disjoint=False if disjointness is guaranteed."
             )
+    # `_ids` append FIRST (r14): the sidecar must stay a SUPERSET of
+    # the indexed ids across any crash, so the batch's admitted ids
+    # (non-null text — the exact `_doc_terms` admission rule, keeping
+    # row count == n_docs when in sync) land before the postings do.
+    # A crash here leaves extra sidecar ids: the next append of those
+    # ids is REJECTED (fail-closed; reconcile with rebuild_bm25_stats)
+    # rather than silently double-appended. Appended even with
+    # check_disjoint=False — skipping it would leave the sidecar
+    # stale-low and silently demote every later append to the full
+    # scan.
+    write_layer(
+        new_docs.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id")
+        ),
+        os.path.join(path, "_ids"),
+        mode="append",
+    )
     tf, dl = _doc_terms(new_docs, id_col, text_col)
     postings = (
         tf.join(dl, "id")
@@ -382,15 +514,21 @@ def append_to_bm25_index(
 
 
 def rebuild_bm25_stats(spark, path: str) -> None:
-    """Reconcile ``_stats`` from the postings alone — the recovery
-    tool for ``append_to_bm25_index``'s documented half-commit window
-    (postings appended, stats swap never landed). Every stat is fully
-    derivable from the posting rows: dl repeats on each of a doc's
-    rows, so one distinct over the column-pruned (id, dl) pair gives
-    exact n_docs and the integer sum_dl, and avgdl re-derives by the
-    same single division a build performs — rebuilt ``_stats`` is
-    bit-equal to an uninterrupted append's (equality-tested). One
-    pruned scan; the swap discipline matches the append path."""
+    """Reconcile ``_stats`` AND the ``_ids`` sidecar from the postings
+    alone — the recovery tool for ``append_to_bm25_index``'s
+    documented half-commit windows (postings appended but the stats
+    swap never landed; or sidecar ids appended but the postings never
+    did). Every stat is fully derivable from the posting rows: dl
+    repeats on each of a doc's rows, so one distinct over the
+    column-pruned (id, dl) pair gives exact n_docs and the integer
+    sum_dl, and avgdl re-derives by the same single division a build
+    performs — rebuilt ``_stats`` is bit-equal to an uninterrupted
+    append's (equality-tested). ``_ids`` rebuilds to exactly the
+    distinct indexed ids (r14: the membership sidecar the append's
+    fail-closed check probes instead of a full-index scan), restoring
+    the ids-superset invariant after the ids-append crash window left
+    orphan ids. One pruned scan feeds both via a lazy checkpoint; the
+    swap discipline matches the append path."""
     import os
     import shutil
     import uuid
@@ -405,17 +543,20 @@ def rebuild_bm25_stats(spark, path: str) -> None:
 
     sdir = os.path.join(path, "_stats")
     _recover_compact_remnants(sdir)
+    idir = os.path.join(path, "_ids")
+    _recover_compact_remnants(idir)
     n_buckets = int(read_layer(spark, sdir).collect()[0]["n_buckets"])
-    stats_df = (
+    id_dl = (
         read_layer(spark, path)
         .select("id", "dl")
         .distinct()
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").cast("long").alias("sum_dl"),
-            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
-            F.lit(n_buckets).cast("long").alias("n_buckets"),
-        )
+        .localCheckpoint(eager=False)
+    )
+    stats_df = id_dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        F.lit(n_buckets).cast("long").alias("n_buckets"),
     )
     tmp = f"{sdir}._compact_{uuid.uuid4().hex[:8]}"
     write_layer(stats_df.coalesce(1), tmp)
@@ -423,6 +564,15 @@ def rebuild_bm25_stats(spark, path: str) -> None:
     os.rename(sdir, old)
     os.rename(tmp, sdir)
     shutil.rmtree(old)
+    itmp = f"{idir}._compact_{uuid.uuid4().hex[:8]}"
+    write_layer(id_dl.select("id"), itmp)
+    if os.path.exists(idir):
+        iold = f"{idir}._old_{uuid.uuid4().hex[:8]}"
+        os.rename(idir, iold)
+        os.rename(itmp, idir)
+        shutil.rmtree(iold)
+    else:
+        os.rename(itmp, idir)
 
 
 def compact_bm25_index(
@@ -448,7 +598,7 @@ def compact_bm25_index(
 
     return _compact_index_layout(
         spark, path, "bucket",
-        carry_dirs=(), rewrite_dirs=("_stats", "_ledger"),
+        carry_dirs=(), rewrite_dirs=("_stats", "_ledger", "_ids"),
         target_rows_per_file=target_rows_per_file, split_col="id",
     )
 
@@ -470,10 +620,16 @@ def bm25_topk_from_index(
     non-matching ``bucket=N`` directories at file-listing time; the
     scoring tail is byte-identical to ``bm25_topk`` (shared
     ``_score_hits``), so persisted == in-memory exactly."""
+    import os
+
     from lakehouse_to_rag_spark.sources.lakehouse import read_layer
 
-    stats = read_layer(spark, f"{path}/_stats")
-    srow = stats.collect()[0]
+    # one-row control state via parquet footers (r14, guide §5): the
+    # Spark read + collect + broadcast of a 40-byte row cost a
+    # scheduler round-trip and a BroadcastExchange per serve call;
+    # the values are embedded as literals instead (bit-identical
+    # doubles — the decoded parquet value IS the stored double)
+    srow = _read_stats_row(spark, os.path.join(path, "_stats"))
     n_buckets = int(srow["n_buckets"])
     qterms = _query_terms(queries, query_id_col, query_text_col).withColumn(
         "bucket", F.pmod(F.xxhash64(F.col("word")), F.lit(n_buckets))
@@ -501,7 +657,8 @@ def bm25_topk_from_index(
         postings.drop("df")
         .withColumn("df", F.count(F.lit(1)).over(wdf))
         .join(F.broadcast(qterms.drop("bucket")), "word")
-        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
+        .withColumn("n_docs", F.lit(int(srow["n_docs"])))
+        .withColumn("avgdl", F.lit(float(srow["avgdl"])))
     )
     return _score_hits(hits, k, k1, b)
 

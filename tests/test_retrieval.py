@@ -649,7 +649,7 @@ def test_compact_bm25_index_preserves_serving(spark, sf_dir, tmp_path):
         return [
             f for f in pathlib.Path(path).rglob("*.parquet")
             if f.is_file() and "_stats" not in f.parts
-            and "_ledger" not in f.parts
+            and "_ledger" not in f.parts and "_ids" not in f.parts
         ]
 
     q = spark.createDataFrame(
@@ -757,6 +757,69 @@ def test_rebuild_bm25_stats_reconciles_half_commit(spark, sf_dir, tmp_path):
     assert spark.read.parquet(f"{path}/_stats").collect() == stale != good
     rebuild_bm25_stats(spark, path)
     assert spark.read.parquet(f"{path}/_stats").collect() == good
+    # r14: the rebuild also reconciles the _ids membership sidecar to
+    # exactly the distinct indexed ids (count == n_docs again)
+    n_ids = spark.read.parquet(f"{path}/_ids").count()
+    assert n_ids == good[0]["n_docs"]
+
+
+def test_append_bm25_ids_sidecar_trust_rule(spark, sf_dir, tmp_path):
+    """r14: the fail-closed disjointness check reads the O(n_docs)
+    `_ids` sidecar instead of the O(index) posting scan — but ONLY
+    when the sidecar provably covers the index (rows >= n_docs).
+
+    (a) in-sync sidecar: overlap still refused, disjoint still passes,
+        and each append keeps the sidecar in sync (count == n_docs);
+    (b) STALE-LOW sidecar (postings appended without ids — the
+        pre-r14-writer window): must NOT be trusted; the full-scan
+        fallback still catches the overlap;
+    (c) SUPERSET sidecar (the ids-append crash window: ids landed,
+        postings did not): re-sending those ids is REJECTED — the
+        documented fail-closed direction — and rebuild_bm25_stats
+        restores the exact id set, after which the batch appends."""
+    import pytest
+
+    from lakehouse_to_rag_spark.operators.retrieval import (
+        append_to_bm25_index,
+        rebuild_bm25_stats,
+        write_bm25_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(d.filter("doc_id % 4 = 0"), path)
+    stats0 = spark.read.parquet(f"{path}/_stats").collect()[0]
+    assert spark.read.parquet(f"{path}/_ids").count() == stats0["n_docs"]
+
+    # (a) overlap refused via the trusted sidecar; disjoint passes
+    with pytest.raises(ValueError, match="already exist"):
+        append_to_bm25_index(spark, path, d.filter("doc_id % 8 = 0"))
+    assert append_to_bm25_index(spark, path, d.filter("doc_id % 4 = 1")) > 0
+    n_docs = spark.read.parquet(f"{path}/_stats").collect()[0]["n_docs"]
+    assert spark.read.parquet(f"{path}/_ids").count() == n_docs
+
+    # (b) stale-low sidecar: shrink it below n_docs — the check must
+    # fall back to the full scan and still refuse the overlap
+    ids_now = spark.read.parquet(f"{path}/_ids")
+    ids_now.limit(3).write.mode("overwrite").parquet(str(tmp_path / "few"))
+    spark.read.parquet(str(tmp_path / "few")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_ids")
+    with pytest.raises(ValueError, match="already exist"):
+        append_to_bm25_index(spark, path, d.filter("doc_id % 4 = 1"))
+    rebuild_bm25_stats(spark, path)  # restore the sidecar for (c)
+
+    # (c) superset (ids-append crash window): plant ids whose postings
+    # never landed — their re-send is refused fail-closed; the rebuild
+    # reconciles and the append then succeeds
+    orphan = d.filter("doc_id % 4 = 2")
+    orphan.select(F.col("doc_id").alias("id")).write.mode("append").parquet(
+        f"{path}/_ids"
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        append_to_bm25_index(spark, path, orphan)
+    rebuild_bm25_stats(spark, path)
+    assert append_to_bm25_index(spark, path, orphan) > 0
 
 
 def test_retrieval_metrics_hand_case(spark):
