@@ -8705,8 +8705,19 @@ def rag_read_path_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
-    # the SAME store derivation the in-memory path uses (shared helper)
+    # the SAME store derivation the in-memory path uses (shared
+    # helper), materialized ONCE (r14, guide §1.2/§5 — VERDICT r13
+    # task 7): the write side evaluates the store per index build and
+    # the serve side re-derived it per consumer (query-text filter,
+    # metadata join, query vectors) — five evaluations of the same
+    # docs⋈embeddings semi-joins. The lazy checkpoints make each side
+    # of the store ONE job; rag_read_path below re-applies rag_store
+    # to the materialized frames, which is a no-op on rows (already
+    # text-non-null and vector-resolvable — oracle re-proven) and
+    # collapses every downstream derivation onto the checkpoint.
     store, emb_store = rag_store(d, e)
+    store = store.localCheckpoint(eager=False)
+    emb_store = emb_store.localCheckpoint(eager=False)
     staging = f"/tmp/rag_serve_staging/{uuid.uuid4().hex}"
     try:
         # independent layouts into disjoint subtrees: overlap the two
@@ -8722,8 +8733,8 @@ def rag_read_path_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             fb.result()
             fv.result()
         served = rag_read_path(
-            d, e, query_ids=[0, 1, 2], candidates=10, kc=8, k=4,
-            lam=0.7, c=60,
+            store, emb_store, query_ids=[0, 1, 2], candidates=10, kc=8,
+            k=4, lam=0.7, c=60,
             lexical_topk=lambda docs, q, k, id_col, text_col:
                 bm25_topk_from_index(spark, f"{staging}/bm25", q, k=k),
             vector_topk=lambda emb, q, k:
