@@ -65,6 +65,7 @@ def run_medallion_incremental(
     state_dir: str,
     deterministic: bool = True,
     min_content_length: int = 50,
+    upsert_buckets: int | None = None,
 ) -> dict[str, DataFrame]:
     """URL-keyed MAINTAINED-mode medallion — the reference's documented
     intent (re-crawled pages keyed by url, airflow/dags/etl.py:179-198)
@@ -92,11 +93,20 @@ def run_medallion_incremental(
 
     Scale shape: per-batch cost is O(batch) transform + one
     column-pruned anti-join scan of bronze's key column + the upsert
-    (file-level rewrite under Delta; the parquet fallback's O(layer)
-    swap is the documented env substitute). Bronze upserts by the
-    unique raw key (doc_id) so a replayed batch lands exactly once;
-    silver/gold upserts are naturally idempotent because admission
-    makes every written key first-seen.
+    (file-level rewrite under Delta; the parquet fallback is O(layer)
+    flat, or O(touched buckets) with ``upsert_buckets`` — r14, VERDICT
+    r13 task 5: the key-bucketed ``_kb=N`` layout rewrites only the
+    buckets a batch's keys hash to, see ``upsert_by_key``). Bronze
+    upserts by the unique raw key (doc_id) so a replayed batch lands
+    exactly once; silver/gold upserts are naturally idempotent because
+    admission makes every written key first-seen. A batch whose
+    admissions come up EMPTY (a pure re-crawl wave) skips the
+    silver/gold upserts outright (r14, guide §1.2: an upsert of zero
+    rows rewrote — or under buckets, scanned — the layers for
+    nothing); its bronze upsert still lands LAST as the commit
+    marker, so the crash contract is unchanged. The admission count
+    rides the one materialization the batch already paid (the lazy
+    checkpoint's first action IS the count job).
     """
     from pyspark.errors import AnalysisException
 
@@ -129,28 +139,43 @@ def run_medallion_incremental(
             else silver_b.join(seen, "url", "left_anti")
         )
         # materialize admissions BEFORE the upserts swap the layer
-        # directories the anti-join was computed against
-        fresh = fresh.localCheckpoint(eager=True)
-        gold_b = gold_transform(fresh, with_index=True)
-        # silver and gold upserts overlap (r13 optimization round,
-        # guide §2.6): they write DISJOINT directories, both derive
-        # from the materialized `fresh` (no recompute), and the crash
-        # contract is unchanged — each is idempotent by first-seen key
-        # and a url only becomes admitted when the bronze upsert below
-        # lands, so a crash with either (or both) half-written replays
-        # cleanly regardless of which finished first. Only bronze's
-        # LAST position is load-bearing. Measured at sf0.1: the
-        # 4-batch maintained run 7.0 s -> 5.8 s warm (the second
-        # upsert's tasks back-fill the first's write/commit tail).
-        from concurrent.futures import ThreadPoolExecutor
+        # directories the anti-join was computed against; the count
+        # rides the materialization job (lazy checkpoint + count =
+        # the same one job the eager checkpoint ran)
+        fresh = fresh.localCheckpoint(eager=False)
+        n_admitted = fresh.count()
+        import os
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fs = pool.submit(upsert_by_key, spark, paths["silver"], fresh, ["url"])
-            fg = pool.submit(
-                upsert_by_key, spark, paths["gold"], gold_b, ["url", "chunk_index"]
-            )
-            fs.result()
-            fg.result()
+        # the skip only applies to layers that already exist — a
+        # zero-admission FIRST batch still creates them (whatever the
+        # writer does with an empty frame is the pre-skip behavior)
+        if n_admitted or not (
+            os.path.exists(paths["silver"]) and os.path.exists(paths["gold"])
+        ):
+            gold_b = gold_transform(fresh, with_index=True)
+            # silver and gold upserts overlap (r13 optimization round,
+            # guide §2.6): they write DISJOINT directories, both derive
+            # from the materialized `fresh` (no recompute), and the crash
+            # contract is unchanged — each is idempotent by first-seen key
+            # and a url only becomes admitted when the bronze upsert below
+            # lands, so a crash with either (or both) half-written replays
+            # cleanly regardless of which finished first. Only bronze's
+            # LAST position is load-bearing. Measured at sf0.1: the
+            # 4-batch maintained run 7.0 s -> 5.8 s warm (the second
+            # upsert's tasks back-fill the first's write/commit tail).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fs = pool.submit(
+                    upsert_by_key, spark, paths["silver"], fresh, ["url"],
+                    n_kb=upsert_buckets,
+                )
+                fg = pool.submit(
+                    upsert_by_key, spark, paths["gold"], gold_b,
+                    ["url", "chunk_index"], n_kb=upsert_buckets,
+                )
+                fs.result()
+                fg.result()
         # bronze upserts LAST: admission keys on bronze, so a url only
         # becomes "seen" once its whole turn committed. A crash between
         # any two upserts replays cleanly — silver/gold upserts are
@@ -159,7 +184,9 @@ def run_medallion_incremental(
         # inverse window: a crash after bronze made the batch's urls
         # seen with their silver/gold rows permanently lost
         # (crash-replay tested in tests/test_pipeline.py).
-        upsert_by_key(spark, paths["bronze"], bronze_b, ["doc_id"])
+        upsert_by_key(
+            spark, paths["bronze"], bronze_b, ["doc_id"], n_kb=upsert_buckets
+        )
     return {k: read_layer(spark, p) for k, p in paths.items()}
 
 

@@ -77,7 +77,44 @@ def write_layer(
 
 def read_layer(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     fmt = fmt or ("delta" if _delta_available(spark) else "parquet")
-    return spark.read.format(fmt).load(path)
+    df = spark.read.format(fmt).load(path)
+    # layers maintained by the bucketed upsert (below) carry a hidden
+    # `_kb=<n>` partition directory level; readers see the layer's
+    # logical schema, never the maintenance key. Only the
+    # directory-derived partition column is hidden — a layer whose
+    # DATA happens to contain a `_kb` column has no `_kb=` subdirs.
+    if _KB_COL in df.columns and _kb_partition_dirs(path):
+        df = df.drop(_KB_COL)
+    return df
+
+
+# Reserved partition-column name for the key-bucketed upsert layout.
+_KB_COL = "_kb"
+
+
+def _kb_partition_dirs(path: str) -> list[str]:
+    """The `_kb=<n>` partition dirs of a bucketed layer ([] for flat
+    layouts / missing paths)."""
+    import os
+
+    try:
+        return sorted(
+            n for n in os.listdir(path)
+            if n.startswith(f"{_KB_COL}=")
+            and os.path.isdir(os.path.join(path, n))
+        )
+    except OSError:
+        return []
+
+
+def _kb_col(key_cols: list[str], n_kb: int):
+    """Deterministic maintenance bucket of a row's key: xxhash64 over
+    the key columns, mod n_kb. Deterministic (guide §2.5: retried
+    tasks must reproduce the row-to-partition assignment) and
+    key-functional, so a key lives in exactly one bucket forever."""
+    return F.pmod(
+        F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_kb)
+    ).cast("int")
 
 
 def upsert_by_key(
@@ -86,6 +123,7 @@ def upsert_by_key(
     updates: DataFrame,
     key_cols: list[str],
     fmt: str | None = None,
+    n_kb: int | None = None,
 ) -> str:
     """Keyed upsert into a layer — the incrementality the reference
     lacks (it full-overwrites every run, etl.py:113/137/242; SURVEY.md
@@ -98,6 +136,25 @@ def upsert_by_key(
     rewrite, correct but O(layer); the docstring-level contract (same
     keys in → replaced, new keys in → appended) is identical, so
     callers are delta-ready.
+
+    ``n_kb`` (r14, guide §6 — VERDICT r13 task 5) opts the parquet
+    fallback into a KEY-BUCKETED layout: rows live under hidden
+    ``_kb=<xxhash64(key) % n_kb>`` partition dirs (``read_layer``
+    hides the column), and an upsert rewrites ONLY the buckets the
+    batch's keys hash to — O(batch/n_kb · layer) instead of O(layer),
+    the parquet-era analogue of MERGE's file-level rewrite. Each
+    touched bucket swaps with the same two-rename discipline as the
+    flat path (recovered per-bucket by ``_recover_dir_swap``), so a
+    crash mid-upsert leaves SOME buckets upserted and the rest
+    untouched — a coarser window than the flat layout's all-or-
+    nothing swap, converged by the single-writer replay contract
+    (re-running the same upsert is idempotent per key; the medallion
+    caller additionally orders its commit-marker layer last).
+    A flat layer is migrated to the bucketed layout on its first
+    ``n_kb`` upsert (one full rewrite, after which rewrites prune);
+    passing ``n_kb=None`` on a bucketed layer keeps the layout but
+    rewrites every bucket. Delta MERGE ignores ``n_kb`` (the log
+    already prunes at file level).
     """
     import os
     import shutil
@@ -119,6 +176,12 @@ def upsert_by_key(
         )
         return fmt
 
+    kb_dirs = _kb_partition_dirs(path)
+    if n_kb is not None or kb_dirs:
+        return _upsert_bucketed(
+            spark, path, updates, key_cols, fmt,
+            n_kb=n_kb or len(kb_dirs) or 16, kb_dirs=kb_dirs,
+        )
     if not os.path.exists(path):
         updates.write.format(fmt).save(path)
         return fmt
@@ -132,6 +195,102 @@ def upsert_by_key(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+    return fmt
+
+
+def _upsert_bucketed(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    fmt: str,
+    n_kb: int,
+    kb_dirs: list[str],
+) -> str:
+    """Parquet-fallback upsert into the key-bucketed layout (see
+    ``upsert_by_key``). The batch's touched buckets are computed from
+    its keys (bounded by n_kb), only those ``_kb=N`` dirs are read
+    (partition-pruned scan), merged, rewritten to a sibling tmp, and
+    swapped per bucket. Untouched buckets' files are not opened, read
+    or rewritten — the file-count/pruning evidence is pinned by
+    tests/test_sources.py."""
+    import os
+    import shutil
+    import uuid
+
+    kb = _kb_col(key_cols, n_kb)
+    up = updates.withColumn(_KB_COL, kb)
+    if not os.path.exists(path):
+        up.write.format(fmt).partitionBy(_KB_COL).save(path)
+        return fmt
+    if not kb_dirs:
+        # flat layer: one-time migration — full rewrite into the
+        # bucketed layout with the same atomic root swap as the flat
+        # upsert (after this, every upsert prunes)
+        existing = spark.read.format(fmt).load(path)
+        keys = updates.select(*key_cols).distinct()
+        kept = existing.join(keys, key_cols, "left_anti")
+        merged = kept.unionByName(updates).withColumn(_KB_COL, kb)
+        tmp = f"{path}__upsert_{uuid.uuid4().hex[:8]}"
+        merged.write.format(fmt).partitionBy(_KB_COL).save(tmp)
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        return fmt
+    # existing bucket count wins: the bucket function must match the
+    # layout on disk or pruning would read the wrong dirs
+    # recover remnants for EVERY bucket, not just this batch's: a
+    # crash between a previous upsert's two renames leaves that bucket
+    # dir missing with only its ._old_ sibling — readers would silently
+    # lose the bucket until something touched it again
+    import glob as _glob
+
+    for rem in _glob.glob(
+        os.path.join(_glob.escape(path), f"{_KB_COL}=*._old_*")
+    ) + _glob.glob(
+        os.path.join(_glob.escape(path), f"{_KB_COL}=*._compact_*")
+    ):
+        base = rem.split("._old_")[0].split("._compact_")[0]
+        _recover_dir_swap(base)
+    kb_dirs = _kb_partition_dirs(path)  # recovery may have restored one
+    touched = sorted(
+        r[_KB_COL] for r in up.select(_KB_COL).distinct().collect()
+    )
+    if not touched:  # empty batch: nothing to rewrite
+        return fmt
+    existing = (
+        spark.read.format(fmt)
+        .option("basePath", path)
+        .load([os.path.join(path, f"{_KB_COL}={b}") for b in touched
+               if f"{_KB_COL}={b}" in kb_dirs])
+        if any(f"{_KB_COL}={b}" in kb_dirs for b in touched)
+        else None
+    )
+    keys = updates.select(*key_cols).distinct()
+    merged = up
+    if existing is not None:
+        kept = existing.join(keys, key_cols, "left_anti")
+        merged = kept.unionByName(up.select(*kept.columns))
+    tmp = f"{path}__upsert_{uuid.uuid4().hex[:8]}"
+    merged.write.format(fmt).partitionBy(_KB_COL).save(tmp)
+    for b in touched:
+        src = os.path.join(tmp, f"{_KB_COL}={b}")
+        dst = os.path.join(path, f"{_KB_COL}={b}")
+        if not os.path.exists(src):
+            # a touched bucket can legitimately come out empty only if
+            # every one of its rows was replaced by nothing — not
+            # reachable (updates rows land in their own bucket), but
+            # never leave a stale bucket behind if it ever becomes so
+            continue
+        if os.path.exists(dst):
+            old = f"{dst}._old_{uuid.uuid4().hex[:8]}"
+            os.rename(dst, old)
+            os.rename(src, dst)
+            shutil.rmtree(old)
+        else:
+            os.rename(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
     return fmt
 
 
