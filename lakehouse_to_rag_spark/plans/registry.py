@@ -9613,10 +9613,14 @@ def embedding_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the four demoted canaries' families stay covered by the rotation
 # plus the full local oracle suite each session.
 _CANARIES: list[str] = [
+    # Trimmed 6 -> 4 in r14 per growth-policy step 2 (the exact four
+    # the policy names): this round's 5 changed-plan pins plus the
+    # 6-canary fixed block would have pushed the cycle past 5 rounds
+    # again (the r13 failure mode). word_freq_top10 and knn_ivf are
+    # demoted — their families stay covered by rotation plus the full
+    # local oracle suite each session.
     "silver_docs",            # medallion filters/normalize/window dedup
-    "word_freq_top10",        # explode/groupBy/top-k
-    "dedup_minhash",          # banded LSH dedup
-    "knn_ivf",                # similarity search (assignment+probe)
+    "dedup_minhash",          # banded LSH dedup (the dedup/similarity pick)
     "tokenize_to_ids",        # text curation hot path
     "q1_pricing_summary",     # TPC-H scan/agg shape
 ]
@@ -9631,11 +9635,63 @@ _PINS: list[str] = [
     # embed_hashed_tf, dedup_clusters, dedup_keep_best,
     # medallion_incremental) recorded their green rows
     # (CORRECTNESS_r13: hash-green, 50/50 window) and are dropped per
-    # the one-round policy (VERDICT r13 task 1) — F back to 6
-    # (canaries only), re-confirmation cycle bound ceil(212/44) = 5.
-    # This round's changed gated implementations are pinned below as
-    # they land.
+    # the one-round policy (VERDICT r13 task 1).
+    #
+    # r14 optimization round: gated entries whose SPARK plan changed
+    # this round (every one re-proven oracle-equal at sf0.001, sf0.01
+    # AND sf0.1 in-session; oracles unchanged). Pinned for one round
+    # per the changed-plan precedent so the driver re-proves them on
+    # its own host. Cycle arithmetic (growth-policy steps 2+3 applied
+    # this round): pool = 218 - 8 consolidated = 210, fixed = 4
+    # canaries + 5 pins = 9, bound = ceil((210-9)/(50-9)) = 5.
+    # - pretrain_corpus_full: NB stage derives train buckets from the
+    #   one apply-side tokenization (train_within_apply)
+    # - dsir_select: target bag model semi-joins raw's token table
+    #   (target_within_raw)
+    # - bm25_served_incremental: _ids membership sidecar + footer
+    #   stats reads + literal n_docs/avgdl in the serve plan
+    # - rag_read_path_served: store/emb_store materialized once
+    #   across build and serve (also inherits the bm25 serve plan)
+    # - medallion_incremental: zero-admission batches skip the
+    #   silver/gold upserts; admission count rides the checkpoint job
+    "pretrain_corpus_full",
+    "dsir_select",
+    "bm25_served_incremental",
+    "rag_read_path_served",
+    "medallion_incremental",
 ]
+
+# Consolidated out of the DRIVER rotation per growth-policy step 3
+# (r14 — VERDICT r13 task 8): each entry is a parameterization/
+# dispatch twin whose operator code path is gated by a base entry
+# that stays in rotation, and EVERY entry here remains fully
+# registered (queries()/oracle_sql() expose it unchanged) and fully
+# oracle-checked by the local suite every session
+# (tests/test_oracle_parity.py runs ALL registered oracles, not a
+# sample). Only the external driver's 50-slot window stops spending
+# re-confirmation slots on them.
+_CONSOLIDATED: set[str] = {
+    # uncapped parameterization twins of the rotating _auto forms —
+    # same operator (ngram_jaccard_pairs / ngram_containment_pairs),
+    # one cap argument apart; capped==uncapped equality under the cap
+    # is separately unit-tested
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
+    # the exhaustive and static-cap MOSS report forms — the whole
+    # candidate/aggregate plan is shared with the rotating
+    # winnow_matches_topm_auto (they differ in the final window /
+    # cap literal); brute-force pair-equality is unit-tested
+    "winnow_matches",
+    "winnow_matches_topm",
+    # per-document unit-dispatch twins (r12/r13): each is the word +
+    # char single-unit plans (BOTH separately in rotation) behind one
+    # SQL-replayed row predicate and a union; the dispatch rule is
+    # additionally pinned by local planted-fixture tests
+    "dedup_jaccard_auto_unit",
+    "dedup_minhash_auto_unit",
+    "decontaminate_fuzzy_auto_unit",
+    "remove_duplicate_spans_auto_unit",
+}
 
 
 def _evidence_rounds() -> dict[str, int]:
@@ -9691,11 +9747,26 @@ def _driver_window() -> list[str]:
     # every rotated slot can now be hash-green. They remain registered
     # (queries() still exposes them) and fully covered by the local
     # suite each session.
+    # r14: _CONSOLIDATED twins sit outside the rotation pool (growth-
+    # policy step 3) — registered and locally oracle-checked every
+    # session, but the 50-slot window spends its re-confirmation
+    # capacity on the entries that gate distinct code paths.
     rest = sorted(
-        (n for n in ORACLES if n not in set(fixed)),
+        (
+            n for n in ORACLES
+            if n not in set(fixed) and n not in _CONSOLIDATED
+        ),
         key=lambda n: (ev.get(n, 0), reg_order[n]),
     )
     return fixed + rest[: 50 - len(fixed)]
+
+
+def rotation_pool() -> list[str]:
+    """The oracle-backed entries the driver window rotates over —
+    ORACLES minus the consolidated twins (and including canaries/pins,
+    which are fixed slots of the same pool). The cycle-bound test pins
+    its arithmetic to THIS pool."""
+    return [n for n in ORACLES if n not in _CONSOLIDATED]
 
 
 def _reorder() -> None:
@@ -9709,8 +9780,10 @@ def _reorder() -> None:
     if ev:
         # Only oracle-backed entries rotate (r11) — a never-checked
         # rows-only entry is by design outside the window and is
-        # instead covered by its oracled twin + local tests.
-        never = [n for n in ORACLES if n not in ev]
+        # instead covered by its oracled twin + local tests. Same for
+        # the consolidated twins (r14): they never rotate, so they are
+        # exempt from the must-enter-window assertion.
+        never = [n for n in rotation_pool() if n not in ev]
         missing = [n for n in never if n not in window]
         if missing:
             raise AssertionError(

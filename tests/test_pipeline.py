@@ -326,16 +326,26 @@ def test_driver_window_bounds_staleness_to_arithmetic_cycle():
     free = 50 - n_fixed
     # r11: only oracle-backed entries rotate (the structurally
     # no-oracle rows-only class is excluded from the window — VERDICT
-    # r10 task 2), so the cycle arithmetic runs over ORACLES.
-    bound = max(3, math.ceil((len(registry.ORACLES) - n_fixed) / free))
+    # r10 task 2). r14: the cycle arithmetic runs over the ROTATION
+    # POOL — ORACLES minus the growth-policy-step-3 consolidated twins
+    # (each gated by a rotating base entry + the full local oracle
+    # suite every session), so window capacity is spent on entries
+    # that gate distinct code paths.
+    pool = registry.rotation_pool()
+    bound = max(3, math.ceil((len(pool) - n_fixed) / free))
     assert bound <= 5, (
         f"re-confirmation cycle has grown to {bound} rounds "
-        f"({len(registry.ORACLES)} entries, {free} free slots) — trim "
+        f"({len(pool)} rotating entries, {free} free slots) — trim "
         "fixed slots or accept and document the longer cycle"
+    )
+    # consolidated twins must never be silently dropped from the
+    # registry itself: still registered, still oracle-backed
+    assert all(
+        n in registry.ORACLES for n in registry._CONSOLIDATED
     )
     window = set(registry._driver_window())
     stale = [
-        n for n in registry.ORACLES
+        n for n in pool
         if ev.get(n, 0) <= newest - bound
     ]
     left_out = [n for n in stale if n not in window]
